@@ -1,0 +1,250 @@
+"""Flagship query: the reference's entire transform pipeline
+(``glue_job.py:78-153``), re-expressed Spark-first over the driver's
+TPC-H-ish corpus (mapping per FIXTURES.md §B1).
+
+Reference semantics preserved (SURVEY.md §3.2):
+
+    transactions
+      |> parse ts / amount                         (glue_job.py:88-89)
+      |> amount_usd = amount * latest rate,
+         USD passthrough, missing rate -> 1.0      (glue_job.py:57-71,112-115)
+      |> left join product categories              (glue_job.py:121-125)
+      |> derive date/year/month/week/day           (glue_job.py:130-134)
+      |> 13-column contract projection             (glue_job.py:139-153)
+
+Spark-first divergences from the reference's *implementation* (SURVEY.md §4):
+
+- The reference collects the rates table to the driver and consults it
+  from a per-row Python UDF (``glue_job.py:99,57-71``) — an
+  ``O(|rates|)`` scan per row across the Python worker boundary, and
+  a driver OOM at 100 TB. Here: a ``max_by`` pre-aggregation to one
+  row per currency (J3) + a broadcast-hash left join (J2) + native
+  ``when``/``coalesce`` expressions (P5/P6). Everything stays in
+  whole-stage codegen; nothing is materialized on the driver.
+- The fact-side join keys are synthesized deterministically so the
+  DuckDB oracle can mirror them exactly (pure SQL, no randomness).
+
+Scale notes: the two dimension joins (rates: <=5 rows per currency
+set; categories: |part| rows) are explicit ``F.broadcast`` — at 100 TB
+the fact table never shuffles for either join. The only wide exchange
+in the whole plan is the fact/orders equi-join, which AQE handles
+(skew-split + partition coalescing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+#: Deterministic currency assignment: l_orderkey % 5 indexes this list.
+CURRENCIES = ("USD", "EUR", "GBP", "JPY", "INR")
+
+#: Target currency — reference fixes this to 'USD' (glue_job.py:25) and
+#: names the computed column f"amount_{target.lower()}" (glue_job.py:113).
+TARGET_CURRENCY = "USD"
+
+#: 'INR' is deliberately absent from the synthesized rates dim so the
+#: missing-rate -> 1.0 default branch (glue_job.py:61) is exercised.
+RATED_CURRENCY_SLOTS = 4  # slots 0..3 -> USD EUR GBP JPY; 4 (INR) unrated
+
+
+def _currency_expr(key: F.Column) -> F.Column:
+    """currency = CURRENCIES[key % 5] — same arithmetic as the oracle."""
+    arr = F.array(*[F.lit(c) for c in CURRENCIES])
+    return F.element_at(arr, (key % 5 + 1).cast("int"))
+
+
+def synth_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw `transactions` (FIXTURES.md §A1) synthesized from
+    lineitem ⨝ orders: l_extendedprice as amount, l_shipdate as the
+    event timestamp, currency assigned by l_orderkey % 5."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber")).alias(
+                "transaction_id"
+            ),
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("product_id"),
+            F.col("l_extendedprice").alias("amount"),
+            _currency_expr(F.col("l_orderkey")).alias("currency"),
+            F.col("l_shipdate").alias("timestamp"),
+        )
+    )
+
+
+def synth_currency_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`currency_rates` dim (FIXTURES.md §A2) synthesized from nation:
+    several dated rates per currency so the latest-rate-wins semantics
+    (glue_job.py:60) is actually exercised; INR omitted to exercise the
+    missing-rate default (glue_job.py:61)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.filter(
+            (F.col("n_nationkey") < 20)
+            & (F.col("n_nationkey") % 5 < RATED_CURRENCY_SLOTS)
+        )
+        .select(
+            _currency_expr(F.col("n_nationkey")).alias("currency"),
+            (F.lit(0.5) + (F.col("n_nationkey") % 10) * F.lit(0.1)).alias(
+                "rate_to_usd"
+            ),
+            F.expr(
+                "timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,n_nationkey)"
+            ).alias("rate_date"),
+        )
+    )
+
+
+def synth_product_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`product_categories` dim (FIXTURES.md §A3): part.p_type keyed by
+    p_partkey. Left join preserves reference semantics: NULL category
+    when unmatched (glue_job.py:121-124)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("product_id"), F.col("p_type").alias("category")
+    )
+
+
+def latest_rate_per_currency(rates: DataFrame) -> DataFrame:
+    """J3/A2: latest rate per currency via ``max_by`` (argmax on
+    rate_date) — a partial-aggregatable one-row-per-key reduction, vs
+    the reference's per-row ``orderBy().first()`` scan
+    (glue_job.py:57-61). At scale this is a map-side combine, not a
+    sort."""
+    return rates.groupBy("currency").agg(
+        F.max_by("rate_to_usd", "rate_date").alias("rate_to_usd")
+    )
+
+
+def convert_currency(
+    transactions: DataFrame, rates: DataFrame, target: str = TARGET_CURRENCY
+) -> DataFrame:
+    """J2 + P5/P6: broadcast left join against the one-row-per-currency
+    rates, then pure column expressions — replaces the reference's
+    collect+broadcast+UDF (glue_job.py:63-71,99,112-115) with a plan
+    Catalyst can fully optimize (codegen, pushdown through the join).
+    """
+    latest = latest_rate_per_currency(rates)
+    amount_col = f"amount_{target.lower()}"
+    return (
+        transactions.join(F.broadcast(latest), on="currency", how="left")
+        .withColumn(
+            amount_col,
+            F.when(F.col("currency") == target, F.col("amount")).otherwise(
+                F.col("amount")
+                * F.coalesce(
+                    # falsy (0.0) rate -> passthrough, per glue_job.py:68
+                    F.when(F.col("rate_to_usd") != 0.0, F.col("rate_to_usd")),
+                    F.lit(1.0),
+                )
+            ),
+        )
+        .drop("rate_to_usd")
+    )
+
+
+def derive_time_columns(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
+    """P2/F2-F6: calendar columns (glue_job.py:130-134). weekofyear is
+    ISO-8601 in both Spark and the DuckDB oracle."""
+    ts = F.col(ts_col)
+    return (
+        df.withColumn("transaction_date", ts.cast("date"))
+        .withColumn("transaction_year", F.year(ts))
+        .withColumn("transaction_month", F.month(ts))
+        .withColumn("transaction_week", F.weekofyear(ts))
+        .withColumn("transaction_day", F.dayofmonth(ts))
+    )
+
+
+#: The 13-column output contract (P1, glue_job.py:139-153;
+#: redshift_setup.py:210-224).
+OUTPUT_CONTRACT = (
+    "transaction_id",
+    "user_id",
+    "product_id",
+    "category",
+    "amount",
+    "currency",
+    "amount_usd",
+    "timestamp",
+    "transaction_date",
+    "transaction_year",
+    "transaction_month",
+    "transaction_week",
+    "transaction_day",
+)
+
+
+def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference pipeline (SURVEY.md §3.2) over the corpus."""
+    transactions = synth_transactions(spark, sf_dir)
+    rates = synth_currency_rates(spark, sf_dir)
+    categories = synth_product_categories(spark, sf_dir)
+
+    converted = convert_currency(transactions, rates)
+    enriched = converted.join(
+        F.broadcast(categories), on="product_id", how="left"
+    )
+    final = derive_time_columns(enriched)
+    return final.select(*OUTPUT_CONTRACT)
+
+
+#: DuckDB oracle — must mirror flagship_query exactly (names + values).
+FLAGSHIP_ORACLE_SQL = """
+WITH currencies(slot, currency) AS (
+    VALUES (0,'USD'),(1,'EUR'),(2,'GBP'),(3,'JPY'),(4,'INR')
+),
+transactions AS (
+    SELECT
+        l_orderkey * 10 + l_linenumber AS transaction_id,
+        o_custkey AS user_id,
+        l_partkey AS product_id,
+        l_extendedprice AS amount,
+        c.currency AS currency,
+        l_shipdate AS "timestamp"
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN currencies c ON c.slot = l_orderkey % 5
+),
+rates AS (
+    SELECT
+        c.currency AS currency,
+        0.5 + (n_nationkey % 10) * 0.1 AS rate_to_usd,
+        TIMESTAMP '2025-01-01' + n_nationkey * INTERVAL 1 DAY AS rate_date
+    FROM nation
+    JOIN currencies c ON c.slot = n_nationkey % 5
+    WHERE n_nationkey < 20 AND n_nationkey % 5 < 4
+),
+latest_rates AS (
+    SELECT currency, arg_max(rate_to_usd, rate_date) AS rate_to_usd
+    FROM rates GROUP BY currency
+),
+categories AS (
+    SELECT p_partkey AS product_id, p_type AS category FROM part
+)
+SELECT
+    t.transaction_id,
+    t.user_id,
+    t.product_id,
+    cat.category,
+    t.amount,
+    t.currency,
+    CASE WHEN t.currency = 'USD' THEN t.amount
+         ELSE t.amount * coalesce(
+                CASE WHEN r.rate_to_usd <> 0.0 THEN r.rate_to_usd END, 1.0)
+    END AS amount_usd,
+    t."timestamp",
+    CAST(t."timestamp" AS DATE) AS transaction_date,
+    CAST(year(t."timestamp") AS INT) AS transaction_year,
+    CAST(month(t."timestamp") AS INT) AS transaction_month,
+    CAST(weekofyear(t."timestamp") AS INT) AS transaction_week,
+    CAST(dayofmonth(t."timestamp") AS INT) AS transaction_day
+FROM transactions t
+LEFT JOIN latest_rates r ON t.currency = r.currency
+LEFT JOIN categories cat ON t.product_id = cat.product_id
+"""

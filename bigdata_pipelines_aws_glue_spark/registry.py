@@ -1,0 +1,52 @@
+"""Central query/oracle registry backing ``__spark_entry__.py``.
+
+Every implemented operator from SURVEY.md §2 registers here: a PySpark
+callable ``(spark, sf_dir) -> DataFrame`` and, when SQL-expressible,
+the equivalent DuckDB SQL. Column names/aliases must match exactly
+between the two (driver hashes values under sorted column names).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+    _QUERIES[name] = fn
+    if oracle is not None:
+        _ORACLES[name] = oracle
+
+
+def queries() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from bigdata_pipelines_aws_glue_spark.plans import flagship
+    from bigdata_pipelines_aws_glue_spark.plans.flagship import (
+        FLAGSHIP_ORACLE_SQL,
+        flagship_query,
+    )
+
+    register("flagship_pipeline", flagship_query, FLAGSHIP_ORACLE_SQL)
+    _LOADED = True

@@ -1,0 +1,73 @@
+"""Scan operators (SURVEY.md §2.1 S1-S3).
+
+The reference reads headered CSV twice: schema-on-read through a Glue
+DynamicFrame (``glue_job.py:78-85``) and schema-declared through
+``spark.read.csv`` (``glue_job.py:97,104``), then repairs types with
+post-read casts (``glue_job.py:88-89``). Here both collapse into
+``spark.read`` with optional explicit schema; parquet scans get
+predicate pushdown + column pruning from the vectorized reader for
+free, which is what makes the same code viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# Driver corpus tables (TESTDATA.md); one parquet file per table.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan. Filters/projections placed on the result are
+    pushed into the scan by Catalyst (check ``PushedFilters`` /
+    ``ReadSchema`` in ``.explain``)."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    timestamp_columns: tuple[str, ...] = (),
+    float_columns: tuple[str, ...] = (),
+) -> DataFrame:
+    """Headered CSV scan with optional declared schema (S1/S2) and
+    post-read repair casts (S3, ``glue_job.py:88-89``).
+
+    ``mode=PERMISSIVE`` keeps malformed rows as NULLs instead of
+    failing the scan — the behavior the reference's schema-on-read
+    DynamicFrame edge provides.
+    """
+    reader = spark.read.option("header", header).option("mode", "PERMISSIVE")
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.csv(path)
+    for c in timestamp_columns:
+        df = df.withColumn(c, F.to_timestamp(F.col(c)))
+    for c in float_columns:
+        df = df.withColumn(c, F.col(c).cast("float"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-corpus table from ``{sf_dir}/{name}.parquet``."""
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every corpus table; lazy scans, so unused tables cost nothing."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,40 @@
+"""Sink operators (SURVEY.md §2.1 S4, §2.11 C3).
+
+The reference writes the final table as Parquet under a
+``load_date=<run date>`` Hive partition (``glue_job.py:159-172``) and
+relies on Glue job bookmarks for re-run safety (``glue_job.py:181``).
+Spark-native equivalent: ``partitionBy("load_date")`` +
+``partitionOverwriteMode=dynamic`` so re-running a day is idempotent
+(overwrites exactly that partition) — bookmark-equivalence without any
+external state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "load_date",
+    mode: str = "overwrite",
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Partitioned columnar sink (S4, ``glue_job.py:159-172``).
+
+    Adds ``load_date = current_date()`` if absent (ingestion-time
+    partitioning, ``glue_job.py:159``). ``maxRecordsPerFile`` bounds
+    file sizes at scale so a hot partition doesn't produce one giant
+    file; with dynamic partition overwrite, re-runs replace only the
+    partitions present in ``df``.
+    """
+    if partition_col not in df.columns:
+        df = df.withColumn(partition_col, F.current_date())
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -1,0 +1,113 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then
+compares row count, column names, and an order-insensitive multiset of
+normalized values (floats rounded to 6 decimals — the driver hashes
+values, so we keep all emitted floats stable well past that).
+
+Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{round(v, 6):.6f}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def norm_rows(rows, col_order):
+    return sorted(
+        tuple(norm_cell(r[i]) for i in col_order) for r in rows
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from bigdata_pipelines_aws_glue_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"  {name}: rows-only check — {len(srows)} rows "
+                  f"({spark_s:.1f}s) [no oracle]")
+            if len(srows) == 0:
+                failures.append((name, "zero rows (rows-only)"))
+            continue
+        t0 = time.time()
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        duck_s = time.time() - t0
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            s_order = [scols.index(c) for c in sorted(scols)]
+            d_order = [dcols.index(c) for c in sorted(dcols)]
+            ns, nd = norm_rows(srows, s_order), norm_rows(drows, d_order)
+            if ns != nd:
+                diff = [(a, b) for a, b in zip(ns, nd) if a != b]
+                problems.append(
+                    f"values differ ({len(diff)} of {len(ns)} sorted rows); "
+                    f"first: spark={diff[0][0] if diff else '?'} "
+                    f"duck={diff[0][1] if diff else '?'}"
+                )
+        status = "OK " if not problems else "FAIL"
+        print(f"  {name}: {status} {len(srows)} rows "
+              f"(spark {spark_s:.1f}s, duck {duck_s:.2f}s)"
+              + ("" if not problems else f" :: {'; '.join(problems)}"))
+        if problems:
+            failures.append((name, "; ".join(problems)))
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES:")
+        for name, why in failures:
+            print(f"  - {name}: {why}")
+        return 1
+    print("all checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
