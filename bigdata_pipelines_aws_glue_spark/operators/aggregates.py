@@ -1,0 +1,273 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A3 + adjacency).
+
+The reference materializes only grouping keys (year/month/week/day,
+``glue_job.py:130-134``) and delegates the actual GROUP BY trend
+queries to Athena/Redshift (``README.md:7,13,21``;
+``redshift_setup.py:209-243``). Per SURVEY §2.4 A3 those queries are
+first-class here.
+
+Scale notes: every aggregate below is partial-aggregatable — Catalyst
+emits a map-side HashAggregate before the exchange, so the shuffle
+carries one row per (partition, group), not per input row. Sums are
+rounded at the *output* edge only (oracle-hash stability), never
+before aggregation. ``rollup``/``cube`` expand grouping sets in a
+single pass (one shuffle), not one job per level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+    quantized_avg,
+    quantized_sum,
+    stable_round,
+)
+from bigdata_pipelines_aws_glue_spark.plans.flagship import flagship_query
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem (A3): the
+    archetypal wide-scan + low-cardinality groupBy. At 100 TB this is
+    a pure map-side-combine plan — the exchange moves ~8 groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            stable_round(quantized_sum("l_quantity"), 2).alias("sum_qty"),
+            stable_round(quantized_sum("l_extendedprice"), 2).alias("sum_base_price"),
+            stable_round(quantized_sum(disc_price), 2).alias("sum_disc_price"),
+            stable_round(quantized_sum(charge), 2).alias("sum_charge"),
+            stable_round(quantized_avg("l_quantity"), 6).alias("avg_qty"),
+            stable_round(quantized_avg("l_extendedprice"), 6).alias("avg_price"),
+            stable_round(quantized_avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT
+    l_returnflag,
+    l_linestatus,
+    floor(((sum(floor((l_quantity) * 10000.0 + 0.5)) / 10000.0)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+    floor(((sum(floor((l_extendedprice) * 10000.0 + 0.5)) / 10000.0)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+    floor(((sum(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)) / 10000.0)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+    floor(((sum(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000.0 + 0.5)) / 10000.0)) * 100.0 + 0.5) / 100.0 AS sum_charge,
+    floor((((sum(floor((l_quantity) * 10000.0 + 0.5)) / 10000.0) / count(*))) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
+    floor((((sum(floor((l_extendedprice) * 10000.0 + 0.5)) / 10000.0) / count(*))) * 1000000.0 + 0.5) / 1000000.0 AS avg_price,
+    floor((((sum(floor((l_discount) * 10000.0 + 0.5)) / 10000.0) / count(*))) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
+    count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def sales_trends_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's stated purpose — "identify sales trends"
+    (README.md:7) — over the flagship pipeline's own output: monthly
+    USD revenue per category."""
+    out = flagship_query(spark, sf_dir)
+    return out.groupBy("transaction_year", "transaction_month", "category").agg(
+        stable_round(quantized_sum("amount_usd"), 2).alias("total_usd"),
+        F.count(F.lit(1)).alias("n_transactions"),
+        stable_round(quantized_avg("amount_usd"), 4).alias("avg_usd"),
+    )
+
+
+SALES_TRENDS_ORACLE = """
+WITH flagship AS ({flagship})
+SELECT
+    transaction_year,
+    transaction_month,
+    category,
+    floor(((sum(floor((amount_usd) * 10000.0 + 0.5)) / 10000.0)) * 100.0 + 0.5) / 100.0 AS total_usd,
+    count(*) AS n_transactions,
+    floor((((sum(floor((amount_usd) * 10000.0 + 0.5)) / 10000.0) / count(*))) * 10000.0 + 0.5) / 10000.0 AS avg_usd
+FROM flagship
+GROUP BY transaction_year, transaction_month, category
+"""
+
+
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (SURVEY §2.4 adjacency). Catalyst
+    plans this as expand + two-phase aggregate — no driver-side
+    distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (100 TB posture: constant memory per
+    group where exact distinct would shuffle every key). Sketch
+    internals differ across engines -> rows-only check; the *exact*
+    twin above is the hash-checked one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (year, month): per-month, per-year, and grand
+    totals in one shuffle (SURVEY §2.4 adjacency)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("order_month", F.month("o_orderdate"))
+        .rollup("order_year", "order_month")
+        .agg(
+            stable_round(quantized_sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       floor(((sum(floor((o_totalprice) * 10000.0 + 0.5)) / 10000.0)) * 100.0 + 0.5) / 100.0 AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (order_year, order_month)
+"""
+
+
+def cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets, one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        stable_round(quantized_sum("o_totalprice"), 2).alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       floor(((sum(floor((o_totalprice) * 10000.0 + 0.5)) / 10000.0)) * 100.0 + 0.5) / 100.0 AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way join + agg + deterministic top-10
+    (revenue rounded before ranking so the cross-engine sort order is
+    stable). Plan shape at scale: customer filter pushed to scan,
+    customer⨝orders broadcast-able at low SF / shuffle-hash at scale,
+    lineitem join AQE-skew-safe; top-k via TakeOrderedAndProject (no
+    global sort)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    revenue = stable_round(
+        quantized_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    ).alias("revenue")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue)
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       floor(((sum(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)) / 10000.0)) * 100.0 + 0.5) / 100.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: 6-way star join, revenue by nation. The dims
+    (region/nation/supplier) are broadcast; only orders⨝lineitem is a
+    wide exchange."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            stable_round(
+                quantized_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q5_ORACLE = """
+SELECT r_name, n_name,
+       floor(((sum(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)) / 10000.0)) * 100.0 + 0.5) / 100.0 AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+def _register() -> None:
+    from bigdata_pipelines_aws_glue_spark.plans.flagship import FLAGSHIP_ORACLE_SQL
+
+    registry.register("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE)
+    registry.register(
+        "sales_trends_monthly",
+        sales_trends_monthly,
+        SALES_TRENDS_ORACLE.format(flagship=FLAGSHIP_ORACLE_SQL),
+    )
+    registry.register("distinct_agg", distinct_agg, DISTINCT_ORACLE)
+    registry.register("approx_distinct", approx_distinct, None)
+    registry.register("rollup_sales", rollup_sales, ROLLUP_ORACLE)
+    registry.register("cube_status", cube_status, CUBE_ORACLE)
+    registry.register("q3_top_unshipped", q3_top_unshipped, Q3_ORACLE)
+    registry.register("q5_local_revenue", q5_local_revenue, Q5_ORACLE)

@@ -1,0 +1,184 @@
+"""Time-window & JSON operators over the events table (SURVEY.md §2.9
+batch slice, §2.8 json; M4).
+
+The reference emulates time-series behavior with calendar columns on a
+batch table (``glue_job.py:129-134``). Here the general forms: tumbling
+/ sliding windows (``F.window``), session windows
+(``F.session_window``), and JSON property extraction — all as *batch*
+aggregations whose logic is shared verbatim with the Structured
+Streaming wrappers in ``streaming/`` (batch tests vouch for streaming
+semantics, SURVEY §7 M4).
+
+Scale: windowed groupBys shuffle on (window, keys) — partial
+aggregation applies as usual. Session windows shuffle on the session
+key; skewed users are the hazard, AQE skew-split handles it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+    quantized_sum,
+    stable_round,
+)
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+SESSION_GAP = "4 hours"
+SESSION_GAP_SECONDS = 4 * 3600
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window_duration: str = "10 minutes",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling event-time window + per-type counts/sums. Same
+    expression tree is valid under ``readStream`` + watermark."""
+    return (
+        events.groupBy(F.window("ts", window_duration), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(quantized_sum("value", q=6), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_window_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_window_agg(load_table(spark, sf_dir, "events"))
+
+
+WINDOW_ORACLE = """
+SELECT
+    TIMESTAMP '1970-01-01'
+      + CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) * INTERVAL 1 SECOND
+      AS window_start,
+    event_type,
+    count(*) AS n_events,
+    floor(((sum(floor((value) * 1000000.0 + 0.5)) / 1000000.0)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (gap = 4h; median inter-event gap in
+    the corpus is ~7.3h, so sessions genuinely merge and split).
+    ``F.session_window`` start == min(ts) of the session, which the
+    oracle reproduces with a gaps-and-islands window."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(quantized_sum("value", q=6), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, value,
+           -- strict >: an event exactly at prev+gap still merges
+           -- (verified against Spark's session_window behavior)
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SECONDS}
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT min(ts) AS session_start, user_id,
+       count(*) AS n_events, floor(((sum(floor((value) * 1000000.0 + 0.5)) / 1000000.0)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (F: json coverage, SURVEY §2.8): pull
+    ``props.k``, bucket it, aggregate. ``get_json_object`` is a native
+    JVM expression — no Python involved."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"), "value")
+        # floor, not cast: DuckDB casts double->int by rounding, Spark truncates
+        .withColumn("k_bucket", F.floor(F.col("k") / 10).cast("int"))
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(quantized_sum("value", q=6), 4).alias("sum_value"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_ORACLE = """
+SELECT event_type,
+       CAST(floor(CAST(props->>'$.k' AS INT) / 10) AS INT) AS k_bucket,
+       count(*) AS n_events,
+       floor(((sum(floor((value) * 1000000.0 + 0.5)) / 1000000.0)) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+       max(CAST(props->>'$.k' AS INT)) AS max_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h window, 30m slide): each event lands in 2
+    windows; the oracle unions the two phase-shifted tumbling grids."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(quantized_sum("value", q=6), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), "n_events", "sum_value"
+        )
+    )
+
+
+SLIDING_ORACLE = """
+WITH grid(phase) AS (VALUES (0), (1800)),
+assigned AS (
+    SELECT TIMESTAMP '1970-01-01'
+             + CAST(floor((epoch(ts) - phase) / 3600) * 3600 + phase AS BIGINT)
+               * INTERVAL 1 SECOND AS window_start,
+           value
+    FROM events CROSS JOIN grid
+)
+SELECT window_start, count(*) AS n_events, floor(((sum(floor((value) * 1000000.0 + 0.5)) / 1000000.0)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+FROM assigned
+GROUP BY 1
+"""
+
+
+def _register() -> None:
+    registry.register("events_window_10min", events_window_10min, WINDOW_ORACLE)
+    registry.register("events_sessionize", events_sessionize, SESSION_ORACLE)
+    registry.register("events_json_props", events_json_props, JSON_ORACLE)
+    registry.register(
+        "events_sliding_window", events_sliding_window, SLIDING_ORACLE
+    )

@@ -1,0 +1,191 @@
+"""Join operators (SURVEY.md §2.3 J1-J4 + semi/anti).
+
+J1 (enrichment left join) and J2/J3 (broadcast rate lookup) live in
+``plans.flagship``. Here: semi/anti joins (needed for S10 merge and
+dedup) and the as-of join the reference *intended* but never built —
+"In a real scenario, you'd join based on date" (``glue_job.py:59``;
+``rate_date: timestamp`` exists to support it, ``glue_job.py:47``).
+
+As-of join, Spark-first: equi-join on the key with the range predicate
+(`rate_date <= ts`) attached, then keep the latest match per left row
+via ``row_number``. With a small rates side this is a broadcast join —
+no shuffle of the fact table at all. If the rates side is itself huge,
+bucket both sides by currency and let sort-merge handle it; semantics
+are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.plans.flagship import synth_transactions
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    broadcast_right: bool = True,
+    left_id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Generic as-of join (J4): for each left row, attach the right
+    row with the greatest ``right_time <= left_time`` (backward) /
+    smallest ``right_time >= left_time`` (forward) within the same
+    ``on`` key. Unmatched left rows survive with NULLs (left-outer).
+
+    Dedup of multiple range matches uses a window keyed by the left
+    row identity: pass ``left_id_cols`` naming a unique key (cheap
+    shuffle — only those columns partition the window); default is all
+    left columns, which requires distinct left rows.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    rt = F.col(right_time)
+    cond = (left[on] == right[on]) & (
+        (rt <= left[left_time]) if direction == "backward" else (rt >= left[left_time])
+    )
+    r = F.broadcast(right) if broadcast_right else right
+    joined = left.join(r, cond, "left").drop(right[on])
+    order = rt.desc_nulls_last() if direction == "backward" else rt.asc_nulls_last()
+    id_cols = left_id_cols if left_id_cols is not None else left.columns
+    w = Window.partitionBy(*[left[c] for c in id_cols]).orderBy(order)
+    return joined.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+
+
+def _asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rates dim dated *inside* the transaction time range (1995-2001)
+    so the as-of semantics are actually exercised: 4 dated rates per
+    currency, 90-day spacing."""
+    nation = load_table(spark, sf_dir, "nation")
+    from bigdata_pipelines_aws_glue_spark.plans.flagship import (
+        RATED_CURRENCY_SLOTS,
+        _currency_expr,
+    )
+
+    return (
+        nation.filter(
+            (F.col("n_nationkey") < 20)
+            & (F.col("n_nationkey") % 5 < RATED_CURRENCY_SLOTS)
+        )
+        .select(
+            _currency_expr(F.col("n_nationkey")).alias("currency"),
+            (F.lit(0.5) + (F.col("n_nationkey") % 10) * F.lit(0.1)).alias(
+                "rate_to_usd"
+            ),
+            F.expr(
+                "timestamp'1995-06-01 00:00:00'"
+                " + make_interval(0,0,0,n_nationkey * 90)"
+            ).alias("rate_date"),
+        )
+    )
+
+
+def asof_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 realized: each transaction gets the rate effective at its
+    timestamp (latest rate_date <= ts per currency), missing -> 1.0."""
+    tx = synth_transactions(spark, sf_dir).select(
+        "transaction_id", "currency", "amount", "timestamp"
+    )
+    rates = _asof_rates(spark, sf_dir)
+    out = asof_join(
+        tx, rates, "currency", "timestamp", "rate_date",
+        left_id_cols=["transaction_id"],
+    )
+    return out.select(
+        "transaction_id",
+        "currency",
+        "amount",
+        F.col("rate_date").alias("asof_rate_date"),
+        F.coalesce("rate_to_usd", F.lit(1.0)).alias("asof_rate"),
+        F.when(F.col("currency") == "USD", F.col("amount"))
+        .otherwise(F.col("amount") * F.coalesce("rate_to_usd", F.lit(1.0)))
+        .alias("amount_usd"),
+    )
+
+
+ASOF_ORACLE = """
+WITH currencies(slot, currency) AS (
+    VALUES (0,'USD'),(1,'EUR'),(2,'GBP'),(3,'JPY'),(4,'INR')
+),
+tx AS (
+    SELECT ((l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey) * 1000
+             + l_suppkey AS transaction_id,
+           c.currency AS currency,
+           l_extendedprice AS amount,
+           l_shipdate AS ts
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN currencies c ON c.slot = l_orderkey % 5
+),
+rates AS (
+    SELECT c.currency AS currency,
+           0.5::DOUBLE + (n_nationkey % 10) * 0.1::DOUBLE AS rate_to_usd,
+           TIMESTAMP '1995-06-01' + (n_nationkey * 90) * INTERVAL 1 DAY AS rate_date
+    FROM nation JOIN currencies c ON c.slot = n_nationkey % 5
+    WHERE n_nationkey < 20 AND n_nationkey % 5 < 4
+),
+matched AS (
+    SELECT t.transaction_id, t.currency, t.amount, t.ts,
+           r.rate_to_usd, r.rate_date,
+           row_number() OVER (PARTITION BY t.transaction_id
+                              ORDER BY r.rate_date DESC NULLS LAST) AS rn
+    FROM tx t
+    LEFT JOIN rates r ON t.currency = r.currency AND r.rate_date <= t.ts
+)
+SELECT transaction_id, currency, amount,
+       rate_date AS asof_rate_date,
+       coalesce(rate_to_usd, 1.0::DOUBLE) AS asof_rate,
+       CASE WHEN currency = 'USD' THEN amount
+            ELSE amount * coalesce(rate_to_usd, 1.0::DOUBLE) END AS amount_usd
+FROM matched WHERE rn = 1
+"""
+
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi: customers having at least one order — existence
+    check without row multiplication (shuffle carries only keys)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti: customers with no URGENT order (every customer has
+    *some* order in the corpus, so the unfiltered variant is empty —
+    S10's delete-matching step uses the same operator)."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+ANTI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
+def _register() -> None:
+    registry.register("asof_join_rates", asof_join_rates, ASOF_ORACLE)
+    registry.register("semi_join_customers", semi_join_customers, SEMI_ORACLE)
+    registry.register("anti_join_customers", anti_join_customers, ANTI_ORACLE)

@@ -65,9 +65,17 @@ def synth_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .select(
-            (F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber")).alias(
-                "transaction_id"
-            ),
+            # (orderkey, linenumber) alone is NOT unique in the corpus;
+            # fold in partkey+suppkey for a collision-free bigint id.
+            (
+                (
+                    (F.col("l_orderkey") * F.lit(10) + F.col("l_linenumber"))
+                    * F.lit(1000000)
+                    + F.col("l_partkey")
+                )
+                * F.lit(1000)
+                + F.col("l_suppkey")
+            ).alias("transaction_id"),
             F.col("o_custkey").alias("user_id"),
             F.col("l_partkey").alias("product_id"),
             F.col("l_extendedprice").alias("amount"),
@@ -201,7 +209,8 @@ WITH currencies(slot, currency) AS (
 ),
 transactions AS (
     SELECT
-        l_orderkey * 10 + l_linenumber AS transaction_id,
+        ((l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey) * 1000
+          + l_suppkey AS transaction_id,
         o_custkey AS user_id,
         l_partkey AS product_id,
         l_extendedprice AS amount,
@@ -214,7 +223,8 @@ transactions AS (
 rates AS (
     SELECT
         c.currency AS currency,
-        0.5 + (n_nationkey % 10) * 0.1 AS rate_to_usd,
+        -- ::DOUBLE: keep IEEE double arithmetic (DuckDB literals are DECIMAL)
+        0.5::DOUBLE + (n_nationkey % 10) * 0.1::DOUBLE AS rate_to_usd,
         TIMESTAMP '2025-01-01' + n_nationkey * INTERVAL 1 DAY AS rate_date
     FROM nation
     JOIN currencies c ON c.slot = n_nationkey % 5
@@ -236,7 +246,8 @@ SELECT
     t.currency,
     CASE WHEN t.currency = 'USD' THEN t.amount
          ELSE t.amount * coalesce(
-                CASE WHEN r.rate_to_usd <> 0.0 THEN r.rate_to_usd END, 1.0)
+                CASE WHEN r.rate_to_usd <> 0.0 THEN r.rate_to_usd END,
+                1.0::DOUBLE)
     END AS amount_usd,
     t."timestamp",
     CAST(t."timestamp" AS DATE) AS transaction_date,

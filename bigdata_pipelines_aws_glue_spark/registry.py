@@ -42,11 +42,27 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from bigdata_pipelines_aws_glue_spark.plans import flagship
+    import importlib
+
     from bigdata_pipelines_aws_glue_spark.plans.flagship import (
         FLAGSHIP_ORACLE_SQL,
         flagship_query,
     )
 
     register("flagship_pipeline", flagship_query, FLAGSHIP_ORACLE_SQL)
+
+    operator_modules = [
+        "aggregates",
+        "sort",
+        "windows",
+        "joins",
+        "setops",
+        "merge",
+        "events_time",
+    ]
+    for mod_name in operator_modules:
+        mod = importlib.import_module(
+            f"bigdata_pipelines_aws_glue_spark.operators.{mod_name}"
+        )
+        mod._register()
     _LOADED = True

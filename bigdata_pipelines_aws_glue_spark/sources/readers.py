@@ -64,7 +64,24 @@ def read_csv(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-corpus table from ``{sf_dir}/{name}.parquet``."""
+    """Load one driver-corpus table from ``{sf_dir}/{name}.parquet``.
+
+    The ``events`` table is written with parquet TIMESTAMP(NANOS),
+    which Spark's reader rejects outright. Repair: read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong`` — runtime-settable) and
+    rebuild ``ts`` as timestamp_ntz truncated to micros, exactly what
+    DuckDB's reader does with the same file. Zero-cost for the other
+    tables; at scale this is a pure column expression on the scan.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        return df
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 

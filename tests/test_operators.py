@@ -1,0 +1,112 @@
+"""Unit tests for M1 relational operators on tiny literal frames plus
+corpus-level sanity (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark.operators.joins import asof_join
+from bigdata_pipelines_aws_glue_spark.operators.merge import staged_merge
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "EUR", datetime.datetime(2025, 3, 1)),
+            (2, "EUR", datetime.datetime(2025, 1, 15)),
+            (3, "EUR", datetime.datetime(2024, 12, 1)),  # before all rates
+            (4, "GBP", datetime.datetime(2025, 3, 1)),  # no rates at all
+        ],
+        "id long, currency string, ts timestamp",
+    )
+    rates = spark.createDataFrame(
+        [
+            ("EUR", 1.0, datetime.datetime(2025, 1, 1)),
+            ("EUR", 2.0, datetime.datetime(2025, 2, 1)),
+        ],
+        "currency string, rate double, rate_date timestamp",
+    )
+    out = {
+        r["id"]: r["rate"]
+        for r in asof_join(
+            left, rates, "currency", "ts", "rate_date", left_id_cols=["id"]
+        ).collect()
+    }
+    assert out == {1: 2.0, 2: 1.0, 3: None, 4: None}
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [(1, "EUR", datetime.datetime(2025, 1, 15))],
+        "id long, currency string, ts timestamp",
+    )
+    rates = spark.createDataFrame(
+        [
+            ("EUR", 1.0, datetime.datetime(2025, 1, 1)),
+            ("EUR", 2.0, datetime.datetime(2025, 2, 1)),
+        ],
+        "currency string, rate double, rate_date timestamp",
+    )
+    row = asof_join(
+        left, rates, "currency", "ts", "rate_date",
+        direction="forward", left_id_cols=["id"],
+    ).first()
+    assert row["rate"] == 2.0
+
+
+def test_staged_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    staging = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k long, v string"
+    )
+    out = {r["k"]: r["v"] for r in staged_merge(target, staging, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_merge_idempotent(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    staging = spark.createDataFrame([(2, "B")], "k long, v string")
+    once = staged_merge(target, staging, ["k"])
+    twice = staged_merge(once, staging, ["k"])
+    assert sorted((r["k"], r["v"]) for r in twice.collect()) == [(1, "a"), (2, "B")]
+
+
+def test_registry_complete(spark):
+    """Every query is callable and every oracle key exists in queries."""
+    from bigdata_pipelines_aws_glue_spark import registry
+
+    q = registry.queries()
+    o = registry.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 26
+
+
+def test_session_window_matches_gap_semantics(spark):
+    from bigdata_pipelines_aws_glue_spark.operators.events_time import (
+        SESSION_GAP_SECONDS,
+    )
+
+    base = datetime.datetime(2025, 1, 1)
+    gap = datetime.timedelta(seconds=SESSION_GAP_SECONDS)
+    one_us = datetime.timedelta(microseconds=1)
+    events = spark.createDataFrame(
+        [
+            (1, base, 1.0),
+            (1, base + gap, 1.0),              # exactly gap later -> MERGES
+            (1, base + gap + gap + one_us, 1.0),  # gap exceeded -> new session
+            (2, base, 1.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = (
+        events.groupBy(F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds"),
+                       "user_id")
+        .count()
+        .collect()
+    )
+    per_user = sorted((r["user_id"], r["count"]) for r in out)
+    assert per_user == [(1, 1), (1, 2), (2, 1)]

@@ -28,7 +28,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{round(v, 6):.6f}"
+        return f"{v:.17g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
