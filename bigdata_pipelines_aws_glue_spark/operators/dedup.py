@@ -1,0 +1,287 @@
+"""Deduplication operators ([north-star] N1/N2, BASELINE.json:6).
+
+No reference implementation exists (the reference is a currency-ETL
+job); these are the driver-mandated LLM-training-data operators,
+designed Spark-first for 100 TB corpora:
+
+- exact dedup: hash-groupBy — one shuffle on the content hash, never
+  on the full text (project to hash first).
+- near-dup: MinHash + banded LSH entirely in native expressions
+  (``xxhash64`` is a JVM function — no Python worker on the path).
+  Candidate generation is a self-join *within LSH buckets*, avoiding
+  the O(n²) cross join; exact-Jaccard verification runs only on
+  candidates.
+- SimHash: 64-bit signatures from per-token hash bit votes.
+
+Shared tokenization (``_tokens``): split on single spaces of trimmed
+text — mirrored exactly by the DuckDB oracles (``string_split``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), " ")
+
+
+def _shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-grams. size<n docs yield an empty array (guard:
+    Spark's ``sequence(0, -1)`` would count *down*, not empty)."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + k + 1) for k in range(n)]
+    )
+    return F.when(
+        F.size(tokens) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """N1: one surviving row per distinct content value (min id wins),
+    with multiplicity. GroupBy on the *content hash* so the shuffle key
+    is 32 bytes regardless of document size."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(content_col),
+            F.sha2(F.col(content_col), 256).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a simulated double-ingestion (corpus ∪ corpus):
+    every text collapses back to one keeper with n_copies=2."""
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionByName(docs)
+    return exact_dedup(doubled, "text", "doc_id")
+
+
+DEDUP_EXACT_ORACLE = """
+WITH doubled AS (
+    SELECT * FROM documents UNION ALL SELECT * FROM documents
+)
+SELECT sha256(text) AS content_hash,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM doubled
+GROUP BY 1
+"""
+
+
+def dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 variant: per-document fingerprint + keep/drop decision via
+    window over the hash (row_number==1 keeps the lowest doc_id)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        docs.withColumn("content_hash", F.sha2(F.col("text"), 256))
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "content_hash", "keep")
+    )
+
+
+DEDUP_HASH_ORACLE = """
+SELECT doc_id, sha256(text) AS content_hash,
+       row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1 AS keep
+FROM documents
+"""
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs above threshold.
+
+    O(n²) pair enumeration — the *verification* kernel. At scale,
+    candidates come from :func:`minhash_lsh_candidates` buckets, never
+    from a full cross join; this standalone form exists for the oracle
+    check and for small candidate sets.
+    """
+    d = docs.select(
+        F.col("doc_id"), _shingles(_tokens(F.col("text")), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+NGRAM_JACCARD_ORACLE = """
+WITH d AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+    WHERE len(t) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.sh, b.sh))::DOUBLE
+         / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8
+"""
+
+# MinHash/LSH parameters: 16 hashes in 4 bands of 4 — candidate
+# threshold ≈ (1/4)^(1/4) ≈ 0.71 Jaccard.
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def minhash_signature(shingles: Column) -> Column:
+    """N2: MinHash signature as an array of 16 mins of seeded
+    ``xxhash64`` values — computed in one pass over the shingle array
+    with higher-order functions (whole-stage codegen, no UDF)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda seed: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, seed))
+        ),
+    )
+
+
+def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs: explode signatures into band keys,
+    self-join per bucket. The join key is (band_idx, band_hash) — at
+    100 TB this shuffles only (doc_id, 16×8B signature), and buckets
+    bound the pair blowup. Estimated Jaccard = fraction of equal
+    minhashes."""
+    sig = docs.select(
+        "doc_id",
+        minhash_signature(_shingles(_tokens(F.col("text")))).alias("sig"),
+    ).filter(F.size("sig") > 0)
+
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * ROWS_PER_BAND + 1,
+                                    ROWS_PER_BAND,
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.bucket")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")
+                ),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(N_HASHES))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (xxhash64 has no DuckDB twin); recall vs the
+    exact-Jaccard oracle pairs is asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.5)
+
+
+def simhash_signature(tokens: Column, bits: int = 64) -> Column:
+    """SimHash: per-token 64-bit hashes vote per bit position; the
+    signature packs the majority sign of each bit. Pure expressions
+    (one aggregate per bit, unrolled at plan-build time), no UDF."""
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def _voter(bit: int):
+        # NB: a plain `lambda acc, h, i=i: ...` breaks pyspark's HOF
+        # arity introspection (it binds a Column to the default arg).
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _voter(i))
+        bit_val = (1 << i) if i < 63 else -(1 << 63)  # two's complement MSB
+        packed = packed.bitwiseXOR(
+            F.when(vote > 0, F.lit(bit_val).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return packed
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit SimHash (rows-only). Near-dup candidates =
+    signatures within small Hamming distance; the pairing reuses the
+    banded-bucket pattern of MinHash on signature chunks."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        simhash_signature(_tokens(F.col("text"))).alias("simhash"),
+    )
+
+
+def _register() -> None:
+    registry.register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
+    registry.register("dedup_content_hash", dedup_content_hash, DEDUP_HASH_ORACLE)
+    registry.register(
+        "dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE
+    )
+    registry.register("dedup_minhash_lsh", dedup_minhash_lsh, None)
+    registry.register("dedup_simhash", dedup_simhash, None)

@@ -1,0 +1,266 @@
+"""Similarity search over embeddings ([north-star] N3, BASELINE.json:6).
+
+Three tiers, mirroring how ANN is actually deployed at scale:
+
+1. ``cosine_topk`` — exact brute force: broadcast the (small) query
+   set against the full corpus; vector math via ``zip_with`` /
+   ``aggregate`` higher-order functions (JVM codegen, no Python).
+   The baseline every approximate method is validated against.
+2. ``ann_lsh_topk`` — random-hyperplane LSH: 16-bit signatures via
+   deterministic pseudo-random planes, Hamming-bucket candidate
+   generation, exact re-scoring of candidates only. The 100 TB path:
+   candidate generation is a hash-bucket equi-join, never a cross
+   join.
+3. ``embedding_centroids`` — per-label mean vector (posexplode +
+   re-assemble), the building block for IVF-style coarse quantization.
+
+Embeddings are ``array<float>``; all math casts to double first so
+the DuckDB oracle (which computes in double) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+N_QUERIES = 50  # vec_id < 50 are the query vectors
+TOP_K = 10
+
+
+def _as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ as an in-order left fold (matches DuckDB
+    list_dot_product's sequential accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (excluding
+    self). Query side is broadcast — the corpus never shuffles; the
+    per-query ranking is a window top-k (local heaps, no global
+    sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qv"),
+    )
+    base = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("bv"),
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("bv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            stable_round(F.col("score"), 8).alias("score"),
+        )
+    )
+
+
+COSINE_TOPK_ORACLE = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+b AS (
+    SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS bv FROM embeddings
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           list_dot_product(qv, bv)
+             / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(bv, bv)))
+             AS score
+    FROM q JOIN b ON query_id <> neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       floor((score) * 100000000.0 + 0.5) / 100000000.0 AS score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+N_PLANES = 16
+
+
+def _plane_component(p: int, d: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    a seeded 64-bit hash of (plane, dim) scaled — reproducible across
+    runs and cluster sizes with no RNG state."""
+    h = F.xxhash64(F.lit("plane"), F.lit(p), d)
+    return h.cast("double") / F.lit(float(2**63))
+
+
+def lsh_signature(vec: Column) -> Column:
+    """16-bit random-hyperplane signature packed into a long: bit p =
+    sign(vec · plane_p). Unrolled per plane at plan-build time."""
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    def _projector(plane: int):
+        # closure, not default-arg: pyspark HOF arity introspection
+        return lambda x, d: x * _plane_component(plane, d)
+
+    sig = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(vec, dims, _projector(p)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        sig = sig.bitwiseXOR(
+            F.when(proj > 0, F.lit(1 << p).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+LSH_BANDS = 4
+BITS_PER_BAND = N_PLANES // LSH_BANDS
+
+
+def _band_keys(sig: Column) -> Column:
+    """Split the 16-bit signature into 4 banded bucket keys: two
+    vectors are candidates if ANY band matches (standard OR-of-ANDs
+    amplification — matches the MinHash banding in dedup.py)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(sig, b * BITS_PER_BAND)
+                .bitwiseAND(F.lit((1 << BITS_PER_BAND) - 1))
+                .alias("key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates share at least one LSH band
+    bucket (equi-join on (band, key)), then exact cosine re-scoring of
+    candidates only. Rows-only check; recall vs ``cosine_topk`` is
+    asserted in tests. At 100 TB: signatures are 2 bytes/vector, the
+    banded bucket join replaces the O(n²) cross join, and band count
+    trades recall for fan-out."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    sig = emb.select("vec_id", "v", lsh_signature(F.col("v")).alias("sig"))
+    bands = sig.select(
+        "vec_id", "v", F.explode(_band_keys(F.col("sig"))).alias("bk")
+    ).select("vec_id", "v", "bk.band", "bk.key")
+    q = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "band",
+        "key",
+    )
+    cand = (
+        q.join(
+            bands.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("bv"),
+                "band",
+                "key",
+            ),
+            ["band", "key"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "bv")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("bv")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            stable_round(F.col("score"), 8).alias("score"),
+        )
+    )
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dim) — posexplode +
+    groupBy (shuffle carries (label, dim, partial sums), not vectors).
+    Quantized sums keep the oracle exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(_as_double(F.col("embedding"))).alias("dim", "val"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        stable_round(
+            (F.sum(F.floor(F.col("val") * 1e9 + F.lit(0.5))) / F.lit(1e9))
+            / F.count(F.lit(1)),
+            8,
+        ).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+CENTROID_ORACLE = """
+WITH exploded AS (
+    SELECT label,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(embedding::DOUBLE[]) AS val
+    FROM embeddings
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       floor(((sum(floor(val * 1000000000.0 + 0.5)) / 1000000000.0)
+              / count(*)) * 100000000.0 + 0.5) / 100000000.0 AS centroid_val,
+       count(*) AS n_vectors
+FROM exploded
+GROUP BY label, dim
+"""
+
+
+def _register() -> None:
+    registry.register("cosine_topk", cosine_topk, COSINE_TOPK_ORACLE)
+    registry.register("ann_lsh_topk", ann_lsh_topk, None)
+    registry.register("embedding_centroids", embedding_centroids, CENTROID_ORACLE)

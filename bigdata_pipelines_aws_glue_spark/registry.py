@@ -59,6 +59,10 @@ def _load_all() -> None:
         "setops",
         "merge",
         "events_time",
+        "dedup",
+        "text",
+        "similarity",
+        "multimodal",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(

@@ -1,0 +1,117 @@
+"""Tests for the [north-star] LLM-data operators (N1-N5): recall of
+approximate methods vs exact baselines, plumbing of the multimodal
+path, and edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+    decode_image,
+    multimodal_features,
+)
+from bigdata_pipelines_aws_glue_spark.operators.similarity import (
+    TOP_K,
+    ann_lsh_topk,
+    cosine_topk,
+)
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+
+def test_exact_dedup_collapses_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r["keeper_id"]: r["n_copies"] for r in
+           exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_recall_of_near_dups(spark, sf_dir):
+    """LSH candidates must recover the overwhelming majority of true
+    high-Jaccard pairs (16 hashes / 4 bands → ~threshold 0.7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert truth, "corpus should contain planted near-duplicates"
+    recall = len(truth & cands) / len(truth)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} on {len(truth)} pairs"
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    exact = cosine_topk(spark, sf_dir)
+    approx = ann_lsh_topk(spark, sf_dir)
+    exact_top3 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in exact.filter(F.col("rank") <= 3).collect()
+    }
+    approx_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in approx.collect()
+    }
+    recall = len(exact_top3 & approx_pairs) / len(exact_top3)
+    # random-hyperplane LSH on near-uniform vectors is a weak signal;
+    # this asserts the plumbing finds a nontrivial fraction, not SOTA
+    assert recall >= 0.2, f"ANN recall@3 {recall:.2f}"
+
+
+def test_cosine_topk_shape(spark, sf_dir):
+    out = cosine_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == TOP_K
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, TOP_K + 1))
+        scores = [r["score"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in scores)
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_multimodal_features_plumbing(spark, sf_dir):
+    out = multimodal_features(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 500
+    r = rows[0]
+    assert r["n_bytes"] > 0
+    assert 0.0 <= r["byte_entropy"] <= 8.0
+    assert 1 <= r["width"] <= 64 and 1 <= r["height"] <= 48
+    docs = load_table(spark, sf_dir, "documents").count()
+    assert len({row["doc_id"] for row in rows}) == docs
+
+
+def test_shingles_short_doc(spark):
+    from bigdata_pipelines_aws_glue_spark.operators.dedup import (
+        _shingles,
+        _tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three four")], "id long, text string"
+    )
+    out = {
+        r["id"]: r["sh"]
+        for r in df.select(
+            "id", _shingles(_tokens(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    assert out[1] == []
+    assert out[2] == ["one two three", "two three four"]
