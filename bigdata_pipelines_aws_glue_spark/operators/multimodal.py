@@ -91,7 +91,9 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas
     (rows-only check: numpy entropy has no DuckDB twin)."""
-    return _payloads(spark, sf_dir).mapInPandas(
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    return spread(_payloads(spark, sf_dir)).mapInPandas(
         extract_features, schema=FEATURE_SCHEMA
     )
 

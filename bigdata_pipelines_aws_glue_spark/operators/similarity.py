@@ -58,7 +58,9 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     self). Query side is broadcast — the corpus never shuffles; the
     per-query ranking is a window top-k (local heaps, no global
     sort)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col("embedding")).alias("qv"),
@@ -178,7 +180,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests. At 100 TB: signatures are 2 bytes/vector, the
     banded bucket join replaces the O(n²) cross join, and band count
     trades recall for fan-out."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     sig = emb.select("vec_id", "v", lsh_signature(F.col("v")).alias("sig"))

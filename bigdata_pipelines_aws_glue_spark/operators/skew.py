@@ -1,0 +1,64 @@
+"""Scale/parallelism helpers (SURVEY.md §4 scale posture).
+
+- ``spread``: CPU-heavy per-row operators (hashing, vector math) on
+  inputs that arrive in few partitions (single small parquet locally;
+  a coalesced scan at 100 TB) need an explicit repartition or the
+  whole stage runs on a fraction of the cores. Cheap where it's a
+  no-op (narrow check first).
+- ``salt_key`` / ``unsalt``: classic skew-salting for hot keys when
+  AQE's skew-join splitting isn't applicable (e.g. aggregations onto
+  a dominant key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    current partitioning underuses the cluster. Round-robin, no key —
+    the target stages are embarrassingly parallel maps."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def salt_col(buckets: int) -> Column:
+    """Per-row salt bucket: spreads a hot key over ``buckets``
+    reducers. Pair with two-phase aggregation: partial agg on
+    (key, salt), final agg on key."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    agg_exprs: dict[str, str],
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe sum/count aggregation: partial agg over (keys, salt)
+    then final agg over keys. Only algebraic aggregates (sum, count,
+    min, max) are supported — exactly the ones that decompose."""
+    allowed = {"sum", "count", "min", "max"}
+    bad = set(agg_exprs.values()) - allowed
+    if bad:
+        raise ValueError(f"non-decomposable aggregates: {bad}")
+    salted = df.withColumn(
+        "__salt", F.pmod(F.spark_partition_id(), F.lit(buckets))
+    )
+    partial = salted.groupBy(*key_cols, "__salt").agg(
+        *[
+            getattr(F, fn)(c).alias(f"__p_{c}")
+            for c, fn in agg_exprs.items()
+        ]
+    )
+    final_fns = {c: ("sum" if fn == "count" else fn) for c, fn in agg_exprs.items()}
+    return partial.groupBy(*key_cols).agg(
+        *[
+            getattr(F, fn)(f"__p_{c}").alias(c)
+            for c, fn in final_fns.items()
+        ]
+    )

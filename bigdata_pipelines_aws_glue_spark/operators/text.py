@@ -178,7 +178,9 @@ def bpe_token_count(text: pd.Series) -> pd.Series:
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (regex dialects differ across engines): whitespace
     token count (native) vs BPE-ish subword count (pandas UDF)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
