@@ -256,6 +256,60 @@ GROUP BY r_name, n_name
 """
 
 
+def percentile_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (SURVEY §2.4 adjacency). Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation definition — verified bit-exact. At 100 TB prefer
+    ``approx_percentile`` (t-digest, constant memory); the exact form
+    is the oracle-checkable baseline."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+
+
+PERCENTILE_ORACLE = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+PIVOT_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+def pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order count per (year, market segment) — segments become
+    columns. Values list is declared up front, so Spark needs no extra
+    distinct-scan job and the plan is a single aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        joined.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("c_mktsegment", list(PIVOT_SEGMENTS))
+        .count()
+    )
+
+
+PIVOT_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       {cols}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+""".format(
+    cols=",\n       ".join(
+        f"sum(CASE WHEN c_mktsegment = '{seg}' THEN 1 END) AS \"{seg}\""
+        for seg in PIVOT_SEGMENTS
+    )
+)
+
+
 def _register() -> None:
     from bigdata_pipelines_aws_glue_spark.plans.flagship import FLAGSHIP_ORACLE_SQL
 
@@ -271,3 +325,5 @@ def _register() -> None:
     registry.register("cube_status", cube_status, CUBE_ORACLE)
     registry.register("q3_top_unshipped", q3_top_unshipped, Q3_ORACLE)
     registry.register("q5_local_revenue", q5_local_revenue, Q5_ORACLE)
+    registry.register("percentile_by_status", percentile_by_status, PERCENTILE_ORACLE)
+    registry.register("pivot_revenue", pivot_revenue, PIVOT_ORACLE)

@@ -63,7 +63,17 @@ def save_as_managed_table(
     """S9 equivalent: warehouse table via ``saveAsTable`` (the
     commented Redshift CREATE TABLE + COPY, redshift_setup.py:152-196,
     as one idempotent write)."""
-    create_database(df.sparkSession, database)
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    create_database(spark, database)
+    spark.sql(f"DROP TABLE IF EXISTS {database}.{table}")
+    # a crashed/previous session can leave the managed location behind
+    # with no table over it; Spark then refuses to create (42710)
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    leftover = f"{warehouse}/{database}.db/{table}"
+    shutil.rmtree(leftover, ignore_errors=True)
     writer = df.write.mode(mode).format("parquet")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
