@@ -61,20 +61,23 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # norms precomputed once per side — not per pair (3x fewer folds)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col("embedding")).alias("qv"),
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     base = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("bv"),
-    )
+    ).withColumn("bn", norm(F.col("bv")))
     scored = (
         base.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("bv")).alias("score"),
+            (dot(F.col("qv"), F.col("bv")) / (F.col("qn") * F.col("bn"))).alias(
+                "score"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
