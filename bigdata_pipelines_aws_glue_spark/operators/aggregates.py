@@ -310,6 +310,78 @@ GROUP BY 1
 )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: pure filter + global sum — the pushdown
+    showcase (all three predicates reach the parquet scan; the
+    aggregate is a two-row exchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            stable_round(
+                quantized_sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT floor(((sum(floor((l_extendedprice * l_discount) * 10000.0 + 0.5))
+               / 10000.0)) * 100.0 + 0.5) / 100.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05
+  AND l_quantity < 24
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: HAVING over an aggregated subquery feeding a
+    semi join — big-spender orders with their customers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(quantized_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150.0)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            stable_round(F.col("total_qty"), 2).alias("total_qty"),
+        )
+    )
+
+
+Q18_ORACLE = """
+WITH big AS (
+    SELECT l_orderkey,
+           (sum(floor((l_quantity) * 10000.0 + 0.5)) / 10000.0) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING (sum(floor((l_quantity) * 10000.0 + 0.5)) / 10000.0) > 150.0
+)
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+       floor((total_qty) * 100.0 + 0.5) / 100.0 AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def _register() -> None:
     from bigdata_pipelines_aws_glue_spark.plans.flagship import FLAGSHIP_ORACLE_SQL
 
@@ -327,3 +399,5 @@ def _register() -> None:
     registry.register("q5_local_revenue", q5_local_revenue, Q5_ORACLE)
     registry.register("percentile_by_status", percentile_by_status, PERCENTILE_ORACLE)
     registry.register("pivot_revenue", pivot_revenue, PIVOT_ORACLE)
+    registry.register("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE)
+    registry.register("q18_large_orders", q18_large_orders, Q18_ORACLE)

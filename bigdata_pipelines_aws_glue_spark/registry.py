@@ -69,4 +69,15 @@ def _load_all() -> None:
             f"bigdata_pipelines_aws_glue_spark.operators.{mod_name}"
         )
         mod._register()
+
+    # custom stateful operator (batch twin; the streaming form is
+    # exercised in tests/test_stateful.py)
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import ewma_batch
+
+    register(
+        "ewma_anomaly_per_user",
+        lambda spark, sf_dir: ewma_batch(load_table(spark, sf_dir, "events")),
+        None,
+    )
     _LOADED = True

@@ -1,0 +1,110 @@
+"""Custom stateful streaming operator (SURVEY.md §2.9 —
+``applyInPandasWithState`` slice of the [north-star] mandate).
+
+Operator: per-user running EWMA + anomaly flagging over the event
+stream. State = (ewma, n_seen) per user_id; each micro-batch updates
+the state from its Arrow batches and emits one row per (user, batch)
+with the current estimate and how many events deviated > k·|ewma|.
+
+This is the shape Spark cannot express with built-in aggregates
+(recursive state across triggers); the same kernel also runs in batch
+via ``applyInPandas`` (no state handle) so the logic is testable
+without a stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ALPHA = 0.2
+DEVIATION_FACTOR = 3.0
+
+OUTPUT_SCHEMA = (
+    "user_id long, n_events int, ewma double, n_anomalies int"
+)
+STATE_SCHEMA = "ewma double, n_seen long"
+
+
+def _fold_ewma(
+    values: list[float], ewma: float | None
+) -> tuple[float, int]:
+    """Sequential EWMA fold (ts-ordered input) + anomaly count."""
+    anomalies = 0
+    for v in values:
+        if ewma is None:
+            ewma = v
+            continue
+        if abs(v - ewma) > DEVIATION_FACTOR * max(abs(ewma), 1e-9):
+            anomalies += 1
+        ewma = ALPHA * v + (1 - ALPHA) * ewma
+    return float(ewma if ewma is not None else 0.0), anomalies
+
+
+def ewma_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update function."""
+    (user_id,) = key
+    if state.exists:
+        ewma, n_seen = state.get
+    else:
+        ewma, n_seen = None, 0
+    values: list[tuple] = []
+    for pdf in pdfs:
+        values.extend(zip(pdf["ts"], pdf["value"]))
+    values.sort(key=lambda tv: tv[0])
+    ordered = [v for _, v in values]
+    new_ewma, anomalies = _fold_ewma(ordered, ewma)
+    state.update((new_ewma, n_seen + len(ordered)))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [len(ordered)],
+            "ewma": [new_ewma],
+            "n_anomalies": [anomalies],
+        }
+    )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming form: one output row per (user, trigger)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            ewma_update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def ewma_batch(events: DataFrame) -> DataFrame:
+    """Batch twin over the same kernel (applyInPandas, stateless call
+    per user over full history) — used by tests to pin semantics."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        ewma, anomalies = _fold_ewma(list(pdf["value"]), None)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma": [ewma],
+                "n_anomalies": [anomalies],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, schema=OUTPUT_SCHEMA)
+    )
