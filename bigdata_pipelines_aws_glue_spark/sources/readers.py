@@ -77,9 +77,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
+            # timezone-INDEPENDENT nanos->timestamp_ntz (truncating to
+            # micros, matching DuckDB's reader): timestamp_micros()
+            # would produce an ltz value whose ntz cast depends on the
+            # session timezone — wrong under a non-UTC driver session.
             df = df.withColumn(
                 "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+                F.expr(
+                    "make_timestamp_ntz(1970, 1, 1, 0, 0, 0)"
+                    " + make_dt_interval(0, 0, 0, ts div 1000000000)"
+                    " + make_dt_interval(0, 0, 0,"
+                    "   ((ts % 1000000000) div 1000) / 1e6)"
+                ),
             )
         return df
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
