@@ -175,10 +175,77 @@ GROUP BY 1
 """
 
 
+def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.from_json with a declared schema (the typed counterpart of
+    get_json_object): props -> struct, then aggregate. One JVM-side
+    parse per row, no Python."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "p", F.from_json("props", "k int")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.min(F.col("p.k")).alias("min_k"),
+            F.max(F.col("p.k")).alias("max_k"),
+            F.count(F.col("p.k")).alias("n_with_k"),
+        )
+    )
+
+
+JSON_TYPED_ORACLE = """
+SELECT event_type,
+       min(CAST(props->>'$.k' AS INT)) AS min_k,
+       max(CAST(props->>'$.k' AS INT)) AS max_k,
+       count(CAST(props->>'$.k' AS INT)) AS n_with_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): totals by type,
+    by hour-of-day, and overall — one shuffle, with grouping_id to
+    tell the sets apart."""
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(hour(ts) AS INT) AS hod,
+               count(*) AS n_events,
+               CAST(grouping__id AS INT) AS gid
+        FROM events_gs
+        GROUP BY event_type, hour(ts)
+          GROUPING SETS ((event_type), (hour(ts)), ())
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT event_type,
+       CAST(hod AS INT) AS hod,
+       count(*) AS n_events,
+       CAST(gid AS INT) AS gid
+FROM (
+    SELECT event_type, NULL AS hod, 1 AS gid FROM events
+    UNION ALL
+    SELECT NULL, hour(ts), 2 AS gid FROM events
+    UNION ALL
+    SELECT NULL, NULL, 3 AS gid FROM events
+)
+GROUP BY event_type, hod, gid
+"""
+
+
 def _register() -> None:
     registry.register("events_window_10min", events_window_10min, WINDOW_ORACLE)
     registry.register("events_sessionize", events_sessionize, SESSION_ORACLE)
     registry.register("events_json_props", events_json_props, JSON_ORACLE)
     registry.register(
         "events_sliding_window", events_sliding_window, SLIDING_ORACLE
+    )
+    registry.register("events_json_typed", events_json_typed, JSON_TYPED_ORACLE)
+    registry.register(
+        "events_grouping_sets", events_grouping_sets, GROUPING_SETS_ORACLE
     )
