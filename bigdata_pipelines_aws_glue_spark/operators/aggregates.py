@@ -304,7 +304,8 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1
 """.format(
     cols=",\n       ".join(
-        f"sum(CASE WHEN c_mktsegment = '{seg}' THEN 1 END) AS \"{seg}\""
+        f"CAST(sum(CASE WHEN c_mktsegment = '{seg}' THEN 1 END) AS BIGINT)"
+        f" AS \"{seg}\""
         for seg in PIVOT_SEGMENTS
     )
 )

@@ -40,6 +40,34 @@ def norm_rows(rows, col_order):
     )
 
 
+def norm_spark_type(t: str) -> str:
+    t = t.lower()
+    aliases = {
+        "int": "int32", "integer": "int32", "bigint": "int64",
+        "long": "int64", "smallint": "int16", "double": "float64",
+        "float": "float32", "string": "string", "varchar": "string",
+        "boolean": "bool", "date": "date",
+        "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+        "binary": "binary",
+    }
+    if t.startswith("array<"):
+        return f"list<{norm_spark_type(t[6:-1])}>"
+    return aliases.get(t, t)
+
+
+def norm_duck_type(t: str) -> str:
+    t = t.lower()
+    aliases = {
+        "integer": "int32", "bigint": "int64", "smallint": "int16",
+        "hugeint": "int128", "double": "float64", "float": "float32",
+        "varchar": "string", "boolean": "bool", "date": "date",
+        "timestamp": "timestamp", "blob": "binary",
+    }
+    if t.endswith("[]"):
+        return f"list<{norm_duck_type(t[:-2])}>"
+    return aliases.get(t, t)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -72,13 +100,25 @@ def main() -> int:
                 failures.append((name, "zero rows (rows-only)"))
             continue
         t0 = time.time()
-        res = con.execute(oracles[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
+        rel = con.sql(oracles[name])
+        dcols = list(rel.columns)
+        duck_types = [str(t) for t in rel.types]
+        drows = rel.fetchall()
         duck_s = time.time() - t0
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        stypes = {c: norm_spark_type(t) for c, t in sdf.dtypes}
+        dtypes = {
+            c: norm_duck_type(t) for c, t in zip(dcols, duck_types)
+        }
+        type_mismatch = {
+            c: (stypes[c], dtypes[c])
+            for c in stypes
+            if c in dtypes and stypes[c] != dtypes[c]
+        }
+        if type_mismatch:
+            problems.append(f"dtypes differ: {type_mismatch}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         else:
