@@ -63,6 +63,44 @@ def read_csv(
     return df
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """S1 hardened: PERMISSIVE read with malformed lines captured in a
+    quarantine frame instead of silently nulled (the
+    ``columnNameOfCorruptRecord`` pattern — the production form of the
+    reference's schema-on-read edge, ``glue_job.py:78-89``).
+
+    Returns (clean_rows, quarantined_raw_lines). Caveat baked in: Spark
+    requires the corrupt column in the schema, and quarantine requires
+    a cache/materialization boundary to be referentially stable.
+    """
+    from pyspark.sql.types import StringType as _Str
+    from pyspark.sql.types import StructField as _SF
+
+    full_schema = StructType(
+        [*schema.fields, _SF(CORRUPT_COL, _Str(), True)]
+    )
+    df = (
+        spark.read.option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .schema(full_schema)
+        .csv(path)
+    ).cache()  # required: corrupt-record column is not stable across re-scans
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return clean, quarantine
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-corpus table from ``{sf_dir}/{name}.parquet``.
 

@@ -38,3 +38,32 @@ def write_partitioned_parquet(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Small-file compaction for a parquet directory (the long-running
+    ingestion problem: many tiny files -> NameNode/scan overhead).
+    Rewrites to ceil(bytes/target) files; returns the file count.
+    At scale, run per partition directory, not on the whole table."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

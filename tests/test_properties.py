@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the pure kernels — no Spark
+session needed, so these run in milliseconds and cover edge cases the
+corpus never hits."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bigdata_pipelines_aws_glue_spark.streaming.stateful import _fold_ewma
+
+finite_doubles = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
+)
+
+
+@given(st.lists(finite_doubles, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_fold_ewma_total_and_bounds(values):
+    ewma, anomalies = _fold_ewma(values, None)
+    assert 0 <= anomalies <= max(0, len(values) - 1)
+    if values:
+        # relative tolerance: a*v + (1-a)*v can exceed v by an ulp
+        eps = 1e-9 * max(1.0, max(abs(v) for v in values))
+        assert min(values) - eps <= ewma <= max(values) + eps
+    else:
+        assert ewma == 0.0
+
+
+@given(finite_doubles)
+@settings(max_examples=300, deadline=None)
+def test_stable_round_formula_matches_duckdb(x):
+    """The floor(x*100+0.5)/100 formula must agree bit-for-bit between
+    Python/duckdb on arbitrary doubles (Spark evaluates the identical
+    IEEE expression plan-side)."""
+    py = math.floor(x * 100.0 + 0.5) / 100.0
+    (dk,) = duckdb.sql(
+        f"SELECT floor(({x!r}::DOUBLE) * 100.0 + 0.5) / 100.0"
+    ).fetchone()
+    assert py == dk
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_minhash_kernel_identical_docs_identical_sigs(texts):
+    """Pure-python mirror of the minhash kernel property: equal texts
+    always get equal signatures; signature length is fixed."""
+    import hashlib
+
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.dedup import (
+        N_HASHES,
+        _MERSENNE_61,
+    )
+
+    rng = np.random.RandomState(42)
+    A = (rng.randint(1, _MERSENNE_61, size=N_HASHES, dtype=np.int64) | 1).astype(
+        np.uint64
+    )
+    B = rng.randint(0, _MERSENNE_61, size=N_HASHES, dtype=np.int64).astype(
+        np.uint64
+    )
+
+    def sig(text):
+        toks = text.strip().split(" ")
+        if len(toks) < 3:
+            return ()
+        grams = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        base = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
+                )
+                for g in grams
+            ),
+            dtype=np.uint64,
+            count=len(grams),
+        )
+        mixed = (A[:, None] * base[None, :] + B[:, None]) % _MERSENNE_61
+        return tuple(mixed.min(axis=1).tolist())
+
+    for t in texts:
+        s1, s2 = sig(t), sig(t)
+        assert s1 == s2
+        assert len(s1) in (0, N_HASHES)

@@ -1,0 +1,65 @@
+"""Source/sink hardening tests: quarantine reads, compaction, JSON
+roundtrip."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.types import (
+    FloatType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bigdata_pipelines_aws_glue_spark.sources.readers import (
+    load_table,
+    read_csv_with_quarantine,
+)
+from bigdata_pipelines_aws_glue_spark.sources.writers import compact_parquet
+
+SCHEMA = StructType(
+    [
+        StructField("id", StringType(), True),
+        StructField("amount", FloatType(), True),
+    ]
+)
+
+
+def test_quarantine_read(spark, tmp_path):
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,amount\n"
+        "a,1.5\n"
+        "b,not_a_number\n"  # malformed float
+        "c,2.5\n"
+    )
+    clean, quarantine = read_csv_with_quarantine(spark, str(p), SCHEMA)
+    assert {r["id"] for r in clean.collect()} == {"a", "c"}
+    bad = quarantine.collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0]["raw_line"]
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "frag")
+    # fragment: 16 files for a tiny table
+    load_table(spark, sf_dir, "orders").repartition(16).write.parquet(out)
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_before == 16
+    rows_before = spark.read.parquet(out).count()
+    n_files = compact_parquet(spark, out)
+    assert n_files == 1
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_after == 1
+    assert spark.read.parquet(out).count() == rows_before
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_json")
+    events = load_table(spark, sf_dir, "events")
+    events.write.mode("overwrite").json(out)
+    back = spark.read.schema(events.schema).json(out)
+    assert back.count() == events.count()
+    a = {r["event_id"] for r in events.select("event_id").collect()}
+    b = {r["event_id"] for r in back.select("event_id").collect()}
+    assert a == b

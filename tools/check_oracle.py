@@ -12,6 +12,7 @@ Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -73,9 +74,21 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
-    from bigdata_pipelines_aws_glue_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("PLAIN_SESSION"):
+        # mimic an unknown driver session: default timezone/configs
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-plain")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from bigdata_pipelines_aws_glue_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
