@@ -167,12 +167,17 @@ FROM s
 _BPE_RE = re.compile(r"[A-Za-z]{1,4}|\d+|[^\sA-Za-z\d]+")
 
 
-@pandas_udf("int")
-def bpe_token_count(text: pd.Series) -> pd.Series:
-    """Arrow-batched subword token counter (the pandas-UDF slow path,
-    used deliberately: regex tokenization of this shape is not
-    expressible as built-in expressions)."""
+def _bpe_count_series(text: pd.Series) -> pd.Series:
+    """Arrow-batched subword token counter kernel."""
     return text.fillna("").map(lambda s: len(_BPE_RE.findall(s))).astype("int32")
+
+
+def make_bpe_token_count():
+    """Build the pandas UDF lazily — decorating at module import time
+    would require an active SparkContext (DDL type-string parsing),
+    which breaks importing this package before the session exists
+    (e.g. a driver that calls ``queries()`` first)."""
+    return pandas_udf(_bpe_count_series, "int")
 
 
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,6 +185,7 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     token count (native) vs BPE-ish subword count (pandas UDF)."""
     from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 
+    bpe_token_count = make_bpe_token_count()
     docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
