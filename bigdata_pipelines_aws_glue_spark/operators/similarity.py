@@ -232,6 +232,83 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 3  # IVF cells searched per query
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the other N3 scale path besides LSH): coarse
+    cells = per-label centroids; each vector is indexed under its
+    nearest centroid, each query probes its ``N_PROBE`` nearest cells
+    and re-scores exactly within them. At 100 TB: centroids are a
+    broadcast table (k rows), cell assignment is a map, and search is
+    an equi-join on cell id — never a cross join. Rows-only check;
+    recall vs brute force asserted in tests."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    # coarse centroids: mean vector per corpus label (k = n_labels).
+    cents = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("dim", F.sequence(F.lit(0), F.size("v") - 1))
+        .select("label", F.explode(F.arrays_zip("dim", "v")).alias("z"))
+        .groupBy("label", F.col("z.dim").alias("dim"))
+        .agg(F.avg("z.v").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda p: p["cv"]).alias("cvec"),
+        )
+    )
+    # rank cells per vector by centroid cosine
+    scored_cells = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cell",
+        cosine(F.col("v"), F.col("cvec")).alias("cell_score"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_score").desc(), F.col("cell")
+    )
+    ranked_cells = scored_cells.withColumn("cr", F.row_number().over(w_cell))
+    index = ranked_cells.filter(F.col("cr") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("bv"),
+        "cell",
+    )
+    probes = (
+        ranked_cells.filter(
+            (F.col("cr") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
+        )
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cell")
+    )
+    cand = probes.join(index, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("bv")).alias("score"),
+        )
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            stable_round(F.col("score"), 8).alias("score"),
+        )
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid, one row per (label, dim) — posexplode +
     groupBy (shuffle carries (label, dim, partial sums), not vectors).
@@ -270,4 +347,5 @@ GROUP BY label, dim
 def _register() -> None:
     registry.register("cosine_topk", cosine_topk, COSINE_TOPK_ORACLE)
     registry.register("ann_lsh_topk", ann_lsh_topk, None)
+    registry.register("ivf_topk", ivf_topk, None)
     registry.register("embedding_centroids", embedding_centroids, CENTROID_ORACLE)

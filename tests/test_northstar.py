@@ -115,3 +115,19 @@ def test_shingles_short_doc(spark):
     }
     assert out[1] == []
     assert out[2] == ["one two three", "two three four"]
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from bigdata_pipelines_aws_glue_spark.operators.similarity import ivf_topk
+
+    exact = cosine_topk(spark, sf_dir)
+    approx = ivf_topk(spark, sf_dir)
+    exact_top3 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in exact.filter(F.col("rank") <= 3).collect()
+    }
+    approx_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in approx.collect()
+    }
+    recall = len(exact_top3 & approx_pairs) / len(exact_top3)
+    assert recall >= 0.3, f"IVF recall@3 {recall:.2f}"
