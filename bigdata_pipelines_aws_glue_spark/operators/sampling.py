@@ -1,0 +1,72 @@
+"""Sampling & shuffling operators (training-data pipeline staples,
+[north-star]-adjacent: corpus subsetting and example-order
+randomization at 100 TB).
+
+- ``stratified_sample``: per-stratum Bernoulli sampling (``sampleBy``)
+  — seeded, executor-local, no shuffle at all.
+- ``deterministic_shuffle``: a *reproducible* global permutation via a
+  modular-multiplication hash of the key — unlike ``orderBy(rand())``
+  this is stable across runs/cluster layouts AND mirrorable in the
+  DuckDB oracle. At scale the sort is a range exchange; for
+  shard-local shuffling use ``repartition(k, key)`` + per-partition
+  sort on the same hash (no global exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+#: odd multiplier for the permutation hash (fits in signed 64-bit
+#: arithmetic for doc_id < ~9e9 without ANSI overflow)
+_SHUFFLE_PRIME = 999_999_937
+_SHUFFLE_MOD = 1_000_000_007
+
+
+def shuffle_key(key, seed: int = 42):
+    """(key * P + seed) % M — a fixed pseudo-random permutation."""
+    return (key * F.lit(_SHUFFLE_PRIME) + F.lit(seed)) % F.lit(_SHUFFLE_MOD)
+
+
+def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle: shuffle_rank is a permutation of
+    1..N, identical on every run and engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(shuffle_key(F.col("doc_id")), F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        shuffle_key(F.col("doc_id")).alias("shuffle_hash"),
+        F.row_number().over(w).alias("shuffle_rank"),
+    )
+
+
+SHUFFLE_ORACLE = f"""
+SELECT doc_id,
+       (doc_id * {_SHUFFLE_PRIME} + 42) % {_SHUFFLE_MOD} AS shuffle_hash,
+       CAST(row_number() OVER (
+           ORDER BY (doc_id * {_SHUFFLE_PRIME} + 42) % {_SHUFFLE_MOD}, doc_id
+       ) AS INT) AS shuffle_rank
+FROM documents
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample (downsample dominant strata —
+    the language-balancing step of corpus curation). Seeded Bernoulli
+    per stratum; rows-only check (RNG streams differ across engines,
+    deterministically within Spark)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.25}
+    return docs.sampleBy("lang", fractions, seed=42).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _register() -> None:
+    registry.register(
+        "deterministic_shuffle", deterministic_shuffle, SHUFFLE_ORACLE
+    )
+    registry.register("stratified_sample", stratified_sample, None)

@@ -63,6 +63,7 @@ def _load_all() -> None:
         "text",
         "similarity",
         "multimodal",
+        "sampling",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(
