@@ -189,7 +189,13 @@ OUTPUT_CONTRACT = (
 
 
 def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full reference pipeline (SURVEY.md §3.2) over the corpus."""
+    """The full reference pipeline (SURVEY.md §3.2) over the corpus.
+
+    Deliberately NOT repartitioned: all downstream joins are broadcast
+    (zero shuffles), so inserting a repartition exchange to parallelize
+    the local single-row-group scan costs more than it saves on a cold
+    run — and at real scale the scan arrives in many partitions anyway.
+    """
     transactions = synth_transactions(spark, sf_dir)
     rates = synth_currency_rates(spark, sf_dir)
     categories = synth_product_categories(spark, sf_dir)
