@@ -383,6 +383,101 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: revenue lost to returns per customer, top 20.
+    Join order matters at scale: filter lineitem on returnflag FIRST
+    (pushed to the scan), then join up the star."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    returned = li.filter(F.col("l_returnflag") == "R")
+    return (
+        returned.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            stable_round(
+                quantized_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       floor(((sum(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5))
+               / 10000.0)) * 100.0 + 0.5) / 100.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q2_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated subquery: the supplier whose account
+    balance equals its nation's maximum — decorrelated Spark-first as
+    a window max (one shuffle on nation) instead of a per-row
+    subquery."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("s_nationkey")
+    best = (
+        supp.withColumn("max_bal", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("max_bal"))
+        .drop("max_bal")
+    )
+    return best.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("n_name", "s_suppkey", "s_name", "s_acctbal")
+
+
+Q2_ORACLE = """
+SELECT n_name, s_suppkey, s_name, s_acctbal
+FROM supplier s
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = s.s_nationkey)
+"""
+
+
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct suppliers per part attribute —
+    distinct-count over a join, grouped by dimension columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type,
+       count(DISTINCT l_suppkey) AS supplier_cnt,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type
+"""
+
+
 def _register() -> None:
     from bigdata_pipelines_aws_glue_spark.plans.flagship import FLAGSHIP_ORACLE_SQL
 
@@ -402,3 +497,6 @@ def _register() -> None:
     registry.register("pivot_revenue", pivot_revenue, PIVOT_ORACLE)
     registry.register("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE)
     registry.register("q18_large_orders", q18_large_orders, Q18_ORACLE)
+    registry.register("q10_returned_items", q10_returned_items, Q10_ORACLE)
+    registry.register("q2_top_supplier_per_nation", q2_top_supplier_per_nation, Q2_ORACLE)
+    registry.register("q16_supplier_diversity", q16_supplier_diversity, Q16_ORACLE)

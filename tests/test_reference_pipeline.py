@@ -107,3 +107,18 @@ def test_managed_table_save(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
     save_as_managed_table(nation, "nation_copy")
     assert spark.table("ecommerce_db.nation_copy").count() == 25
+
+
+def test_pipeline_error_propagates(spark, pipeline_dirs):
+    """C4/C5: failures surface as exceptions (the Step Functions
+    catch-all Fail state is plain Python error propagation here)."""
+    import pytest as _pytest
+
+    bad = PipelineConfig(
+        input_path=str(pipeline_dirs / "does_not_exist.csv"),
+        output_path=str(pipeline_dirs / "out2"),
+        currency_rates_path=str(pipeline_dirs / "rates.csv"),
+        product_categories_path=str(pipeline_dirs / "cats.csv"),
+    )
+    with _pytest.raises(Exception):
+        run_pipeline(spark, bad)
