@@ -1,0 +1,155 @@
+"""Scalar-function breadth (SURVEY.md §2.8 — the categories the
+reference never touches but a complete engine must cover): string,
+date/time, and array functions, each as an oracle-checked query over
+the corpus. Everything is a native JVM expression (pure map work, no
+shuffle except the final aggregations).
+
+Cross-dialect notes baked into the oracles:
+- Spark ``dayofweek`` is 1=Sunday; DuckDB ``dayofweek`` is 0=Sunday
+  (oracle adds 1).
+- Spark ``add_months`` and DuckDB ``+ INTERVAL n MONTH`` both clamp to
+  month end — verified equivalent.
+- ``collect_list`` order is nondeterministic: always wrap in
+  ``sort_array`` (DuckDB: ``list_sort(list(...))``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
+from bigdata_pipelines_aws_glue_spark.operators.skew import two_phase_agg
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: concat_ws, substring, upper/lower, length,
+    lpad, replace, split+element access, startswith as filter."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.concat_ws("|", F.col("c_name"), F.col("c_mktsegment")).alias("tag"),
+        F.upper(F.substring("c_mktsegment", 1, 4)).alias("seg4"),
+        F.lower("c_name").alias("lname"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "short_name"
+        ),
+        F.element_at(F.split("c_name", "#"), -1).alias("name_suffix"),
+    )
+
+
+STRING_ORACLE = """
+SELECT c_custkey,
+       concat_ws('|', c_name, c_mktsegment) AS tag,
+       upper(substring(c_mktsegment, 1, 4)) AS seg4,
+       lower(c_name) AS lname,
+       CAST(length(c_name) AS INT) AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+       replace(c_name, 'Customer', 'Cust') AS short_name,
+       string_split(c_name, '#')[-1] AS name_suffix
+FROM customer
+"""
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: trunc, quarter, dayofweek/dayofyear,
+    last_day, add_months, datediff from a fixed epoch."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", d).alias("month_start"),
+        F.quarter(d).alias("q"),
+        F.dayofweek(d).alias("dow"),
+        F.dayofyear(d).alias("doy"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d.cast("date"), 3).alias("plus3m"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch"
+        ),
+    )
+
+
+DATE_ORACLE = """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            AS INT) AS days_since_epoch
+FROM orders
+"""
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface: sorted collect_list, size, distinct count,
+    min/max elements, contains — per-order line aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.size(F.collect_set("l_partkey")).alias("n_distinct_parts"),
+            F.array_min(F.collect_list("l_quantity")).alias("min_qty"),
+            F.array_max(F.collect_list("l_quantity")).alias("max_qty"),
+            F.array_contains(F.collect_list("l_returnflag"), "R").alias(
+                "any_returned"
+            ),
+        )
+    )
+
+
+ARRAY_ORACLE = """
+SELECT l_orderkey,
+       list_sort(list(l_linenumber)) AS line_numbers,
+       CAST(count(DISTINCT l_partkey) AS INT) AS n_distinct_parts,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       bool_or(l_returnflag = 'R') AS any_returned
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
+def skew_safe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting helper through the correctness gate: two-phase
+    (partial-on-salt, final-on-key) aggregation over a pre-quantized
+    integer measure — exact regardless of salt bucketing, so it
+    hash-matches the straight GROUP BY oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 10000.0 + 0.5).alias("qty_q"),
+        F.lit(1).alias("cnt"),
+    )
+    out = two_phase_agg(
+        li, ["l_returnflag"], {"qty_q": "sum", "cnt": "count"}, buckets=8
+    )
+    return out.select(
+        "l_returnflag",
+        stable_round(F.col("qty_q") / 10000.0, 2).alias("sum_qty"),
+        F.col("cnt").alias("n_rows"),
+    )
+
+
+SKEW_ORACLE = """
+SELECT l_returnflag,
+       floor(((sum(floor(l_quantity * 10000.0 + 0.5)) / 10000.0)) * 100.0 + 0.5)
+         / 100.0 AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def _register() -> None:
+    registry.register("string_functions", string_functions, STRING_ORACLE)
+    registry.register("date_functions", date_functions, DATE_ORACLE)
+    registry.register("array_functions", array_functions, ARRAY_ORACLE)
+    registry.register("skew_safe_agg", skew_safe_agg, SKEW_ORACLE)

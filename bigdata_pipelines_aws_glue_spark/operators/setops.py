@@ -75,8 +75,34 @@ SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000.0
 """
 
 
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _branches(spark, sf_dir)
+    return a.intersectAll(b)
+
+
+INTERSECT_ALL_ORACLE = """
+SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT ALL
+SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000.0
+"""
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _branches(spark, sf_dir)
+    return a.exceptAll(b)
+
+
+EXCEPT_ALL_ORACLE = """
+SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT ALL
+SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000.0
+"""
+
+
 def _register() -> None:
     registry.register("set_union", set_union, UNION_ORACLE)
     registry.register("set_intersect", set_intersect, INTERSECT_ORACLE)
     registry.register("set_except", set_except, EXCEPT_ORACLE)
     registry.register("union_all_by_name", union_all_by_name, UNION_ALL_ORACLE)
+    registry.register("set_intersect_all", set_intersect_all, INTERSECT_ALL_ORACLE)
+    registry.register("set_except_all", set_except_all, EXCEPT_ALL_ORACLE)

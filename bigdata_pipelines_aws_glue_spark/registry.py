@@ -64,6 +64,7 @@ def _load_all() -> None:
         "similarity",
         "multimodal",
         "sampling",
+        "scalars",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(
