@@ -81,6 +81,93 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
+def resize_image(
+    pixels: "np.ndarray", width: int, height: int
+) -> "np.ndarray":
+    """Nearest-neighbor resize over a decoded (H, W) array — numpy
+    index arithmetic only, so it runs for real in this container on
+    the fake-decoded arrays (a real deployment swaps in PIL/opencv
+    interpolation behind the same signature)."""
+    h, w = pixels.shape[:2]
+    rows = (np.arange(height) * h // height).clip(0, h - 1)
+    cols = (np.arange(width) * w // width).clip(0, w - 1)
+    return pixels[rows][:, cols]
+
+
+def sample_frames(payload: bytes, n_frames: int = 4) -> list[bytes]:
+    """Frame sampling for video-shaped payloads: evenly spaced byte
+    windows standing in for decoded frames (ffmpeg keyframe extraction
+    at deploy time; the *sampling policy* — even spacing over the
+    stream — is the tested logic)."""
+    if not payload:
+        return []
+    step = max(1, len(payload) // n_frames)
+    return [payload[i : i + step] for i in range(0, len(payload), step)][
+        :n_frames
+    ]
+
+
+RESIZED_SCHEMA = "doc_id long, out_w int, out_h int, mean_px double"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_digest string"
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: fake-decode payload -> 2D pixel array ->
+    resize to 16x16 -> summary stat. Real Arrow plumbing, stubbed codec."""
+    for pdf in batches:
+        out_rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(p, dtype=np.uint8)
+            w, h = fake_decode(p)
+            pixels = np.resize(arr, (h, w))  # fake decode to (H, W)
+            small = resize_image(pixels, 16, 16)
+            out_rows.append((doc_id, 16, 16, float(small.mean())))
+        yield pd.DataFrame(
+            out_rows, columns=["doc_id", "out_w", "out_h", "mean_px"]
+        )
+
+
+def frame_sample_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: per payload, emit one row per sampled frame
+    (fan-out kernel — output rows > input rows, the shape a video
+    pipeline needs)."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            for i, frame in enumerate(sample_frames(p)):
+                rows.append(
+                    (
+                        doc_id,
+                        i,
+                        len(frame),
+                        hashlib.sha256(frame).hexdigest()[:16],
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_digest"]
+        )
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    return spread(_payloads(spark, sf_dir)).mapInPandas(
+        resize_batch, schema=RESIZED_SCHEMA
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    return spread(_payloads(spark, sf_dir)).mapInPandas(
+        frame_sample_batch, schema=FRAMES_SCHEMA
+    )
+
+
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column synthesized from document text (the
     corpus ships no real media; the *column type* is what matters)."""
@@ -128,3 +215,5 @@ def _register() -> None:
     registry.register(
         "multimodal_bytes_meta", multimodal_bytes_meta, BYTES_META_ORACLE
     )
+    registry.register("multimodal_resize", multimodal_resize, None)
+    registry.register("multimodal_frame_sample", multimodal_frame_sample, None)

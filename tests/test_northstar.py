@@ -131,3 +131,30 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact_top3 & approx_pairs) / len(exact_top3)
     assert recall >= 0.3, f"IVF recall@3 {recall:.2f}"
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        multimodal_frame_sample,
+        multimodal_resize,
+        resize_image,
+        sample_frames,
+    )
+    import numpy as np
+
+    # kernel units
+    px = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    small = resize_image(px, 4, 4)
+    assert small.shape == (4, 4)
+    frames = sample_frames(b"x" * 100, n_frames=4)
+    assert len(frames) == 4 and all(len(f) == 25 for f in frames)
+    assert sample_frames(b"") == []
+
+    # spark plumbing
+    rs = multimodal_resize(spark, sf_dir).collect()
+    assert len(rs) == 500
+    assert all(r["out_w"] == 16 and r["out_h"] == 16 for r in rs[:10])
+    fr = multimodal_frame_sample(spark, sf_dir)
+    per_doc = fr.groupBy("doc_id").count().collect()
+    assert len(per_doc) == 500
+    assert all(1 <= r["count"] <= 4 for r in per_doc)
