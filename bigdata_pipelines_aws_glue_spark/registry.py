@@ -65,6 +65,7 @@ def _load_all() -> None:
         "multimodal",
         "sampling",
         "scalars",
+        "subqueries",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(
