@@ -1,0 +1,184 @@
+"""Duplicate-cluster assignment ([north-star] N2 completion,
+BASELINE.json:6): near-dup candidate PAIRS are only half the job — a
+real curation pipeline must group pairs into clusters and elect one
+canonical document per cluster. This is connected components over the
+similarity graph.
+
+Spark-first design: iterative min-label propagation on DataFrames.
+Each round is one self-contained stage pair (join labels to the
+symmetric edge list, groupBy-min, least() merge); lineage is truncated
+every round with ``localCheckpoint`` so the plan doesn't grow
+unboundedly (the classic iterative-Spark failure mode). Rounds needed
+= graph diameter; LSH/Jaccard duplicate graphs are near-cliques
+(diameter 2-3 in practice), so this settles in a handful of shuffles.
+For adversarially chainy graphs the O(log n)-round alternating
+large-star/small-star contraction (Kiveris et al., "Connected
+Components in MapReduce and Beyond") is the drop-in upgrade; the label
+state here is already (node, component) so the swap is local.
+
+The cluster assignment is oracle-checked end-to-end: DuckDB computes
+the same components via a recursive transitive-closure CTE over the
+identical Jaccard pair list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.operators.dedup import (
+    NGRAM_JACCARD_ORACLE,
+    ngram_jaccard_pairs,
+)
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation: every node converges to the smallest node
+    id reachable from it. Returns (node, component).
+
+    Each iteration shuffles (node, component) pairs only — never
+    payload columns — so the per-round cost at 100 TB is bounded by
+    |V| + |E| longs, not document bytes. Convergence is detected with
+    a limit(1) existence probe (no full count over the label table).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select("u").distinct().withColumn("comp", F.col("u"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("u").alias("v"), F.col("comp")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", "comp")
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("node"), F.col("comp").alias("component")
+    )
+
+
+def assign_dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Every document gets a cluster id (= min doc_id of its component;
+    singletons cluster with themselves) and a canonical flag. Keep rows
+    where ``is_canonical`` to materialize the deduplicated corpus."""
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        docs.join(
+            comp.select(F.col("node").alias(id_col), F.col("component")),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 end-to-end: Jaccard>=0.8 pairs -> connected components ->
+    per-document cluster assignment + canonical election."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    return assign_dedup_clusters(docs, pairs)
+
+
+# DuckDB twin: recursive transitive closure over the SAME pair list
+# (the UNION recursion is set-semantics, so it terminates), then
+# component = min reachable id. Fine at oracle scale; the Spark side
+# is the one that has to survive 100 TB.
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({NGRAM_JACCARD_ORACLE}),
+sym AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+    SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+def corpus_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's acceptance report: per language, corpus
+    size before dedup, after near-dup clustering, and the dedup rate.
+    One pass over documents + the cluster assignment join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    clusters = assign_dedup_clusters(docs, pairs)
+    return (
+        docs.join(clusters, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_canonical").cast("bigint")).alias("n_kept"),
+            (
+                F.count(F.lit(1)) - F.sum(F.col("is_canonical").cast("bigint"))
+            ).alias("n_dropped"),
+        )
+    )
+
+
+CURATION_SUMMARY_ORACLE = f"""
+WITH clusters AS ({DEDUP_CLUSTERS_ORACLE})
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN c.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN c.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+GROUP BY d.lang
+"""
+
+
+def _register() -> None:
+    registry.register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
+    registry.register(
+        "corpus_curation_summary",
+        corpus_curation_summary,
+        CURATION_SUMMARY_ORACLE,
+    )

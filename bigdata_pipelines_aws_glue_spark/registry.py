@@ -60,6 +60,7 @@ def _load_all() -> None:
         "merge",
         "events_time",
         "dedup",
+        "clustering",
         "text",
         "similarity",
         "multimodal",
