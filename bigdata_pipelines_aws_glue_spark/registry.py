@@ -61,6 +61,7 @@ def _load_all() -> None:
         "events_time",
         "dedup",
         "clustering",
+        "curation",
         "text",
         "similarity",
         "multimodal",
