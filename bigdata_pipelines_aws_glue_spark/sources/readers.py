@@ -101,6 +101,13 @@ def read_csv_with_quarantine(
     return clean, quarantine
 
 
+#: (applicationId, sf_dir, name) -> analyzed DataFrame. A DataFrame is
+#: an immutable plan, so sharing one per table avoids re-running the
+#: schema-inference/footer job every time a query rebuilds its inputs
+#: (~80ms per table per call; dozens of calls across the registry).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-corpus table from ``{sf_dir}/{name}.parquet``.
 
@@ -111,6 +118,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB's reader does with the same file. Zero-cost for the other
     tables; at scale this is a pure column expression on the scan.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
@@ -128,8 +139,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     "   ((ts % 1000000000) div 1000) / 1e6)"
                 ),
             )
-        return df
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    else:
+        df = read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
