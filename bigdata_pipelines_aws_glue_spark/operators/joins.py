@@ -217,7 +217,107 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
 """
 
 
+# Range join: 90-day promo windows starting every 45 days. Window p
+# covers [start0 + 45p days, start0 + 45p + 90 days) — overlapping, so
+# each lineitem matches up to 2 windows (a genuine interval join, not
+# a partition lookup).
+RANGE_BIN_DAYS = 45
+RANGE_SPAN_DAYS = 90
+RANGE_N_PERIODS = 56  # covers 1995-01-01 .. ~2001-12
+RANGE_EPOCH = "1995-01-01 00:00:00"
+
+
+def binned_range_join(
+    events: DataFrame,
+    periods: DataFrame,
+    ts_col: str,
+    start_col: str = "p_start",
+    end_col: str = "p_end",
+    bin_days: int = RANGE_BIN_DAYS,
+) -> DataFrame:
+    """Distributed range join via binning: intervals explode into the
+    fixed-width bins they overlap; each event maps to exactly one bin;
+    an EQUI-join on bin + residual BETWEEN filter replaces the
+    nested-loop range join. At 100 TB the shuffle is hash-partitioned
+    on bin — no broadcast requirement, no cross product; bin width
+    should be chosen ~interval span so each interval lands in
+    span/bin_width + 1 bins."""
+    # Day-granularity bins (timestamp_ntz has no numeric cast; every
+    # interval boundary here is a whole day, so datediff is exact).
+    epoch = F.lit(RANGE_EPOCH[:10]).cast("date")
+
+    def _bin_of(c: F.Column) -> F.Column:
+        return F.floor(F.datediff(c.cast("date"), epoch) / F.lit(bin_days))
+
+    # Last covered bin belongs to end-exclusive timestamp end-1day only
+    # when the interval ends on a bin boundary; sequence() is inclusive.
+    last_bin = F.floor(
+        (F.datediff(F.col(end_col).cast("date"), epoch) - F.lit(1))
+        / F.lit(bin_days)
+    )
+    exploded = periods.withColumn(
+        "bin", F.explode(F.sequence(_bin_of(F.col(start_col)), last_bin))
+    )
+    binned_events = events.withColumn("bin", _bin_of(F.col(ts_col)))
+    return binned_events.join(exploded, "bin").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+
+
+def synth_periods(spark: SparkSession) -> DataFrame:
+    """Deterministic overlapping promo windows (mirrored by the oracle
+    via ``range()``)."""
+    return spark.range(RANGE_N_PERIODS).select(
+        F.col("id").alias("period_id"),
+        F.expr(
+            f"timestamp'{RANGE_EPOCH}'"
+            f" + make_dt_interval(cast(id * {RANGE_BIN_DAYS} as int), 0, 0, 0)"
+        ).alias("p_start"),
+        F.expr(
+            f"timestamp'{RANGE_EPOCH}'"
+            f" + make_dt_interval(cast(id * {RANGE_BIN_DAYS} + {RANGE_SPAN_DAYS}"
+            f" as int), 0, 0, 0)"
+        ).alias("p_end"),
+    )
+
+
+def range_join_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4-adjacent interval join: revenue per overlapping 90-day promo
+    window, executed as the binned equi-join (shuffle keyed on bin)."""
+    from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+        quantized_sum,
+        stable_round,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = binned_range_join(li, synth_periods(spark), "l_shipdate")
+    return joined.groupBy("period_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        stable_round(
+            quantized_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+RANGE_JOIN_ORACLE = f"""
+WITH periods AS (
+    SELECT CAST(p AS BIGINT) AS period_id,
+           TIMESTAMP '{RANGE_EPOCH}' + (p * {RANGE_BIN_DAYS}) * INTERVAL 1 DAY AS p_start,
+           TIMESTAMP '{RANGE_EPOCH}' + (p * {RANGE_BIN_DAYS} + {RANGE_SPAN_DAYS}) * INTERVAL 1 DAY AS p_end
+    FROM range({RANGE_N_PERIODS}) t(p)
+)
+SELECT period_id, count(*) AS n_items,
+       floor(((sum(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5)) / 10000.0)) * 100.0 + 0.5) / 100.0 AS revenue
+FROM periods JOIN lineitem
+  ON l_shipdate >= p_start AND l_shipdate < p_end
+GROUP BY period_id
+"""
+
+
 def _register() -> None:
     registry.register("asof_join_rates", asof_join_rates, ASOF_ORACLE)
     registry.register("semi_join_customers", semi_join_customers, SEMI_ORACLE)
     registry.register("anti_join_customers", anti_join_customers, ANTI_ORACLE)
+    registry.register(
+        "range_join_promo_windows", range_join_promo_windows, RANGE_JOIN_ORACLE
+    )

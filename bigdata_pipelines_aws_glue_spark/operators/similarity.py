@@ -344,8 +344,91 @@ GROUP BY label, dim
 """
 
 
+DUP_OFFSET = 100_000
+NEAR_DUP_THRESHOLD = 0.99
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = NEAR_DUP_THRESHOLD, blocked: bool = False
+) -> DataFrame:
+    """[north-star] N2 embedding-cosine near-dup: all pairs with cosine
+    >= threshold. Norms computed once per side; ``blocked=True`` routes
+    pair generation through hyperplane-LSH band buckets (the 100 TB
+    path: near-identical vectors share all band keys, so the self-join
+    is per-bucket instead of O(n²); exact cosine then verifies each
+    candidate). The unblocked form is the oracle-checkable baseline."""
+    v = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("n", norm(F.col("v")))
+    )
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+    if blocked:
+        banded = v.select(
+            "vec_id", "v", "n",
+            F.explode(_band_keys(lsh_signature(F.col("v")))).alias("bk"),
+        )
+        pairs = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.bk") == F.col("b.bk"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select("a.vec_id", "a.v", "a.n", "b.vec_id", "b.v", "b.n")
+            .distinct()
+        )
+    else:
+        pairs = v.alias("a").join(
+            v.alias("b"), F.col("a.vec_id") < F.col("b.vec_id")
+        )
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        stable_round(cos, 8).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup over a simulated re-ingestion: the corpus
+    unioned with an id-offset copy of itself. Every vector must pair
+    with exactly its copy at cosine ~1.0 (the corpus has no natural
+    pairs above 0.52, measured)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    doubled = emb.select("vec_id", "embedding").unionByName(
+        emb.select(
+            (F.col("vec_id") + DUP_OFFSET).alias("vec_id"), F.col("embedding")
+        )
+    )
+    return embedding_near_dup_pairs(doubled)
+
+
+EMBEDDING_NEAR_DUP_ORACLE = f"""
+WITH doubled AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {DUP_OFFSET}, embedding FROM embeddings
+),
+v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+    FROM doubled
+)
+SELECT vec_a, vec_b, cosine
+FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           floor((list_dot_product(a.e, b.e) / (a.n * b.n)) * 100000000.0 + 0.5)
+             / 100000000.0 AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+WHERE cosine >= {NEAR_DUP_THRESHOLD}
+"""
+
+
 def _register() -> None:
     registry.register("cosine_topk", cosine_topk, COSINE_TOPK_ORACLE)
     registry.register("ann_lsh_topk", ann_lsh_topk, None)
     registry.register("ivf_topk", ivf_topk, None)
     registry.register("embedding_centroids", embedding_centroids, CENTROID_ORACLE)
+    registry.register(
+        "dedup_embedding_cosine", dedup_embedding_cosine, EMBEDDING_NEAR_DUP_ORACLE
+    )
