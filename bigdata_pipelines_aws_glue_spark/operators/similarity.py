@@ -424,6 +424,105 @@ WHERE cosine >= {NEAR_DUP_THRESHOLD}
 """
 
 
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = KMEANS_K,
+    n_iter: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means on DataFrames — the training step behind IVF
+    cell lists (``ivf_topk`` consumes centroids; this produces them).
+
+    Deterministic: seeds are the k lowest-id vectors. Each iteration:
+    assignment = argmin squared distance against the BROADCAST k-row
+    centroid table (the corpus never shuffles for assignment); update =
+    posexplode + (cluster, dim) mean, shuffling only (cluster, dim,
+    partial-sum) triples. Centroid state is k rows — checkpointed per
+    round so the lineage stays flat. Clusters that lose all members
+    drop out (standard Lloyd's degeneracy; k is then effectively
+    smaller). Returns (cluster_id, centroid, n_assigned)."""
+    from pyspark.sql import Window
+
+    v = vectors.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    seed_w = Window.orderBy("vid")
+    cent = (
+        v.orderBy("vid")
+        .limit(k)
+        .select(
+            F.row_number().over(seed_w).alias("cluster_id"),
+            F.col("v").alias("cv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("vid").orderBy("d", "cluster_id")
+    for _ in range(n_iter):
+        assigned = (
+            v.crossJoin(F.broadcast(cent))
+            .withColumn("d", _sqdist(F.col("v"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        cent = (
+            assigned.select(
+                "cluster_id", F.posexplode("v").alias("dim", "val")
+            )
+            .groupBy("cluster_id", "dim")
+            .agg(F.avg("val").alias("m"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                    ),
+                    lambda s: s.getField("m"),
+                ).alias("cv"),
+                F.first("n").alias("n_assigned"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent.select(
+        "cluster_id", F.col("cv").alias("centroid"), "n_assigned"
+    )
+
+
+def kmeans_inertia(vectors: DataFrame, centroids: DataFrame) -> float:
+    """Σ min-squared-distance — the convergence metric."""
+    v = vectors.select(_as_double(F.col("embedding")).alias("v"), "vec_id")
+    d = (
+        v.crossJoin(F.broadcast(centroids.select(F.col("centroid").alias("cv"))))
+        .groupBy("vec_id")
+        .agg(F.min(_sqdist(F.col("v"), F.col("cv"))).alias("d"))
+    )
+    return d.agg(F.sum("d")).collect()[0][0]
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only entry (float iteration order has no cross-engine
+    twin); monotone-inertia and determinism are asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fitted = kmeans_fit(emb)
+    return fitted.select(
+        "cluster_id",
+        "n_assigned",
+        stable_round(norm(F.col("centroid")), 6).alias("centroid_norm"),
+    )
+
+
 def _register() -> None:
     registry.register("cosine_topk", cosine_topk, COSINE_TOPK_ORACLE)
     registry.register("ann_lsh_topk", ann_lsh_topk, None)
@@ -432,3 +531,4 @@ def _register() -> None:
     registry.register(
         "dedup_embedding_cosine", dedup_embedding_cosine, EMBEDDING_NEAR_DUP_ORACLE
     )
+    registry.register("kmeans_embeddings", kmeans_embeddings, None)

@@ -211,8 +211,76 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fp.alias("fingerprint"))
 
 
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filters (the Gopher-rule family):
+    repeated-bigram fraction and the frequency share of the single most
+    common bigram. Explode → two keyed aggregations — both shuffles are
+    hash-partitioned on doc_id, so the pattern holds at corpus scale
+    (no per-doc driver work, no array materialization beyond one doc's
+    grams per row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = _tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(tokens) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tokens, i + 1), F.element_at(tokens, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(bigrams).alias("gram"))
+    per_gram = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_gram_count"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            stable_round(
+                F.col("top_gram_count").cast("double") / F.col("n_bigrams"), 6
+            ).alias("top_bigram_share"),
+            stable_round(
+                (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+                / F.col("n_bigrams"),
+                6,
+            ).alias("repeated_bigram_frac"),
+        )
+    )
+
+
+DOC_REPETITION_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+g AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS gram
+    FROM t WHERE len(toks) >= 2
+),
+per_gram AS (
+    SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       floor((CAST(max(c) AS DOUBLE) / sum(c)) * 1000000.0 + 0.5) / 1000000.0
+           AS top_bigram_share,
+       floor((CAST(sum(c) - count(*) AS DOUBLE) / sum(c)) * 1000000.0 + 0.5) / 1000000.0
+           AS repeated_bigram_frac
+FROM per_gram
+GROUP BY doc_id
+"""
+
+
 def _register() -> None:
     registry.register("text_stats", text_stats, TEXT_STATS_ORACLE)
+    registry.register(
+        "doc_repetition_stats", doc_repetition_stats, DOC_REPETITION_ORACLE
+    )
     registry.register("lang_id_markers", lang_id_markers, LANG_ID_ORACLE)
     registry.register("token_count_bpe", token_count_bpe, None)
     registry.register("doc_fingerprint", doc_fingerprint, None)
