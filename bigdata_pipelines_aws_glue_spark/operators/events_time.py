@@ -238,6 +238,112 @@ GROUP BY event_type, hod, gid
 """
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+COHORT_EPOCH = "2024-01-01"
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    counts at stage N only with an event strictly after their stage
+    N-1 entry time. Each stage is a keyed min-aggregation + an
+    equi-join on user_id — at scale all three joins hash-partition on
+    the same key, so AQE can chain them without re-exchange."""
+    stage_entry = (
+        events.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("entry_ts"))
+    )
+    counts = [
+        stage_entry.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(f"1_{FUNNEL_STAGES[0]}").alias("stage"), "n_users"
+        )
+    ]
+    for i, etype in enumerate(FUNNEL_STAGES[1:], start=2):
+        stage_entry = (
+            events.filter(F.col("event_type") == etype)
+            .join(
+                stage_entry.select("user_id", "entry_ts"), "user_id"
+            )
+            .filter(F.col("ts") > F.col("entry_ts"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("entry_ts"))
+        )
+        counts.append(
+            stage_entry.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(f"{i}_{etype}").alias("stage"), "n_users"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_stages(load_table(spark, sf_dir, "events"))
+
+
+FUNNEL_ORACLE = """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS entry_ts FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS entry_ts
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.entry_ts
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS entry_ts
+    FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.entry_ts
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+UNION ALL SELECT '2_click', count(*) FROM s2
+UNION ALL SELECT '3_purchase', count(*) FROM s3
+"""
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: cohort = week index of the user's
+    first event; a user is retained at offset k if active in
+    cohort_week + k. Two keyed aggregations (first-event per user,
+    distinct users per cell) — both shuffle on user_id/cohort keys."""
+    week = lambda c: F.floor(  # noqa: E731
+        F.datediff(c.cast("date"), F.lit(COHORT_EPOCH).cast("date")) / F.lit(7)
+    )
+    first = events.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    return (
+        events.join(first, "user_id")
+        .select(
+            "user_id",
+            week(F.col("t0")).alias("cohort_week"),
+            (week(F.col("ts")) - week(F.col("t0"))).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+COHORT_ORACLE = f"""
+WITH first AS (
+    SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+)
+SELECT CAST(floor(datediff('day', DATE '{COHORT_EPOCH}', CAST(t0 AS DATE)) / 7) AS BIGINT)
+           AS cohort_week,
+       CAST(floor(datediff('day', DATE '{COHORT_EPOCH}', CAST(e.ts AS DATE)) / 7)
+            - floor(datediff('day', DATE '{COHORT_EPOCH}', CAST(t0 AS DATE)) / 7) AS BIGINT)
+           AS week_offset,
+       count(DISTINCT e.user_id) AS n_active_users
+FROM events e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 def _register() -> None:
     registry.register("events_window_10min", events_window_10min, WINDOW_ORACLE)
     registry.register("events_sessionize", events_sessionize, SESSION_ORACLE)
@@ -248,4 +354,8 @@ def _register() -> None:
     registry.register("events_json_typed", events_json_typed, JSON_TYPED_ORACLE)
     registry.register(
         "events_grouping_sets", events_grouping_sets, GROUPING_SETS_ORACLE
+    )
+    registry.register("events_funnel", events_funnel, FUNNEL_ORACLE)
+    registry.register(
+        "events_cohort_retention", events_cohort_retention, COHORT_ORACLE
     )
