@@ -148,8 +148,40 @@ GROUP BY l_returnflag
 """
 
 
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: extract (group), replace, match-filter. Patterns
+    stay in the RE2 ∩ Java-regex common subset so Spark and DuckDB
+    agree (no lookaround, no backrefs); both engines return '' on
+    no-match for extract."""
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = part.crossJoin(cust.orderBy("c_custkey").limit(1).select("c_name"))
+    return joined.filter(
+        F.col("p_name").rlike("^(red|blue|hot|small) ")
+    ).select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_name"), "^([a-z]+) ", 1).alias("color_word"),
+        F.regexp_extract(F.col("p_name"), " ([a-z]+)$", 1).alias("noun"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("consonants"),
+        F.regexp_extract(F.col("c_name"), "([0-9]+)", 1).alias("cust_digits"),
+    )
+
+
+REGEX_ORACLE = """
+SELECT p_partkey,
+       regexp_extract(p_name, '^([a-z]+) ', 1) AS color_word,
+       regexp_extract(p_name, ' ([a-z]+)$', 1) AS noun,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+       regexp_extract(c_name, '([0-9]+)', 1) AS cust_digits
+FROM part
+CROSS JOIN (SELECT c_name FROM customer ORDER BY c_custkey LIMIT 1)
+WHERE regexp_matches(p_name, '^(red|blue|hot|small) ')
+"""
+
+
 def _register() -> None:
     registry.register("string_functions", string_functions, STRING_ORACLE)
+    registry.register("regex_functions", regex_functions, REGEX_ORACLE)
     registry.register("date_functions", date_functions, DATE_ORACLE)
     registry.register("array_functions", array_functions, ARRAY_ORACLE)
     registry.register("skew_safe_agg", skew_safe_agg, SKEW_ORACLE)

@@ -103,7 +103,89 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window surface: ntile / percent_rank / cume_dist /
+    first_value / last_value with an explicit full-partition frame
+    (last_value under the default frame is the CURRENT row — the
+    classic trap; both engines agree once the frame is explicit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        stable_round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        stable_round(F.cume_dist().over(w), 8).alias("cum_dist"),
+        F.first_value(F.col("o_orderkey")).over(wf).alias("cheapest_key"),
+        F.last_value(F.col("o_orderkey")).over(wf).alias("priciest_key"),
+    )
+
+
+DISTRIBUTION_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       floor((percent_rank() OVER w) * 100000000.0 + 0.5) / 100000000.0 AS pct_rank,
+       floor((cume_dist() OVER w) * 100000000.0 + 0.5) / 100000000.0 AS cum_dist,
+       first_value(o_orderkey) OVER wf AS cheapest_key,
+       last_value(o_orderkey) OVER wf AS priciest_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+       wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def scd2_rate_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension construction from a change log:
+    each rate version gets [valid_from, valid_to) via lead() over its
+    key, open-ended (NULL) for the current version. One shuffle on the
+    dimension key; at scale this is how a rates/price dimension history
+    is (re)built from CDC events."""
+    from bigdata_pipelines_aws_glue_spark.plans.flagship import (
+        synth_currency_rates,
+    )
+
+    rates = synth_currency_rates(spark, sf_dir)
+    w = Window.partitionBy("currency").orderBy("rate_date")
+    return rates.select(
+        "currency",
+        "rate_to_usd",
+        F.col("rate_date").alias("valid_from"),
+        F.lead("rate_date").over(w).alias("valid_to"),
+        F.lead("rate_date").over(w).isNull().alias("is_current"),
+    )
+
+
+SCD2_ORACLE = """
+WITH currencies(slot, currency) AS (
+    VALUES (0,'USD'),(1,'EUR'),(2,'GBP'),(3,'JPY'),(4,'INR')
+),
+rates AS (
+    SELECT c.currency AS currency,
+           0.5::DOUBLE + (n_nationkey % 10) * 0.1::DOUBLE AS rate_to_usd,
+           TIMESTAMP '2025-01-01' + n_nationkey * INTERVAL 1 DAY AS rate_date
+    FROM nation
+    JOIN currencies c ON c.slot = n_nationkey % 5
+    WHERE n_nationkey < 20 AND n_nationkey % 5 < 4
+)
+SELECT currency, rate_to_usd,
+       rate_date AS valid_from,
+       lead(rate_date) OVER w AS valid_to,
+       lead(rate_date) OVER w IS NULL AS is_current
+FROM rates
+WINDOW w AS (PARTITION BY currency ORDER BY rate_date)
+"""
+
+
 def _register() -> None:
     registry.register("window_rank_orders", window_rank_orders, RANK_ORACLE)
+    registry.register(
+        "window_distribution_ranks", window_distribution_ranks, DISTRIBUTION_ORACLE
+    )
+    registry.register("scd2_rate_history", scd2_rate_history, SCD2_ORACLE)
     registry.register("window_running_total", window_running_total, RUNNING_ORACLE)
     registry.register("window_lead_lag", window_lead_lag, LEAD_LAG_ORACLE)

@@ -59,6 +59,9 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "k-row centroid broadcast per "
         "assignment round",
     },
+    "regex_functions": {
+        "BroadcastNestedLoopJoin": "1-row (LIMIT 1) broadcast side",
+    },
     "global_sorted_sample": {
         "SinglePartition": "deliberately global total order (sampled)",
     },
