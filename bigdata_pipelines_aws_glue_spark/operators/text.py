@@ -276,8 +276,68 @@ GROUP BY doc_id
 """
 
 
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: the 10 most frequent terms per
+    language, with occurrence and document frequencies — the
+    term-statistics pass behind TF-IDF weighting and stopword
+    discovery in corpus curation pipelines.
+
+    Scale posture: the explode fans out to one row per token, but the
+    (lang, term) groupBy partial-aggregates map-side, so the shuffle
+    carries at most |vocab| rows per partition, not |tokens|. The
+    ranking window partitions by language over ALREADY-aggregated
+    vocab-sized data — the low partition cardinality is fine because
+    the heavy reduction happened in the agg, and at 100 TB the window
+    input is bounded by vocabulary size, not corpus size. Ties broken
+    by term so the top-k is fully deterministic cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.length("term") > 0)
+    )
+    per_term = terms.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_occurrences"), F.asc("term")
+    )
+    return (
+        per_term.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "term", "n_occurrences", "n_docs", "rn")
+    )
+
+
+TOP_TERMS_ORACLE = """
+WITH terms AS (
+  SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents
+),
+per_term AS (
+  SELECT lang, term,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM terms WHERE length(term) > 0
+  GROUP BY lang, term
+)
+SELECT lang, term, n_occurrences, n_docs, rn FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY lang ORDER BY n_occurrences DESC, term ASC) AS INT) AS rn
+  FROM per_term
+)
+WHERE rn <= 10
+"""
+
+
 def _register() -> None:
     registry.register("text_stats", text_stats, TEXT_STATS_ORACLE)
+    registry.register("top_terms_per_lang", top_terms_per_lang, TOP_TERMS_ORACLE)
     registry.register(
         "doc_repetition_stats", doc_repetition_stats, DOC_REPETITION_ORACLE
     )

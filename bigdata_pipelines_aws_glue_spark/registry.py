@@ -68,6 +68,7 @@ def _load_all() -> None:
         "sampling",
         "scalars",
         "subqueries",
+        "tpch_extra",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(

@@ -28,6 +28,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "q22_idle_customers": {
         "BroadcastNestedLoopJoin": "scalar avg subquery: 1-row broadcast",
     },
+    "q11_important_parts": {
+        "BroadcastNestedLoopJoin": "global-total subquery: 1-row broadcast",
+    },
     "q15_top_supplier": {
         "BroadcastNestedLoopJoin": "global-max subquery: 1-row broadcast",
     },
