@@ -478,6 +478,77 @@ GROUP BY p_brand, p_type
 """
 
 
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (bucket width 25k): the
+    binning primitive behind distribution dashboards and data-quality
+    profiling. Binning is a pure projection (floor division), so the
+    whole histogram is ONE partial-aggregatable groupBy — at 100 TB
+    the shuffle carries |buckets| rows per map partition, nothing
+    more. Bucket bounds are integer-exact in both engines (no float
+    boundary ambiguity: floor(x/25000) on doubles that are exact to
+    0.01 never sits on a representability edge).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (F.floor(F.col("o_totalprice") / F.lit(25000.0))).cast("long")
+    return (
+        orders.groupBy((bucket * 25000).alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            stable_round(quantized_sum("o_totalprice"), 2).alias("bucket_total"),
+        )
+    )
+
+
+HISTOGRAM_ORACLE = """
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000 AS bucket_lo,
+       count(*) AS n_orders,
+       floor(((sum(floor((o_totalprice) * 10000.0 + 0.5)) / 10000.0)) * 100.0 + 0.5) / 100.0 AS bucket_total
+FROM orders
+GROUP BY floor(o_totalprice / 25000.0)
+"""
+
+
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distribution moments (mean, population variance,
+    stddev) per return flag, computed from quantized integer-domain
+    power sums so Spark and DuckDB agree bit-for-bit despite different
+    summation orders (`functions/rounding.py` rationale). Squares are
+    quantized at q=2: |x²| ≤ 2.5e9 for extendedprice ≤ 5e4, so the
+    integer sum stays exact below ~3.6e4 rows per group per 2^53 —
+    fine through sf0.1; a 100 TB deployment would shift to Spark's
+    built-in var_pop (single-engine, no cross-engine hash gate).
+    One partial-aggregatable groupBy — no extra pass for the mean.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    n = F.count(F.lit(1))
+    sx = F.sum(F.floor(x * 10000.0 + F.lit(0.5)))  # q=4
+    sxx = F.sum(F.floor(x * x * 100.0 + F.lit(0.5)))  # q=2
+    mean = sx / 10000.0 / n
+    var = sxx / 100.0 / n - mean * mean
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n_items"),
+        stable_round(mean, 2).alias("mean_price"),
+        stable_round(var, 2).alias("var_price"),
+        stable_round(F.sqrt(var), 4).alias("stddev_price"),
+    )
+
+
+MOMENTS_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       floor(((sum(floor(l_extendedprice * 10000.0 + 0.5)) / 10000.0) / count(*)) * 100.0 + 0.5) / 100.0 AS mean_price,
+       floor(((sum(floor(l_extendedprice * l_extendedprice * 100.0 + 0.5)) / 100.0) / count(*)
+              - ((sum(floor(l_extendedprice * 10000.0 + 0.5)) / 10000.0) / count(*))
+                * ((sum(floor(l_extendedprice * 10000.0 + 0.5)) / 10000.0) / count(*))) * 100.0 + 0.5) / 100.0 AS var_price,
+       floor(sqrt((sum(floor(l_extendedprice * l_extendedprice * 100.0 + 0.5)) / 100.0) / count(*)
+              - ((sum(floor(l_extendedprice * 10000.0 + 0.5)) / 10000.0) / count(*))
+                * ((sum(floor(l_extendedprice * 10000.0 + 0.5)) / 10000.0) / count(*))) * 10000.0 + 0.5) / 10000.0 AS stddev_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def _register() -> None:
     from bigdata_pipelines_aws_glue_spark.plans.flagship import FLAGSHIP_ORACLE_SQL
 
@@ -500,3 +571,7 @@ def _register() -> None:
     registry.register("q10_returned_items", q10_returned_items, Q10_ORACLE)
     registry.register("q2_top_supplier_per_nation", q2_top_supplier_per_nation, Q2_ORACLE)
     registry.register("q16_supplier_diversity", q16_supplier_diversity, Q16_ORACLE)
+    registry.register(
+        "histogram_order_totals", histogram_order_totals, HISTOGRAM_ORACLE
+    )
+    registry.register("stats_moments", stats_moments, MOMENTS_ORACLE)

@@ -344,6 +344,66 @@ GROUP BY 1, 2
 """
 
 
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent preceding click (within 7 days), else
+    counted organic. One ordered window per user carries the running
+    last-click timestamp to every event — a single shuffle on
+    user_id, no self-join of the events stream against itself (the
+    naive purchase⋈click interval join is quadratic in events per
+    user). Order ties broken by event_id so the running state is
+    deterministic cross-engine.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    attributed = (
+        F.col("last_click_ts").isNotNull()
+        & (F.col("ts") <= F.col("last_click_ts") + F.expr("INTERVAL 7 DAYS"))
+    )
+    return (
+        events.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select((F.when(attributed, "click").otherwise("organic")).alias("channel"),
+                "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            stable_round(quantized_sum("value"), 2).alias("revenue"),
+        )
+    )
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return last_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+ATTRIBUTION_ORACLE = """
+WITH flagged AS (
+    SELECT event_type, ts, value,
+           max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+    FROM events
+)
+SELECT CASE WHEN last_click_ts IS NOT NULL
+                 AND ts <= last_click_ts + INTERVAL 7 DAY
+            THEN 'click' ELSE 'organic' END AS channel,
+       count(*) AS n_purchases,
+       floor(((sum(floor((value) * 10000.0 + 0.5)) / 10000.0)) * 100.0 + 0.5) / 100.0 AS revenue
+FROM flagged
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 def _register() -> None:
     registry.register("events_window_10min", events_window_10min, WINDOW_ORACLE)
     registry.register("events_sessionize", events_sessionize, SESSION_ORACLE)
@@ -358,4 +418,7 @@ def _register() -> None:
     registry.register("events_funnel", events_funnel, FUNNEL_ORACLE)
     registry.register(
         "events_cohort_retention", events_cohort_retention, COHORT_ORACLE
+    )
+    registry.register(
+        "events_attribution", events_attribution, ATTRIBUTION_ORACLE
     )

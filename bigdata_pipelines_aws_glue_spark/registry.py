@@ -69,6 +69,7 @@ def _load_all() -> None:
         "scalars",
         "subqueries",
         "tpch_extra",
+        "quality",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(

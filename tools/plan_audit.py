@@ -31,6 +31,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "q11_important_parts": {
         "BroadcastNestedLoopJoin": "global-total subquery: 1-row broadcast",
     },
+    "dq_profile": {
+        "BroadcastNestedLoopJoin": "1-row profile x 1-row orphan count",
+    },
     "q15_top_supplier": {
         "BroadcastNestedLoopJoin": "global-max subquery: 1-row broadcast",
     },
