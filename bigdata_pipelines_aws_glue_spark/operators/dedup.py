@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 
@@ -348,8 +349,77 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose
+    distinct 3-gram shingles overlap an evaluation set (here the
+    'src0' source plays the held-out benchmark) above 5% — the
+    standard pre-training hygiene pass that removes eval leakage.
+
+    Scale posture: the eval shingle set is tiny relative to the
+    corpus, so membership is a broadcast left join against a distinct
+    shingle set; the per-doc overlap fraction partial-aggregates on
+    doc_id. The corpus side never self-joins — cost is O(|corpus
+    shingles|), one shuffle (doc_id agg). At 100 TB the eval set is
+    still MBs: the broadcast holds.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_shingles(_tokens(F.col("text"))))).alias("sh"),
+    )
+    bench = (
+        shingled.filter(F.col("source") == "src0").select("sh").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        shingled.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_overlap"),
+        )
+    )
+    frac = F.col("n_overlap") / F.col("n_shingles")
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        stable_round(frac, 6).alias("overlap_frac"),
+        (frac >= 0.05).alias("contaminated"),
+    )
+
+
+DECONTAMINATE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, source, unnest(list_distinct(list_transform(range(1, len(toks)-1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+  FROM t WHERE len(toks) >= 3
+),
+bench AS (SELECT DISTINCT sh FROM g WHERE source = 'src0'),
+per_doc AS (
+  SELECT c.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+  FROM g c LEFT JOIN bench b ON c.sh = b.sh
+  WHERE c.source <> 'src0'
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, n_overlap,
+       floor((CAST(n_overlap AS DOUBLE) / n_shingles) * 1000000.0 + 0.5) / 1000000.0 AS overlap_frac,
+       CAST(n_overlap AS DOUBLE) / n_shingles >= 0.05 AS contaminated
+FROM per_doc
+"""
+
+
 def _register() -> None:
     registry.register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
+    registry.register(
+        "decontaminate_against_eval", decontaminate_against_eval, DECONTAMINATE_ORACLE
+    )
     registry.register("dedup_content_hash", dedup_content_hash, DEDUP_HASH_ORACLE)
     registry.register(
         "dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE

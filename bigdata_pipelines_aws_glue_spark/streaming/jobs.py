@@ -92,6 +92,55 @@ def run_to_memory(
     )
 
 
+def run_foreach_batch_upsert(
+    df: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+) -> StreamingQuery:
+    """CDC-style sink: merge each micro-batch into a parquet target
+    with ``staged_merge`` (keyed upsert), the ``foreachBatch`` pattern
+    for sinks without native MERGE. Exactly-once under replay: the
+    checkpoint records committed batch ids, and a re-delivered batch
+    re-merges the same keys — a keyed upsert is idempotent, so the
+    rewrite converges to the same table either way.
+
+    The merge materializes into a staging directory and atomically
+    renames over the target (write-then-swap) — the parquet-only
+    analogue of a transactional MERGE; readers never observe a
+    half-written table. At 100 TB the swap unit would be a partition
+    directory, not the whole table, with the same mechanics.
+    """
+    import os
+    import shutil
+
+    from bigdata_pipelines_aws_glue_spark.operators.merge import staged_merge
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.dropDuplicates(keys)
+        has_target = os.path.isdir(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        )
+        merged = (
+            staged_merge(spark.read.parquet(target_dir), batch_df, keys)
+            if has_target
+            else batch_df
+        )
+        staging = target_dir.rstrip("/") + f"._staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(target_dir):
+            shutil.rmtree(target_dir)
+        os.rename(staging, target_dir)
+
+    return (
+        df.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_parquet(
     df: DataFrame,
     output_dir: str,
