@@ -549,6 +549,119 @@ GROUP BY l_returnflag
 """
 
 
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the four lineitem measures become (measure,
+    value) rows, then aggregate per (returnflag, measure) — the
+    inverse of ``pivot_revenue`` and the standard reshape for feeding
+    generic per-metric dashboards. Spark's ``unpivot`` is a zero-copy
+    projection (an Expand node: no shuffle, no UDF); the only shuffle
+    is the final partial-aggregatable groupBy.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        stable_round(quantized_sum("val"), 2).alias("total"),
+    )
+
+
+_UNPIVOT_ARM = (
+    "SELECT l_returnflag, '{m}' AS measure, {m} AS val FROM lineitem"
+)
+UNPIVOT_ORACLE = (
+    "WITH melted AS ("
+    + " UNION ALL ".join(
+        _UNPIVOT_ARM.format(m=m)
+        for m in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    )
+    + """)
+SELECT l_returnflag, measure, count(*) AS n_values,
+       floor(((sum(floor((val) * 10000.0 + 0.5)) / 10000.0)) * 100.0 + 0.5) / 100.0 AS total
+FROM melted GROUP BY l_returnflag, measure
+"""
+)
+
+
+def monthly_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: monthly order revenue per nation over a
+    generated date spine, so months with no orders appear as explicit
+    zero rows (the completeness contract charting/forecasting layers
+    need). The spine is nations × sequence(min_month, max_month) — a
+    broadcast of one global min/max row plus a per-nation explode, no
+    data-dependent scan. The actuals aggregate shuffles once on
+    (nation, month) and collapses to |nations|x|months| rows, so it is
+    the broadcast side of the gap-fill left join (a left join cannot
+    broadcast its preserved spine side).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    month = F.trunc(F.col("o_orderdate").cast("date"), "month")
+    actual = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", month.alias("month"))
+        .agg(
+            stable_round(quantized_sum("o_totalprice"), 2).alias("rev"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    bounds = orders.agg(
+        F.trunc(F.min("o_orderdate").cast("date"), "month").alias("lo"),
+        F.trunc(F.max("o_orderdate").cast("date"), "month").alias("hi"),
+    )
+    spine = (
+        nation.crossJoin(F.broadcast(bounds))
+        .select(
+            "n_name",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 month"))
+            ).alias("month"),
+        )
+    )
+    return (
+        spine
+        .join(F.broadcast(actual), ["n_name", "month"], "left")
+        .select(
+            "n_name",
+            "month",
+            F.coalesce(F.col("rev"), F.lit(0.0)).alias("revenue"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+GAPFILL_ORACLE = """
+WITH actual AS (
+  SELECT n_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         floor(((sum(floor((o_totalprice) * 10000.0 + 0.5)) / 10000.0)) * 100.0 + 0.5) / 100.0 AS rev,
+         count(*) AS cnt
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT n_name, CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month
+  FROM nation, bounds
+)
+SELECT s.n_name, s.month,
+       coalesce(a.rev, 0.0) AS revenue,
+       CAST(coalesce(a.cnt, 0) AS BIGINT) AS n_orders
+FROM spine s LEFT JOIN actual a ON s.n_name = a.n_name AND s.month = a.month
+"""
+
+
 def _register() -> None:
     from bigdata_pipelines_aws_glue_spark.plans.flagship import FLAGSHIP_ORACLE_SQL
 
@@ -575,3 +688,7 @@ def _register() -> None:
         "histogram_order_totals", histogram_order_totals, HISTOGRAM_ORACLE
     )
     registry.register("stats_moments", stats_moments, MOMENTS_ORACLE)
+    registry.register("unpivot_measures", unpivot_measures, UNPIVOT_ORACLE)
+    registry.register(
+        "monthly_revenue_gapfill", monthly_revenue_gapfill, GAPFILL_ORACLE
+    )

@@ -34,6 +34,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "dq_profile": {
         "BroadcastNestedLoopJoin": "1-row profile x 1-row orphan count",
     },
+    "monthly_revenue_gapfill": {
+        "BroadcastNestedLoopJoin": "date-spine bounds: 1-row broadcast",
+    },
     "q15_top_supplier": {
         "BroadcastNestedLoopJoin": "global-max subquery: 1-row broadcast",
     },
