@@ -1,0 +1,224 @@
+"""Corpus-level statistics for LLM-data curation ([north-star],
+BASELINE.json:6) — the passes that look ACROSS documents, where
+``operators/text.py`` looks within one.
+
+- ``corpus_mix_weights``: temperature-based language re-weighting
+  (share^alpha renormalized, alpha=0.7) — the standard multilingual
+  sampling scheme for balancing a training mix without discarding
+  high-resource data.
+- ``corpus_token_entropy``: per-language unigram entropy / perplexity
+  — a corpus-health number (collapsed/templated corpora show low
+  entropy for their vocabulary size).
+- ``crossdoc_shingle_dup``: per-document fraction of 8-token shingles
+  shared with ANY other document — the cross-document complement of
+  the within-doc Gopher repetition rules, and the statistic behind
+  "dedup repeated substrings" corpus cleaning.
+
+Scale posture: every pass is explode → keyed aggregation → broadcast
+join of a SMALL aggregate (per-language totals; the scalar mix
+denominator) back onto grouped data; the only large-large shuffle is
+the shingle self-count, which hash-partitions on the shingle string —
+the same key distribution MinHash banding relies on. Per-language
+totals are joined via an equi-join on a literal key (broadcast, 1
+row), never a driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
+from bigdata_pipelines_aws_glue_spark.operators.dedup import _tokens
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+#: temperature exponent for the language mix (0.7 is the common
+#: multilingual-sampling setting: flattens the distribution without
+#: inverting it).
+MIX_ALPHA = 0.7
+
+
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling weights: ``w_l = share_l^alpha / Z``.
+
+    ``oversample_factor`` (> 1 for low-resource languages) is the
+    epoch multiplier a sampler would apply per language.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("total")).withColumn("k", F.lit(1))
+    c = (
+        counts.withColumn("k", F.lit(1))
+        .join(F.broadcast(total), "k")
+        .withColumn(
+            "share", F.col("n_docs").cast("double") / F.col("total").cast("double")
+        )
+        .withColumn("pw", F.pow(F.col("share"), F.lit(MIX_ALPHA)))
+    )
+    z = c.groupBy("k").agg(F.sum("pw").alias("z"))
+    return c.join(F.broadcast(z), "k").select(
+        "lang",
+        "n_docs",
+        stable_round(F.col("share"), 6).alias("share"),
+        stable_round(F.col("pw") / F.col("z"), 6).alias("mix_weight"),
+        stable_round((F.col("pw") / F.col("z")) / F.col("share"), 4).alias(
+            "oversample_factor"
+        ),
+    )
+
+
+MIX_ORACLE = f"""
+WITH counts AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM counts),
+c AS (
+    SELECT lang, n_docs,
+           CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           pow(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), {MIX_ALPHA}) AS pw
+    FROM counts, tot
+),
+z AS (SELECT sum(pw) AS z FROM c)
+SELECT lang, n_docs,
+       floor(share * 1000000.0 + 0.5) / 1000000.0 AS share,
+       floor((pw / z) * 1000000.0 + 0.5) / 1000000.0 AS mix_weight,
+       floor(((pw / z) / share) * 10000.0 + 0.5) / 10000.0 AS oversample_factor
+FROM c, z
+"""
+
+
+def corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy (nats) and perplexity per language.
+
+    The per-term ``-p ln p`` addends are quantized to 1e-9 before the
+    sum so the aggregation is order-independent cross-engine (see
+    ``functions/rounding.py``); vocab sizes up to ~1e7 stay exact in
+    the integer domain.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    per_term = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    totals = per_term.groupBy("lang").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    p = F.col("n").cast("double") / F.col("total").cast("double")
+    term_e = -(p * F.log(p))
+    agg = (
+        per_term.join(F.broadcast(totals), "lang")
+        .groupBy("lang")
+        .agg(
+            (F.sum(F.floor(term_e * 1e9 + F.lit(0.5))) / F.lit(1e9)).alias("ent_q"),
+            F.min("vocab_size").alias("vocab_size"),
+            F.min("total").alias("n_tokens"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "vocab_size",
+        stable_round(F.col("ent_q"), 6).alias("token_entropy_nats"),
+        stable_round(F.exp(F.col("ent_q")), 4).alias("unigram_ppl"),
+    )
+
+
+ENTROPY_ORACLE = """
+WITH terms AS (
+    SELECT lang, unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+per_term AS (
+    SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+    FROM terms WHERE length(term) > 0 GROUP BY lang, term
+),
+totals AS (
+    SELECT lang, CAST(sum(n) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS vocab_size
+    FROM per_term GROUP BY lang
+),
+agg AS (
+    SELECT p.lang,
+           sum(floor(-((CAST(p.n AS DOUBLE) / t.total)
+                       * ln(CAST(p.n AS DOUBLE) / t.total)) * 1000000000.0 + 0.5))
+               / 1000000000.0 AS ent_q,
+           min(t.vocab_size) AS vocab_size,
+           min(t.total) AS n_tokens
+    FROM per_term p JOIN totals t USING (lang)
+    GROUP BY p.lang
+)
+SELECT lang, n_tokens, vocab_size,
+       floor(ent_q * 1000000.0 + 0.5) / 1000000.0 AS token_entropy_nats,
+       floor(exp(ent_q) * 10000.0 + 0.5) / 10000.0 AS unigram_ppl
+FROM agg
+"""
+
+#: shingle width for the cross-document pass (8 tokens ≈ the "50
+#: character" substring-dedup granularity of web-corpus cleaning).
+SHINGLE_N = 8
+
+
+def crossdoc_shingle_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each document with ≥ 8 tokens: how many of its distinct
+    8-token shingles occur in at least one OTHER location in the
+    corpus, and the shared fraction. High fractions mark boilerplate /
+    template documents that near-dedup should collapse."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    shingles = F.when(
+        F.size(toks) >= SHINGLE_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - SHINGLE_N),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, F.lit(SHINGLE_N))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    per_sh = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        pairs.join(per_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_shingles"),
+            F.sum((F.col("nd") > 1).cast("int")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_shingles",
+            F.col("n_shared").cast("long").alias("n_shared_shingles"),
+            stable_round(
+                F.col("n_shared").cast("double") / F.col("n_distinct_shingles"), 6
+            ).alias("shared_shingle_frac"),
+        )
+    )
+
+
+SHINGLE_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 6),
+                      i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+                   AS shingle
+        FROM t WHERE len(toks) >= 8
+    )
+),
+per_sh AS (
+    SELECT shingle, count(*) AS nd FROM sh GROUP BY shingle
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_distinct_shingles,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_shingles,
+       floor((CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*))
+             * 1000000.0 + 0.5) / 1000000.0 AS shared_shingle_frac
+FROM sh JOIN per_sh USING (shingle)
+GROUP BY doc_id
+"""
+
+
+def _register() -> None:
+    registry.register("corpus_mix_weights", corpus_mix_weights, MIX_ORACLE)
+    registry.register("corpus_token_entropy", corpus_token_entropy, ENTROPY_ORACLE)
+    registry.register("crossdoc_shingle_dup", crossdoc_shingle_dup, SHINGLE_ORACLE)

@@ -1,0 +1,142 @@
+"""Time-series operators over the ``events`` stream (batch form).
+
+Extends the §2.5 window surface with the two shapes the reference's
+"time-based" intent (``glue_job.py:129-134`` calendar columns;
+README.md:7 "identify sales trends") implies but never reaches:
+value-range window frames (a true trailing time window, not a row
+count) and robust per-group outlier detection (median / MAD), the
+standard data-quality screen before a metric feeds a trend dashboard.
+
+Scale posture:
+
+- The rolling average is ONE shuffle (hash by ``user_id``) + an
+  in-partition sort; the range frame is evaluated streamingly by
+  Spark's window exec with a sliding buffer bounded by the frame
+  width, not the partition size.
+- The MAD pass is two keyed aggregations and two BROADCAST joins
+  (per-type medians are tiny); events never shuffle twice. Exact
+  ``percentile`` holds per-group values in memory — at 100 TB swap
+  in ``approx_percentile`` (same plan shape, sketch-based); the exact
+  form is kept here because the oracle gate demands bit-parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+#: seconds since the ntz epoch, timezone-independent (events.ts is
+#: TIMESTAMP_NTZ after the nanos repair in ``load_table``); DuckDB
+#: twin is date_diff('second', TIMESTAMP '1970-01-01', ts) — both
+#: truncate sub-second parts toward zero for post-epoch values.
+_EPOCH_SECONDS = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+
+
+def events_rolling_avg_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-minute average event value per user — a RANGE frame
+    over event-time seconds, so the window is defined by time distance,
+    not row count (rows with equal timestamps are peers in both
+    engines, making the result deterministic under ties)."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr(_EPOCH_SECONDS)
+    w = Window.partitionBy("user_id").orderBy(sec).rangeBetween(-600, 0)
+    # quantized windowed sum: identical addends in both engines, so the
+    # running sum is order-independent (see functions/rounding.py)
+    qsum = F.sum(F.floor(F.col("value") * 10000.0 + F.lit(0.5))).over(w) / F.lit(
+        10000.0
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        cnt.alias("n_in_window"),
+        stable_round(qsum / cnt, 6).alias("rolling_avg_10m"),
+    )
+
+
+ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+       floor(((sum(floor(value * 10000.0 + 0.5)) OVER w) / 10000.0
+              / (count(*) OVER w)) * 1000000.0 + 0.5) / 1000000.0
+           AS rolling_avg_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+#: 3 * 1.4826 (the normal-consistency constant): the classic
+#: "3 sigma" cut expressed in MAD units.
+_MAD_CUT = 4.4478
+
+
+def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen: median / MAD (median absolute
+    deviation), flagging events beyond 3 normalized MADs. Unlike
+    mean/stddev, the cut itself is not dragged by the outliers it is
+    trying to find."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("adev") > F.lit(_MAD_CUT) * F.col("mad")).cast("int")
+            ).alias("n_outliers"),
+            F.min("med").alias("_med"),
+            F.min("mad").alias("_mad"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+            stable_round(F.col("_med"), 6).alias("median_value"),
+            stable_round(F.col("_mad"), 6).alias("mad_value"),
+        )
+    )
+
+
+MAD_ORACLE = f"""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+    FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN d.adev > {_MAD_CUT} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers,
+       floor(min(d.med) * 1000000.0 + 0.5) / 1000000.0 AS median_value,
+       floor(min(m.mad) * 1000000.0 + 0.5) / 1000000.0 AS mad_value
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+def _register() -> None:
+    registry.register(
+        "events_rolling_avg_time", events_rolling_avg_time, ROLLING_ORACLE
+    )
+    registry.register("events_outlier_mad", events_outlier_mad, MAD_ORACLE)

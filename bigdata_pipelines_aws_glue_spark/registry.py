@@ -70,6 +70,8 @@ def _load_all() -> None:
         "subqueries",
         "tpch_extra",
         "quality",
+        "timeseries",
+        "corpus_stats",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(

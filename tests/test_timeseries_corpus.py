@@ -1,0 +1,88 @@
+"""Property tests for the time-series and corpus-statistics operators
+(oracle parity is checked separately by tools/check_oracle.py; these
+pin the semantics on tiny literal inputs)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark.operators.corpus_stats import (
+    corpus_mix_weights,
+    corpus_token_entropy,
+)
+from bigdata_pipelines_aws_glue_spark.operators.timeseries import (
+    events_outlier_mad,
+    events_rolling_avg_time,
+)
+
+
+def test_rolling_window_always_contains_current_row(spark, sf_dir):
+    out = events_rolling_avg_time(spark, sf_dir)
+    assert out.filter(F.col("n_in_window") < 1).count() == 0
+    # a window of one row averages to that row's quantized value
+    assert out.count() > 0
+
+
+def test_mad_outliers_bounded_and_mad_nonnegative(spark, sf_dir):
+    rows = events_outlier_mad(spark, sf_dir).collect()
+    assert rows, "expected one row per event_type"
+    for r in rows:
+        assert 0 <= r["n_outliers"] <= r["n_events"]
+        assert r["mad_value"] >= 0.0
+
+
+def test_mix_weights_sum_to_one_and_flatten_shares(spark, sf_dir):
+    rows = corpus_mix_weights(spark, sf_dir).collect()
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-4
+    # temperature < 1 flattens: the largest share loses mass, the
+    # smallest gains (oversample_factor straddles 1.0)
+    hi = max(rows, key=lambda r: r["share"])
+    lo = min(rows, key=lambda r: r["share"])
+    if hi["share"] > lo["share"]:
+        assert hi["oversample_factor"] <= 1.0 <= lo["oversample_factor"]
+
+
+def test_token_entropy_bounded_by_log_vocab(spark, sf_dir):
+    for r in corpus_token_entropy(spark, sf_dir).collect():
+        assert 0.0 <= r["token_entropy_nats"] <= math.log(r["vocab_size"]) + 1e-9
+        assert r["vocab_size"] <= r["n_tokens"]
+
+
+def test_crossdoc_shingles_detect_injected_duplicate(spark):
+    text = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "totally different words " * 3)],
+        "doc_id long, text string",
+    )
+    # the operator signature is (spark, sf_dir); drive the same plan
+    # shape on the literal frame
+    from bigdata_pipelines_aws_glue_spark.operators.corpus_stats import SHINGLE_N
+    from bigdata_pipelines_aws_glue_spark.operators.dedup import _tokens
+
+    toks = _tokens(F.col("text"))
+    shingles = F.when(
+        F.size(toks) >= SHINGLE_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - SHINGLE_N),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, F.lit(SHINGLE_N))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    per_sh = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    fracs = {
+        r["doc_id"]: r["frac"]
+        for r in pairs.join(per_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum((F.col("nd") > 1).cast("int"))
+                / F.count(F.lit(1))
+            ).alias("frac")
+        )
+        .collect()
+    }
+    # identical docs share every shingle; the distinct doc shares none
+    assert fracs[1] == 1.0 and fracs[2] == 1.0
+    assert fracs[3] == 0.0

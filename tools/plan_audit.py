@@ -40,6 +40,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "q15_top_supplier": {
         "BroadcastNestedLoopJoin": "global-max subquery: 1-row broadcast",
     },
+    "corpus_mix_weights": {
+        "BroadcastNestedLoopJoin": "corpus-total + mix-denominator scalars "
+        "(1-row broadcasts onto a |languages|-row aggregate)",
+    },
     "dedup_ngram_jaccard": {
         "BroadcastNestedLoopJoin": "exact-Jaccard verification kernel; "
         "at scale candidates come from LSH buckets (see docstring)",
