@@ -72,6 +72,7 @@ def _load_all() -> None:
         "quality",
         "timeseries",
         "corpus_stats",
+        "trends",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(

@@ -40,6 +40,20 @@ def write_partitioned_parquet(
     )
 
 
+def write_table(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Format-agnostic sink over Spark's built-in file sources
+    (parquet / orc / json / csv). Parquet and ORC are both columnar
+    with min/max row-group statistics, so either serves the S4/S5
+    contract; JSON/CSV are interchange edges, not analytic storage."""
+    df.write.mode(mode).format(format).options(**options).save(path)
+
+
 def compact_parquet(
     spark,
     path: str,

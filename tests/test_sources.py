@@ -63,3 +63,18 @@ def test_json_roundtrip(spark, sf_dir, tmp_path):
     a = {r["event_id"] for r in events.select("event_id").collect()}
     b = {r["event_id"] for r in back.select("event_id").collect()}
     assert a == b
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC is the second built-in columnar format the engine supports
+    (same writer contract as parquet: columnar, stats, splittable)."""
+    from bigdata_pipelines_aws_glue_spark.sources.writers import write_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_table(nation, path, format="orc")
+    back = spark.read.orc(path)
+    assert back.schema == nation.schema
+    assert sorted(r["n_nationkey"] for r in back.collect()) == sorted(
+        r["n_nationkey"] for r in nation.collect()
+    )
