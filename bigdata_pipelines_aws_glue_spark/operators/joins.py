@@ -314,7 +314,60 @@ GROUP BY period_id
 """
 
 
+def full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join completing the join-type matrix (left/semi/anti/
+    as-of/range elsewhere): reconcile daily order counts against daily
+    lineitem-receipt counts, keeping days present on either side only —
+    the two-source audit query behind pipeline-drift alarms.
+
+    Both inputs are pre-aggregated to one row per day BEFORE the join,
+    so the full-outer is tiny-⋈-tiny (|days| rows) regardless of corpus
+    size — the scalable shape for reconciliation at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    daily_orders = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    daily_shipments = lineitem.groupBy(
+        F.col("l_shipdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_shipments"))
+    j = daily_orders.join(daily_shipments, "day", "full")
+    return j.select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_shipments", F.lit(0)).alias("n_shipments"),
+        F.when(F.col("n_orders").isNull(), F.lit("shipments_only"))
+        .when(F.col("n_shipments").isNull(), F.lit("orders_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+    )
+
+
+FULL_OUTER_ORACLE = """
+WITH daily_orders AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY day
+),
+daily_shipments AS (
+    SELECT CAST(l_shipdate AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_shipments
+    FROM lineitem GROUP BY day
+)
+SELECT COALESCE(o.day, r.day) AS day,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(r.n_shipments, 0) AS n_shipments,
+       CASE WHEN o.day IS NULL THEN 'shipments_only'
+            WHEN r.day IS NULL THEN 'orders_only'
+            ELSE 'both' END AS presence
+FROM daily_orders o FULL OUTER JOIN daily_shipments r ON o.day = r.day
+"""
+
+
 def _register() -> None:
+    registry.register(
+        "full_outer_reconciliation", full_outer_reconciliation, FULL_OUTER_ORACLE
+    )
     registry.register("asof_join_rates", asof_join_rates, ASOF_ORACLE)
     registry.register("semi_join_customers", semi_join_customers, SEMI_ORACLE)
     registry.register("anti_join_customers", anti_join_customers, ANTI_ORACLE)
