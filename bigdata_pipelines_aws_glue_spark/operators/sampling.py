@@ -65,8 +65,57 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sample size for the weighted draw
+WEIGHTED_K = 100
+
+
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): draw ``WEIGHTED_K`` documents with inclusion probability
+    proportional to a quality weight (here ``n_chars``), as one
+    distributed top-k — no sequential reservoir, no driver state.
+
+    Per row: u = hash-uniform in (0,1], key = ln(u)/w; the k largest
+    keys are exactly a weight-proportional draw (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir").
+    Using the deterministic ``shuffle_key`` hash for u makes the draw
+    reproducible across runs AND engines (so it is oracle-checked,
+    unlike RNG-stream sampling). Physical plan: TakeOrderedAndProject
+    — per-partition heaps of size k, then a k-sized merge on the
+    driver; no global sort, no shuffle of the full table at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (shuffle_key(F.col("doc_id")) + F.lit(1)).cast("double")
+        / F.lit(float(_SHUFFLE_MOD + 1))
+    )
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(WEIGHTED_K)
+        .select("doc_id", "lang", "weight")
+    )
+
+
+WEIGHTED_ORACLE = f"""
+SELECT doc_id, lang, n_chars AS weight
+FROM documents
+ORDER BY ln(CAST((doc_id * {_SHUFFLE_PRIME} + 42) % {_SHUFFLE_MOD} + 1 AS DOUBLE)
+            / {float(_SHUFFLE_MOD + 1)}) / CAST(n_chars AS DOUBLE) DESC,
+         doc_id ASC
+LIMIT {WEIGHTED_K}
+"""
+
+
 def _register() -> None:
     registry.register(
         "deterministic_shuffle", deterministic_shuffle, SHUFFLE_ORACLE
     )
     registry.register("stratified_sample", stratified_sample, None)
+    registry.register("weighted_sample_topk", weighted_sample_topk, WEIGHTED_ORACLE)

@@ -35,3 +35,24 @@ def test_rolling_active_users_window_dominates_daily(spark, sf_dir):
         assert r["active_users_7d"] <= total_users
         if r["day"] in daily:
             assert r["active_users_7d"] >= daily[r["day"]]
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
+    """A-ES weighted draw: sampled docs should be heavier on average
+    than the corpus (weight = n_chars); deterministic, so exact."""
+    from bigdata_pipelines_aws_glue_spark.operators.sampling import (
+        WEIGHTED_K,
+        weighted_sample_topk,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    samp = weighted_sample_topk(spark, sf_dir)
+    assert samp.count() == WEIGHTED_K
+    avg_sample = samp.agg(F.avg("weight")).collect()[0][0]
+    avg_corpus = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert avg_sample > avg_corpus
