@@ -181,8 +181,11 @@ def make_bpe_token_count():
 
 
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (regex dialects differ across engines): whitespace
-    token count (native) vs BPE-ish subword count (pandas UDF)."""
+    """Whitespace token count (native) vs BPE-ish subword count
+    (Arrow-batched pandas UDF). Oracle-checked: the pattern's
+    alternatives are start-disjoint (letter / digit / other), so
+    Python's leftmost-first findall and RE2's regexp_extract_all
+    agree on the match count."""
     from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 
     bpe_token_count = make_bpe_token_count()
@@ -192,6 +195,15 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
         bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
     )
+
+
+BPE_COUNT_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|\d+|[^\sA-Za-z\d]+'))
+            AS INTEGER) AS n_bpe_tokens
+FROM documents
+"""
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,5 +354,5 @@ def _register() -> None:
         "doc_repetition_stats", doc_repetition_stats, DOC_REPETITION_ORACLE
     )
     registry.register("lang_id_markers", lang_id_markers, LANG_ID_ORACLE)
-    registry.register("token_count_bpe", token_count_bpe, None)
+    registry.register("token_count_bpe", token_count_bpe, BPE_COUNT_ORACLE)
     registry.register("doc_fingerprint", doc_fingerprint, None)
