@@ -2,8 +2,10 @@
 
 Quality scoring, token statistics, language tagging, and document
 fingerprinting over the ``documents`` corpus — the per-document
-feature pass of an LLM-data pipeline. Everything except the
-fingerprint (needs ``crc32``, absent in DuckDB) is oracle-checked.
+feature pass of an LLM-data pipeline. Every operator here is
+oracle-checked, including the two non-obvious ones: the pandas-UDF
+token counter (RE2 twin) and the rolling fingerprint (cross-engine
+md5-derived token hash).
 
 All stats are native column expressions / higher-order functions —
 embarrassingly parallel per-row map work: no shuffle at all, which is
@@ -207,20 +209,38 @@ FROM documents
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling polynomial fingerprint over token crc32s (rows-only:
-    DuckDB lacks crc32). Order-sensitive — unlike the set-based
-    MinHash, this distinguishes permuted documents."""
+    """Rolling polynomial fingerprint over token hashes — order-
+    sensitive, so unlike set-based MinHash it distinguishes permuted
+    documents. The per-token hash is the first 60 bits of md5 (both
+    engines agree bit-for-bit: Spark ``conv(substring(md5,1,15),16,10)``
+    == DuckDB ``('0x'||substring(md5,1,15))::BIGINT``), which makes
+    the whole fingerprint oracle-checkable; swap in ``crc32`` for a
+    cheaper JVM hash where cross-engine checkability isn't needed.
+    Modulus keeps ``acc*31 + h`` inside a signed long (Spark 4 runs
+    ANSI mode: overflow raises instead of wrapping)."""
     docs = load_table(spark, sf_dir, "documents")
     tokens = _tokens(F.col("text"))
-    # modulus small enough that acc*31 + crc32 never overflows a long
-    # (Spark 4 runs ANSI mode: overflow raises instead of wrapping)
     mod = F.lit(1_000_000_007)
+    tok_h = (
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % mod
+    )
     fp = F.aggregate(
         tokens,
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * 31 + F.crc32(t.cast("binary"))) % mod,
+        lambda acc, t: (acc * 31 + tok_h(t)) % mod,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(trim(text), ' '),
+                   t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % 1000000007)),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+FROM documents
+"""
 
 
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,4 +375,4 @@ def _register() -> None:
     )
     registry.register("lang_id_markers", lang_id_markers, LANG_ID_ORACLE)
     registry.register("token_count_bpe", token_count_bpe, BPE_COUNT_ORACLE)
-    registry.register("doc_fingerprint", doc_fingerprint, None)
+    registry.register("doc_fingerprint", doc_fingerprint, FINGERPRINT_ORACLE)
