@@ -2,8 +2,9 @@
 [north-star]-adjacent: corpus subsetting and example-order
 randomization at 100 TB).
 
-- ``stratified_sample``: per-stratum Bernoulli sampling (``sampleBy``)
-  — seeded, executor-local, no shuffle at all.
+- ``stratified_sample``: per-stratum Bernoulli sampling via a
+  deterministic hash-uniform — executor-local, no shuffle at all, and
+  reproducible across engines (oracle-checked).
 - ``deterministic_shuffle``: a *reproducible* global permutation via a
   modular-multiplication hash of the key — unlike ``orderBy(rand())``
   this is stable across runs/cluster layouts AND mirrorable in the
@@ -53,16 +54,43 @@ FROM documents
 """
 
 
+#: per-language keep fractions (downsample dominant strata)
+STRATA_FRACTIONS = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.25}
+
+#: seed decorrelating the Bernoulli uniforms from the shuffle permutation
+_STRATA_SEED = 7
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language stratified sample (downsample dominant strata —
-    the language-balancing step of corpus curation). Seeded Bernoulli
-    per stratum; rows-only check (RNG streams differ across engines,
-    deterministically within Spark)."""
+    """Per-language stratified sample (the language-balancing step of
+    corpus curation): keep a row iff its hash-uniform < the stratum's
+    keep fraction. Deterministic hash-Bernoulli instead of RNG-stream
+    ``sampleBy``: the draw is identical across runs, cluster layouts
+    AND engines (oracle-checked), and re-sampling a grown corpus keeps
+    previously-kept rows stable — the idempotence that matters when
+    the 100 TB corpus is re-curated incrementally. Executor-local
+    filter, no shuffle; the predicate is a plain expression, so it
+    survives column pruning and whole-stage codegen."""
     docs = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.25, "zh": 0.25}
-    return docs.sampleBy("lang", fractions, seed=42).select(
-        "doc_id", "lang", "source"
-    )
+    u = shuffle_key(F.col("doc_id"), seed=_STRATA_SEED).cast(
+        "double"
+    ) / F.lit(float(_SHUFFLE_MOD))
+    frac = F.lit(0.0)
+    for lang, keep in STRATA_FRACTIONS.items():
+        frac = F.when(F.col("lang") == lang, F.lit(keep)).otherwise(frac)
+    return docs.filter(u < frac).select("doc_id", "lang", "source")
+
+
+_STRATA_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {keep}" for lang, keep in STRATA_FRACTIONS.items()
+) + " ELSE 0.0 END"
+
+STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST((doc_id * {_SHUFFLE_PRIME} + {_STRATA_SEED}) % {_SHUFFLE_MOD}
+           AS DOUBLE) / {float(_SHUFFLE_MOD)} < {_STRATA_CASE}
+"""
 
 
 #: sample size for the weighted draw
@@ -117,5 +145,7 @@ def _register() -> None:
     registry.register(
         "deterministic_shuffle", deterministic_shuffle, SHUFFLE_ORACLE
     )
-    registry.register("stratified_sample", stratified_sample, None)
+    registry.register(
+        "stratified_sample", stratified_sample, STRATIFIED_ORACLE
+    )
     registry.register("weighted_sample_topk", weighted_sample_topk, WEIGHTED_ORACLE)
