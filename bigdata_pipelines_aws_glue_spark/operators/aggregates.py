@@ -120,13 +120,38 @@ FROM lineitem GROUP BY l_returnflag
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct (100 TB posture: constant memory per
     group where exact distinct would shuffle every key). Sketch
-    internals differ across engines -> rows-only check; the *exact*
-    twin above is the hash-checked one."""
+    values differ across engines, so the *sketch estimate* stays out
+    of the hashed output; instead each engine emits the exact count
+    plus a boolean asserting its own HLL estimate lands within the
+    configured 5% relative-error band — a cross-engine-checkable
+    bound assertion (both sides must say ``true``), so this query is
+    oracle-verified rather than rows-only."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    rel_err = F.abs(F.col("_approx") - F.col("n_parts_exact")) / F.col(
+        "n_parts_exact"
+    ).cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n_parts_exact",
+        "n_rows",
+        (rel_err < F.lit(0.05)).alias("approx_within_5pct"),
+    )
+
+
+APPROX_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts_exact,
+       count(*) AS n_rows,
+       abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+           / CAST(count(DISTINCT l_partkey) AS DOUBLE) < 0.05
+           AS approx_within_5pct
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -672,7 +697,7 @@ def _register() -> None:
         SALES_TRENDS_ORACLE.format(flagship=FLAGSHIP_ORACLE_SQL),
     )
     registry.register("distinct_agg", distinct_agg, DISTINCT_ORACLE)
-    registry.register("approx_distinct", approx_distinct, None)
+    registry.register("approx_distinct", approx_distinct, APPROX_DISTINCT_ORACLE)
     registry.register("rollup_sales", rollup_sales, ROLLUP_ORACLE)
     registry.register("cube_status", cube_status, CUBE_ORACLE)
     registry.register("q3_top_unshipped", q3_top_unshipped, Q3_ORACLE)

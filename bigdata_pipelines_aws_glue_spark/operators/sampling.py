@@ -6,49 +6,110 @@ randomization at 100 TB).
   deterministic hash-uniform — executor-local, no shuffle at all, and
   reproducible across engines (oracle-checked).
 - ``deterministic_shuffle``: a *reproducible* global permutation via a
-  modular-multiplication hash of the key — unlike ``orderBy(rand())``
+  cross-engine md5-derived hash of the key — unlike ``orderBy(rand())``
   this is stable across runs/cluster layouts AND mirrorable in the
-  DuckDB oracle. At scale the sort is a range exchange; for
-  shard-local shuffling use ``repartition(k, key)`` + per-partition
-  sort on the same hash (no global exchange).
+  DuckDB oracle. The global rank is computed WITHOUT a single-partition
+  sort: rows land in fixed-width hash-range buckets (uniform by
+  construction), each bucket ranks locally in parallel, and bucket
+  ranks are offset by the cumulative counts of lower buckets — the
+  zipWithIndex two-job shape, fully parallel at any scale.
+
+The hash is ``md5(key || ':' || seed)`` truncated to 60 bits — a real
+mixing hash. (Round-1 used ``(key*P + seed) % M`` with P ≡ −70 mod M;
+for sequential ids the uniforms clustered just below 1.0 and stratum
+keep-rates collapsed — caught by the round-1 advisor. A multiplicative
+congruence is NOT a mixing hash; md5 equidistributes regardless of key
+structure and both engines agree on it bit-for-bit.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
-#: odd multiplier for the permutation hash (fits in signed 64-bit
-#: arithmetic for doc_id < ~9e9 without ANSI overflow)
-_SHUFFLE_PRIME = 999_999_937
+#: modulus mapping the 60-bit md5 prefix onto [0, M) uniforms
 _SHUFFLE_MOD = 1_000_000_007
 
 
-def shuffle_key(key, seed: int = 42):
-    """(key * P + seed) % M — a fixed pseudo-random permutation."""
-    return (key * F.lit(_SHUFFLE_PRIME) + F.lit(seed)) % F.lit(_SHUFFLE_MOD)
+def shuffle_key(key: Column, seed: int = 42) -> Column:
+    """First 60 bits of ``md5(key ':' seed)`` mod M — a fixed,
+    equidistributed pseudo-random permutation of any key column.
+    Cross-engine: Spark ``conv(substring(md5,1,15),16,10)`` equals
+    DuckDB ``('0x'||substring(md5,1,15))::BIGINT`` bit-for-bit (same
+    pattern as operators/text.py doc_fingerprint)."""
+    s = F.concat(key.cast("string"), F.lit(f":{seed}"))
+    return (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(_SHUFFLE_MOD)
+    )
+
+
+def shuffle_key_sql(key_expr: str, seed: int = 42) -> str:
+    """DuckDB twin of :func:`shuffle_key` (same md5-prefix hash)."""
+    return (
+        f"(('0x' || substring(md5(CAST({key_expr} AS VARCHAR) || ':{seed}'),"
+        f" 1, 15))::BIGINT % {_SHUFFLE_MOD})"
+    )
+
+
+#: hash-range buckets for the parallel global rank (each bucket ranks
+#: independently; 64 keeps every bucket << executor memory at any sf)
+_RANK_BUCKETS = 64
+_BUCKET_WIDTH = _SHUFFLE_MOD // _RANK_BUCKETS + 1
 
 
 def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible corpus shuffle: shuffle_rank is a permutation of
-    1..N, identical on every run and engine."""
+    1..N, identical on every run and engine.
+
+    Scale shape: no global single-partition sort. The md5 hash is
+    uniform on [0, M), so fixed-width ranges of it are balanced
+    buckets; ``row_number`` runs per-bucket (parallel), and a first
+    pass counts each bucket so lower-bucket totals become rank
+    offsets. Two jobs over the data, both fully parallel — the same
+    contract as RDD ``zipWithIndex``. The count pass scans only the
+    key column (column pruning) and its result is ≤ _RANK_BUCKETS rows
+    on the driver — metadata, not data."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy(shuffle_key(F.col("doc_id")), F.col("doc_id"))
-    return docs.select(
+    keyed = docs.select(
+        "doc_id", shuffle_key(F.col("doc_id")).alias("shuffle_hash")
+    ).withColumn(
+        "_bucket",
+        F.floor(F.col("shuffle_hash") / F.lit(_BUCKET_WIDTH)).cast("int"),
+    )
+    # job 1: per-bucket counts -> cumulative offsets (<=64 rows of
+    # metadata; the standard zipWithIndex first pass)
+    counts = dict(
+        (r["_bucket"], r["cnt"])
+        for r in keyed.groupBy("_bucket").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_col = F.lit(0)
+    for b, off in offsets.items():
+        if off:
+            offset_col = F.when(F.col("_bucket") == b, F.lit(off)).otherwise(
+                offset_col
+            )
+    # job 2: rank inside each bucket in parallel, add the offset
+    w = Window.partitionBy("_bucket").orderBy("shuffle_hash", "doc_id")
+    return keyed.select(
         "doc_id",
-        shuffle_key(F.col("doc_id")).alias("shuffle_hash"),
-        F.row_number().over(w).alias("shuffle_rank"),
+        "shuffle_hash",
+        (F.row_number().over(w) + offset_col).cast("int").alias("shuffle_rank"),
     )
 
 
 SHUFFLE_ORACLE = f"""
 SELECT doc_id,
-       (doc_id * {_SHUFFLE_PRIME} + 42) % {_SHUFFLE_MOD} AS shuffle_hash,
+       {shuffle_key_sql('doc_id')} AS shuffle_hash,
        CAST(row_number() OVER (
-           ORDER BY (doc_id * {_SHUFFLE_PRIME} + 42) % {_SHUFFLE_MOD}, doc_id
+           ORDER BY {shuffle_key_sql('doc_id')}, doc_id
        ) AS INT) AS shuffle_rank
 FROM documents
 """
@@ -70,7 +131,8 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     previously-kept rows stable — the idempotence that matters when
     the 100 TB corpus is re-curated incrementally. Executor-local
     filter, no shuffle; the predicate is a plain expression, so it
-    survives column pruning and whole-stage codegen."""
+    survives column pruning and whole-stage codegen. Per-stratum keep
+    rates are statistically asserted in tests/test_operators.py."""
     docs = load_table(spark, sf_dir, "documents")
     u = shuffle_key(F.col("doc_id"), seed=_STRATA_SEED).cast(
         "double"
@@ -88,8 +150,8 @@ _STRATA_CASE = "CASE lang " + " ".join(
 STRATIFIED_ORACLE = f"""
 SELECT doc_id, lang, source
 FROM documents
-WHERE CAST((doc_id * {_SHUFFLE_PRIME} + {_STRATA_SEED}) % {_SHUFFLE_MOD}
-           AS DOUBLE) / {float(_SHUFFLE_MOD)} < {_STRATA_CASE}
+WHERE CAST({shuffle_key_sql('doc_id', _STRATA_SEED)} AS DOUBLE)
+      / {float(_SHUFFLE_MOD)} < {_STRATA_CASE}
 """
 
 
@@ -134,7 +196,7 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WEIGHTED_ORACLE = f"""
 SELECT doc_id, lang, n_chars AS weight
 FROM documents
-ORDER BY ln(CAST((doc_id * {_SHUFFLE_PRIME} + 42) % {_SHUFFLE_MOD} + 1 AS DOUBLE)
+ORDER BY ln(CAST({shuffle_key_sql('doc_id')} + 1 AS DOUBLE)
             / {float(_SHUFFLE_MOD + 1)}) / CAST(n_chars AS DOUBLE) DESC,
          doc_id ASC
 LIMIT {WEIGHTED_K}

@@ -56,3 +56,61 @@ def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
         .collect()[0][0]
     )
     assert avg_sample > avg_corpus
+
+
+def test_stratified_sample_per_stratum_keep_rates(spark):
+    """The round-1 advisor caught a degenerate hash that kept 100% of
+    en and 0% of everything else. Assert each stratum's realized keep
+    rate is within binomial tolerance of its configured fraction
+    (deterministic draw, so this is stable)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_pipelines_aws_glue_spark.operators.sampling import (
+        STRATA_FRACTIONS,
+        stratified_sample,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    sf01 = "/root/testdata/sf0.01"  # 500 docs: 60+ per stratum
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf01, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    kept = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(spark, sf01)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, frac in STRATA_FRACTIONS.items():
+        n = totals[lang]
+        rate = kept.get(lang, 0) / n
+        # 3-sigma binomial band (plus exactness at frac=1.0)
+        tol = 3 * (frac * (1 - frac) / n) ** 0.5
+        assert abs(rate - frac) <= max(tol, 1e-9), (
+            f"{lang}: keep rate {rate:.3f} vs fraction {frac} (n={n})"
+        )
+
+
+def test_deterministic_shuffle_parallel_rank(spark):
+    """shuffle_rank is an exact permutation of 1..N and the plan has
+    no single-partition Sort/Window (the rank is bucketed + offset)."""
+    from bigdata_pipelines_aws_glue_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = deterministic_shuffle(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for i, line in enumerate(lines := plan.splitlines()):
+        if "Exchange SinglePartition" in line:
+            for prev in lines[max(0, i - 2): i]:
+                op = prev.lstrip(" +-*")
+                assert not op.startswith(("Sort [", "Window [")), (
+                    "single-partition sort/window in shuffle plan"
+                )
+    ranks = sorted(r["shuffle_rank"] for r in df.collect())
+    assert ranks == list(range(1, len(ranks) + 1))

@@ -78,10 +78,6 @@ WHITELIST: dict[str, dict[str, str]] = {
     "global_sorted_sample": {
         "SinglePartition": "deliberately global total order (sampled)",
     },
-    "deterministic_shuffle": {
-        "SinglePartition": "reproducible global permutation requires a "
-        "total order; used for bounded corpus-curation samples",
-    },
 }
 
 def _single_partition_sort_or_window(plan: str) -> bool:
