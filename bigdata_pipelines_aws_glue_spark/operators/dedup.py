@@ -107,25 +107,52 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     n: int = 3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs above threshold.
+    """Exact n-gram Jaccard similarity for all pairs above threshold,
+    via an **inverted shingle index**: explode each document's distinct
+    shingles, equi-join postings on the shingle to count shared
+    shingles per pair, then jaccard = inter / (|a| + |b| − inter).
 
-    O(n²) pair enumeration — the *verification* kernel. At scale,
-    candidates come from :func:`minhash_lsh_candidates` buckets, never
-    from a full cross join; this standalone form exists for the oracle
-    check and for small candidate sets.
+    Output is IDENTICAL to the naive all-pairs form for any
+    threshold > 0 (a pair sharing zero shingles cannot clear it), but
+    the plan is equi-join + partial-aggregating groupBy — no
+    BroadcastNestedLoopJoin / cartesian anywhere, so it scales with
+    the number of *co-occurring* shingles instead of n². At 100 TB,
+    cap posting-list length first (drop shingles with document
+    frequency above a few hundred — stop-shingles contribute
+    candidates, not near-dups) and/or take candidates from
+    :func:`minhash_lsh_candidates`; both compose with this same
+    verify-by-count shape.
     """
     d = docs.select(
         F.col("doc_id"), _shingles(_tokens(F.col("text")), n).alias("sh")
     ).filter(F.size("sh") > 0)
-    a, b = d.alias("a"), d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
+    posts = d.select(
+        "doc_id", F.size("sh").alias("nsh"), F.explode("sh").alias("s")
+    )
+    a, b = posts.alias("a"), posts.alias("b")
+    inter = F.count(F.lit(1))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+            F.col("a.nsh").alias("nsh_a"),
+            F.col("b.nsh").alias("nsh_b"),
+        )
+        .agg(inter.alias("inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("nsh_a") + F.col("nsh_b") - F.col("inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -312,6 +339,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.5)
 
 
+def neardup_verified_pairs(
+    docs: DataFrame, threshold: float = 0.8, n: int = 3
+) -> DataFrame:
+    """The composed 100 TB near-dup pipeline: banded-LSH candidate
+    generation (:func:`minhash_lsh_candidates` — equi-join on (band,
+    bucket)) followed by exact n-gram Jaccard verification on the
+    candidate pairs only (equi-joins back to each side's shingle set,
+    then ``array_intersect``). Precision is exact by construction;
+    recall is the LSH recall (≥0.9 at threshold 0.8 for the 16/4
+    banding, asserted in tests/test_northstar.py). Nothing in the
+    plan enumerates all pairs."""
+    cands = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    d = docs.select(
+        "doc_id", _shingles(_tokens(F.col("text")), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    withsh = (
+        cands.join(
+            d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        withsh.select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline near-dup entry: LSH candidates -> exact verify.
+    Rows-only check (the LSH stage has no DuckDB twin); subset-of-
+    exact-pairs + recall are asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return neardup_verified_pairs(docs, threshold=0.8)
+
+
 def simhash_signature(tokens: Column, bits: int = 64) -> Column:
     """SimHash: per-token 64-bit hashes vote per bit position; the
     signature packs the majority sign of each bit. Pure expressions
@@ -425,4 +497,5 @@ def _register() -> None:
         "dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE
     )
     registry.register("dedup_minhash_lsh", dedup_minhash_lsh, None)
+    registry.register("dedup_neardup_pipeline", dedup_neardup_pipeline, None)
     registry.register("dedup_simhash", dedup_simhash, None)

@@ -392,14 +392,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup over a simulated re-ingestion: the corpus
     unioned with an id-offset copy of itself. Every vector must pair
     with exactly its copy at cosine ~1.0 (the corpus has no natural
-    pairs above 0.52, measured)."""
+    pairs above 0.52, measured).
+
+    Registered with ``blocked=True`` — the hyperplane-LSH bucketed
+    plan (per-bucket equi-join, no BroadcastNestedLoopJoin). The
+    all-pairs DuckDB oracle still hash-matches because exact
+    duplicates have identical signatures, hence share every band key:
+    recall on cosine≈1.0 pairs is structurally 1.0, and the exact
+    cosine filter keeps precision exact. The unblocked baseline
+    remains available as ``embedding_near_dup_pairs(blocked=False)``
+    for bounded candidate sets."""
     emb = load_table(spark, sf_dir, "embeddings")
     doubled = emb.select("vec_id", "embedding").unionByName(
         emb.select(
             (F.col("vec_id") + DUP_OFFSET).alias("vec_id"), F.col("embedding")
         )
     )
-    return embedding_near_dup_pairs(doubled)
+    return embedding_near_dup_pairs(doubled, blocked=True)
 
 
 EMBEDDING_NEAR_DUP_ORACLE = f"""

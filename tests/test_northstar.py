@@ -51,6 +51,31 @@ def test_minhash_recall_of_near_dups(spark, sf_dir):
     assert recall >= 0.9, f"minhash recall {recall:.2f} on {len(truth)} pairs"
 
 
+def test_neardup_pipeline_exact_precision_and_recall(spark, sf_dir):
+    """The composed LSH->verify pipeline returns a subset of the true
+    Jaccard>=0.8 pairs with exact jaccard values (precision 1.0 by
+    construction) and recall >= 0.9."""
+    from bigdata_pipelines_aws_glue_spark.operators.dedup import (
+        neardup_verified_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in neardup_verified_pairs(docs, threshold=0.8).collect()
+    }
+    assert truth, "corpus should contain planted near-duplicates"
+    for pair, j in found.items():
+        assert pair in truth, f"false positive {pair}"
+        assert abs(j - truth[pair]) < 1e-12
+    recall = len(found) / len(truth)
+    assert recall >= 0.9, f"pipeline recall {recall:.2f} on {len(truth)} pairs"
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     exact = cosine_topk(spark, sf_dir)
     approx = ann_lsh_topk(spark, sf_dir)

@@ -44,20 +44,6 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "corpus-total + mix-denominator scalars "
         "(1-row broadcasts onto a |languages|-row aggregate)",
     },
-    "dedup_ngram_jaccard": {
-        "BroadcastNestedLoopJoin": "exact-Jaccard verification kernel; "
-        "at scale candidates come from LSH buckets (see docstring)",
-    },
-    "dedup_clusters": {
-        "BroadcastNestedLoopJoin": "inherits the Jaccard pair kernel",
-    },
-    "corpus_curation_summary": {
-        "BroadcastNestedLoopJoin": "inherits the Jaccard pair kernel",
-    },
-    "dedup_embedding_cosine": {
-        "BroadcastNestedLoopJoin": "exact all-pairs baseline; blocked=True "
-        "is the LSH-bucketed scale path (recall-tested)",
-    },
     "cosine_topk": {
         "BroadcastNestedLoopJoin": "query side is a bounded broadcast "
         "(N_QUERIES rows) against the corpus — by design",
