@@ -24,14 +24,88 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
         _ORACLES[name] = oracle
 
 
+#: Names emitted FIRST by ``queries()``/``oracle_sql()``. The round-1
+#: driver verified exactly the first 50 dict entries, so ordering is
+#: the verification budget: round 2 front-loads everything the round-1
+#: CORRECTNESS file did not cover (every LLM-mandate operator + the
+#: TPC-H extras), rotating the 50 already-attested queries to the
+#: back. Names not present are skipped; unlisted queries follow in
+#: registration order.
+PRIORITY: tuple[str, ...] = (
+    # LLM-data mandate: dedup / near-dup
+    "dedup_content_hash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_neardup_pipeline",
+    "dedup_simhash",
+    "dedup_clusters",
+    "corpus_curation_summary",
+    # text analysis
+    "text_stats",
+    "lang_id_markers",
+    "token_count_bpe",
+    "doc_fingerprint",
+    "doc_repetition_stats",
+    "top_terms_per_lang",
+    # similarity / ANN / clustering
+    "cosine_topk",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "embedding_centroids",
+    "dedup_embedding_cosine",
+    "kmeans_embeddings",
+    # multimodal plumbing
+    "multimodal_bytes_meta",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # sampling / shuffling
+    "deterministic_shuffle",
+    "stratified_sample",
+    "weighted_sample_topk",
+    # corpus statistics + curation
+    "corpus_mix_weights",
+    "corpus_token_entropy",
+    "crossdoc_shingle_dup",
+    "sequence_pack_chunks",
+    "chunk_fill_report",
+    "embedding_quantize_int8",
+    # newly-oracled / scale-pattern queries
+    "approx_distinct",
+    "skew_safe_agg",
+    "asof_join_sortmerge",
+    # TPC-H extras with no round-1 driver row
+    "q4_late_shipment_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_bulk_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "sql_correlated_delta",
+)
+
+
+def _ordered(d: dict) -> dict:
+    head = {n: d[n] for n in PRIORITY if n in d}
+    return head | {n: v for n, v in d.items() if n not in head}
+
+
 def queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 _LOADED = False
