@@ -56,6 +56,61 @@ def test_asof_join_forward(spark):
     assert row["rate"] == 2.0
 
 
+def test_asof_sortmerge_matches_broadcast_paths(spark, sf_dir):
+    """The union+last(ignorenulls) sort-merge as-of join must agree
+    row-for-row with the broadcast-array fast path on the registered
+    rates workload (including unmatched -> NULL rows)."""
+    from bigdata_pipelines_aws_glue_spark.operators.joins import (
+        asof_join_rates,
+        asof_join_sortmerge_rates,
+    )
+
+    a = {
+        r["transaction_id"]: (r["asof_rate_date"], r["asof_rate"], r["amount_usd"])
+        for r in asof_join_rates(spark, sf_dir).collect()
+    }
+    b = {
+        r["transaction_id"]: (r["asof_rate_date"], r["asof_rate"], r["amount_usd"])
+        for r in asof_join_sortmerge_rates(spark, sf_dir).collect()
+    }
+    assert a == b
+
+
+def test_asof_sortmerge_tiny_edge_cases(spark):
+    """Same edge matrix as test_asof_join_backward: pre-first-rate and
+    rateless keys yield NULLs; equal timestamps match inclusively."""
+    import datetime
+
+    from bigdata_pipelines_aws_glue_spark.operators.joins import (
+        asof_join_union_sortmerge,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, "EUR", datetime.datetime(2025, 3, 1)),
+            (2, "EUR", datetime.datetime(2025, 1, 15)),
+            (3, "EUR", datetime.datetime(2024, 12, 1)),
+            (4, "GBP", datetime.datetime(2025, 3, 1)),
+            (5, "EUR", datetime.datetime(2025, 2, 1)),  # ts == rate_date
+        ],
+        "id long, currency string, ts timestamp",
+    )
+    rates = spark.createDataFrame(
+        [
+            ("EUR", 1.0, datetime.datetime(2025, 1, 1)),
+            ("EUR", 2.0, datetime.datetime(2025, 2, 1)),
+        ],
+        "currency string, rate double, rate_date timestamp",
+    )
+    out = {
+        r["id"]: r["rate"]
+        for r in asof_join_union_sortmerge(
+            left, rates, "currency", "ts", "rate_date", ["rate"]
+        ).collect()
+    }
+    assert out == {1: 2.0, 2: 1.0, 3: None, 4: None, 5: 2.0}
+
+
 def test_staged_merge_upsert_semantics(spark):
     target = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
