@@ -78,3 +78,47 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(r["n_nationkey"] for r in back.collect()) == sorted(
         r["n_nationkey"] for r in nation.collect()
     )
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, sf_dir):
+    """S8 warehouse bulk load (reference redshift_setup.py:175-196):
+    write orders over JDBC into embedded Derby, read back with a
+    partitioned parallel scan, and verify the round-trip exactly."""
+    from pyspark.sql import functions as F
+
+    from bigdata_pipelines_aws_glue_spark.sources.jdbc import (
+        DERBY_DRIVER,
+        bulk_load_jdbc,
+        read_jdbc,
+    )
+
+    url = "jdbc:derby:memory:s8db;create=true"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    bulk_load_jdbc(
+        orders, url, "ORDERS_WH", driver=DERBY_DRIVER, write_partitions=4
+    )
+    lo, hi = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).first()
+    back = read_jdbc(
+        spark,
+        url,
+        "ORDERS_WH",
+        driver=DERBY_DRIVER,
+        partition_column="o_orderkey",
+        lower_bound=lo,
+        upper_bound=hi + 1,
+        num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4  # genuinely parallel scan
+    a = sorted(tuple(r) for r in orders.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+
+    # idempotent reload (C3 posture): overwrite mode replaces, not appends
+    bulk_load_jdbc(
+        orders, url, "ORDERS_WH", driver=DERBY_DRIVER, write_partitions=2
+    )
+    assert read_jdbc(spark, url, "ORDERS_WH", driver=DERBY_DRIVER).count() == orders.count()
