@@ -4,10 +4,16 @@ Pattern for image/audio/video at 100 TB: payloads are opaque
 ``binary`` columns with typed metadata travelling beside them;
 decode / feature-extraction runs as Arrow-batched ``mapInPandas``
 so each Python worker touches a columnar batch, never a row at a
-time. The actual codecs (PIL/ffmpeg/etc.) are NOT in this container,
-so ``decode_image`` is an explicit stub (NotImplementedError) and the
-pipeline runs with a deterministic fake decoder — the Spark-side
-plumbing (schemas, batch iteration, partitioning) is real and tested.
+time.
+
+The container ships no imaging libraries, so the codecs here are
+real, dependency-free numpy implementations of two genuinely-simple
+formats — binary PPM/PGM (P6/P5) and uncompressed 24-bit BMP —
+round-trip tested. The synthetic corpus payloads are REAL encoded
+images in those formats; ``decode_image`` dispatches on the magic
+bytes and actually decodes them. Formats needing an external codec
+(PNG/JPEG/video) raise ``NotImplementedError`` at the same dispatch
+point — that is the PIL/ffmpeg integration seam at deploy time.
 
 ``multimodal_bytes_meta`` — the metadata/integrity pass (sizes,
 digests) — is pure JVM expressions and oracle-checked.
@@ -15,6 +21,7 @@ digests) — is pure JVM expressions and oracle-checked.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -32,62 +39,130 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """Real image decode — NOT available in this environment.
+# ---------------------------------------------------------------- codecs
 
-    At deploy time this becomes e.g. ``PIL.Image.open(BytesIO(b))``;
-    the container ships no imaging libraries, so the operator pipeline
-    substitutes :func:`fake_decode` (deterministic) and this stub
-    exists to mark the integration point.
-    """
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6, RGB (H,W,3)) / PGM (P5, gray (H,W)) encoder."""
+    if pixels.ndim == 3:
+        magic, arr = b"P6", pixels.astype(np.uint8)
+        h, w = arr.shape[:2]
+    else:
+        magic, arr = b"P5", pixels.astype(np.uint8)
+        h, w = arr.shape
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    depth = 3 if payload[:2] == b"P6" else 1
+    i, vals = 2, []
+    while len(vals) < 3:
+        while i < len(payload):
+            c = payload[i : i + 1]
+            if c == b"#":  # comment runs to end of line
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                break
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        vals.append(int(payload[i:j]))
+        i = j
+    i += 1  # exactly one whitespace separates maxval from the raster
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    raster = np.frombuffer(payload, np.uint8, count=w * h * depth, offset=i)
+    return raster.reshape((h, w, 3)) if depth == 3 else raster.reshape((h, w))
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up, BGR,
+    rows padded to 4 bytes) from an (H, W, 3) RGB array."""
+    arr = pixels.astype(np.uint8)
+    h, w = arr.shape[:2]
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    pad = b"\x00" * (row_size - w * 3)
+    rows = [
+        arr[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1)
+    ]
+    return header + info + b"".join(rows)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP variant bpp={bpp} comp={comp}")
+    bottom_up, h = h > 0, abs(h)
+    row_size = (w * 3 + 3) & ~3
+    arr = np.frombuffer(payload, np.uint8, count=row_size * h, offset=off)
+    px = arr.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return (px[::-1] if bottom_up else px).copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a binary image payload to an (H, W[, 3]) uint8 array.
+
+    Real decoders for PPM/PGM and 24-bit BMP (numpy-only, see module
+    docstring); anything else — PNG, JPEG, video containers — raises
+    ``NotImplementedError`` here, the integration seam where a real
+    deployment wires PIL / torchvision / ffmpeg."""
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "image codec not available in this environment; "
-        "wire PIL/torchvision here at deploy time"
+        "codec for this format not available in this environment; "
+        "wire PIL/torchvision/ffmpeg here at deploy time"
     )
 
 
-def fake_decode(payload: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for codec metadata: pretend the payload
-    encodes a (width, height) derived from its length."""
-    n = len(payload)
-    return (n % 64 + 1, n % 48 + 1)
+# ------------------------------------------------------------- kernels
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: per-batch numpy feature extraction over the
-    binary payload column. Vectorized within the batch; one Python
+    """mapInPandas kernel: decode each payload and extract features
+    from the REAL pixel array (dims from the parsed header, mean over
+    decoded pixels) plus container-level byte entropy. One Python
     round-trip per Arrow batch, not per row."""
     for pdf in batches:
-        payloads = pdf["payload"]
-        n_bytes = payloads.map(len)
         feats = []
-        for p in payloads:
+        for p in pdf["payload"]:
             arr = np.frombuffer(p, dtype=np.uint8)
             counts = np.bincount(arr, minlength=256)
             probs = counts[counts > 0] / max(len(arr), 1)
             entropy = float(-(probs * np.log2(probs)).sum()) if len(arr) else 0.0
-            w, h = fake_decode(p)
-            feats.append((float(arr.mean()) if len(arr) else 0.0, entropy, w, h))
-        out = pd.DataFrame(
+            px = decode_image(p)
+            h, w = px.shape[:2]
+            feats.append((len(p), float(px.mean()), entropy, w, h))
+        yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes.astype("int32"),
-                "mean_byte": [f[0] for f in feats],
-                "byte_entropy": [f[1] for f in feats],
-                "width": pd.Series([f[2] for f in feats], dtype="int32"),
-                "height": pd.Series([f[3] for f in feats], dtype="int32"),
+                "n_bytes": pd.Series([f[0] for f in feats], dtype="int32"),
+                "mean_byte": [f[1] for f in feats],
+                "byte_entropy": [f[2] for f in feats],
+                "width": pd.Series([f[3] for f in feats], dtype="int32"),
+                "height": pd.Series([f[4] for f in feats], dtype="int32"),
             }
         )
-        yield out
 
 
-def resize_image(
-    pixels: "np.ndarray", width: int, height: int
-) -> "np.ndarray":
-    """Nearest-neighbor resize over a decoded (H, W) array — numpy
-    index arithmetic only, so it runs for real in this container on
-    the fake-decoded arrays (a real deployment swaps in PIL/opencv
-    interpolation behind the same signature)."""
+def resize_image(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize over a decoded (H, W[, 3]) array —
+    numpy index arithmetic only (a real deployment swaps in
+    PIL/opencv interpolation behind the same signature)."""
     h, w = pixels.shape[:2]
     rows = (np.arange(height) * h // height).clip(0, h - 1)
     cols = (np.arange(width) * w // width).clip(0, w - 1)
@@ -112,15 +187,12 @@ FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_digest strin
 
 
 def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: fake-decode payload -> 2D pixel array ->
-    resize to 16x16 -> summary stat. Real Arrow plumbing, stubbed codec."""
+    """mapInPandas kernel: decode payload -> real pixel array ->
+    nearest-neighbor resize to 16x16 -> summary stat."""
     for pdf in batches:
         out_rows = []
         for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-            arr = np.frombuffer(p, dtype=np.uint8)
-            w, h = fake_decode(p)
-            pixels = np.resize(arr, (h, w))  # fake decode to (H, W)
-            small = resize_image(pixels, 16, 16)
+            small = resize_image(decode_image(p), 16, 16)
             out_rows.append((doc_id, 16, 16, float(small.mean())))
         yield pd.DataFrame(
             out_rows, columns=["doc_id", "out_w", "out_h", "mean_px"]
@@ -152,6 +224,49 @@ def frame_sample_batch(
         )
 
 
+# ----------------------------------------------------- corpus payloads
+
+
+def synth_image_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel synthesizing REAL encoded images from each
+    document's text bytes: even doc_ids become P6 PPMs, odd become
+    24-bit BMPs (so every downstream decode exercises both codecs).
+    Deterministic — dims derive from the byte length, pixels tile the
+    text bytes."""
+    for pdf in batches:
+        payloads = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            b = np.frombuffer((text or "").encode(), dtype=np.uint8)
+            w, h = len(b) % 64 + 1, len(b) % 48 + 1
+            px = np.resize(b, (h, w, 3))
+            payloads.append(
+                encode_ppm(px) if doc_id % 2 == 0 else encode_bmp(px)
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary image-payload column synthesized from document text (the
+    corpus ships no real media; the payloads ARE real PPM/BMP
+    encodings, so decode paths run genuinely)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").mapInPandas(
+        synth_image_batch, schema="doc_id long, payload binary"
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over decoded image payloads via mapInPandas
+    (rows-only check: numpy decode/entropy has no DuckDB twin)."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    return spread(_payloads(spark, sf_dir)).mapInPandas(
+        extract_features, schema=FEATURE_SCHEMA
+    )
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 
@@ -165,23 +280,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return spread(_payloads(spark, sf_dir)).mapInPandas(
         frame_sample_batch, schema=FRAMES_SCHEMA
-    )
-
-
-def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload column synthesized from document text (the
-    corpus ships no real media; the *column type* is what matters)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-
-
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over binary payloads via mapInPandas
-    (rows-only check: numpy entropy has no DuckDB twin)."""
-    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
-
-    return spread(_payloads(spark, sf_dir)).mapInPandas(
-        extract_features, schema=FEATURE_SCHEMA
     )
 
 

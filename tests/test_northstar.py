@@ -106,21 +106,54 @@ def test_cosine_topk_shape(spark, sf_dir):
         assert all(-1.0 <= s <= 1.0 for s in scores)
 
 
-def test_multimodal_decode_is_stubbed():
+def test_multimodal_codecs_roundtrip():
+    """PPM/PGM and 24-bit BMP encode->decode are exact inverses,
+    including BMP row padding (non-multiple-of-4 widths)."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (5, 3), (13, 7), (16, 16), (9, 2)]:
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_image(encode_ppm(rgb)) == rgb).all()
+        assert (decode_image(encode_bmp(rgb)) == rgb).all()
+    gray = rng.randint(0, 256, size=(6, 11), dtype=np.uint8)
+    assert (decode_image(encode_ppm(gray)) == gray).all()
+    # PPM comments in the header are skipped
+    ppm = encode_ppm(gray)
+    commented = ppm[:2] + b"\n# a comment\n" + ppm[3:]
+    assert (decode_image(commented) == gray).all()
+
+
+def test_multimodal_unknown_codec_is_integration_seam():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
 
 
-def test_multimodal_features_plumbing(spark, sf_dir):
+def test_multimodal_features_real_decode(spark, sf_dir):
+    """Features come from genuinely decoded pixels: width/height must
+    equal the dims the synth kernel encoded (len(bytes) % 64+1 x
+    % 48+1), for both the PPM (even ids) and BMP (odd ids) halves."""
     out = multimodal_features(spark, sf_dir)
     rows = out.collect()
     assert len(rows) == 500
-    r = rows[0]
-    assert r["n_bytes"] > 0
-    assert 0.0 <= r["byte_entropy"] <= 8.0
-    assert 1 <= r["width"] <= 64 and 1 <= r["height"] <= 48
-    docs = load_table(spark, sf_dir, "documents").count()
-    assert len({row["doc_id"] for row in rows}) == docs
+    assert {r["doc_id"] % 2 for r in rows} == {0, 1}  # both codecs ran
+    text_len = {
+        r["doc_id"]: len(r["text"].encode())
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in rows:
+        n = text_len[r["doc_id"]]
+        assert r["width"] == n % 64 + 1 and r["height"] == n % 48 + 1
+        assert r["n_bytes"] > 0
+        assert 0.0 <= r["byte_entropy"] <= 8.0
+        assert 0.0 <= r["mean_byte"] <= 255.0
 
 
 def test_shingles_short_doc(spark):
