@@ -141,6 +141,83 @@ def run_foreach_batch_upsert(
     )
 
 
+def read_transaction_stream(
+    spark: SparkSession, input_dir: str, schema
+) -> DataFrame:
+    """readStream over the flagship transactions fact laid down as
+    parquet files. ``maxFilesPerTrigger=1`` makes micro-batch
+    boundaries deterministic for the recovery tests; production would
+    raise it (or use kafka) without touching anything downstream."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(input_dir)
+    )
+
+
+def flagship_stream(
+    transactions: DataFrame, rates: DataFrame, categories: DataFrame
+) -> DataFrame:
+    """The reference pipeline (glue_job.py:78-153) as a STREAM: the
+    identical expression tree as ``plans.flagship.flagship_query`` —
+    currency conversion (broadcast stream-static join against the
+    ``max_by``-collapsed rates), category enrichment (broadcast
+    stream-static left join), calendar derivation, 13-col contract —
+    applied to a streaming fact. Zero duplicated logic: the batch
+    builders are called verbatim; only the read/write edges differ.
+
+    Scale shape: both joins are stream-static broadcasts, so each
+    micro-batch is map-only — no state store, no shuffle; throughput
+    is bounded by the source, not the plan."""
+    from bigdata_pipelines_aws_glue_spark.plans.flagship import (
+        OUTPUT_CONTRACT,
+        convert_currency,
+        derive_time_columns,
+    )
+
+    converted = convert_currency(transactions, rates)
+    enriched = converted.join(
+        F.broadcast(categories), on="product_id", how="left"
+    )
+    return derive_time_columns(enriched).select(*OUTPUT_CONTRACT)
+
+
+def run_batch_id_sink(
+    df: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    fail_at_batch: int | None = None,
+) -> StreamingQuery:
+    """foreachBatch sink writing each micro-batch to
+    ``target_dir/batch_id=N`` with mode=overwrite — idempotent under
+    batch REPLAY: if the job dies after the write but before the
+    checkpoint commit (exactly the window ``fail_at_batch`` injects),
+    the restarted query re-delivers the same batch id and the rewrite
+    converges to identical bytes instead of duplicating. This is the
+    standard exactly-once recipe for sinks without transactions; the
+    kill/restart pytest (tests/test_streaming.py) drives it through a
+    real mid-stream crash.
+    """
+    import os
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(target_dir, f"batch_id={batch_id}")
+        )
+        if fail_at_batch is not None and batch_id == fail_at_batch:
+            raise RuntimeError(
+                f"injected crash: batch {batch_id} written but not committed"
+            )
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_parquet(
     df: DataFrame,
     output_dir: str,

@@ -57,6 +57,69 @@ def test_stream_dedup_within_watermark(spark, events_dir):
     assert total == distinct_ids > 0
 
 
+def test_flagship_stream_crash_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Verdict r1 #8: the reference pipeline as a file-source stream
+    must survive a mid-stream crash with exactly-once output. The
+    crash is injected AFTER batch 1's files are written but BEFORE its
+    checkpoint commit — the worst-case window — so the restart
+    re-delivers batch 1 and the idempotent batch_id=N overwrite must
+    converge, not duplicate. Final output is compared row-for-row
+    against the oracle-checked batch flagship on the same input."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from bigdata_pipelines_aws_glue_spark.plans.flagship import (
+        flagship_query,
+        synth_currency_rates,
+        synth_product_categories,
+        synth_transactions,
+    )
+    from bigdata_pipelines_aws_glue_spark.streaming.jobs import (
+        flagship_stream,
+        read_transaction_stream,
+        run_batch_id_sink,
+    )
+
+    src = str(tmp_path / "tx_src")
+    synth_transactions(spark, sf_dir).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    rates = synth_currency_rates(spark, sf_dir)
+    categories = synth_product_categories(spark, sf_dir)
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # run 1: crashes mid-stream (>=4 files x maxFilesPerTrigger=1 ->
+    # batch 1 exists), after write, before commit
+    out = flagship_stream(
+        read_transaction_stream(spark, src, schema), rates, categories
+    )
+    q = run_batch_id_sink(out, target, ckpt, fail_at_batch=1)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+
+    # run 2: clean restart from the same checkpoint
+    out2 = flagship_stream(
+        read_transaction_stream(spark, src, schema), rates, categories
+    )
+    q2 = run_batch_id_sink(out2, target, ckpt)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(target).drop("batch_id")
+    want = flagship_query(spark, sf_dir)
+    assert got.count() == want.count()
+    # no replay duplicates: same id multiset as batch (corpus itself
+    # holds one genuinely duplicated lineitem row, so compare distinct
+    # to distinct, and multiset equality below catches the rest)
+    assert (
+        got.select("transaction_id").distinct().count()
+        == want.select("transaction_id").distinct().count()
+    )
+    # full value equality (both directions of EXCEPT are empty)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_foreach_batch_upsert_converges(spark, sf_dir, tmp_path):
     """The foreachBatch upsert sink must (a) land every key exactly
     once regardless of micro-batch boundaries, and (b) be a no-op when
