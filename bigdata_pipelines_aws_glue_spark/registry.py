@@ -74,6 +74,7 @@ PRIORITY: tuple[str, ...] = (
     "approx_distinct",
     "skew_safe_agg",
     "asof_join_sortmerge",
+    "ewma_anomaly_per_user",
     # TPC-H extras with no round-1 driver row
     "q4_late_shipment_priority",
     "q7_volume_shipping",
@@ -157,11 +158,14 @@ def _load_all() -> None:
     # custom stateful operator (batch twin; the streaming form is
     # exercised in tests/test_stateful.py)
     from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
-    from bigdata_pipelines_aws_glue_spark.streaming.stateful import ewma_batch
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import (
+        EWMA_ORACLE,
+        ewma_batch,
+    )
 
     register(
         "ewma_anomaly_per_user",
         lambda spark, sf_dir: ewma_batch(load_table(spark, sf_dir, "events")),
-        None,
+        EWMA_ORACLE,
     )
     _LOADED = True

@@ -108,3 +108,39 @@ def ewma_batch(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(fold, schema=OUTPUT_SCHEMA)
     )
+
+
+#: DuckDB twin of ``ewma_batch``: the same sequential fold as a
+#: recursive CTE. Cross-engine BIT-EXACT, not approximately equal —
+#: both engines run the identical IEEE-754 double operations in the
+#: identical order (`a*v + (1-a)*e`, two rounded multiplies then one
+#: rounded add per step), so the checker's 17-significant-digit float
+#: normalization matches without any tolerance. This upgrades the one
+#: "genuinely non-SQL-expressible" stateful operator to a full oracle
+#: row: recursion over triggers is outside Spark's built-in aggregate
+#: model (hence applyInPandasWithState) but is plain SQL-1999
+#: recursion to the oracle.
+EWMA_ORACLE = f"""
+WITH RECURSIVE ev AS (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+           count(*)     OVER (PARTITION BY user_id) AS n
+    FROM events
+), walk AS (
+    SELECT user_id, rn, n, CAST(value AS DOUBLE) AS ewma, 0 AS anom
+    FROM ev WHERE rn = 1
+    UNION ALL
+    SELECT e.user_id, e.rn, e.n,
+           {ALPHA} * e.value + (1.0 - {ALPHA}) * w.ewma,
+           w.anom + CASE
+               WHEN abs(e.value - w.ewma)
+                    > {DEVIATION_FACTOR} * greatest(abs(w.ewma), 1e-9)
+               THEN 1 ELSE 0 END
+    FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id,
+       CAST(n AS INT)    AS n_events,
+       ewma,
+       CAST(anom AS INT) AS n_anomalies
+FROM walk WHERE rn = n
+"""
