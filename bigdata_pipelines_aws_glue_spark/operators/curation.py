@@ -148,7 +148,24 @@ def quantize_embeddings_int8(
 
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quantize_embeddings_int8(load_table(spark, sf_dir, "embeddings"))
+    """Registered (driver-attestable) form of
+    :func:`quantize_embeddings_int8`: ``qvec`` is serialized to a
+    comma-joined string because the driver's pandas canonicalizer
+    sorts/factorizes cells and cannot hash Python lists
+    (CORRECTNESS_r02: ``TypeError: unhashable type: 'list'``). The
+    array-typed ``array<tinyint>`` form remains the library function;
+    the serialization is lossless (int8 values round-trip through
+    decimal text exactly), so this string form attests every bit of
+    the quantization."""
+    q = quantize_embeddings_int8(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), ","
+        ).alias("qvec_csv"),
+        "n_dims",
+    )
 
 
 EMBEDDING_QUANTIZE_ORACLE = """
@@ -156,15 +173,21 @@ WITH s AS (
     SELECT vec_id, embedding,
            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
     FROM embeddings
+),
+q AS (
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+                ELSE list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127e0 + 0.5e0) AS TINYINT))
+           END AS qvec,
+           CAST(len(embedding) AS INT) AS n_dims
+    FROM s
 )
 SELECT vec_id, scale,
-       CASE WHEN scale = 0
-            THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
-            ELSE list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127e0 + 0.5e0) AS TINYINT))
-       END AS qvec,
-       CAST(len(embedding) AS INT) AS n_dims
-FROM s
+       array_to_string(list_transform(qvec, x -> CAST(x AS VARCHAR)), ',') AS qvec_csv,
+       n_dims
+FROM q
 """
 
 

@@ -120,6 +120,14 @@ def ewma_batch(events: DataFrame) -> DataFrame:
 #: row: recursion over triggers is outside Spark's built-in aggregate
 #: model (hence applyInPandasWithState) but is plain SQL-1999
 #: recursion to the oracle.
+#:
+#: Preconditions for bit-exactness (round-2 ADVICE; both hold in the
+#: frozen corpus at every sf and are asserted in
+#: tests/test_stateful.py): (1) ``events.value`` has no NULLs — a NULL
+#: would propagate as NaN through the pandas fold but short-circuit
+#: the SQL CASE (anomaly not counted, ewma becomes NULL); (2)
+#: ``(user_id, ts)`` is unique — a tie would make the fold order
+#: nondeterministic on both sides.
 EWMA_ORACLE = f"""
 WITH RECURSIVE ev AS (
     SELECT user_id, value,

@@ -51,6 +51,52 @@ def test_minhash_recall_of_near_dups(spark, sf_dir):
     assert recall >= 0.9, f"minhash recall {recall:.2f} on {len(truth)} pairs"
 
 
+def test_ngram_jaccard_max_df_caps_stop_shingle_blowup(spark, sf_dir):
+    """A boilerplate shingle present in 50% of the corpus must not
+    generate O(df²) candidate pairs when ``max_df`` is set, while real
+    near-dup pairs (built from low-df shingles) survive with exact
+    jaccard. Mirrors tests/test_skew_realism.py's method: same
+    operator, hostile key distribution, assert the bounded shape."""
+    boiler = " all rights reserved"
+    rows = [(i, f"w{i}a w{i}b w{i}c" + boiler) for i in range(40)]
+    # a genuine near-dup pair sharing only df<=2 shingles
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta"),
+        (101, "alpha beta gamma delta epsilon zeta theta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # threshold=0 exposes the raw candidate set the self-join emits
+    uncapped = ngram_jaccard_pairs(docs, threshold=1e-9, max_df=None).count()
+    capped_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=1e-9, max_df=10).collect()
+    }
+    assert uncapped >= 40 * 39 // 2, "stop-shingle should blow up uncapped"
+    # cap kills every boilerplate-only pair; only the true near-dup stays
+    assert set(capped_pairs) == {(100, 101)}
+    # jaccard of the surviving pair is exact (untouched by the cap):
+    # 7 tokens -> 5 shingles each, 4 shared -> 4 / (5 + 5 - 4)
+    assert abs(capped_pairs[(100, 101)] - 4 / 6) < 1e-12
+    # frozen-corpus precondition for the oracle hash-match of the
+    # registered (max_df=500) form: no shingle reaches df 500
+    from bigdata_pipelines_aws_glue_spark.operators.dedup import (
+        _shingles,
+        _tokens,
+    )
+
+    corpus = load_table(spark, sf_dir, "documents")
+    max_df = (
+        corpus.select(
+            F.explode(_shingles(_tokens(F.col("text")), 3)).alias("s")
+        )
+        .groupBy("s")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_df < 500
+
+
 def test_neardup_pipeline_exact_precision_and_recall(spark, sf_dir):
     """The composed LSH->verify pipeline returns a subset of the true
     Jaccard>=0.8 pairs with exact jaccard values (precision 1.0 by

@@ -19,12 +19,19 @@ Two proofs:
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark.operators.skew import two_phase_agg
+
+#: wall-clock assertions are environment-dependent (pass on an idle
+#: local[32]; can flake on loaded/low-core CI) — set SKIP_PERF_ASSERT=1
+#: to keep the unconditional plan-marker + answer-equality checks but
+#: skip the timing comparison (round-2 ADVICE item).
+SKIP_PERF_ASSERT = os.environ.get("SKIP_PERF_ASSERT", "") == "1"
 
 N_FACT = 3_000_000
 N_DIM = 20_000
@@ -53,7 +60,7 @@ def hot_corpus(spark, tmp_path_factory):
     return str(base / "fact"), str(base / "dim")
 
 
-def _timed_join(spark, fact_path, dim_path, skew_on: bool):
+def _timed_join(spark, fact_path, dim_path):
     fact = spark.read.parquet(fact_path)
     dim = spark.read.parquet(dim_path)
     j = fact.join(dim, "currency_id").agg(
@@ -95,7 +102,7 @@ def test_aqe_skew_join_splits_and_wins(spark, hot_corpus):
             spark.conf.set(
                 "spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower()
             )
-            return _timed_join(spark, fact_path, dim_path, skew_on)
+            return _timed_join(spark, fact_path, dim_path)
 
         run(True)  # warm: scan caches, codegen
         best = {}
@@ -110,10 +117,11 @@ def test_aqe_skew_join_splits_and_wins(spark, hot_corpus):
                     "threshold or AQE disabled"
                 )
         assert len(answer) == 1, f"skew split changed the answer: {answer}"
-        assert best[True] < best[False] * 0.9, (
-            f"skew-join split not faster: {best[True]:.2f}s vs "
-            f"naive {best[False]:.2f}s"
-        )
+        if not SKIP_PERF_ASSERT:
+            assert best[True] < best[False] * 0.9, (
+                f"skew-join split not faster: {best[True]:.2f}s vs "
+                f"naive {best[False]:.2f}s"
+            )
     finally:
         for k, v in saved.items():
             if v is None:

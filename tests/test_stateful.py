@@ -57,3 +57,18 @@ def test_ewma_stream_matches_batch_totals(spark, sf_dir, tmp_path):
         for r in events.groupBy("user_id").count().collect()
     }
     assert got_totals == want
+
+
+def test_ewma_oracle_preconditions_hold_in_corpus(spark, sf_dir):
+    """EWMA_ORACLE's bit-exactness assumes no NULL values and unique
+    (user_id, ts) — see the oracle comment. Pin both on the frozen
+    corpus so a future corpus regeneration that breaks either fails
+    loudly here instead of as a silent oracle mismatch."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    assert events.filter(F.col("value").isNull()).count() == 0
+    dupes = (
+        events.groupBy("user_id", "ts").count().filter(F.col("count") > 1)
+    )
+    assert dupes.count() == 0
