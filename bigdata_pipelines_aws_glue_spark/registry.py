@@ -24,73 +24,77 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
         _ORACLES[name] = oracle
 
 
-#: Names emitted FIRST by ``queries()``/``oracle_sql()``. The round-1
-#: driver verified exactly the first 50 dict entries, so ordering is
-#: the verification budget: round 2 front-loads everything the round-1
-#: CORRECTNESS file did not cover (every LLM-mandate operator + the
-#: TPC-H extras), rotating the 50 already-attested queries to the
-#: back. Names not present are skipped; unlisted queries follow in
-#: registration order.
+#: Names emitted FIRST by ``queries()``/``oracle_sql()``. The driver
+#: verifies exactly the first 50 dict entries per round, so ordering
+#: is the verification budget. Round 4 front-loads (a) the 11 queries
+#: with no driver row in ANY round (CORRECTNESS_r01+r02; the round-3
+#: driver never ran), (b) ``embedding_quantize_int8`` — the one
+#: historically-red row, reshaped to a driver-hashable string column
+#: in round 3 and still awaiting a green row, (c) queries whose
+#: BEHAVIOR changed in round 3 (posting-list df cap, scaled rank
+#: buckets) and must be re-attested, and (d) round-4 additions. Names
+#: not present are skipped; unlisted queries follow in registration
+#: order.
 PRIORITY: tuple[str, ...] = (
-    # LLM-data mandate: dedup / near-dup
-    "dedup_content_hash",
+    # (a) never attested in any round
+    "sql_correlated_delta",
+    "string_functions",
+    "regex_functions",
+    "date_functions",
+    "array_functions",
+    "dq_profile",
+    "zorder_layout_key",
+    "events_rolling_avg_time",
+    "events_outlier_mad",
+    "sales_trend_slope",
+    "rolling_7d_active_users",
+    # (b) historically red, reshaped in round 3
+    "embedding_quantize_int8",
+    # (c) behavior changed in round 3 — re-attest
     "dedup_ngram_jaccard",
+    "deterministic_shuffle",
+    # (d) round-4 additions
+    "ann_lsh_recall_at10",
+    "ivf_recall_at10",
+    "asof_join_skewproof",
+    # high-value re-attestations: LLM-mandate + flagship + streaming
+    # twins (keep these inside the 50-window so every round carries
+    # fresh evidence for the headline operators)
+    "flagship_pipeline",
+    "dedup_content_hash",
     "dedup_minhash_lsh",
     "dedup_neardup_pipeline",
     "dedup_simhash",
     "dedup_clusters",
     "corpus_curation_summary",
-    # text analysis
+    "decontaminate_against_eval",
     "text_stats",
     "lang_id_markers",
     "token_count_bpe",
     "doc_fingerprint",
     "doc_repetition_stats",
     "top_terms_per_lang",
-    # similarity / ANN / clustering
     "cosine_topk",
     "ann_lsh_topk",
     "ivf_topk",
     "embedding_centroids",
     "dedup_embedding_cosine",
     "kmeans_embeddings",
-    # multimodal plumbing
     "multimodal_bytes_meta",
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
-    # sampling / shuffling
-    "deterministic_shuffle",
     "stratified_sample",
     "weighted_sample_topk",
-    # corpus statistics + curation
     "corpus_mix_weights",
     "corpus_token_entropy",
     "crossdoc_shingle_dup",
     "sequence_pack_chunks",
     "chunk_fill_report",
-    "embedding_quantize_int8",
-    # newly-oracled / scale-pattern queries
     "approx_distinct",
     "skew_safe_agg",
     "asof_join_sortmerge",
     "ewma_anomaly_per_user",
-    # TPC-H extras with no round-1 driver row
-    "q4_late_shipment_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_bulk_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "sql_correlated_delta",
 )
 
 
