@@ -123,13 +123,24 @@ FROM ranked WHERE rank <= {TOP_K}
 
 N_PLANES = 16
 
+#: LCG constants (glibc rand): portable across engines — every term
+#: stays far below 2^63 so Spark and DuckDB compute identical values.
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483648  # 2^31
+
 
 def _plane_component(p: int, d: Column) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1]:
-    a seeded 64-bit hash of (plane, dim) scaled — reproducible across
-    runs and cluster sizes with no RNG state."""
-    h = F.xxhash64(F.lit("plane"), F.lit(p), d)
-    return h.cast("double") / F.lit(float(2**63))
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    an LCG over the (plane, dim) index. Chosen over a seeded xxhash64
+    because the exact same arithmetic is expressible in ANSI SQL
+    (``LSH_TOPK_ORACLE``), making the whole LSH pipeline — signatures,
+    band buckets, candidates, re-scoring — bit-for-bit reproducible in
+    DuckDB. Reproducible across runs and cluster sizes with no RNG
+    state."""
+    k = F.lit(p * 65536).cast("long") + d.cast("long")
+    h = (F.lit(_LCG_A).cast("long") * k + F.lit(_LCG_C)) % F.lit(_LCG_M)
+    return h.cast("double") / F.lit(float(_LCG_M)) * F.lit(2.0) - F.lit(1.0)
 
 
 def lsh_signature(vec: Column) -> Column:
