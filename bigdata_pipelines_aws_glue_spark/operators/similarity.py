@@ -260,13 +260,24 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
     # coarse centroids: mean vector per corpus label (k = n_labels).
+    # The mean is computed over 1e-9-quantized values summed as LONGs,
+    # so it is independent of partial-aggregation order AND expressible
+    # bit-for-bit in the DuckDB twin (``IVF_RECALL_ORACLE``) — the same
+    # move ``embedding_centroids`` uses. (Long sums bound the oracle's
+    # double-sum exactness to ~2^53/1e9 rows per (label, dim); the
+    # Spark side is exact at any scale.)
     cents = (
         load_table(spark, sf_dir, "embeddings")
         .select("label", _as_double(F.col("embedding")).alias("v"))
         .withColumn("dim", F.sequence(F.lit(0), F.size("v") - 1))
         .select("label", F.explode(F.arrays_zip("dim", "v")).alias("z"))
         .groupBy("label", F.col("z.dim").alias("dim"))
-        .agg(F.avg("z.v").alias("cv"))
+        .agg(
+            (
+                (F.sum(F.floor(F.col("z.v") * 1e9 + F.lit(0.5))) / F.lit(1e9))
+                / F.count(F.lit(1))
+            ).alias("cv")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("pairs"))
         .select(
@@ -318,6 +329,188 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.col("score"), 8).alias("score"),
         )
     )
+
+
+def _recall_vs_exact(exact: DataFrame, ann: DataFrame) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact top-k:
+    |ann ∩ exact| / k, driven from the exact side so queries the ANN
+    index misses entirely still report (with recall 0)."""
+    hit = ann.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    flagged = exact.select("query_id", "neighbor_id").join(
+        hit, ["query_id", "neighbor_id"], "left"
+    )
+    return flagged.groupBy("query_id").agg(
+        F.count("hit").alias("hits"),
+        (F.count("hit") / F.lit(float(TOP_K))).alias(f"recall_at{TOP_K}"),
+    )
+
+
+def ann_lsh_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of hyperplane-LSH ANN vs exact brute force, per query
+    — the quality metric that turns ``ann_lsh_topk`` from a rows-only
+    entry into an oracle-attested number. The DuckDB twin replays the
+    ENTIRE LSH pipeline in SQL (LCG plane components → signatures →
+    band buckets → candidate equi-join → exact re-score → top-k),
+    which is exactly why ``_plane_component`` is an LCG and not a
+    seeded xxhash64. At 100 TB the exact side is only computed for the
+    bounded query sample (50 vectors here) — recall auditing is always
+    sampled; the corpus side stays the banded equi-join."""
+    return _recall_vs_exact(
+        cosine_topk(spark, sf_dir), ann_lsh_topk(spark, sf_dir)
+    )
+
+
+def ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF ANN vs exact brute force, per query. The
+    DuckDB twin replays the IVF pipeline (quantized per-label
+    centroids → cell ranking → N_PROBE probing → exact re-score)."""
+    return _recall_vs_exact(cosine_topk(spark, sf_dir), ivf_topk(spark, sf_dir))
+
+
+#: Shared SQL fragments for the recall oracles. ``_SQL_VN`` gives every
+#: vector its norm once; ``_SQL_EXACT_TOPK`` is the brute-force side.
+_SQL_VN = f"""
+vn AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+)
+"""
+
+_SQL_EXACT_TOPK = f"""
+exact_scored AS (
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+           list_dot_product(q.e, b.e) / (q.nrm * b.nrm) AS score
+    FROM vn q JOIN vn b ON q.vec_id < {N_QUERIES} AND q.vec_id <> b.vec_id
+),
+exact_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM exact_scored)
+    WHERE rank <= {TOP_K}
+)
+"""
+
+_SQL_RECALL_SELECT = f"""
+SELECT e.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+       count(a.neighbor_id)::DOUBLE / {TOP_K}.0::DOUBLE AS recall_at{TOP_K}
+FROM exact_topk e LEFT JOIN ann_topk a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+#: Bit-for-bit SQL replay of ``lsh_signature``/``_band_keys``/
+#: ``ann_lsh_topk``: the LCG runs in BIGINT (INT32 would overflow),
+#: the projection is the same in-order product fold (list_dot_product),
+#: and the signature assembles as an order-independent integer sum.
+LSH_RECALL_ORACLE = f"""
+WITH {_SQL_VN},
+sigbits AS (
+    SELECT vec_id,
+           CASE WHEN list_dot_product(
+               e,
+               list_transform(generate_series(0, len(e) - 1),
+                   d -> (({_LCG_A}::BIGINT * (pl.p * 65536 + d)::BIGINT
+                          + {_LCG_C}) % {_LCG_M})
+                        / {_LCG_M}.0 * 2.0 - 1.0)
+           ) > 0 THEN (1::BIGINT << pl.p) ELSE 0::BIGINT END AS bit
+    FROM vn CROSS JOIN
+         (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) pl
+),
+sigs AS (
+    SELECT vec_id, CAST(sum(bit) AS BIGINT) AS sig FROM sigbits
+    GROUP BY vec_id
+),
+bands AS (
+    SELECT s.vec_id, bd.b AS band,
+           (s.sig >> (bd.b * {BITS_PER_BAND})) & {(1 << BITS_PER_BAND) - 1}
+             AS bkey
+    FROM sigs s CROSS JOIN
+         (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS b) bd
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+    FROM bands q JOIN bands n ON q.band = n.band AND q.bkey = n.bkey
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+),
+ann_scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS score
+    FROM cand c
+    JOIN vn a ON a.vec_id = c.query_id
+    JOIN vn b ON b.vec_id = c.neighbor_id
+),
+ann_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM ann_scored)
+    WHERE rank <= {TOP_K}
+),
+{_SQL_EXACT_TOPK.strip()}
+{_SQL_RECALL_SELECT}
+"""
+
+#: SQL replay of ``ivf_topk``: quantized centroid means (long-summed
+#: on the Spark side, exact double-summed here), cell ranking and
+#: probing with the same (score DESC, cell) tie-break.
+IVF_RECALL_ORACLE = f"""
+WITH {_SQL_VN},
+cents AS (
+    SELECT cell, list(cv ORDER BY dim) AS cvec FROM (
+        SELECT label AS cell, dim,
+               (sum(floor(val * 1000000000.0 + 0.5)) / 1000000000.0)
+                 / count(*) AS cv
+        FROM (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding::DOUBLE[]) AS val
+            FROM embeddings)
+        GROUP BY label, dim)
+    GROUP BY cell
+),
+cell_scored AS (
+    SELECT v.vec_id, v.e, v.nrm, c.cell,
+           list_dot_product(v.e, c.cvec)
+             / (v.nrm * sqrt(list_dot_product(c.cvec, c.cvec)))
+             AS cell_score
+    FROM vn v CROSS JOIN cents c
+),
+ranked_cells AS (
+    SELECT vec_id, e, nrm, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cell_score DESC, cell) AS cr
+    FROM cell_scored
+),
+idx AS (
+    SELECT vec_id AS neighbor_id, e AS be, nrm AS bn, cell
+    FROM ranked_cells WHERE cr = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, e AS qe, nrm AS qn, cell
+    FROM ranked_cells WHERE cr <= {N_PROBE} AND vec_id < {N_QUERIES}
+),
+ann_scored AS (
+    SELECT p.query_id, i.neighbor_id,
+           list_dot_product(p.qe, i.be) / (p.qn * i.bn) AS score
+    FROM probes p JOIN idx i USING (cell)
+    WHERE p.query_id <> i.neighbor_id
+),
+ann_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM ann_scored)
+    WHERE rank <= {TOP_K}
+),
+{_SQL_EXACT_TOPK.strip()}
+{_SQL_RECALL_SELECT}
+"""
 
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,6 +740,10 @@ def _register() -> None:
     registry.register("cosine_topk", cosine_topk, COSINE_TOPK_ORACLE)
     registry.register("ann_lsh_topk", ann_lsh_topk, None)
     registry.register("ivf_topk", ivf_topk, None)
+    registry.register(
+        "ann_lsh_recall_at10", ann_lsh_recall_at10, LSH_RECALL_ORACLE
+    )
+    registry.register("ivf_recall_at10", ivf_recall_at10, IVF_RECALL_ORACLE)
     registry.register("embedding_centroids", embedding_centroids, CENTROID_ORACLE)
     registry.register(
         "dedup_embedding_cosine", dedup_embedding_cosine, EMBEDDING_NEAR_DUP_ORACLE
