@@ -150,6 +150,143 @@ def asof_join_union_sortmerge(
     return out.drop("__t", "__side", "__r", "__match")
 
 
+def asof_join_bucketed_sortmerge(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    bucket_days: int = 180,
+) -> DataFrame:
+    """As-of join, skew-proof huge-right form: like
+    :func:`asof_join_union_sortmerge` but sub-partitioned on
+    ``(key, time-bucket)`` so ONE hot key (a dominant instrument,
+    currency, user) does not serialize through a single task — its
+    rows split across ``time_range / bucket_days`` parallel windows.
+
+    Cross-bucket correctness comes from SEED rows: for every (key,
+    bucket) the left side occupies, the latest right payload from any
+    STRICTLY EARLIER bucket is injected at the bucket's sort front.
+    Seeds are computed from per-(key, bucket) aggregates — a per-key
+    window over at most #buckets rows, never over the raw corpus — so
+    the skew-prone per-key work is O(buckets), and everything else
+    shuffles on the composite (key, bucket) key. Bucket assignment
+    floors the DATE of the timestamp, so any row in an earlier bucket
+    is strictly older than every row in a later one (the seed sorts
+    first naturally under the same (t, side, payload) ordering).
+
+    Semantics are identical to :func:`asof_join` /
+    :func:`asof_join_union_sortmerge` (backward-inclusive, left-outer;
+    ties among equal right timestamps resolve to the greatest payload)
+    — property-tested equal on a hot-key corpus in
+    tests/test_operators.py."""
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def _bucket(c: Column) -> Column:
+        return F.floor(F.datediff(c.cast("date"), epoch) / F.lit(bucket_days))
+
+    payload_t = F.struct(
+        F.col(right_time).alias("__t"),
+        F.struct(
+            F.col(right_time), *[F.col(c) for c in right_cols]
+        ).alias("__r"),
+    )
+    # last right payload per (key, bucket): max of (t, payload) matches
+    # the (t, __r)-ascending "last" of the union-sortmerge ordering.
+    r_last = (
+        right.withColumn("__b", _bucket(F.col(right_time)))
+        .groupBy(on, "__b")
+        .agg(F.max(payload_t).alias("__m"))
+    )
+    l_buckets = left.select(
+        F.col(on), _bucket(F.col(left_time)).alias("__b")
+    ).distinct()
+    # Running max of right payloads over STRICTLY earlier buckets:
+    # left markers (side 0) sort before the same bucket's right
+    # aggregate (side 1), so rowsBetween(..., -1) sees only __b' < __b.
+    marks = l_buckets.select(
+        F.col(on), "__b", F.lit(0).alias("__mside"),
+        F.lit(None).cast(r_last.schema["__m"].dataType).alias("__m"),
+    ).unionByName(
+        r_last.select(F.col(on), "__b", F.lit(1).alias("__mside"), "__m")
+    )
+    w_seed = (
+        Window.partitionBy(on)
+        .orderBy("__b", "__mside")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = (
+        marks.withColumn("__seed", F.max("__m").over(w_seed))
+        .filter((F.col("__mside") == 0) & F.col("__seed").isNotNull())
+        .select(
+            F.col(on),
+            "__b",
+            F.col("__seed.__t").alias("__t"),
+            F.lit(0).alias("__side"),
+            F.col("__seed.__r").alias("__r"),
+        )
+    )
+    r_struct = F.struct(F.col(right_time), *[F.col(c) for c in right_cols])
+    r_tagged = right.select(
+        F.col(on),
+        _bucket(F.col(right_time)).alias("__b"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        r_struct.alias("__r"),
+    )
+    extra = [c for c in left.columns if c != on]
+    rows_r = r_tagged.unionByName(seeds).select(
+        F.col(on), "__b", "__t", "__side", "__r",
+        *[F.lit(None).alias(c) for c in extra],
+    )
+    l_tagged = left.select(
+        F.col(on),
+        _bucket(F.col(left_time)).alias("__b"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_tagged.schema["__r"].dataType).alias("__r"),
+        *[F.col(c) for c in extra],
+    )
+    unioned = rows_r.unionByName(l_tagged)
+    w = (
+        Window.partitionBy(on, "__b")
+        .orderBy("__t", "__side", F.col("__r").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(w)
+    ).filter(F.col("__side") == 1)
+    out = filled
+    for c in [right_time, *right_cols]:
+        out = out.withColumn(c, F.col("__match")[c])
+    return out.drop("__b", "__t", "__side", "__r", "__match")
+
+
+def asof_join_skewproof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 via the (key, time-bucket) sub-partitioned sort-merge —
+    same semantics and oracle as :func:`asof_join_rates`. The corpus'
+    currency key IS skewed (5 currencies over the whole fact table),
+    which is exactly the regime this form exists for."""
+    tx = synth_transactions(spark, sf_dir).select(
+        "transaction_id", "currency", "amount", "timestamp"
+    )
+    rates = _asof_rates(spark, sf_dir)
+    out = asof_join_bucketed_sortmerge(
+        tx, rates, "currency", "timestamp", "rate_date", ["rate_to_usd"]
+    )
+    return out.select(
+        "transaction_id",
+        "currency",
+        "amount",
+        F.col("rate_date").alias("asof_rate_date"),
+        F.coalesce("rate_to_usd", F.lit(1.0)).alias("asof_rate"),
+        F.when(F.col("currency") == "USD", F.col("amount"))
+        .otherwise(F.col("amount") * F.coalesce("rate_to_usd", F.lit(1.0)))
+        .alias("amount_usd"),
+    )
+
+
 def asof_join_sortmerge_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 via the non-broadcast sort-merge path — same semantics and
     oracle as :func:`asof_join_rates` (property-tested equal to the
@@ -451,6 +588,9 @@ def _register() -> None:
     registry.register("asof_join_rates", asof_join_rates, ASOF_ORACLE)
     registry.register(
         "asof_join_sortmerge", asof_join_sortmerge_rates, ASOF_ORACLE
+    )
+    registry.register(
+        "asof_join_skewproof", asof_join_skewproof_rates, ASOF_ORACLE
     )
     registry.register("semi_join_customers", semi_join_customers, SEMI_ORACLE)
     registry.register("anti_join_customers", anti_join_customers, ANTI_ORACLE)

@@ -76,6 +76,77 @@ def test_asof_sortmerge_matches_broadcast_paths(spark, sf_dir):
     assert a == b
 
 
+def test_asof_skewproof_matches_broadcast_paths(spark, sf_dir):
+    """The (key, time-bucket) sub-partitioned sort-merge must agree
+    row-for-row with the broadcast-array fast path on the registered
+    rates workload — whose currency key is genuinely skewed (5 keys
+    over the whole fact table)."""
+    from bigdata_pipelines_aws_glue_spark.operators.joins import (
+        asof_join_rates,
+        asof_join_skewproof_rates,
+    )
+
+    a = {
+        r["transaction_id"]: (r["asof_rate_date"], r["asof_rate"], r["amount_usd"])
+        for r in asof_join_rates(spark, sf_dir).collect()
+    }
+    b = {
+        r["transaction_id"]: (r["asof_rate_date"], r["asof_rate"], r["amount_usd"])
+        for r in asof_join_skewproof_rates(spark, sf_dir).collect()
+    }
+    assert a == b
+
+
+def test_asof_skewproof_seed_carry_hot_key(spark):
+    """Property equality vs the generic window as-of on a ONE-hot-key
+    corpus with tiny buckets (7 days), so most left buckets contain no
+    right row at all and depend entirely on cross-bucket seed carry;
+    also covers multi-bucket gaps, pre-first-rate NULLs, and a
+    same-day rate+tx tie (backward-inclusive)."""
+    import datetime
+
+    from bigdata_pipelines_aws_glue_spark.operators.joins import (
+        asof_join,
+        asof_join_bucketed_sortmerge,
+    )
+
+    base = datetime.datetime(2025, 1, 1)
+    # 200 left rows on the hot key, one every 2 days; 3 rates spaced
+    # 60 days; a cold key with one pre-rate row.
+    left_rows = [
+        (i, "HOT", base + datetime.timedelta(days=2 * i, hours=i % 5))
+        for i in range(200)
+    ] + [(999, "COLD", base + datetime.timedelta(days=30))]
+    rates_rows = [
+        ("HOT", 1.0, base + datetime.timedelta(days=10)),
+        ("HOT", 2.0, base + datetime.timedelta(days=70)),
+        ("HOT", 3.0, base + datetime.timedelta(days=130)),
+        ("COLD", 9.0, base + datetime.timedelta(days=300)),
+    ]
+    left = spark.createDataFrame(
+        left_rows, "id long, k string, ts timestamp"
+    )
+    rates = spark.createDataFrame(
+        rates_rows, "k string, rate double, rate_date timestamp"
+    )
+    expect = {
+        r["id"]: (r["rate"], r["rate_date"])
+        for r in asof_join(
+            left, rates, "k", "ts", "rate_date", left_id_cols=["id"]
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["rate"], r["rate_date"])
+        for r in asof_join_bucketed_sortmerge(
+            left, rates, "k", "ts", "rate_date", ["rate"], bucket_days=7
+        ).collect()
+    }
+    assert got == expect
+    assert got[0] == (None, None)  # pre-first-rate
+    assert got[999] == (None, None)  # cold key, rate after its ts
+    assert got[199][0] == 3.0  # latest rate via seed carry
+
+
 def test_asof_sortmerge_tiny_edge_cases(spark):
     """Same edge matrix as test_asof_join_backward: pre-first-rate and
     rateless keys yield NULLs; equal timestamps match inclusively."""

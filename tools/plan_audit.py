@@ -48,6 +48,17 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "query side is a bounded broadcast "
         "(N_QUERIES rows) against the corpus — by design",
     },
+    "ann_lsh_recall_at10": {
+        "BroadcastNestedLoopJoin": "the exact-baseline side is "
+        "cosine_topk over the bounded N_QUERIES audit sample (recall "
+        "auditing is always sampled); the ANN side stays a banded "
+        "equi-join",
+    },
+    "ivf_recall_at10": {
+        "BroadcastNestedLoopJoin": "same bounded cosine_topk exact "
+        "baseline as ann_lsh_recall_at10; the IVF side is a cell "
+        "equi-join",
+    },
     "ann_lsh_topk": {
         "BroadcastNestedLoopJoin": "bounded query-side broadcast",
     },
