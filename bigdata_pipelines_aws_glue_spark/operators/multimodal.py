@@ -22,6 +22,7 @@ digests) — is pure JVM expressions and oracle-checked.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -112,17 +113,122 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return (px[::-1] if bottom_up else px).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Non-interlaced 8-bit PNG encoder (stdlib zlib + numpy): color
+    type 2 (RGB) for (H, W, 3) input, 0 (grayscale) for (H, W).
+    Scanlines use filter 0 — valid PNG any decoder reads; compression
+    comes from zlib itself."""
+    arr = pixels.astype(np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    flat = arr.reshape(h, -1)
+    raster = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raster, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit grayscale/RGB/RGBA PNG decoder: chunk walk
+    -> zlib inflate -> per-scanline unfilter (all five filter types;
+    filters 0/2 vectorize, 1/3/4 need the per-byte recurrence the spec
+    defines). RGBA drops alpha so every codec here lands on the same
+    (H, W[, 3]) contract."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # len + tag + body + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant depth={depth} color={color} interlace={interlace}"
+            " needs an external codec (PIL seam)"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: byte recurrence
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pred = _png_paeth(int(a), int(b), int(c))
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, channels) if channels > 1 else out.reshape(h, w)
+    return px[:, :, :3].copy() if channels == 4 else px
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image payload to an (H, W[, 3]) uint8 array.
 
-    Real decoders for PPM/PGM and 24-bit BMP (numpy-only, see module
-    docstring); anything else — PNG, JPEG, video containers — raises
+    Real decoders for PPM/PGM, 24-bit BMP, and non-interlaced 8-bit
+    PNG (numpy + stdlib zlib only, see module docstring); anything
+    else — JPEG, 16-bit/interlaced PNG, video containers — raises
     ``NotImplementedError`` here, the integration seam where a real
     deployment wires PIL / torchvision / ffmpeg."""
     if payload[:2] in (b"P5", b"P6"):
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
         "codec for this format not available in this environment; "
         "wire PIL/torchvision/ffmpeg here at deploy time"
@@ -231,19 +337,18 @@ def synth_image_batch(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel synthesizing REAL encoded images from each
-    document's text bytes: even doc_ids become P6 PPMs, odd become
-    24-bit BMPs (so every downstream decode exercises both codecs).
-    Deterministic — dims derive from the byte length, pixels tile the
-    text bytes."""
+    document's text bytes: doc_id % 3 picks the codec — P6 PPM, 24-bit
+    BMP, or 8-bit RGB PNG — so every downstream decode exercises all
+    three. Deterministic — dims derive from the byte length, pixels
+    tile the text bytes."""
+    encoders = (encode_ppm, encode_bmp, encode_png)
     for pdf in batches:
         payloads = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             b = np.frombuffer((text or "").encode(), dtype=np.uint8)
             w, h = len(b) % 64 + 1, len(b) % 48 + 1
             px = np.resize(b, (h, w, 3))
-            payloads.append(
-                encode_ppm(px) if doc_id % 2 == 0 else encode_bmp(px)
-            )
+            payloads.append(encoders[doc_id % 3](px))
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 

@@ -175,19 +175,89 @@ def test_multimodal_codecs_roundtrip():
     assert (decode_image(commented) == gray).all()
 
 
+def test_png_codec_roundtrip_and_filters():
+    """PNG encode->decode is an exact inverse (RGB + grayscale), and
+    the decoder unfilters ALL five scanline filter types — asserted by
+    hand-building an IDAT whose rows use filters 0..4 and checking
+    against an independently computed reference raster."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for h, w in [(1, 1), (5, 3), (13, 7), (16, 16)]:
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_image(encode_png(rgb)) == rgb).all()
+    gray = rng.randint(0, 256, size=(6, 11), dtype=np.uint8)
+    assert (decode_image(encode_png(gray)) == gray).all()
+
+    # hand-filtered 5x4 RGB image, one row per filter type
+    target = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    bpp, stride = 3, 12
+    flat = target.reshape(5, stride).astype(np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raster = b""
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        enc = np.zeros(stride, dtype=np.int32)
+        for i in range(stride):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: paeth(a, b, c)}[f]
+            enc[i] = (cur[i] - pred) & 0xFF
+        raster += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raster))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_image(png) == target).all()
+
+
 def test_multimodal_unknown_codec_is_integration_seam():
+    # JPEG magic — still behind the external-codec seam
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+        decode_image(b"\xff\xd8\xff\xe0...")
+    # so is 16-bit / interlaced PNG
+    import struct
+
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+    )
+
+    deep = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(deep)
 
 
 def test_multimodal_features_real_decode(spark, sf_dir):
     """Features come from genuinely decoded pixels: width/height must
     equal the dims the synth kernel encoded (len(bytes) % 64+1 x
-    % 48+1), for both the PPM (even ids) and BMP (odd ids) halves."""
+    % 48+1), across all three codecs (PPM/BMP/PNG by doc_id % 3)."""
     out = multimodal_features(spark, sf_dir)
     rows = out.collect()
     assert len(rows) == 500
-    assert {r["doc_id"] % 2 for r in rows} == {0, 1}  # both codecs ran
+    assert {r["doc_id"] % 3 for r in rows} == {0, 1, 2}  # all codecs ran
     text_len = {
         r["doc_id"]: len(r["text"].encode())
         for r in load_table(spark, sf_dir, "documents")
