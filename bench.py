@@ -66,18 +66,23 @@ def main() -> None:
 
     queries = registry.queries()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # best-of-2: the first run pays per-query codegen/JIT (~0.5-1s,
+        # best-of-3: the first run pays per-query codegen/JIT (~0.5-1s,
         # a fixed cost amortized to zero at real scale) and occasional
         # GC pauses; the min is the steady-state plan-execution time.
-        best = float("inf")
-        for _ in range(2):
+        # Three repeats (round-2 verdict: single-repeat numbers swung
+        # up to 2.7x on unchanged code) + a recorded spread so a noisy
+        # round is distinguishable from a plan regression.
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        spreads[name] = round((max(runs) - min(runs)) / max(min(runs), 1e-9), 2)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -90,6 +95,7 @@ def main() -> None:
                 "sf": float(sf),
                 "startup_sec": round(startup, 3),
                 "n_queries": len(timings),
+                "rel_spread": spreads,
             }
         )
     )
