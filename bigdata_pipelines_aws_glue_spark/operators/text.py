@@ -367,8 +367,145 @@ WHERE rn <= 10
 """
 
 
+#: Corpus-adapted thresholds for the Gopher-style document quality
+#: rules (Rae et al. 2021, "Scaling Language Models: ... Gopher",
+#: App. A — public heuristics; the paper's 50..100k word bound is
+#: scaled to this corpus' 10..99-word documents). Each rule is a
+#: registered boolean so downstream mixes can re-weight instead of
+#: re-scanning.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MEAN_WL = 3.0
+GOPHER_MAX_MEAN_WL = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_RATIO = 0.1
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+GOPHER_MIN_ALPHA_RATIO = 0.7
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """Gopher-rule document filter — the composed keep/drop gate a
+    pretraining pipeline runs after dedup: word-count bounds, mean
+    word length, symbol-to-word ratio (# and ellipsis), bullet-line
+    and ellipsis-line ratios, alphabetic-word ratio, and a minimum
+    count of distinct stopwords present. Pure column expressions
+    (split + higher-order filters + regexp_count), one scan, no
+    shuffle — at 100 TB this is a map-only pass whose flags write
+    beside the corpus for later mix-weighting."""
+    tokens = _tokens(F.col("text"))
+    n_words = F.size(tokens)
+    mean_wl = (
+        F.aggregate(
+            tokens, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).cast("double")
+        / n_words
+    )
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+        .cast("double")
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: l.endswith("...")))
+        .cast("double")
+        / n_lines
+    )
+    alpha_ratio = (
+        F.size(F.filter(tokens, lambda t: t.rlike("[A-Za-z]")))
+        .cast("double")
+        / n_words
+    )
+    symbol_ratio = (
+        F.regexp_count(F.col("text"), F.lit(r"(#|\.\.\.)")).cast("double")
+        / n_words
+    )
+    stop_hits = sum(
+        (
+            F.array_contains(tokens, w).cast("int")
+            for w in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    )
+    rules = {
+        "r_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "r_mean_word_len": (mean_wl >= GOPHER_MIN_MEAN_WL)
+        & (mean_wl <= GOPHER_MAX_MEAN_WL),
+        "r_symbol_ratio": symbol_ratio < GOPHER_MAX_SYMBOL_RATIO,
+        "r_bullet_lines": bullet_ratio <= GOPHER_MAX_BULLET_RATIO,
+        "r_ellipsis_lines": ellipsis_ratio <= GOPHER_MAX_ELLIPSIS_RATIO,
+        "r_alpha_words": alpha_ratio >= GOPHER_MIN_ALPHA_RATIO,
+        "r_stopwords": stop_hits >= GOPHER_MIN_STOP_HITS,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    )
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry: :func:`gopher_flags` over the corpus."""
+    return gopher_flags(load_table(spark, sf_dir, "documents"))
+
+
+GOPHER_FILTER_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, text,
+           string_split(trim(text), ' ') AS toks,
+           string_split(text, chr(10)) AS lines
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(toks) AS n_words,
+           list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+             / len(toks) AS mean_wl,
+           len(regexp_extract_all(text, '(#|\\.\\.\\.)'))::DOUBLE
+             / len(toks) AS symbol_ratio,
+           len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]')))::DOUBLE
+             / len(lines) AS bullet_ratio,
+           len(list_filter(lines, x -> x LIKE '%...'))::DOUBLE
+             / len(lines) AS ellipsis_ratio,
+           len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+             / len(toks) AS alpha_ratio,
+           ({" + ".join(f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END" for w in GOPHER_STOPWORDS)})
+             AS stop_hits
+    FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS INT) AS n_words,
+       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS r_word_count,
+       mean_wl >= {GOPHER_MIN_MEAN_WL} AND mean_wl <= {GOPHER_MAX_MEAN_WL} AS r_mean_word_len,
+       symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO} AS r_symbol_ratio,
+       bullet_ratio <= {GOPHER_MAX_BULLET_RATIO} AS r_bullet_lines,
+       ellipsis_ratio <= {GOPHER_MAX_ELLIPSIS_RATIO} AS r_ellipsis_lines,
+       alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO} AS r_alpha_words,
+       stop_hits >= {GOPHER_MIN_STOP_HITS} AS r_stopwords,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (mean_wl >= {GOPHER_MIN_MEAN_WL} AND mean_wl <= {GOPHER_MAX_MEAN_WL})
+         AND (symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO})
+         AND (bullet_ratio <= {GOPHER_MAX_BULLET_RATIO})
+         AND (ellipsis_ratio <= {GOPHER_MAX_ELLIPSIS_RATIO})
+         AND (alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO})
+         AND (stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+FROM m
+"""
+
+
 def _register() -> None:
     registry.register("text_stats", text_stats, TEXT_STATS_ORACLE)
+    registry.register(
+        "gopher_quality_filter", gopher_quality_filter, GOPHER_FILTER_ORACLE
+    )
     registry.register("top_terms_per_lang", top_terms_per_lang, TOP_TERMS_ORACLE)
     registry.register(
         "doc_repetition_stats", doc_repetition_stats, DOC_REPETITION_ORACLE

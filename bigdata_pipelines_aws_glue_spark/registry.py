@@ -58,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     "ann_lsh_multiprobe_recall_at10",
     "ivf_recall_at10",
     "asof_join_skewproof",
+    "gopher_quality_filter",
     # high-value re-attestations: LLM-mandate + flagship + streaming
     # twins (keep these inside the 50-window so every round carries
     # fresh evidence for the headline operators)

@@ -355,3 +355,37 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     per_doc = fr.groupBy("doc_id").count().collect()
     assert len(per_doc) == 500
     assert all(1 <= r["count"] <= 4 for r in per_doc)
+
+
+def test_gopher_flags_line_rules_crafted(spark):
+    """The line-based Gopher rules (bullets, ellipsis endings) and the
+    symbol/alpha/stopword rules trip on crafted documents the synthetic
+    corpus can't exercise (it has no newlines or symbols)."""
+    from bigdata_pipelines_aws_glue_spark.operators.text import (
+        gopher_flags,
+    )
+
+    good = "the quick brown fox and the lazy dog " * 4  # 36 words, stops
+    bullets = "\n".join(["- item one the and of"] * 5)
+    ellipses = "\n".join(["the and of something..."] * 5)
+    symbols = "the and " + "# " * 30
+    numeric = "the and " + "123 456 " * 20
+    docs = spark.createDataFrame(
+        [
+            (1, good.strip()),
+            (2, bullets),
+            (3, ellipses),
+            (4, symbols.strip()),
+            (5, numeric.strip()),
+        ],
+        "doc_id long, text string",
+    )
+    flags = {r["doc_id"]: r.asDict() for r in gopher_flags(docs).collect()}
+    assert flags[1]["keep"]
+    assert not flags[2]["r_bullet_lines"] and not flags[2]["keep"]
+    assert not flags[3]["r_ellipsis_lines"] and not flags[3]["keep"]
+    assert not flags[4]["r_symbol_ratio"] and not flags[4]["keep"]
+    assert not flags[5]["r_alpha_words"] and not flags[5]["keep"]
+    # the crafted failures are SPECIFIC: doc 2 fails only on bullets
+    # among the line/symbol rules
+    assert flags[2]["r_ellipsis_lines"] and flags[2]["r_symbol_ratio"]
