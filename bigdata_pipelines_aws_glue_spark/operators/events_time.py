@@ -404,6 +404,77 @@ GROUP BY 1
 """
 
 
+#: Attribution horizon for the click->purchase interval join.
+CLICK_PURCHASE_HORIZON = "1 hour"
+
+
+def click_to_purchase_pairs(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """Interval join: each purchase pairs with every click by the same
+    user in the preceding ``CLICK_PURCHASE_HORIZON``. One expression
+    tree for BOTH engines of execution: registered as a batch query
+    (oracle-checked) and applied verbatim to two watermarked streams in
+    ``streaming.jobs.click_purchase_join_stream`` — Spark's
+    stream-stream interval join, where the time bound is what lets the
+    state store evict (clicks older than horizon + watermark).
+
+    Plan shape: equi-join on user_id with the range as a residual
+    filter — a keyed shuffle (or broadcast) join at any scale, never a
+    nested loop."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (c["user_id"] == p["p_user_id"])
+        & (p["purchase_ts"] >= c["click_ts"])
+        & (
+            p["purchase_ts"]
+            <= c["click_ts"] + F.expr(f"INTERVAL {CLICK_PURCHASE_HORIZON}")
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def events_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered batch form of the click->purchase interval join."""
+    ev = load_table(spark, sf_dir, "events")
+    return click_to_purchase_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+CLICK_PURCHASE_ORACLE = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 def _register() -> None:
     registry.register("events_window_10min", events_window_10min, WINDOW_ORACLE)
     registry.register("events_sessionize", events_sessionize, SESSION_ORACLE)
@@ -421,4 +492,9 @@ def _register() -> None:
     )
     registry.register(
         "events_attribution", events_attribution, ATTRIBUTION_ORACLE
+    )
+    registry.register(
+        "events_click_to_purchase",
+        events_click_to_purchase,
+        CLICK_PURCHASE_ORACLE,
     )

@@ -59,6 +59,7 @@ PRIORITY: tuple[str, ...] = (
     "ivf_recall_at10",
     "asof_join_skewproof",
     "gopher_quality_filter",
+    "events_click_to_purchase",
     # high-value re-attestations: LLM-mandate + flagship + streaming
     # twins (keep these inside the 50-window so every round carries
     # fresh evidence for the headline operators)

@@ -78,6 +78,35 @@ def sessionized_stream(
     )
 
 
+def click_purchase_join_stream(
+    spark: SparkSession, input_dir: str, watermark: str = "30 minutes"
+) -> DataFrame:
+    """STREAM-STREAM interval join (the remaining §2.9 join shape):
+    purchases joined to same-user clicks within the attribution
+    horizon, both sides watermarked. The batch expression tree
+    (``operators.events_time.click_to_purchase_pairs``, oracle-checked
+    as ``events_click_to_purchase``) is applied verbatim to two
+    streaming readers — zero duplicated logic, per the module's design
+    rule.
+
+    State bound: with both watermarks at ``watermark`` and the join's
+    time range at ``CLICK_PURCHASE_HORIZON``, Spark retains clicks for
+    horizon + watermark and purchases for the watermark — bounded
+    state regardless of stream length, which is what makes the
+    operator viable on an unbounded 100 TB/day feed."""
+    from bigdata_pipelines_aws_glue_spark.operators.events_time import (
+        click_to_purchase_pairs,
+    )
+
+    clicks = read_event_stream(spark, input_dir, watermark).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_event_stream(spark, input_dir, watermark).filter(
+        F.col("event_type") == "purchase"
+    )
+    return click_to_purchase_pairs(clicks, purchases)
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> StreamingQuery:

@@ -185,3 +185,30 @@ def test_foreach_batch_upsert_converges(spark, sf_dir, tmp_path):
     assert got3.filter(
         (F.col("event_id") < 100) & (F.col("value") < 1000.0)
     ).count() == 0  # every corrected key carries the new value
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
+    """The watermarked stream-stream interval join must emit exactly
+    the batch interval-join pairs on a bounded replay (inner join +
+    availableNow: every pair's click and purchase both arrive, so no
+    watermark-dropped rows on this corpus)."""
+    from bigdata_pipelines_aws_glue_spark.operators.events_time import (
+        events_click_to_purchase,
+    )
+    from bigdata_pipelines_aws_glue_spark.streaming.jobs import (
+        click_purchase_join_stream,
+    )
+
+    joined = click_purchase_join_stream(spark, events_dir)
+    q = run_to_memory(joined, "cp_stream", "append")
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.table("cp_stream").collect()
+    }
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in events_click_to_purchase(spark, sf_dir).collect()
+    }
+    assert want, "corpus should produce click->purchase pairs"
+    assert got == want
