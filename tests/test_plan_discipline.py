@@ -60,3 +60,49 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a"),
     ).collect()[0]
     assert abs(approx - exact) / exact < 0.01, (approx, exact)
+
+
+def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
+    """Catalyst injects a runtime bloom filter on the fact side of a
+    selective shuffle join (might_contain over the dim keys) — the
+    join-pruning mechanism that matters at 100 TB, where the fact scan
+    skips rows whose key cannot be in the filtered dim. Local corpus
+    sizes sit below the production thresholds, so they're lowered here
+    to prove the rewrite fires; at the mandate scale the DEFAULTS
+    (creation side <= 10 MB, application side >= 10 GB) hit exactly
+    this shape on their own."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        urgent = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "bloom runtime filter not injected"
+        assert "bloom_filter_agg" in plan
+        # and the rewrite preserves the answer
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+        plain = li.join(urgent, li.l_orderkey == urgent.o_orderkey).count()
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert j.count() == plain > 0
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
