@@ -60,6 +60,7 @@ PRIORITY: tuple[str, ...] = (
     "asof_join_skewproof",
     "gopher_quality_filter",
     "events_click_to_purchase",
+    "pii_scrub_report",
     # high-value re-attestations: LLM-mandate + flagship + streaming
     # twins (keep these inside the 50-window so every round carries
     # fresh evidence for the headline operators)
@@ -145,6 +146,7 @@ def _load_all() -> None:
         "clustering",
         "curation",
         "text",
+        "pii",
         "similarity",
         "multimodal",
         "sampling",

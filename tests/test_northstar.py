@@ -389,3 +389,38 @@ def test_gopher_flags_line_rules_crafted(spark):
     # the crafted failures are SPECIFIC: doc 2 fails only on bullets
     # among the line/symbol rules
     assert flags[2]["r_ellipsis_lines"] and flags[2]["r_symbol_ratio"]
+
+
+def test_pii_scrub_planted_cases(spark):
+    """Redaction handles adjacent/multiple hits, leaves near-misses
+    alone, and replaces ALL occurrences (not just the first)."""
+    from bigdata_pipelines_aws_glue_spark.operators.pii import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "mail a.b+c@x-y.co and d@e.org twice d@e.org"),
+        (2, "call 555-123-4567 or 555-000-9999"),
+        (3, "host 192.168.0.1 gateway 10.0.0.254"),
+        (4, "not-an-email a@b nor 12-34-56 nor 1.2.3"),
+        (5, "mixed bob@corp.io at 10.1.2.3 call 555-777-8888"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            *[c.alias(n) for n, c in pii_counts(F.col("text")).items()],
+            scrub_pii(F.col("text")).alias("clean"),
+        ).collect()
+    }
+    assert out[1]["n_emails"] == 3
+    assert out[1]["clean"] == "mail [EMAIL] and [EMAIL] twice [EMAIL]"
+    assert out[2]["n_phones"] == 2
+    assert out[2]["clean"] == "call [PHONE] or [PHONE]"
+    assert out[3]["n_ips"] == 2
+    assert out[3]["clean"] == "host [IP] gateway [IP]"
+    assert (out[4]["n_emails"], out[4]["n_phones"], out[4]["n_ips"]) == (0, 0, 0)
+    assert out[4]["clean"] == rows[3][1]
+    assert out[5]["clean"] == "mixed [EMAIL] at [IP] call [PHONE]"
