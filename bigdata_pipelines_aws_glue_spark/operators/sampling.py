@@ -216,9 +216,47 @@ LIMIT {WEIGHTED_K}
 """
 
 
+#: Split boundaries on the [0, M) hash-uniform: 80 / 10 / 10.
+_SPLIT_SEED = 7
+_TRAIN_HI = int(0.8 * _SHUFFLE_MOD)
+_VAL_HI = int(0.9 * _SHUFFLE_MOD)
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split via the md5 mixing hash —
+    the assignment every training pipeline needs to be APPEND-STABLE:
+    a document's split depends only on its own key (no sort, no
+    count, no shuffle), so growing the corpus never reassigns existing
+    rows, and any engine recomputes identical membership. Map-only at
+    any scale; per-doc assignment is emitted (and hash-attested) so
+    membership itself is the checked artifact, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = shuffle_key(F.col("doc_id"), seed=_SPLIT_SEED)
+    split = (
+        F.when(u < _TRAIN_HI, F.lit("train"))
+        .when(u < _VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+SPLIT_ORACLE = f"""
+SELECT doc_id, lang,
+       CASE WHEN {shuffle_key_sql('doc_id', _SPLIT_SEED)} < {_TRAIN_HI}
+            THEN 'train'
+            WHEN {shuffle_key_sql('doc_id', _SPLIT_SEED)} < {_VAL_HI}
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def _register() -> None:
     registry.register(
         "deterministic_shuffle", deterministic_shuffle, SHUFFLE_ORACLE
+    )
+    registry.register(
+        "train_val_test_split", train_val_test_split, SPLIT_ORACLE
     )
     registry.register(
         "stratified_sample", stratified_sample, STRATIFIED_ORACLE

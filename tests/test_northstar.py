@@ -424,3 +424,45 @@ def test_pii_scrub_planted_cases(spark):
     assert (out[4]["n_emails"], out[4]["n_phones"], out[4]["n_ips"]) == (0, 0, 0)
     assert out[4]["clean"] == rows[3][1]
     assert out[5]["clean"] == "mixed [EMAIL] at [IP] call [PHONE]"
+
+
+def test_train_val_test_split_stable_and_balanced(spark, sf_dir):
+    """Split fractions land near 80/10/10, and assignment is
+    append-stable: recomputing on a half-corpus gives every surviving
+    doc the identical split."""
+    from bigdata_pipelines_aws_glue_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    full = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(spark, sf_dir).collect()
+    }
+    n = len(full)
+    frac_train = sum(1 for s in full.values() if s == "train") / n
+    frac_val = sum(1 for s in full.values() if s == "val") / n
+    assert 0.7 < frac_train < 0.9
+    assert 0.04 < frac_val < 0.18
+    # append-stability: same operator over a filtered corpus
+    from bigdata_pipelines_aws_glue_spark.operators.sampling import (
+        _SPLIT_SEED,
+        _TRAIN_HI,
+        _VAL_HI,
+        shuffle_key,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    half = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    u = shuffle_key(F.col("doc_id"), seed=_SPLIT_SEED)
+    split = (
+        F.when(u < _TRAIN_HI, F.lit("train"))
+        .when(u < _VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    half_assign = {
+        r["doc_id"]: r["split"]
+        for r in half.select("doc_id", split.alias("split")).collect()
+    }
+    assert all(full[d] == s for d, s in half_assign.items())
