@@ -218,7 +218,82 @@ GROUP BY doc_id
 """
 
 
+def hll_vocab_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup (Apache DataSketches HLL via
+    ``hll_sketch_agg`` / ``hll_union_agg``): per-language vocabulary
+    sketches UNION into a corpus-wide estimate without re-scanning the
+    tokens — the 100 TB pattern where per-partition/per-day sketches
+    persist beside the data and any rollup (day→month, lang→corpus)
+    is a constant-size merge, which one-shot ``approx_count_distinct``
+    cannot do. Sketch estimates differ across engines, so (same
+    contract as ``approx_distinct``) each engine emits the EXACT
+    cardinality plus a boolean asserting its own estimate lands within
+    5% — both sides must say true. The Spark ALL row's estimate comes
+    from the sketch union, so the merge path itself is what's
+    attested."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(_tokens(F.col("text"))).alias("tok"))
+    per = toks.groupBy("lang").agg(
+        F.hll_sketch_agg("tok").alias("sk"),
+        F.countDistinct("tok").alias("n_vocab_exact"),
+    )
+    within = (
+        F.abs(
+            F.hll_sketch_estimate(F.col("sk")) - F.col("n_vocab_exact")
+        )
+        / F.col("n_vocab_exact").cast("double")
+        < 0.05
+    )
+    lang_rows = per.select(
+        "lang", "n_vocab_exact", within.alias("within_5pct")
+    )
+    union_est = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")
+    )
+    global_exact = toks.agg(
+        F.countDistinct("tok").alias("n_vocab_exact")
+    )
+    all_row = global_exact.crossJoin(union_est).select(
+        F.lit("ALL").alias("lang"),
+        "n_vocab_exact",
+        (
+            F.abs(F.col("_est") - F.col("n_vocab_exact"))
+            / F.col("n_vocab_exact").cast("double")
+            < 0.05
+        ).alias("within_5pct"),
+    )
+    return lang_rows.unionByName(all_row)
+
+
+HLL_ROLLUP_ORACLE = """
+WITH toks AS (
+    SELECT lang, unnest(string_split(trim(text), ' ')) AS tok
+    FROM documents
+),
+per AS (
+    SELECT lang,
+           count(DISTINCT tok) AS n_vocab_exact,
+           approx_count_distinct(tok) AS est
+    FROM toks GROUP BY lang
+),
+allr AS (
+    SELECT 'ALL' AS lang,
+           count(DISTINCT tok) AS n_vocab_exact,
+           approx_count_distinct(tok) AS est
+    FROM toks
+)
+SELECT lang, n_vocab_exact,
+       abs(est - n_vocab_exact) / n_vocab_exact::DOUBLE < 0.05 AS within_5pct
+FROM per
+UNION ALL
+SELECT lang, n_vocab_exact,
+       abs(est - n_vocab_exact) / n_vocab_exact::DOUBLE < 0.05 AS within_5pct
+FROM allr
+"""
+
+
 def _register() -> None:
     registry.register("corpus_mix_weights", corpus_mix_weights, MIX_ORACLE)
+    registry.register("hll_vocab_rollup", hll_vocab_rollup, HLL_ROLLUP_ORACLE)
     registry.register("corpus_token_entropy", corpus_token_entropy, ENTROPY_ORACLE)
     registry.register("crossdoc_shingle_dup", crossdoc_shingle_dup, SHINGLE_ORACLE)

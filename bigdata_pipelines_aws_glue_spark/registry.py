@@ -62,6 +62,7 @@ PRIORITY: tuple[str, ...] = (
     "events_click_to_purchase",
     "pii_scrub_report",
     "train_val_test_split",
+    "hll_vocab_rollup",
     # high-value re-attestations: LLM-mandate + flagship + streaming
     # twins (keep these inside the 50-window so every round carries
     # fresh evidence for the headline operators)

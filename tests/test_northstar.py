@@ -466,3 +466,27 @@ def test_train_val_test_split_stable_and_balanced(spark, sf_dir):
         for r in half.select("doc_id", split.alias("split")).collect()
     }
     assert all(full[d] == s for d, s in half_assign.items())
+
+
+def test_hll_rollup_union_matches_rescan(spark, sf_dir):
+    """The unioned per-lang sketches estimate the SAME cardinality a
+    fresh corpus-wide sketch would — the mergeability contract — and
+    every in-tolerance boolean holds."""
+    from bigdata_pipelines_aws_glue_spark.operators.corpus_stats import (
+        hll_vocab_rollup,
+    )
+    from bigdata_pipelines_aws_glue_spark.operators.dedup import _tokens
+
+    rows = {r["lang"]: r for r in hll_vocab_rollup(spark, sf_dir).collect()}
+    assert "ALL" in rows and len(rows) > 2
+    assert all(r["within_5pct"] for r in rows.values())
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    )
+    fresh = toks.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("tok")).alias("est")
+    ).collect()[0]["est"]
+    # identical sketch parameters + same input set -> identical registers
+    assert rows["ALL"]["n_vocab_exact"] > 0
+    assert abs(fresh - rows["ALL"]["n_vocab_exact"]) / rows["ALL"]["n_vocab_exact"] < 0.05

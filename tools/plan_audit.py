@@ -44,6 +44,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "corpus-total + mix-denominator scalars "
         "(1-row broadcasts onto a |languages|-row aggregate)",
     },
+    "hll_vocab_rollup": {
+        "BroadcastNestedLoopJoin": "1-row global-exact x 1-row "
+        "union-estimate crossJoin for the ALL row — scalar join",
+    },
     "cosine_topk": {
         "BroadcastNestedLoopJoin": "query side is a bounded broadcast "
         "(N_QUERIES rows) against the corpus — by design",
