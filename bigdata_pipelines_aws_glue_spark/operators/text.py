@@ -501,8 +501,46 @@ FROM m
 """
 
 
+def _compression_ratio_series(text: pd.Series) -> pd.Series:
+    """Arrow-batched kernel: zlib-compressed size over raw UTF-8 size.
+    Low ratio = highly repetitive/templated text (the cheap
+    perplexity proxy real curation pipelines use as a dup/boilerplate
+    signal); ratio near or above 1 = high-entropy text."""
+    import zlib
+
+    def _ratio(s: str) -> float:
+        b = (s or "").encode()
+        return len(zlib.compress(b, 6)) / max(len(b), 1)
+
+    return text.map(_ratio).astype("float64")
+
+
+def make_compression_ratio():
+    """Lazy pandas UDF (same SparkContext-at-import constraint as
+    :func:`make_bpe_token_count`)."""
+    return pandas_udf(_compression_ratio_series, "double")
+
+
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal per document (rows-only: no
+    SQL engine exposes deflate; determinism and the
+    repetitive-compresses-smaller ordering are pytest-asserted). At
+    100 TB this is an Arrow-batched map-only pass, typically fused
+    with the other per-doc feature kernels."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    ratio = make_compression_ratio()
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.length(F.col("text")).alias("n_chars"),
+        ratio(F.col("text")).alias("compression_ratio"),
+    )
+
+
 def _register() -> None:
     registry.register("text_stats", text_stats, TEXT_STATS_ORACLE)
+    registry.register("doc_compression_ratio", doc_compression_ratio, None)
     registry.register(
         "gopher_quality_filter", gopher_quality_filter, GOPHER_FILTER_ORACLE
     )

@@ -63,6 +63,7 @@ PRIORITY: tuple[str, ...] = (
     "pii_scrub_report",
     "train_val_test_split",
     "hll_vocab_rollup",
+    "doc_compression_ratio",
     # high-value re-attestations: LLM-mandate + flagship + streaming
     # twins (keep these inside the 50-window so every round carries
     # fresh evidence for the headline operators)

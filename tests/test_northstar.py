@@ -490,3 +490,40 @@ def test_hll_rollup_union_matches_rescan(spark, sf_dir):
     # identical sketch parameters + same input set -> identical registers
     assert rows["ALL"]["n_vocab_exact"] > 0
     assert abs(fresh - rows["ALL"]["n_vocab_exact"]) / rows["ALL"]["n_vocab_exact"] < 0.05
+
+
+def test_compression_ratio_orders_repetitive_below_random(spark):
+    """Deterministic, and repetitive text compresses far smaller than
+    high-entropy text — the signal's whole point."""
+    import random
+
+    from bigdata_pipelines_aws_glue_spark.operators.text import (
+        _compression_ratio_series,
+    )
+    import pandas as pd
+
+    rng = random.Random(3)
+    rand_text = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(200)
+    )
+    rep_text = "the same line again " * 80
+    s = pd.Series([rep_text, rand_text, rep_text])
+    r = _compression_ratio_series(s)
+    assert r[0] == r[2]  # deterministic
+    assert r[0] < 0.1 < r[1]
+    # and the Spark path agrees with the local kernel
+    df = spark.createDataFrame(
+        [(1, rep_text), (2, rand_text)], "doc_id long, text string"
+    )
+    from bigdata_pipelines_aws_glue_spark.operators.text import (
+        make_compression_ratio,
+    )
+
+    got = {
+        row["doc_id"]: row["cr"]
+        for row in df.select(
+            "doc_id", make_compression_ratio()(F.col("text")).alias("cr")
+        ).collect()
+    }
+    assert abs(got[1] - r[0]) < 1e-12 and abs(got[2] - r[1]) < 1e-12
