@@ -64,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "train_val_test_split",
     "hll_vocab_rollup",
     "doc_compression_ratio",
+    "pq_topk",
     # high-value re-attestations: LLM-mandate + flagship + streaming
     # twins (keep these inside the 50-window so every round carries
     # fresh evidence for the headline operators)

@@ -31,3 +31,51 @@ def test_kmeans_deterministic_and_full_coverage(spark, sf_dir):
     )
     assert ra == rb
     assert sum(n for _, n, _ in ra) == 200  # every vector assigned
+
+
+def test_pq_topk_recall_and_shape(spark, sf_dir):
+    """PQ-ADC top-k: per-query exactly TOP_K rows ranked by ascending
+    approximate distance, and recall@10 vs exact L2 clears a floor
+    (0.31 measured at sf0.01 for m=4, k=32 — aggressive 100x-class
+    compression trades recall; compose with IVF to prune at scale)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_pipelines_aws_glue_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _as_double,
+        _sqdist,
+        pq_topk,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    out = pq_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == N_QUERIES
+    for rows in by_q.values():
+        assert sorted(r["rank"] for r in rows) == list(range(1, TOP_K + 1))
+        dists = [r["approx_dist"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert dists == sorted(dists)
+    pq_pairs = {(r["query_id"], r["neighbor_id"]) for r in out}
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    b = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("bv"))
+    s = b.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", _sqdist(F.col("qv"), F.col("bv")).alias("d")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id"))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .collect()
+    }
+    recall = len(pq_pairs & exact) / len(exact)
+    assert recall >= 0.15, f"PQ recall@10 {recall:.2f}"
