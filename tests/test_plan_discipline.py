@@ -106,3 +106,29 @@ def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """A filter on the partition column of a partitioned parquet sink
+    must become a PartitionFilter (directory pruning — no data files
+    from other partitions are even listed), not a post-scan filter.
+    At 100 TB this is the difference between reading one partition
+    and reading the lake."""
+    from bigdata_pipelines_aws_glue_spark.sources.writers import (
+        write_partitioned_parquet,
+    )
+
+    target = str(tmp_path / "orders_by_priority")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned_parquet(
+        orders, target, partition_col="o_orderpriority"
+    )
+    back = spark.read.parquet(target).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderpriority" in seg, f"empty partition filter: {seg!r}"
+    want = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert back.count() == want > 0
