@@ -236,3 +236,65 @@ def test_session_window_matches_gap_semantics(spark):
     )
     per_user = sorted((r["user_id"], r["count"]) for r in out)
     assert per_user == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_asof_bucketed_randomized_equivalence(spark):
+    """Randomized (seeded) corpora: the bucketed sort-merge as-of must
+    equal the generic window as-of on arbitrary key/time layouts —
+    duplicate timestamps, keys missing on either side, rates clustered
+    inside one bucket or strewn across many, and bucket widths from 1
+    to 90 days."""
+    import datetime
+    import random
+
+    from bigdata_pipelines_aws_glue_spark.operators.joins import (
+        asof_join,
+        asof_join_bucketed_sortmerge,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    for seed, bucket_days in [(1, 1), (2, 7), (3, 30), (4, 90), (5, 13)]:
+        rng = random.Random(seed)
+        keys = ["k%d" % i for i in range(rng.randint(1, 5))]
+        left_rows = [
+            (
+                i,
+                rng.choice(keys + ["left_only"]),
+                base + datetime.timedelta(hours=rng.randint(0, 24 * 400)),
+            )
+            for i in range(120)
+        ]
+        # minute=j makes every rate timestamp unique: the GENERIC
+        # as-of breaks rate_date ties arbitrarily, so tied inputs
+        # would compare two differently-arbitrary answers
+        rate_rows = [
+            (
+                rng.choice(keys + ["right_only"]),
+                float(rng.randint(1, 9)),
+                base
+                + datetime.timedelta(
+                    hours=rng.randint(0, 24 * 400), minutes=j
+                ),
+            )
+            for j in range(rng.randint(1, 25))
+        ]
+        left = spark.createDataFrame(
+            left_rows, "id long, k string, ts timestamp"
+        )
+        rates = spark.createDataFrame(
+            rate_rows, "k string, rate double, rate_date timestamp"
+        )
+        want = {
+            r["id"]: (r["rate"], r["rate_date"])
+            for r in asof_join(
+                left, rates, "k", "ts", "rate_date", left_id_cols=["id"]
+            ).collect()
+        }
+        got = {
+            r["id"]: (r["rate"], r["rate_date"])
+            for r in asof_join_bucketed_sortmerge(
+                left, rates, "k", "ts", "rate_date", ["rate"],
+                bucket_days=bucket_days,
+            ).collect()
+        }
+        assert got == want, f"seed={seed} bucket_days={bucket_days}"
