@@ -538,9 +538,57 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Small AFINN-style valence lexicon (public-domain word list style;
+#: SURVEY §2.12 N5 names sentiment as the pandas-UDF candidate — a
+#: lexicon scorer needs no Python at all: higher-order filters only).
+SENTIMENT_POS = ("good", "fast", "small", "big")
+SENTIMENT_NEG = ("slow", "error", "late", "bad")
+
+
+def doc_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment score per document: (pos_hits - neg_hits) /
+    n_tokens in [-1, 1], with the hit counts emitted for
+    auditability. Pure column expressions — the map-only shape; a
+    model-based classifier slots in behind the same output contract
+    as a pandas UDF at deploy time."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = _tokens(F.col("text"))
+    n_tokens = F.size(tokens)
+    pos = sum((_count_token(tokens, w) for w in SENTIMENT_POS), F.lit(0))
+    neg = sum((_count_token(tokens, w) for w in SENTIMENT_NEG), F.lit(0))
+    return docs.select(
+        "doc_id",
+        pos.alias("pos_hits"),
+        neg.alias("neg_hits"),
+        stable_round(
+            (pos - neg).cast("double") / n_tokens, 6
+        ).alias("sentiment"),
+    )
+
+
+def _lex_sql(ws: tuple[str, ...]) -> str:
+    return " + ".join(f"len(list_filter(toks, x -> x = '{w}'))" for w in ws)
+
+
+SENTIMENT_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(({_lex_sql(SENTIMENT_POS)}) AS INT) AS pos_hits,
+       CAST(({_lex_sql(SENTIMENT_NEG)}) AS INT) AS neg_hits,
+       floor(((({_lex_sql(SENTIMENT_POS)}) - ({_lex_sql(SENTIMENT_NEG)}))::DOUBLE
+              / len(toks)) * 1000000.0 + 0.5) / 1000000.0 AS sentiment
+FROM t
+"""
+
+
 def _register() -> None:
     registry.register("text_stats", text_stats, TEXT_STATS_ORACLE)
     registry.register("doc_compression_ratio", doc_compression_ratio, None)
+    registry.register(
+        "doc_sentiment_lexicon", doc_sentiment_lexicon, SENTIMENT_ORACLE
+    )
     registry.register(
         "gopher_quality_filter", gopher_quality_filter, GOPHER_FILTER_ORACLE
     )

@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "hll_vocab_rollup",
     "doc_compression_ratio",
     "pq_topk",
+    "doc_sentiment_lexicon",
     # high-value re-attestations: LLM-mandate + flagship + streaming
     # twins (keep these inside the 50-window so every round carries
     # fresh evidence for the headline operators)
