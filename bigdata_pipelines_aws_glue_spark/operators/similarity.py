@@ -442,10 +442,11 @@ GROUP BY e.query_id
 #: (list_dot_product), the signature assembles as an order-independent
 #: integer sum, and the query side probes ``xor(bkey, m)`` for each
 #: probe mask (mask 0 alone = single-probe).
-def _lsh_recall_sql(probe_masks: tuple[int, ...]) -> str:
+def _lsh_ann_ctes(probe_masks: tuple[int, ...]) -> str:
+    """CTE prefix replaying the LSH pipeline through ``ann_scored`` —
+    shared by the standalone top-k oracle and the recall oracles."""
     masks = ", ".join(str(m) for m in probe_masks)
-    return f"""
-WITH {_SQL_VN},
+    return f"""{_SQL_VN},
 sigbits AS (
     SELECT vec_id,
            CASE WHEN list_dot_product(
@@ -485,7 +486,23 @@ ann_scored AS (
     FROM cand c
     JOIN vn a ON a.vec_id = c.query_id
     JOIN vn b ON b.vec_id = c.neighbor_id
-),
+)"""
+
+
+#: Final select shared by the standalone ANN top-k oracles: same rank
+#: window and 8-decimal rounding as the Spark output.
+_SQL_ANN_TOPK_SELECT = f"""
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       floor((score) * 100000000.0 + 0.5) / 100000000.0 AS score
+FROM (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM ann_scored)
+WHERE rank <= {TOP_K}
+"""
+
+_SQL_ANN_RECALL_TAIL = f"""
 ann_topk AS (
     SELECT query_id, neighbor_id FROM (
         SELECT query_id, neighbor_id,
@@ -499,6 +516,15 @@ ann_topk AS (
 """
 
 
+def _lsh_recall_sql(probe_masks: tuple[int, ...]) -> str:
+    return f"WITH {_lsh_ann_ctes(probe_masks)},\n{_SQL_ANN_RECALL_TAIL}"
+
+
+#: ``ann_lsh_topk``'s own oracle: the same pipeline replay, ending at
+#: the ranked, rounded top-k — the LCG hyperplanes make even the
+#: "approximate" index exactly reproducible cross-engine, so this
+#: entry is hash-checked rather than rows-only.
+LSH_TOPK_ORACLE = f"WITH {_lsh_ann_ctes((0,))}\n{_SQL_ANN_TOPK_SELECT}"
 LSH_RECALL_ORACLE = _lsh_recall_sql((0,))
 MULTIPROBE_LSH_RECALL_ORACLE = _lsh_recall_sql(PROBE_MASKS)
 
@@ -515,8 +541,7 @@ def ann_lsh_multiprobe_recall_at10(spark: SparkSession, sf_dir: str) -> DataFram
 #: SQL replay of ``ivf_topk``: quantized centroid means (long-summed
 #: on the Spark side, exact double-summed here), cell ranking and
 #: probing with the same (score DESC, cell) tie-break.
-IVF_RECALL_ORACLE = f"""
-WITH {_SQL_VN},
+_IVF_ANN_CTES = f"""{_SQL_VN},
 cents AS (
     SELECT cell, list(cv ORDER BY dim) AS cvec FROM (
         SELECT label AS cell, dim,
@@ -556,18 +581,13 @@ ann_scored AS (
            list_dot_product(p.qe, i.be) / (p.qn * i.bn) AS score
     FROM probes p JOIN idx i USING (cell)
     WHERE p.query_id <> i.neighbor_id
-),
-ann_topk AS (
-    SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY score DESC, neighbor_id) AS rank
-        FROM ann_scored)
-    WHERE rank <= {TOP_K}
-),
-{_SQL_EXACT_TOPK.strip()}
-{_SQL_RECALL_SELECT}
-"""
+)"""
+
+IVF_RECALL_ORACLE = f"WITH {_IVF_ANN_CTES},\n{_SQL_ANN_RECALL_TAIL}"
+
+#: ``ivf_topk``'s own oracle — quantized centroids make the whole
+#: index deterministic, so the approximate result itself hash-checks.
+IVF_TOPK_ORACLE = f"WITH {_IVF_ANN_CTES}\n{_SQL_ANN_TOPK_SELECT}"
 
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,8 +964,8 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _register() -> None:
     registry.register("cosine_topk", cosine_topk, COSINE_TOPK_ORACLE)
-    registry.register("ann_lsh_topk", ann_lsh_topk, None)
-    registry.register("ivf_topk", ivf_topk, None)
+    registry.register("ann_lsh_topk", ann_lsh_topk, LSH_TOPK_ORACLE)
+    registry.register("ivf_topk", ivf_topk, IVF_TOPK_ORACLE)
     registry.register(
         "ann_lsh_recall_at10", ann_lsh_recall_at10, LSH_RECALL_ORACLE
     )
