@@ -11,7 +11,8 @@ designed Spark-first for 100 TB corpora:
   Candidate generation is a self-join *within LSH buckets*, avoiding
   the O(n²) cross join; exact-Jaccard verification runs only on
   candidates.
-- SimHash: 64-bit signatures from per-token hash bit votes.
+- SimHash: 60-bit signatures from per-token md5-prefix hash bit
+  votes (cross-engine reproducible, hash-checked oracle).
 
 Shared tokenization (``_tokens``): split on single spaces of trimmed
 text — mirrored exactly by the DuckDB oracles (``string_split``).
@@ -401,11 +402,22 @@ def dedup_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_verified_pairs(docs, threshold=0.8)
 
 
-def simhash_signature(tokens: Column, bits: int = 64) -> Column:
-    """SimHash: per-token 64-bit hashes vote per bit position; the
-    signature packs the majority sign of each bit. Pure expressions
-    (one aggregate per bit, unrolled at plan-build time), no UDF."""
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+def simhash_signature(tokens: Column, bits: int = 60) -> Column:
+    """SimHash: per-token hashes vote per bit position; the signature
+    packs the majority sign of each bit. Pure expressions (one
+    aggregate per bit, unrolled at plan-build time), no UDF.
+
+    Token hashes are the md5-prefix 60-bit construction (same
+    cross-engine pattern as ``sampling.shuffle_key``), NOT xxhash64 —
+    so the signature, and therefore the whole near-dup index, is
+    bit-identical in any engine and ``dedup_simhash`` is hash-checked
+    against a full SQL replay instead of rows-only."""
+    if bits > 60:
+        raise ValueError("md5-prefix hash carries 60 bits")
+    hashes = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
 
     def _voter(bit: int):
         # NB: a plain `lambda acc, h, i=i: ...` breaks pyspark's HOF
@@ -417,17 +429,16 @@ def simhash_signature(tokens: Column, bits: int = 64) -> Column:
     packed = F.lit(0).cast("long")
     for i in range(bits):
         vote = F.aggregate(hashes, F.lit(0).cast("long"), _voter(i))
-        bit_val = (1 << i) if i < 63 else -(1 << 63)  # two's complement MSB
         packed = packed.bitwiseXOR(
-            F.when(vote > 0, F.lit(bit_val).cast("long"))
+            F.when(vote > 0, F.lit(1 << i).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
     return packed
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 64-bit SimHash (rows-only). Near-dup candidates =
-    signatures within small Hamming distance; the pairing reuses the
+    """Per-document 60-bit SimHash. Near-dup candidates = signatures
+    within small Hamming distance; the pairing reuses the
     banded-bucket pattern of MinHash on signature chunks."""
     from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 
@@ -436,6 +447,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         simhash_signature(_tokens(F.col("text"))).alias("simhash"),
     )
+
+
+SIMHASH_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+    FROM documents
+),
+h AS (
+    SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv
+    FROM toks
+),
+votes AS (
+    SELECT doc_id, b.b AS b,
+           sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+    GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
 
 
 def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,4 +548,4 @@ def _register() -> None:
     )
     registry.register("dedup_minhash_lsh", dedup_minhash_lsh, None)
     registry.register("dedup_neardup_pipeline", dedup_neardup_pipeline, None)
-    registry.register("dedup_simhash", dedup_simhash, None)
+    registry.register("dedup_simhash", dedup_simhash, SIMHASH_ORACLE)

@@ -527,3 +527,30 @@ def test_compression_ratio_orders_repetitive_below_random(spark):
         ).collect()
     }
     assert abs(got[1] - r[0]) < 1e-12 and abs(got[2] - r[1]) < 1e-12
+
+
+def test_simhash_hamming_locality(spark):
+    """Identical docs share the signature; a one-token edit moves few
+    bits; unrelated docs differ in many — the locality property the
+    banded near-dup pairing depends on."""
+    from bigdata_pipelines_aws_glue_spark.operators.dedup import (
+        _tokens,
+        simhash_signature,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    edited = base.replace("tok30", "zzz")
+    other = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited), (4, other)],
+        "doc_id long, text string",
+    )
+    sig = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", simhash_signature(_tokens(F.col("text"))).alias("s")
+        ).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert sig[1] == sig[2]
+    assert ham(sig[1], sig[3]) < 15 < ham(sig[1], sig[4])
