@@ -206,7 +206,10 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 
 def minhash_signature(shingles: Column) -> Column:
     """N2 (expression form): MinHash signature as an array of 16 mins
-    of seeded ``xxhash64`` values — no Python anywhere.
+    of seeded ``xxhash64`` values — no Python anywhere. JVM-only
+    fallback: NOT the cross-engine-reproducible family the registered
+    queries use (ANSI mode forbids the wrap-multiply the affine mix
+    needs in expressions; the Arrow kernel wraps natively in numpy).
 
     NOTE: nested array HOFs are interpreted per-element (not
     whole-stage-codegen'd); measured ~9ms/doc. Kept as the pure-JVM
@@ -221,30 +224,42 @@ def minhash_signature(shingles: Column) -> Column:
 
 
 #: Odd multipliers/offsets deriving the 16 hash family members from one
-#: base hash: h_i = (a_i * h + b_i) mod 2^61-1 (Carter-Wegman style).
+#: base hash: h_i = (a_i * h + b_i) mod 2^64 mod 2^61-1 (Carter-Wegman
+#: style; the mod-2^64 step is numpy's native uint64 wrap, replicated
+#: exactly by the oracle's HUGEINT arithmetic). Module-level so the
+#: kernel and the SQL-twin builder share one definition.
 _MERSENNE_61 = (1 << 61) - 1
+
+
+def _mh_consts():
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    a = (rng.randint(1, _MERSENNE_61, size=N_HASHES, dtype=np.int64) | 1).astype(
+        np.uint64
+    )
+    b = rng.randint(0, _MERSENNE_61, size=N_HASHES, dtype=np.int64).astype(
+        np.uint64
+    )
+    return a, b
 
 
 def minhash_signatures_pandas(docs: DataFrame, n: int = 3) -> DataFrame:
     """N2 (performance form): per-document MinHash signatures via an
     Arrow-batched ``mapInPandas`` kernel — one C-speed base hash per
-    shingle (blake2b-8), then the 16 family hashes by vectorized
+    shingle (the md5-prefix 60-bit construction every cross-engine
+    hash in this repo uses), then the 16 family hashes by vectorized
     numpy affine mixing. Input: (doc_id, text); output: (doc_id, sig
-    array<long>). PYTHONHASHSEED-independent and partition-count
-    independent — safe to re-run anywhere on the cluster."""
+    array<long>). PYTHONHASHSEED-independent, partition-count
+    independent, and ENGINE independent: the DuckDB oracle replays
+    base hash, mixing, banding, and pairing bit-for-bit."""
     import hashlib
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    rng = np.random.RandomState(42)
-    A = (rng.randint(1, _MERSENNE_61, size=N_HASHES, dtype=np.int64) | 1).astype(
-        np.uint64
-    )
-    B = rng.randint(0, _MERSENNE_61, size=N_HASHES, dtype=np.int64).astype(
-        np.uint64
-    )
+    A, B = _mh_consts()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -259,10 +274,7 @@ def minhash_signatures_pandas(docs: DataFrame, n: int = 3) -> DataFrame:
                 }
                 base = np.fromiter(
                     (
-                        int.from_bytes(
-                            hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                            "big",
-                        )
+                        int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
                         for g in grams
                     ),
                     dtype=np.uint64,
@@ -304,19 +316,27 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("sig"),
-                                    b * ROWS_PER_BAND + 1,
-                                    ROWS_PER_BAND,
-                                ),
-                                lambda x: x.cast("string"),
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    F.transform(
+                                        F.slice(
+                                            F.col("sig"),
+                                            b * ROWS_PER_BAND + 1,
+                                            ROWS_PER_BAND,
+                                        ),
+                                        lambda x: x.cast("string"),
+                                    ),
+                                )
                             ),
-                        )
-                    ).alias("bucket"),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long").alias("bucket"),
                 ),
             )
         ).alias("bk"),
@@ -351,10 +371,78 @@ def minhash_lsh_candidates(
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (xxhash64 has no DuckDB twin); recall vs the
-    exact-Jaccard oracle pairs is asserted in tests."""
+    """Banded-LSH candidates with estimated Jaccard >= 0.5 —
+    hash-checked: the md5-prefix base hash + numpy-wrap affine family
+    is replayed bit-for-bit by the DuckDB twin."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(docs).filter(F.col("est_jaccard") >= 0.5)
+
+
+def _minhash_ctes() -> str:
+    """SQL replay of the MinHash pipeline through candidate pairs:
+    shingles -> md5-prefix base hash -> HUGEINT affine mix (mod 2^64
+    replicating numpy's uint64 wrap, then mod 2^61-1) -> per-(doc, i)
+    min -> band buckets (md5-prefix of the joined slice) -> distinct
+    bucket-sharing pairs."""
+    a, b = _mh_consts()
+    consts = ", ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+        for i in range(N_HASHES)
+    )
+    band_key = (
+        "('0x' || substring(md5(array_to_string(list_transform("
+        "sig[bd.b * {r} + 1 : bd.b * {r} + {r}], "
+        "x -> CAST(x AS VARCHAR)), ',')), 1, 15))::BIGINT"
+    ).format(r=ROWS_PER_BAND)
+    return f"""
+consts(i, a, b) AS (VALUES {consts}),
+d AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+    WHERE len(t) >= 3
+),
+base AS (
+    SELECT doc_id,
+           (('0x' || substring(md5(g), 1, 15))::BIGINT)::HUGEINT AS h
+    FROM (SELECT doc_id, unnest(sh) AS g FROM d)
+),
+mixed AS (
+    SELECT doc_id, c.i AS i,
+           min(CAST(((c.a * h + c.b) % 18446744073709551616::HUGEINT)
+                    % {_MERSENNE_61}::HUGEINT AS BIGINT)) AS mh
+    FROM base CROSS JOIN consts c
+    GROUP BY doc_id, c.i
+),
+sigs AS (
+    SELECT doc_id, list(mh ORDER BY i) AS sig FROM mixed GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, bd.b AS band, {band_key} AS bucket
+    FROM sigs CROSS JOIN
+         (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS b) bd
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)"""
+
+
+MINHASH_LSH_ORACLE = f"""
+WITH {_minhash_ctes()}
+SELECT doc_a, doc_b,
+       len(list_filter(list_transform(generate_series(1, {N_HASHES}),
+               j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END),
+           x -> x = 1))::DOUBLE / {N_HASHES}.0::DOUBLE AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b
+WHERE len(list_filter(list_transform(generate_series(1, {N_HASHES}),
+              j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END),
+          x -> x = 1))::DOUBLE / {N_HASHES}.0::DOUBLE >= 0.5
+"""
 
 
 def neardup_verified_pairs(
@@ -395,11 +483,27 @@ def neardup_verified_pairs(
 
 
 def dedup_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Headline near-dup entry: LSH candidates -> exact verify.
-    Rows-only check (the LSH stage has no DuckDB twin); subset-of-
-    exact-pairs + recall are asserted in tests."""
+    """Headline near-dup entry: LSH candidates -> exact verify — now
+    hash-checked end-to-end (candidate generation AND verification
+    replayed in the DuckDB twin); subset-of-exact-pairs + recall
+    remain asserted in tests."""
     docs = load_table(spark, sf_dir, "documents")
     return neardup_verified_pairs(docs, threshold=0.8)
+
+
+NEARDUP_PIPELINE_ORACLE = f"""
+WITH {_minhash_ctes()}
+SELECT doc_a, doc_b,
+       len(list_intersect(da.sh, db.sh))::DOUBLE
+         / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))::DOUBLE
+         AS jaccard
+FROM cand
+JOIN d da ON da.doc_id = doc_a
+JOIN d db ON db.doc_id = doc_b
+WHERE len(list_intersect(da.sh, db.sh))::DOUBLE
+        / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))::DOUBLE
+        >= 0.8
+"""
 
 
 def simhash_signature(tokens: Column, bits: int = 60) -> Column:
@@ -546,6 +650,10 @@ def _register() -> None:
     registry.register(
         "dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_ORACLE
     )
-    registry.register("dedup_minhash_lsh", dedup_minhash_lsh, None)
-    registry.register("dedup_neardup_pipeline", dedup_neardup_pipeline, None)
+    registry.register(
+        "dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_LSH_ORACLE
+    )
+    registry.register(
+        "dedup_neardup_pipeline", dedup_neardup_pipeline, NEARDUP_PIPELINE_ORACLE
+    )
     registry.register("dedup_simhash", dedup_simhash, SIMHASH_ORACLE)
