@@ -191,9 +191,145 @@ FROM q
 """
 
 
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation funnel — the composed pipeline an LLM
+    pretraining corpus actually runs, as ONE hash-checked query:
+
+      total -> Gopher quality gate -> exact dedup (min-id keeper per
+      sha256) -> near-dup drop (MinHash-LSH candidates + exact
+      Jaccard >= 0.8 verify; the greater id of each surviving pair
+      drops) -> train/val/test assignment.
+
+    Emits one row per funnel stage plus one per final split, so the
+    whole pipeline's selectivity is a single attested artifact. Every
+    stage reuses an already-oracled operator (gopher_flags,
+    sha256-window dedup, neardup_verified_pairs, the md5-hash split),
+    which is exactly what makes the composed DuckDB replay possible.
+    Scale shape: each stage is the same plan as its standalone query;
+    the funnel adds only semi/anti joins on doc_id."""
+    from bigdata_pipelines_aws_glue_spark.operators.dedup import (
+        neardup_verified_pairs,
+    )
+    from bigdata_pipelines_aws_glue_spark.operators.sampling import (
+        _SPLIT_SEED,
+        _TRAIN_HI,
+        _VAL_HI,
+        shuffle_key,
+    )
+    from bigdata_pipelines_aws_glue_spark.operators.text import gopher_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = (
+        gopher_flags(docs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .join(docs, "doc_id")
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    s2 = (
+        s1.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id")
+    )
+    pairs = neardup_verified_pairs(docs, threshold=0.8)
+    drop_b = (
+        pairs.join(
+            s2.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+        )
+        .join(s2.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(drop_b, "doc_id", "left_anti")
+    u = shuffle_key(F.col("doc_id"), seed=_SPLIT_SEED)
+    split = (
+        F.when(u < _TRAIN_HI, F.lit("train"))
+        .when(u < _VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    one = lambda name, df: df.agg(  # noqa: E731
+        F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_docs")
+    ).select("stage", "n_docs")
+    report = (
+        one("total", docs)
+        .unionByName(one("gopher_keep", s1))
+        .unionByName(one("exact_dedup", s2))
+        .unionByName(one("near_dedup", s3))
+        .unionByName(
+            s3.select(split.alias("stage"))
+            .groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+    )
+    return report
+
+
+def _curation_funnel_oracle() -> str:
+    from bigdata_pipelines_aws_glue_spark.operators.dedup import _minhash_ctes
+    from bigdata_pipelines_aws_glue_spark.operators.sampling import (
+        _SPLIT_SEED,
+        _TRAIN_HI,
+        _VAL_HI,
+        shuffle_key_sql,
+    )
+    from bigdata_pipelines_aws_glue_spark.operators.text import (
+        GOPHER_FILTER_ORACLE,
+    )
+
+    u = shuffle_key_sql("doc_id", _SPLIT_SEED)
+    return f"""
+WITH gf AS ({GOPHER_FILTER_ORACLE}),
+{_minhash_ctes()},
+s1 AS (SELECT doc_id FROM gf WHERE keep),
+s2 AS (
+    SELECT doc_id FROM (
+        SELECT d0.doc_id,
+               row_number() OVER (PARTITION BY sha256(d0.text)
+                                  ORDER BY d0.doc_id) AS rn
+        FROM documents d0 JOIN s1 USING (doc_id))
+    WHERE rn = 1
+),
+verified AS (
+    SELECT doc_a, doc_b
+    FROM cand
+    JOIN d da ON da.doc_id = doc_a
+    JOIN d db ON db.doc_id = doc_b
+    WHERE len(list_intersect(da.sh, db.sh))::DOUBLE
+            / (len(da.sh) + len(db.sh)
+               - len(list_intersect(da.sh, db.sh)))::DOUBLE >= 0.8
+),
+dropn AS (
+    SELECT DISTINCT doc_b AS doc_id
+    FROM verified
+    JOIN s2 a ON verified.doc_a = a.doc_id
+    JOIN s2 b ON verified.doc_b = b.doc_id
+),
+s3 AS (
+    SELECT doc_id FROM s2
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropn)
+)
+SELECT 'total' AS stage, count(*) AS n_docs FROM documents
+UNION ALL SELECT 'gopher_keep', count(*) FROM s1
+UNION ALL SELECT 'exact_dedup', count(*) FROM s2
+UNION ALL SELECT 'near_dedup', count(*) FROM s3
+UNION ALL
+SELECT stage, count(*) FROM (
+    SELECT CASE WHEN {u} < {_TRAIN_HI} THEN 'train'
+                WHEN {u} < {_VAL_HI} THEN 'val'
+                ELSE 'test' END AS stage
+    FROM s3)
+GROUP BY stage
+"""
+
+
 def _register() -> None:
     registry.register(
         "sequence_pack_chunks", sequence_pack_chunks, SEQUENCE_PACK_ORACLE
+    )
+    registry.register(
+        "curation_funnel_report",
+        curation_funnel_report,
+        _curation_funnel_oracle(),
     )
     registry.register("chunk_fill_report", chunk_fill_report, CHUNK_FILL_ORACLE)
     registry.register(

@@ -66,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_compression_ratio",
     "pq_topk",
     "doc_sentiment_lexicon",
+    "curation_funnel_report",
     # high-value re-attestations: LLM-mandate + flagship + streaming
     # twins (keep these inside the 50-window so every round carries
     # fresh evidence for the headline operators)

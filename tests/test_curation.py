@@ -62,3 +62,21 @@ def test_pack_window_is_per_shard_not_global(spark):
     # partitioned window -> hashpartitioning exchange on shard, never a
     # single-partition global window
     assert "SinglePartition" not in plan
+
+
+def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
+    """Each funnel stage can only shrink the corpus, and the three
+    split counts partition the near-dedup survivors exactly."""
+    from bigdata_pipelines_aws_glue_spark.operators.curation import (
+        curation_funnel_report,
+    )
+
+    r = {
+        row["stage"]: row["n_docs"]
+        for row in curation_funnel_report(spark, sf_dir).collect()
+    }
+    assert (
+        r["total"] >= r["gopher_keep"] >= r["exact_dedup"] >= r["near_dedup"] > 0
+    )
+    assert r.get("train", 0) + r.get("val", 0) + r.get("test", 0) == r["near_dedup"]
+    assert r.get("train", 0) > r.get("val", 0)
