@@ -90,12 +90,22 @@ FROM orders
 
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array surface: sorted collect_list, size, distinct count,
-    min/max elements, contains — per-order line aggregation."""
+    min/max elements, contains — per-order line aggregation. The
+    sorted list is emitted SERIALIZED (``array_join``) because the
+    driver's pandas canonicalizer cannot factorize list cells — the
+    exact failure mode that made ``embedding_quantize_int8`` round 2's
+    one red row; same reshape, array semantics still exercised."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("line_numbers_csv"),
             F.size(F.collect_set("l_partkey")).alias("n_distinct_parts"),
             F.array_min(F.collect_list("l_quantity")).alias("min_qty"),
             F.array_max(F.collect_list("l_quantity")).alias("max_qty"),
@@ -108,7 +118,8 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ARRAY_ORACLE = """
 SELECT l_orderkey,
-       list_sort(list(l_linenumber)) AS line_numbers,
+       array_to_string(list_transform(list_sort(list(l_linenumber)),
+           x -> CAST(x AS VARCHAR)), ',') AS line_numbers_csv,
        CAST(count(DISTINCT l_partkey) AS INT) AS n_distinct_parts,
        min(l_quantity) AS min_qty,
        max(l_quantity) AS max_qty,
