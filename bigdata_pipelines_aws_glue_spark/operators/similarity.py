@@ -962,6 +962,113 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_SHORTLIST = 3 * TOP_K  # ADC shortlist size before exact re-rank
+
+
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed production ANN recipe: IVF cells prune
+    the corpus (each query probes N_PROBE cells), PQ-ADC scores only
+    the pruned candidates from 5-bit codes, and the top
+    ``IVFPQ_SHORTLIST`` per query are re-ranked by EXACT cosine (the
+    standard shortlist + re-rank). At 100 TB: the scan touches one
+    cell list in compressed codes; exact vectors are fetched for ~30
+    rows per query. Rows-only (k-means codebooks); recall vs exact
+    asserted in tests."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    # ---- IVF side: quantized per-label centroids, cell assignment
+    cents = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("dim", F.sequence(F.lit(0), F.size("v") - 1))
+        .select("label", F.explode(F.arrays_zip("dim", "v")).alias("z"))
+        .groupBy("label", F.col("z.dim").alias("dim"))
+        .agg(
+            (
+                (F.sum(F.floor(F.col("z.v") * 1e9 + F.lit(0.5))) / F.lit(1e9))
+                / F.count(F.lit(1))
+            ).alias("cv")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda p: p["cv"]).alias("cvec"),
+        )
+    )
+    scored_cells = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cell", cosine(F.col("v"), F.col("cvec")).alias("cs")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cell")
+    ranked_cells = scored_cells.withColumn("cr", F.row_number().over(w_cell))
+    index = ranked_cells.filter(F.col("cr") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    probes = ranked_cells.filter(
+        (F.col("cr") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    # ---- PQ side: codebooks + codes for the whole corpus
+    codebooks = pq_train(emb, vec_col="v")
+    sub = len(codebooks.select("cvec").first()["cvec"])
+    codes = pq_encode(emb, codebooks, sub)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    qblocks = _vector_blocks(queries, "query_id", "v", PQ_M, sub)
+    adc = qblocks.join(F.broadcast(codebooks), "block").select(
+        "query_id", "block", "code_id",
+        _sqdist(F.col("bv"), F.col("cvec")).alias("d"),
+    )
+    # ---- candidates = IVF-pruned pairs; score from codes only
+    cand = probes.join(index, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id").distinct()
+    ncodes = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.posexplode("codes").alias("block", "code_id"),
+    )
+    adc_scored = (
+        cand.join(ncodes, "neighbor_id")
+        .join(F.broadcast(adc), ["query_id", "block", "code_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("approx_dist"))
+    )
+    w_sl = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc_scored.withColumn("sr", F.row_number().over(w_sl))
+        .filter(F.col("sr") <= IVFPQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # ---- exact cosine re-rank of the shortlist only
+    qv = queries.select("query_id", F.col("v").alias("qv"))
+    bv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("bv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        shortlist.join(qv, "query_id")
+        .join(bv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("bv")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            stable_round(F.col("score"), 8).alias("score"),
+        )
+    )
+
+
 def _register() -> None:
     registry.register("cosine_topk", cosine_topk, COSINE_TOPK_ORACLE)
     registry.register("ann_lsh_topk", ann_lsh_topk, LSH_TOPK_ORACLE)
@@ -981,3 +1088,4 @@ def _register() -> None:
     )
     registry.register("kmeans_embeddings", kmeans_embeddings, None)
     registry.register("pq_topk", pq_topk, None)
+    registry.register("ivfpq_topk", ivfpq_topk, None)

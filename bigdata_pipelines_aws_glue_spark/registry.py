@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "hll_vocab_rollup",
     "doc_compression_ratio",
     "pq_topk",
+    "ivfpq_topk",
     "doc_sentiment_lexicon",
     "curation_funnel_report",
     # high-value re-attestations: LLM-mandate + flagship + streaming

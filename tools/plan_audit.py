@@ -74,6 +74,11 @@ WHITELIST: dict[str, dict[str, str]] = {
     "ivf_topk": {
         "BroadcastNestedLoopJoin": "bounded query-side broadcast",
     },
+    "ivfpq_topk": {
+        "BroadcastNestedLoopJoin": "k-row centroid / m*k-row codebook "
+        "broadcasts (cell assignment + PQ training) — bounded tables "
+        "by construction",
+    },
     "kmeans_embeddings": {
         "BroadcastNestedLoopJoin": "k-row centroid broadcast per "
         "assignment round",
