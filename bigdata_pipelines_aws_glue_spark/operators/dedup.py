@@ -506,6 +506,113 @@ WHERE len(list_intersect(da.sh, db.sh))::DOUBLE
 """
 
 
+def incremental_neardup_pairs(
+    new_docs: DataFrame, corpus: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """INCREMENTAL near-dup — the shape curation actually runs at
+    100 TB: a new ingest batch dedups against the existing corpus
+    without ever self-joining the corpus. Candidates come from the
+    banded-LSH bucket join of NEW x CORPUS (cost ∝ |new| x bucket
+    density, not |corpus|²); exact Jaccard verifies candidates only.
+    At scale the corpus side's signatures/buckets are the persisted
+    sidecar index written at ingest — recomputed here because the
+    frozen test corpus ships none; the join shape is identical.
+    Output: (new_id, corpus_id, jaccard >= threshold)."""
+
+    def _bands(docs: DataFrame, id_alias: str) -> DataFrame:
+        sig = minhash_signatures_pandas(docs).filter(F.size("sig") > 0)
+        return sig.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        ",",
+                                        F.transform(
+                                            F.slice(
+                                                F.col("sig"),
+                                                b * ROWS_PER_BAND + 1,
+                                                ROWS_PER_BAND,
+                                            ),
+                                            lambda x: x.cast("string"),
+                                        ),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long").alias("bucket"),
+                    ),
+                )
+            ).alias("bk"),
+        ).select(id_alias, "bk.band", "bk.bucket")
+
+    cand = (
+        _bands(new_docs, "new_id")
+        .join(_bands(corpus, "corpus_id"), ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    shing = lambda d, ida: d.select(  # noqa: E731
+        F.col("doc_id").alias(ida),
+        _shingles(_tokens(F.col("text"))).alias(f"sh_{ida}"),
+    ).filter(F.size(f"sh_{ida}") > 0)
+    withsh = cand.join(shing(new_docs, "new_id"), "new_id").join(
+        shing(corpus, "corpus_id"), "corpus_id"
+    )
+    inter = F.size(F.array_intersect(F.col("sh_new_id"), F.col("sh_corpus_id")))
+    union = (
+        F.size(F.col("sh_new_id")) + F.size(F.col("sh_corpus_id")) - inter
+    )
+    return withsh.select(
+        "new_id",
+        "corpus_id",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered incremental form: every fifth document plays the
+    new ingest batch, the rest the standing corpus (the planted
+    near-dups cross that boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return incremental_neardup_pairs(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+    )
+
+
+def _incremental_oracle() -> str:
+    """Reuses the full-corpus MinHash CTE replay, then restricts the
+    bucket join to the NEW x CORPUS sides."""
+    return f"""
+WITH {_minhash_ctes()},
+inc AS (
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM bands n JOIN bands c
+      ON n.band = c.band AND n.bucket = c.bucket
+    WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+)
+SELECT new_id, corpus_id,
+       len(list_intersect(dn.sh, dc.sh))::DOUBLE
+         / (len(dn.sh) + len(dc.sh) - len(list_intersect(dn.sh, dc.sh)))::DOUBLE
+         AS jaccard
+FROM inc
+JOIN d dn ON dn.doc_id = new_id
+JOIN d dc ON dc.doc_id = corpus_id
+WHERE len(list_intersect(dn.sh, dc.sh))::DOUBLE
+        / (len(dn.sh) + len(dc.sh) - len(list_intersect(dn.sh, dc.sh)))::DOUBLE
+        >= 0.8
+"""
+
+
 def simhash_signature(tokens: Column, bits: int = 60) -> Column:
     """SimHash: per-token hashes vote per bit position; the signature
     packs the majority sign of each bit. Pure expressions (one
@@ -655,5 +762,10 @@ def _register() -> None:
     )
     registry.register(
         "dedup_neardup_pipeline", dedup_neardup_pipeline, NEARDUP_PIPELINE_ORACLE
+    )
+    registry.register(
+        "dedup_incremental_neardup",
+        dedup_incremental_neardup,
+        _incremental_oracle(),
     )
     registry.register("dedup_simhash", dedup_simhash, SIMHASH_ORACLE)

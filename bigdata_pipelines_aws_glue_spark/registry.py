@@ -68,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "ivfpq_topk",
     "doc_sentiment_lexicon",
     "curation_funnel_report",
+    "dedup_incremental_neardup",
     # high-value re-attestations: LLM-mandate + flagship + streaming
     # twins (keep these inside the 50-window so every round carries
     # fresh evidence for the headline operators)

@@ -554,3 +554,33 @@ def test_simhash_hamming_locality(spark):
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert sig[1] == sig[2]
     assert ham(sig[1], sig[3]) < 15 < ham(sig[1], sig[4])
+
+
+def test_incremental_neardup_matches_cross_boundary_truth(spark, sf_dir):
+    """The incremental NEW x CORPUS form must find exactly the true
+    Jaccard>=0.8 pairs that cross the batch boundary (subset of the
+    full-corpus truth; LSH recall is 1.0 on this corpus' planted
+    dups), with exact jaccard values."""
+    from bigdata_pipelines_aws_glue_spark.operators.dedup import (
+        dedup_incremental_neardup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    cross = {
+        frozenset(p): j
+        for p, j in truth.items()
+        if (p[0] % 5 == 0) != (p[1] % 5 == 0)
+    }
+    got = {
+        frozenset((r["new_id"], r["corpus_id"])): r["jaccard"]
+        for r in dedup_incremental_neardup(spark, sf_dir).collect()
+    }
+    assert cross, "corpus should have cross-boundary near-dups"
+    assert set(got) <= set(cross)
+    for p, j in got.items():
+        assert abs(j - cross[p]) < 1e-12
+    assert len(got) / len(cross) >= 0.9
