@@ -218,6 +218,122 @@ GROUP BY doc_id
 """
 
 
+TOKEN_BUDGET = 1_000_000
+
+
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix PLANNING: turn temperature weights into integer per-language
+    token quotas that sum EXACTLY to ``TOKEN_BUDGET`` via
+    largest-remainder rounding — the allocation a sampler executes
+    when building a fixed-size training mix. All comparisons run on
+    9-decimal-rounded weights (same pow-precedent as
+    ``corpus_mix_weights``), so floor/remainder arithmetic is
+    identical cross-engine and the quota vector hash-checks.
+
+    Everything after the one corpus scan operates on the #languages-row
+    aggregate: the totals join and the remainder-rank self-join are
+    bounded by language cardinality (a broadcast of a handful of
+    rows), never by corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.sum(F.size(_tokens(F.col("text")))).alias("n_tokens")
+    )
+    total = counts.agg(F.sum("n_tokens").alias("total")).withColumn(
+        "k", F.lit(1)
+    )
+    c = (
+        counts.withColumn("k", F.lit(1))
+        .join(F.broadcast(total), "k")
+        .withColumn(
+            "pw",
+            F.pow(
+                F.col("n_tokens").cast("double") / F.col("total").cast("double"),
+                F.lit(MIX_ALPHA),
+            ),
+        )
+    )
+    z = c.groupBy("k").agg(F.sum("pw").alias("z"))
+    w = c.join(F.broadcast(z), "k").select(
+        "k",
+        "lang",
+        "n_tokens",
+        stable_round(F.col("pw") / F.col("z"), 9).alias("w"),
+    )
+    alloc = w.select(
+        "k",
+        "lang",
+        "n_tokens",
+        "w",
+        F.floor(F.col("w") * TOKEN_BUDGET).cast("long").alias("base"),
+        (F.col("w") * TOKEN_BUDGET - F.floor(F.col("w") * TOKEN_BUDGET)).alias(
+            "frac"
+        ),
+    )
+    rem = alloc.groupBy("k").agg(
+        (F.lit(TOKEN_BUDGET) - F.sum("base")).alias("rem")
+    )
+    # largest-remainder rank WITHOUT a single-partition window: count
+    # strictly-greater (frac, lang) rows in the #langs-row aggregate
+    other = alloc.select(
+        F.col("k"), F.col("lang").alias("o_lang"), F.col("frac").alias("o_frac")
+    )
+    ranked = (
+        alloc.join(F.broadcast(other), "k")
+        .withColumn(
+            "ahead",
+            (
+                (F.col("o_frac") > F.col("frac"))
+                | ((F.col("o_frac") == F.col("frac")) & (F.col("o_lang") < F.col("lang")))
+            ).cast("int"),
+        )
+        .groupBy("k", "lang", "n_tokens", "base", "frac")
+        .agg((F.sum("ahead") + 1).alias("rank"))
+    )
+    return ranked.join(F.broadcast(rem), "k").select(
+        "lang",
+        "n_tokens",
+        (
+            F.col("base")
+            + F.when(F.col("rank") <= F.col("rem"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("token_quota"),
+    )
+
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH counts AS (
+    SELECT lang, sum(len(string_split(trim(text), ' '))) AS n_tokens
+    FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n_tokens) AS total FROM counts),
+c AS (
+    SELECT lang, n_tokens,
+           pow(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), {MIX_ALPHA}) AS pw
+    FROM counts, tot
+),
+z AS (SELECT sum(pw) AS z FROM c),
+w AS (
+    SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           floor((pw / z) * 1000000000.0 + 0.5) / 1000000000.0 AS w
+    FROM c, z
+),
+alloc AS (
+    SELECT lang, n_tokens, w,
+           CAST(floor(w * {TOKEN_BUDGET}) AS BIGINT) AS base,
+           w * {TOKEN_BUDGET} - floor(w * {TOKEN_BUDGET}) AS frac
+    FROM w
+),
+rem AS (SELECT {TOKEN_BUDGET} - sum(base) AS rem FROM alloc),
+ranked AS (
+    SELECT lang, n_tokens, base,
+           row_number() OVER (ORDER BY frac DESC, lang) AS rnk
+    FROM alloc
+)
+SELECT lang, n_tokens,
+       base + CASE WHEN rnk <= rem THEN 1 ELSE 0 END AS token_quota
+FROM ranked, rem
+"""
+
+
 def hll_vocab_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE-sketch rollup (Apache DataSketches HLL via
     ``hll_sketch_agg`` / ``hll_union_agg``): per-language vocabulary
@@ -295,5 +411,8 @@ FROM allr
 def _register() -> None:
     registry.register("corpus_mix_weights", corpus_mix_weights, MIX_ORACLE)
     registry.register("hll_vocab_rollup", hll_vocab_rollup, HLL_ROLLUP_ORACLE)
+    registry.register(
+        "token_budget_allocation", token_budget_allocation, TOKEN_BUDGET_ORACLE
+    )
     registry.register("corpus_token_entropy", corpus_token_entropy, ENTROPY_ORACLE)
     registry.register("crossdoc_shingle_dup", crossdoc_shingle_dup, SHINGLE_ORACLE)

@@ -69,6 +69,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_sentiment_lexicon",
     "curation_funnel_report",
     "dedup_incremental_neardup",
+    "token_budget_allocation",
     # high-value re-attestations: LLM-mandate + flagship + streaming
     # twins (keep these inside the 50-window so every round carries
     # fresh evidence for the headline operators)

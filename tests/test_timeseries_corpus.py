@@ -86,3 +86,26 @@ def test_crossdoc_shingles_detect_injected_duplicate(spark):
     # identical docs share every shingle; the distinct doc shares none
     assert fracs[1] == 1.0 and fracs[2] == 1.0
     assert fracs[3] == 0.0
+
+
+def test_token_budget_allocation_sums_exactly(spark, sf_dir):
+    """Largest-remainder quotas must sum EXACTLY to the budget, stay
+    within 1 of the unrounded share, and favor low-resource languages
+    (temperature < 1)."""
+    from bigdata_pipelines_aws_glue_spark.operators.corpus_stats import (
+        TOKEN_BUDGET,
+        token_budget_allocation,
+    )
+
+    rows = token_budget_allocation(spark, sf_dir).collect()
+    assert sum(r["token_quota"] for r in rows) == TOKEN_BUDGET
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        share = r["n_tokens"] / total
+        quota_share = r["token_quota"] / TOKEN_BUDGET
+        # alpha=0.7 compresses: small langs get >= proportional share,
+        # large langs <= (with slack for the integer rounding)
+        if share < 1 / len(rows):
+            assert quota_share >= share - 1e-6
+        elif share > 1 / len(rows):
+            assert quota_share <= share + 1e-6

@@ -44,6 +44,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "corpus-total + mix-denominator scalars "
         "(1-row broadcasts onto a |languages|-row aggregate)",
     },
+    "token_budget_allocation": {
+        "BroadcastNestedLoopJoin": "remainder-rank self-join and "
+        "totals joins over the #languages-row aggregate — bounded by "
+        "language cardinality, never corpus size",
+    },
     "hll_vocab_rollup": {
         "BroadcastNestedLoopJoin": "1-row global-exact x 1-row "
         "union-estimate crossJoin for the ALL row — scalar join",
