@@ -252,12 +252,19 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    z = c.groupBy("k").agg(F.sum("pw").alias("z"))
+    # quantize pw to 1e-9 longs BEFORE normalizing: the z sum is then
+    # an exact integer in both engines (order-independent), so w — and
+    # every floor/remainder comparison downstream — is bit-identical
+    # cross-engine instead of riding on the 9th decimal of a float sum
+    c = c.withColumn("pwq", F.floor(F.col("pw") * 1e9 + F.lit(0.5)))
+    z = c.groupBy("k").agg(F.sum("pwq").alias("zq"))
     w = c.join(F.broadcast(z), "k").select(
         "k",
         "lang",
         "n_tokens",
-        stable_round(F.col("pw") / F.col("z"), 9).alias("w"),
+        stable_round(
+            F.col("pwq").cast("double") / F.col("zq").cast("double"), 9
+        ).alias("w"),
     )
     alloc = w.select(
         "k",
@@ -307,13 +314,16 @@ WITH counts AS (
 tot AS (SELECT sum(n_tokens) AS total FROM counts),
 c AS (
     SELECT lang, n_tokens,
-           pow(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), {MIX_ALPHA}) AS pw
+           CAST(floor(
+               pow(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE),
+                   {MIX_ALPHA}) * 1000000000.0 + 0.5) AS BIGINT) AS pwq
     FROM counts, tot
 ),
-z AS (SELECT sum(pw) AS z FROM c),
+z AS (SELECT sum(pwq) AS zq FROM c),
 w AS (
     SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
-           floor((pw / z) * 1000000000.0 + 0.5) / 1000000000.0 AS w
+           floor((CAST(pwq AS DOUBLE) / CAST(zq AS DOUBLE))
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS w
     FROM c, z
 ),
 alloc AS (
@@ -346,7 +356,17 @@ def hll_vocab_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality plus a boolean asserting its own estimate lands within
     5% — both sides must say true. The Spark ALL row's estimate comes
     from the sketch union, so the merge path itself is what's
-    attested."""
+    attested.
+
+    Tolerance bound: Spark's DataSketches HLL defaults to lgConfigK=12
+    (RSE ~ 1.04/sqrt(4096) ~ 1.6%), and DuckDB's approx_count_distinct
+    HLL is comparably sized, so 5% is a ~3-sigma bound for EACH
+    engine's own estimator — each side asserts only its own sketch,
+    never the other's, so the check does not require the two
+    estimators to agree with each other. On a corpus where 3 sigma is
+    still too tight, raise lgConfigK via
+    ``F.hll_sketch_agg(col, lgConfigK)`` rather than widening the
+    bound."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("lang", F.explode(_tokens(F.col("text"))).alias("tok"))
     per = toks.groupBy("lang").agg(

@@ -297,9 +297,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The mean is computed over 1e-9-quantized values summed as LONGs,
     # so it is independent of partial-aggregation order AND expressible
     # bit-for-bit in the DuckDB twin (``IVF_RECALL_ORACLE``) — the same
-    # move ``embedding_centroids`` uses. (Long sums bound the oracle's
-    # double-sum exactness to ~2^53/1e9 rows per (label, dim); the
-    # Spark side is exact at any scale.)
+    # move ``embedding_centroids`` uses. (Both sides sum as exact
+    # integers — Spark LONG, DuckDB BIGINT→HUGEINT — so the recipe
+    # holds at any scale, not just under 2^53.)
     cents = (
         load_table(spark, sf_dir, "embeddings")
         .select("label", _as_double(F.col("embedding")).alias("v"))
@@ -545,7 +545,8 @@ _IVF_ANN_CTES = f"""{_SQL_VN},
 cents AS (
     SELECT cell, list(cv ORDER BY dim) AS cvec FROM (
         SELECT label AS cell, dim,
-               (sum(floor(val * 1000000000.0 + 0.5)) / 1000000000.0)
+               (sum(CAST(floor(val * 1000000000.0 + 0.5) AS BIGINT))
+                  / 1000000000.0)
                  / count(*) AS cv
         FROM (
             SELECT label,
@@ -617,7 +618,8 @@ WITH exploded AS (
     FROM embeddings
 )
 SELECT label, CAST(dim AS INT) AS dim,
-       floor(((sum(floor(val * 1000000000.0 + 0.5)) / 1000000000.0)
+       floor(((sum(CAST(floor(val * 1000000000.0 + 0.5) AS BIGINT))
+               / 1000000000.0)
               / count(*)) * 100000000.0 + 0.5) / 100000000.0 AS centroid_val,
        count(*) AS n_vectors
 FROM exploded
@@ -885,9 +887,10 @@ def pq_encode(
 ) -> DataFrame:
     """(vec_id, codes): nearest codeword per subspace — a map over the
     corpus against the BROADCAST codebook, then an m-row-per-vector
-    regroup. 64 float32 dims (256 B) compress to m=4 4-bit codes
-    (2 B): the 128x memory reduction that lets a 100 TB embedding
-    corpus be scanned for ADC scoring from RAM."""
+    regroup. 64 float32 dims (256 B) compress to m=4 5-bit codes
+    (PQ_K=32 -> 20 bits, 2.5 B packed): the ~102x memory reduction
+    that lets a 100 TB embedding corpus be scanned for ADC scoring
+    from RAM."""
     blocks = _vector_blocks(vectors, id_col, vec_col, m, sub)
     w = Window.partitionBy(id_col, "block").orderBy("d", "code_id")
     assigned = (
