@@ -538,10 +538,12 @@ def ann_lsh_multiprobe_recall_at10(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-#: SQL replay of ``ivf_topk``: quantized centroid means (long-summed
-#: on the Spark side, exact double-summed here), cell ranking and
-#: probing with the same (score DESC, cell) tie-break.
-_IVF_ANN_CTES = f"""{_SQL_VN},
+#: SQL replay of ``ivf_topk``'s INDEX (through cell probing):
+#: quantized centroid means (long-summed on the Spark side, exact
+#: BIGINT-summed here), cell ranking and probing with the same
+#: (score DESC, cell) tie-break. Shared by the IVF oracles (which add
+#: exact in-cell scoring) and the IVF-PQ oracle (which adds ADC).
+_IVF_INDEX_CTES = f"""{_SQL_VN},
 cents AS (
     SELECT cell, list(cv ORDER BY dim) AS cvec FROM (
         SELECT label AS cell, dim,
@@ -576,7 +578,9 @@ idx AS (
 probes AS (
     SELECT vec_id AS query_id, e AS qe, nrm AS qn, cell
     FROM ranked_cells WHERE cr <= {N_PROBE} AND vec_id < {N_QUERIES}
-),
+)"""
+
+_IVF_ANN_CTES = f"""{_IVF_INDEX_CTES},
 ann_scored AS (
     SELECT p.query_id, i.neighbor_id,
            list_dot_product(p.qe, i.be) / (p.qn * i.bn) AS score
@@ -738,7 +742,14 @@ def kmeans_fit(
     """Lloyd's k-means on DataFrames — the training step behind IVF
     cell lists (``ivf_topk`` consumes centroids; this produces them).
 
-    Deterministic: seeds are the k lowest-id vectors. Each iteration:
+    Deterministic — and cross-engine reproducible: seeds are the k
+    lowest-id vectors, assignment ties break on (distance, cluster_id),
+    and the centroid update is a 1e-9-QUANTIZED mean (long-summed, so
+    it is independent of partial-aggregation order and bit-identical
+    to a DuckDB replay — the same recipe as ``embedding_centroids``).
+    That determinism is what lets ``pq_topk``/``ivfpq_topk``, whose
+    codebooks this trains, carry full hash oracles
+    (``PQ_TOPK_ORACLE``) instead of rows-only checks. Each iteration:
     assignment = argmin squared distance against the BROADCAST k-row
     centroid table (the corpus never shuffles for assignment); update =
     posexplode + (cluster, dim) mean, shuffling only (cluster, dim,
@@ -774,7 +785,13 @@ def kmeans_fit(
                 "cluster_id", F.posexplode("v").alias("dim", "val")
             )
             .groupBy("cluster_id", "dim")
-            .agg(F.avg("val").alias("m"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                (
+                    (F.sum(F.floor(F.col("val") * 1e9 + F.lit(0.5))) / F.lit(1e9))
+                    / F.count(F.lit(1))
+                ).alias("m"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .groupBy("cluster_id")
             .agg(
                 F.transform(
@@ -913,10 +930,13 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor by summing, per subspace, the precomputed distance from
     the query's sub-vector to the neighbor's CODEWORD (asymmetric
     distance computation). The per-query lookup table is m*k rows —
-    broadcast — so scoring scans only the 2-byte codes, never the
-    vectors. Rows-only entry (iterative k-means codebooks have no SQL
-    twin); recall vs exact L2 is pytest-asserted. At 100 TB, compose
-    with IVF cells to prune before the ADC scan."""
+    broadcast — so scoring scans only the ~2.5-byte codes, never the
+    vectors. Hash-checked end-to-end: the quantized-mean k-means
+    (:func:`kmeans_fit`) makes the codebooks cross-engine
+    deterministic, and per-block ADC distances are 1e-9-quantized
+    longs so their sum is aggregation-order independent — the DuckDB
+    twin (``PQ_TOPK_ORACLE``) replays train+encode+ADC bit-for-bit.
+    At 100 TB, compose with IVF cells to prune before the ADC scan."""
     from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
@@ -931,13 +951,17 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "v"
     )
     qblocks = _vector_blocks(queries, "query_id", "v", PQ_M, sub)
+    # per-block distances quantized to 1e-9 longs: the 4-term ADC sum
+    # is then exact and aggregation-order independent (cross-engine)
     adc = (
         qblocks.join(F.broadcast(codebooks), "block")
         .select(
             "query_id",
             "block",
             "code_id",
-            _sqdist(F.col("bv"), F.col("cvec")).alias("d"),
+            F.floor(
+                _sqdist(F.col("bv"), F.col("cvec")) * 1e9 + F.lit(0.5)
+            ).alias("dq"),
         )
     )
     ncodes = codes.select(
@@ -948,7 +972,7 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ncodes.join(F.broadcast(adc), ["block", "code_id"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d").alias("approx_dist"))
+        .agg((F.sum("dq") / F.lit(1e9)).alias("approx_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id")
@@ -975,8 +999,10 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``IVFPQ_SHORTLIST`` per query are re-ranked by EXACT cosine (the
     standard shortlist + re-rank). At 100 TB: the scan touches one
     cell list in compressed codes; exact vectors are fetched for ~30
-    rows per query. Rows-only (k-means codebooks); recall vs exact
-    asserted in tests."""
+    rows per query. Hash-checked end-to-end (``IVFPQ_TOPK_ORACLE``):
+    quantized-mean codebooks + quantized ADC sums make every stage —
+    IVF probe, ADC shortlist, exact re-rank — cross-engine
+    deterministic; recall vs exact additionally asserted in tests."""
     from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
@@ -1023,7 +1049,9 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qblocks = _vector_blocks(queries, "query_id", "v", PQ_M, sub)
     adc = qblocks.join(F.broadcast(codebooks), "block").select(
         "query_id", "block", "code_id",
-        _sqdist(F.col("bv"), F.col("cvec")).alias("d"),
+        F.floor(
+            _sqdist(F.col("bv"), F.col("cvec")) * 1e9 + F.lit(0.5)
+        ).alias("dq"),
     )
     # ---- candidates = IVF-pruned pairs; score from codes only
     cand = probes.join(index, "cell").filter(
@@ -1037,7 +1065,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ncodes, "neighbor_id")
         .join(F.broadcast(adc), ["query_id", "block", "code_id"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d").alias("approx_dist"))
+        .agg((F.sum("dq") / F.lit(1e9)).alias("approx_dist"))
     )
     w_sl = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id")
@@ -1072,6 +1100,150 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_ctes() -> str:
+    """CTE prefix replaying PQ train + encode + ADC in DuckDB,
+    bit-for-bit against :func:`pq_train`/:func:`pq_encode`:
+
+    - ``blocks``: contiguous sub-vector slices (1-based list_slice ==
+      ``F.slice``);
+    - ``cb0``: seeds = the PQ_K lowest-vid sub-vectors per block (the
+      ``kmeans_fit`` seeding rule);
+    - ``asg{{i}}``/``cb{{i}}``: PQ_ITERS unrolled Lloyd's rounds —
+      argmin on (in-order sqdist, code_id) exactly like the Spark
+      window, then the 1e-9-quantized BIGINT-summed mean;
+    - ``ncodes``: final assignment (the encode step);
+    - ``adc``: per-(query, block, code) distances as 1e-9 longs, so
+      the ADC sum is exact in any aggregation order.
+
+    ``list_dot_product(df, df)`` reproduces ``_sqdist``'s in-order
+    fold (the proven LSH-oracle precedent). Assumes ``vn`` (vec_id, e,
+    nrm) is already in scope."""
+    sub = f"(len(e) // {PQ_M})"
+    ctes = [
+        f"""blocks AS (
+    SELECT vec_id AS vid, bl.block,
+           list_slice(e, bl.block * {sub} + 1, (bl.block + 1) * {sub}) AS bv
+    FROM vn CROSS JOIN
+         (SELECT unnest(generate_series(0, {PQ_M - 1})) AS block) bl
+)""",
+        f"""cb0 AS (
+    SELECT block, code_id, bv AS cvec FROM (
+        SELECT block, bv,
+               row_number() OVER (PARTITION BY block ORDER BY vid) AS code_id
+        FROM blocks)
+    WHERE code_id <= {PQ_K}
+)""",
+    ]
+
+    def _assign(name: str, codebook: str, extra_where: str = "") -> str:
+        return f"""{name} AS (
+    SELECT vid, block, bv, code_id,
+           row_number() OVER (PARTITION BY vid, block
+                              ORDER BY list_dot_product(df, df), code_id)
+             AS rn
+    FROM (
+        SELECT bl.vid, bl.block, bl.bv, cb.code_id,
+               list_transform(generate_series(1, len(bl.bv)),
+                              x -> bl.bv[x] - cb.cvec[x]) AS df
+        FROM blocks bl JOIN {codebook} cb USING (block){extra_where})
+)"""
+
+    for i in range(1, PQ_ITERS + 1):
+        ctes.append(_assign(f"asg{i}", f"cb{i - 1}"))
+        ctes.append(
+            f"""cb{i} AS (
+    SELECT block, code_id, list(cv ORDER BY dim) AS cvec FROM (
+        SELECT block, code_id, dim,
+               (sum(CAST(floor(val * 1000000000.0 + 0.5) AS BIGINT))
+                  / 1000000000.0) / count(*) AS cv
+        FROM (
+            SELECT block, code_id,
+                   generate_subscripts(bv, 1) AS dim,
+                   unnest(bv) AS val
+            FROM asg{i} WHERE rn = 1)
+        GROUP BY block, code_id, dim)
+    GROUP BY block, code_id
+)"""
+        )
+    ctes.append(_assign("enc", f"cb{PQ_ITERS}"))
+    ctes.append(
+        "ncodes AS (\n"
+        "    SELECT vid AS neighbor_id, block, code_id FROM enc WHERE rn = 1\n)"
+    )
+    ctes.append(
+        f"""adc AS (
+    SELECT vid AS query_id, block, code_id,
+           CAST(floor(list_dot_product(df, df) * 1000000000.0 + 0.5)
+                AS BIGINT) AS dq
+    FROM (
+        SELECT bl.vid, bl.block, cb.code_id,
+               list_transform(generate_series(1, len(bl.bv)),
+                              x -> bl.bv[x] - cb.cvec[x]) AS df
+        FROM blocks bl JOIN cb{PQ_ITERS} cb USING (block)
+        WHERE bl.vid < {N_QUERIES})
+)"""
+    )
+    return ",\n".join(ctes)
+
+
+_PQ_TOPK_SELECT = f"""
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       floor(approx_dist * 100000000.0 + 0.5) / 100000000.0 AS approx_dist
+FROM (
+    SELECT query_id, neighbor_id, approx_dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist ASC, neighbor_id) AS rank
+    FROM pq_scored)
+WHERE rank <= {TOP_K}
+"""
+
+PQ_TOPK_ORACLE = f"""WITH {_SQL_VN},
+{_pq_ctes()},
+pq_scored AS (
+    SELECT a.query_id, n.neighbor_id,
+           sum(a.dq) / 1000000000.0 AS approx_dist
+    FROM ncodes n JOIN adc a ON n.block = a.block AND n.code_id = a.code_id
+    WHERE a.query_id <> n.neighbor_id
+    GROUP BY a.query_id, n.neighbor_id
+)
+{_PQ_TOPK_SELECT}
+"""
+
+IVFPQ_TOPK_ORACLE = f"""WITH {_IVF_INDEX_CTES},
+{_pq_ctes()},
+cand AS (
+    SELECT DISTINCT p.query_id, i.neighbor_id
+    FROM probes p JOIN idx i USING (cell)
+    WHERE p.query_id <> i.neighbor_id
+),
+adc_scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           sum(a.dq) / 1000000000.0 AS approx_dist
+    FROM cand c
+    JOIN ncodes n ON n.neighbor_id = c.neighbor_id
+    JOIN adc a ON a.query_id = c.query_id AND a.block = n.block
+              AND a.code_id = n.code_id
+    GROUP BY c.query_id, c.neighbor_id
+),
+shortlist AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dist ASC, neighbor_id) AS sr
+        FROM adc_scored)
+    WHERE sr <= {IVFPQ_SHORTLIST}
+),
+rr AS (
+    SELECT s.query_id, s.neighbor_id,
+           list_dot_product(q.e, b.e) / (q.nrm * b.nrm) AS score
+    FROM shortlist s
+    JOIN vn q ON q.vec_id = s.query_id
+    JOIN vn b ON b.vec_id = s.neighbor_id
+)
+{_SQL_ANN_TOPK_SELECT.replace("FROM ann_scored", "FROM rr")}
+"""
+
+
 def _register() -> None:
     registry.register("cosine_topk", cosine_topk, COSINE_TOPK_ORACLE)
     registry.register("ann_lsh_topk", ann_lsh_topk, LSH_TOPK_ORACLE)
@@ -1090,5 +1262,5 @@ def _register() -> None:
         "dedup_embedding_cosine", dedup_embedding_cosine, EMBEDDING_NEAR_DUP_ORACLE
     )
     registry.register("kmeans_embeddings", kmeans_embeddings, None)
-    registry.register("pq_topk", pq_topk, None)
-    registry.register("ivfpq_topk", ivfpq_topk, None)
+    registry.register("pq_topk", pq_topk, PQ_TOPK_ORACLE)
+    registry.register("ivfpq_topk", ivfpq_topk, IVFPQ_TOPK_ORACLE)
