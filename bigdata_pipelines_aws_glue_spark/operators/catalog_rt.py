@@ -1,0 +1,86 @@
+"""Catalog round-trip as a driver-attested query (SURVEY.md §2.1
+S4-S7).
+
+The catalog layer (``sources/catalog.py`` — external-table
+registration, MSCK partition discovery; the reference's
+redshift_setup.py:48-121 Glue/Athena path) was previously
+pytest-only. This query moves it onto the hard correctness signal:
+write ``orders`` through the partitioned parquet sink, register an
+EXTERNAL table over the written layout, run MSCK partition discovery,
+read the data back THROUGH the catalog, and aggregate. The DuckDB
+twin computes the same aggregate straight from the source table, so a
+hash match proves the sink + external table + partition discovery +
+catalog read path preserved every row and value.
+
+Money sums as exact cents (LONG both engines) — aggregation-order
+independent.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.sources.catalog import (
+    register_external_table,
+)
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+from bigdata_pipelines_aws_glue_spark.sources.writers import (
+    write_partitioned_parquet,
+)
+
+#: Registered in the always-present ``default`` database: CREATE
+#: DATABASE would mkdir under the session's warehouse dir, which a
+#: read-only driver cwd could refuse; the external table itself needs
+#: no warehouse storage.
+_TABLE = "catalog_rt_orders"
+
+
+def catalog_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S5+S6+S7 in one attested pass: partitioned sink → external
+    table → MSCK → catalog read → aggregate. Partitioning by order
+    status exercises partition-column reconstruction from the Hive
+    layout (the value leaves the files and comes back from directory
+    names). Scratch location is per-SF so concurrent checks at
+    different scales don't collide; overwrite mode keeps re-runs
+    idempotent (C3)."""
+    orders = load_table(spark, sf_dir, "orders")
+    loc = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_catalog_rt_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    write_partitioned_parquet(orders, loc, partition_col="o_orderstatus")
+    register_external_table(
+        spark, _TABLE, loc, database="default", partition_cols=("o_orderstatus",)
+    )
+    back = spark.table(f"default.{_TABLE}")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+CATALOG_RT_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def _register() -> None:
+    registry.register(
+        "catalog_roundtrip_orders", catalog_roundtrip_orders, CATALOG_RT_ORACLE
+    )

@@ -738,6 +738,7 @@ def kmeans_fit(
     n_iter: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    inertia_out: list | None = None,
 ) -> DataFrame:
     """Lloyd's k-means on DataFrames — the training step behind IVF
     cell lists (``ivf_topk`` consumes centroids; this produces them).
@@ -756,7 +757,12 @@ def kmeans_fit(
     partial-sum) triples. Centroid state is k rows — checkpointed per
     round so the lineage stays flat. Clusters that lose all members
     drop out (standard Lloyd's degeneracy; k is then effectively
-    smaller). Returns (cluster_id, centroid, n_assigned)."""
+    smaller). Returns (cluster_id, centroid, n_assigned).
+
+    ``inertia_out``: audit mode — when a list is passed, the inertia
+    (one scalar) is collected after every update and appended, adding
+    one extra assignment pass per iteration. Training runs leave it
+    None; ``kmeans_convergence`` uses it to attest monotonicity."""
     from pyspark.sql import Window
 
     v = vectors.select(
@@ -804,6 +810,13 @@ def kmeans_fit(
             )
             .localCheckpoint(eager=True)
         )
+        if inertia_out is not None:
+            d = (
+                v.crossJoin(F.broadcast(cent.select("cv")))
+                .groupBy("vid")
+                .agg(F.min(_sqdist(F.col("v"), F.col("cv"))).alias("d"))
+            )
+            inertia_out.append(d.agg(F.sum("d")).collect()[0][0])
     return cent.select(
         "cluster_id", F.col("cv").alias("centroid"), "n_assigned"
     )
@@ -830,6 +843,49 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_assigned",
         stable_round(norm(F.col("centroid")), 6).alias("centroid_norm"),
     )
+
+
+def kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attestable k-means convergence certificate (the
+    tolerance-boolean contract of ``hll_vocab_rollup``): one row with
+    the EXACT corpus/assignment counts both engines can compute, plus
+    booleans only the training run can assert — per-iteration inertia
+    non-increasing (Lloyd's guarantee, with 1e-6 relative slack for
+    the 1e-9 centroid quantization) and a strict first-to-last
+    decrease. The DuckDB twin recomputes the counts and asserts TRUE,
+    so a hash match proves full assignment coverage AND convergence.
+    The inertia trajectory costs one extra broadcast-assignment pass
+    per iteration — audit mode only, never the training path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    traj: list[float] = []
+    fitted = kmeans_fit(emb, inertia_out=traj)
+    monotone = all(
+        traj[i] <= traj[i - 1] * (1.0 + 1e-6) for i in range(1, len(traj))
+    )
+    decreased = traj[-1] < traj[0]
+    counts = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    assigned = fitted.agg(
+        F.sum("n_assigned").cast("long").alias("n_assigned_total")
+    )
+    return counts.crossJoin(assigned).select(
+        F.lit(KMEANS_K).alias("k"),
+        "n_vectors",
+        "n_assigned_total",
+        F.lit(KMEANS_ITERS).alias("iters"),
+        F.lit(bool(monotone)).alias("inertia_monotone"),
+        F.lit(bool(decreased)).alias("inertia_decreased"),
+    )
+
+
+KMEANS_CONVERGENCE_ORACLE = f"""
+SELECT {KMEANS_K} AS k,
+       count(*) AS n_vectors,
+       count(*) AS n_assigned_total,
+       {KMEANS_ITERS} AS iters,
+       TRUE AS inertia_monotone,
+       TRUE AS inertia_decreased
+FROM embeddings
+"""
 
 
 PQ_M = 4  # subspaces
@@ -1262,5 +1318,8 @@ def _register() -> None:
         "dedup_embedding_cosine", dedup_embedding_cosine, EMBEDDING_NEAR_DUP_ORACLE
     )
     registry.register("kmeans_embeddings", kmeans_embeddings, None)
+    registry.register(
+        "kmeans_convergence", kmeans_convergence, KMEANS_CONVERGENCE_ORACLE
+    )
     registry.register("pq_topk", pq_topk, PQ_TOPK_ORACLE)
     registry.register("ivfpq_topk", ivfpq_topk, IVFPQ_TOPK_ORACLE)

