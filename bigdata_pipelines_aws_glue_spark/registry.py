@@ -26,88 +26,79 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 #: Names emitted FIRST by ``queries()``/``oracle_sql()``. The driver
 #: verifies exactly the first 50 dict entries per round, so ordering
-#: is the verification budget. Round 4 front-loads (a) the 11 queries
-#: with no driver row in ANY round (CORRECTNESS_r01+r02; the round-3
-#: driver never ran), (b) ``embedding_quantize_int8`` — the one
-#: historically-red row, reshaped to a driver-hashable string column
-#: in round 3 and still awaiting a green row, (c) queries whose
-#: BEHAVIOR changed in round 3 (posting-list df cap, scaled rank
-#: buckets) and must be re-attested, and (d) round-4 additions. Names
-#: not present are skipped; unlisted queries follow in registration
-#: order.
+#: is the verification budget — rotate it every round toward the
+#: OLDEST evidence. CORRECTNESS_r03 attested its 50-query window
+#: (46 hash-green, 4 no_oracle, 0 failures); round 4 therefore
+#: front-loads (a) the 6 queries that are new or behavior-changed
+#: this round (newly-oracled PQ/IVF-PQ/compression/k-means/catalog
+#: rows + the re-quantized token-budget allocator) and (b) 44 of the
+#: 47 queries whose most recent attestation is ROUND 1 — the stalest
+#: evidence in the ledger. Exactly 50 names: no slot is wasted on a
+#: row the previous round just verified (every name here was
+#: last attested in r1 or never), and no-oracle rows stay out of the
+#: window (their evidence is pytest). Deferred to round 5: the 3
+#: remaining r1 set-ops (union_all_by_name, set_intersect_all,
+#: set_except_all) plus the 26 r2-attested queries and the r3-green
+#: rows whose DuckDB oracle text got BIGINT-cast hardening
+#: (embedding_centroids, ivf_topk, ivf_recall_at10 — local
+#: check_oracle confirms their hashes are unchanged).
 PRIORITY: tuple[str, ...] = (
-    # (a) never attested in any round
-    "sql_correlated_delta",
-    "string_functions",
-    "regex_functions",
-    "date_functions",
-    "array_functions",
-    "dq_profile",
-    "zorder_layout_key",
-    "events_rolling_avg_time",
-    "events_outlier_mad",
-    "sales_trend_slope",
-    "rolling_7d_active_users",
-    # (b) historically red, reshaped in round 3
-    "embedding_quantize_int8",
-    # (c) behavior changed in round 3 — re-attest
-    "dedup_ngram_jaccard",
-    "deterministic_shuffle",
-    # (d) round-4 additions
-    "ann_lsh_recall_at10",
-    "ann_lsh_multiprobe_recall_at10",
-    "ivf_recall_at10",
-    "asof_join_skewproof",
-    "gopher_quality_filter",
-    "events_click_to_purchase",
-    "pii_scrub_report",
-    "train_val_test_split",
-    "hll_vocab_rollup",
-    "doc_compression_ratio",
+    # (a) new or behavior-changed in round 4
     "pq_topk",
     "ivfpq_topk",
-    "doc_sentiment_lexicon",
-    "curation_funnel_report",
-    "dedup_incremental_neardup",
+    "doc_compression_ratio",
+    "kmeans_convergence",
+    "catalog_roundtrip_orders",
     "token_budget_allocation",
-    # high-value re-attestations: LLM-mandate + flagship + streaming
-    # twins (keep these inside the 50-window so every round carries
-    # fresh evidence for the headline operators)
-    "flagship_pipeline",
-    "dedup_content_hash",
-    "dedup_minhash_lsh",
-    "dedup_neardup_pipeline",
-    "dedup_simhash",
-    "dedup_clusters",
-    "corpus_curation_summary",
-    "decontaminate_against_eval",
-    "text_stats",
-    "lang_id_markers",
-    "token_count_bpe",
-    "doc_fingerprint",
-    "doc_repetition_stats",
-    "top_terms_per_lang",
-    "cosine_topk",
-    "ann_lsh_topk",
-    "ivf_topk",
-    "embedding_centroids",
-    "dedup_embedding_cosine",
-    "kmeans_embeddings",
-    "multimodal_bytes_meta",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "stratified_sample",
-    "weighted_sample_topk",
-    "corpus_mix_weights",
-    "corpus_token_entropy",
-    "crossdoc_shingle_dup",
-    "sequence_pack_chunks",
-    "chunk_fill_report",
-    "approx_distinct",
-    "skew_safe_agg",
-    "asof_join_sortmerge",
-    "ewma_anomaly_per_user",
+    # (b) last attested round 1 — aggregates / TPC-H shapes
+    "q1_pricing_summary",
+    "sales_trends_monthly",
+    "distinct_agg",
+    "rollup_sales",
+    "cube_status",
+    "q3_top_unshipped",
+    "q5_local_revenue",
+    "percentile_by_status",
+    "pivot_revenue",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "q10_returned_items",
+    "q2_top_supplier_per_nation",
+    "q16_supplier_diversity",
+    "histogram_order_totals",
+    "stats_moments",
+    "unpivot_measures",
+    "monthly_revenue_gapfill",
+    # (b) sorts / windows / joins / merge
+    "topk_orders",
+    "global_sorted_sample",
+    "window_rank_orders",
+    "window_distribution_ranks",
+    "scd2_rate_history",
+    "window_running_total",
+    "window_lead_lag",
+    "full_outer_reconciliation",
+    "asof_join_rates",
+    "semi_join_customers",
+    "anti_join_customers",
+    "range_join_promo_windows",
+    "staged_merge_orders",
+    # (b) set ops (3 of 6; rest round 5)
+    "set_union",
+    "set_intersect",
+    "set_except",
+    # (b) events / streaming twins
+    "events_window_10min",
+    "events_sessionize",
+    "events_json_props",
+    "events_sliding_window",
+    "events_json_typed",
+    "events_grouping_sets",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_attribution",
+    # (b) dedup
+    "dedup_exact",
 )
 
 
