@@ -69,14 +69,15 @@ def main() -> None:
     spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # best-of-3: the first run pays per-query codegen/JIT (~0.5-1s,
+        # best-of-5: the first run pays per-query codegen/JIT (~0.5-1s,
         # a fixed cost amortized to zero at real scale) and occasional
         # GC pauses; the min is the steady-state plan-execution time.
-        # Three repeats (round-2 verdict: single-repeat numbers swung
-        # up to 2.7x on unchanged code) + a recorded spread so a noisy
+        # Five repeats (round-2 verdict: single-repeat numbers swung
+        # up to 2.7x on unchanged code; round-3 still showed +23%
+        # spread artifacts at n=3) + a recorded spread so a noisy
         # round is distinguishable from a plan regression.
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

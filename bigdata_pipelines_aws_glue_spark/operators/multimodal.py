@@ -7,13 +7,16 @@ so each Python worker touches a columnar batch, never a row at a
 time.
 
 The container ships no imaging libraries, so the codecs here are
-real, dependency-free numpy implementations of two genuinely-simple
-formats — binary PPM/PGM (P6/P5) and uncompressed 24-bit BMP —
-round-trip tested. The synthetic corpus payloads are REAL encoded
-images in those formats; ``decode_image`` dispatches on the magic
-bytes and actually decodes them. Formats needing an external codec
-(PNG/JPEG/video) raise ``NotImplementedError`` at the same dispatch
-point — that is the PIL/ffmpeg integration seam at deploy time.
+real, dependency-free numpy implementations: binary PPM/PGM (P6/P5),
+uncompressed 24-bit BMP, non-interlaced 8-bit PNG, and — in
+``jpeg.py`` — baseline-sequential JPEG per ITU-T T.81 (the dominant
+format of real image corpora), all round-trip tested and the JPEG
+path cross-validated against ``javax.imageio``. The synthetic corpus
+payloads are REAL encoded images; ``decode_image`` dispatches on the
+magic bytes and actually decodes them. Remaining formats
+(progressive JPEG, video containers) raise ``NotImplementedError``
+at the same dispatch point — the PIL/ffmpeg integration seam at
+deploy time.
 
 ``multimodal_bytes_meta`` — the metadata/integrity pass (sizes,
 digests) — is pure JVM expressions and oracle-checked.
@@ -218,17 +221,23 @@ def _decode_png(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image payload to an (H, W[, 3]) uint8 array.
 
-    Real decoders for PPM/PGM, 24-bit BMP, and non-interlaced 8-bit
-    PNG (numpy + stdlib zlib only, see module docstring); anything
-    else — JPEG, 16-bit/interlaced PNG, video containers — raises
-    ``NotImplementedError`` here, the integration seam where a real
-    deployment wires PIL / torchvision / ffmpeg."""
+    Real decoders for PPM/PGM, 24-bit BMP, non-interlaced 8-bit PNG,
+    and baseline-sequential JPEG (``jpeg.py``, cross-validated
+    against javax.imageio output — numpy + stdlib only, see module
+    docstring); anything else — progressive JPEG, 16-bit/interlaced
+    PNG, video containers — raises ``NotImplementedError`` here, the
+    integration seam where a real deployment wires PIL / torchvision
+    / ffmpeg."""
     if payload[:2] in (b"P5", b"P6"):
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from bigdata_pipelines_aws_glue_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         "codec for this format not available in this environment; "
         "wire PIL/torchvision/ffmpeg here at deploy time"

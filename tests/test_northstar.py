@@ -255,12 +255,15 @@ def test_png_codec_roundtrip_and_filters():
 
 
 def test_multimodal_unknown_codec_is_integration_seam():
-    # JPEG magic — still behind the external-codec seam
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0...")
-    # so is 16-bit / interlaced PNG
+    # progressive JPEG (SOF2) — still behind the external-codec seam
     import struct
 
+    progressive = (
+        b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(progressive)
+    # so is 16-bit / interlaced PNG
     from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
         _png_chunk,
         _PNG_SIG,
@@ -271,6 +274,52 @@ def test_multimodal_unknown_codec_is_integration_seam():
     )
     with pytest.raises(NotImplementedError):
         decode_image(deep)
+
+
+def test_jpeg_codec_roundtrip_and_interop():
+    """Baseline JPEG (jpeg.py): (a) encode->decode round-trip error is
+    JPEG-lossy-small on smooth content for RGB, gray, and
+    non-multiple-of-8 sizes; (b) a 4:2:0-subsampled file produced by
+    an INDEPENDENT implementation (javax.imageio, vendored below)
+    decodes to the generating pattern — catching any
+    self-consistent-but-wrong transform the round-trip alone would
+    mask (e.g. a transposed zigzag cancels in (a) but not in (b))."""
+    import base64
+
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    dec = decode_image(encode_jpeg(rgb))
+    assert dec.shape == rgb.shape
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert err.mean() < 4 and err.max() < 32, (err.mean(), err.max())
+
+    gray = ((yy[:37, :41] + xx[:37, :41]) % 256).astype(np.uint8)
+    decg = decode_jpeg(encode_jpeg(gray))
+    assert decg.shape == gray.shape
+    assert np.abs(decg.astype(int) - gray.astype(int)).mean() < 4
+
+    # 48x64 gradient (r=4y, g=3x, b=2(x+y)) written by javax.imageio
+    # (default 4:2:0 chroma subsampling — exercises the upsample path)
+    java_ref = base64.b64decode(_JAVA_IMAGEIO_JPEG_B64)
+    decj = decode_jpeg(java_ref)
+    hh, ww = 48, 64
+    yj, xj = np.mgrid[0:hh, 0:ww]
+    want = np.stack(
+        [(yj * 4) % 256, (xj * 3) % 256, ((xj + yj) * 2) % 256], axis=-1
+    ).astype(int)
+    errj = np.abs(decj.astype(int) - want)
+    assert decj.shape == (hh, ww, 3)
+    assert errj.mean() < 4 and errj.max() < 32, (errj.mean(), errj.max())
 
 
 def test_multimodal_features_real_decode(spark, sf_dir):
@@ -584,3 +633,27 @@ def test_incremental_neardup_matches_cross_boundary_truth(spark, sf_dir):
     for p, j in got.items():
         assert abs(j - cross[p]) < 1e-12
     assert len(got) / len(cross) >= 0.9
+
+
+#: 48x64 RGB gradient JPEG produced by java.awt + javax.imageio
+#: (public JDK stdlib) — an independent baseline-JPEG implementation
+#: used as the interop fixture for jpeg.py. Generator: JpegGen.java
+#: pattern r=(y*4)&255, g=(x*3)&255, b=((x+y)*2)&255.
+_JAVA_IMAGEIO_JPEG_B64 = (
+    "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRof"
+    "Hh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/2wBDAQkJCQwLDBgNDRgyIRwh"
+    "MjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjL/wAAR"
+    "CAAwAEADASIAAhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAA"
+    "AgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkK"
+    "FhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWG"
+    "h4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl"
+    "5ufo6erx8vP09fb3+Pn6/8QAHwEAAwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREA"
+    "AgECBAQDBAcFBAQAAQJ3AAECAxEEBSExBhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYk"
+    "NOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElKU1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOE"
+    "hYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk"
+    "5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwDwuGOtCGOooY60IY6qxdagSwx1oQx+1RQx"
+    "1oQx0WPLrUCWGOtCGOooYq0IY6LHl1qBJDHWhDHUcMdaEMftTseVWoHjcMftWhDHUUMdaEMd"
+    "aWP1etQJYY6vwx1HDHWhDHRY8utQJIY60IY/ao4Y60IY/aix5dagSQx1oQx1HDHWhDHRY8qt"
+    "QPG4Y6vwx1HDHWhDHWlj9XrUCSGOtCGOo4Y/atCGOnY8utQJIY60IY6jhjq/DHRY8utQJYYq"
+    "0IY6ihjrQhj9qLHl1qB//9k="
+)
