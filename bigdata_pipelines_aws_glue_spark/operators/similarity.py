@@ -1045,6 +1045,56 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Euclidean top-k (the reference metric for PQ, which
+    quantizes L2 distances — cosine would grade it against the wrong
+    objective). Same broadcast-queries / window-top-k shape as
+    :func:`cosine_topk`. Not registered: it exists as the recall
+    reference for ``pq_recall_at10``."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    base = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("bv")
+    )
+    scored = base.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _sqdist(F.col("qv"), F.col("bv")).alias("d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def pq_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ-ADC vs exact L2 — the quality number for the
+    compression-based ANN path, hash-checked: the DuckDB twin replays
+    codebook training, encoding, ADC scoring AND the exact L2
+    reference, so the per-query hit counts must agree exactly."""
+    return _recall_vs_exact(exact_l2_topk(spark, sf_dir), pq_topk(spark, sf_dir))
+
+
+def ivfpq_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF-PQ (cell-pruned, ADC-shortlisted, exact
+    cosine re-rank) vs exact cosine brute force."""
+    return _recall_vs_exact(
+        cosine_topk(spark, sf_dir), ivfpq_topk(spark, sf_dir)
+    )
+
+
 IVFPQ_SHORTLIST = 3 * TOP_K  # ADC shortlist size before exact re-rank
 
 
@@ -1299,6 +1349,84 @@ rr AS (
 {_SQL_ANN_TOPK_SELECT.replace("FROM ann_scored", "FROM rr")}
 """
 
+#: Exact-L2 reference CTEs (exact_scored/exact_topk names match what
+#: ``_SQL_RECALL_SELECT`` expects) — the PQ recall ground truth.
+_SQL_EXACT_L2_TOPK = f"""
+exact_scored AS (
+    SELECT query_id, neighbor_id, list_dot_product(df, df) AS d
+    FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_transform(generate_series(1, len(q.e)),
+                              x -> q.e[x] - b.e[x]) AS df
+        FROM vn q JOIN vn b
+          ON q.vec_id < {N_QUERIES} AND q.vec_id <> b.vec_id)
+),
+exact_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d ASC, neighbor_id) AS rank
+        FROM exact_scored)
+    WHERE rank <= {TOP_K}
+)
+"""
+
+PQ_RECALL_ORACLE = f"""WITH {_SQL_VN},
+{_pq_ctes()},
+pq_scored AS (
+    SELECT a.query_id, n.neighbor_id,
+           sum(a.dq) / 1000000000.0 AS approx_dist
+    FROM ncodes n JOIN adc a ON n.block = a.block AND n.code_id = a.code_id
+    WHERE a.query_id <> n.neighbor_id
+    GROUP BY a.query_id, n.neighbor_id
+),
+ann_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dist ASC, neighbor_id)
+                 AS rank
+        FROM pq_scored)
+    WHERE rank <= {TOP_K}
+),
+{_SQL_EXACT_L2_TOPK.strip()}
+{_SQL_RECALL_SELECT}
+"""
+
+IVFPQ_RECALL_ORACLE = f"""WITH {_IVF_INDEX_CTES},
+{_pq_ctes()},
+cand AS (
+    SELECT DISTINCT p.query_id, i.neighbor_id
+    FROM probes p JOIN idx i USING (cell)
+    WHERE p.query_id <> i.neighbor_id
+),
+adc_scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           sum(a.dq) / 1000000000.0 AS approx_dist
+    FROM cand c
+    JOIN ncodes n ON n.neighbor_id = c.neighbor_id
+    JOIN adc a ON a.query_id = c.query_id AND a.block = n.block
+              AND a.code_id = n.code_id
+    GROUP BY c.query_id, c.neighbor_id
+),
+shortlist AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_dist ASC, neighbor_id) AS sr
+        FROM adc_scored)
+    WHERE sr <= {IVFPQ_SHORTLIST}
+),
+ann_scored AS (
+    SELECT s.query_id, s.neighbor_id,
+           list_dot_product(q.e, b.e) / (q.nrm * b.nrm) AS score
+    FROM shortlist s
+    JOIN vn q ON q.vec_id = s.query_id
+    JOIN vn b ON b.vec_id = s.neighbor_id
+),
+{_SQL_ANN_RECALL_TAIL}
+"""
+
 
 def _register() -> None:
     registry.register("cosine_topk", cosine_topk, COSINE_TOPK_ORACLE)
@@ -1323,3 +1451,7 @@ def _register() -> None:
     )
     registry.register("pq_topk", pq_topk, PQ_TOPK_ORACLE)
     registry.register("ivfpq_topk", ivfpq_topk, IVFPQ_TOPK_ORACLE)
+    registry.register("pq_recall_at10", pq_recall_at10, PQ_RECALL_ORACLE)
+    registry.register(
+        "ivfpq_recall_at10", ivfpq_recall_at10, IVFPQ_RECALL_ORACLE
+    )
