@@ -29,15 +29,16 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence. CORRECTNESS_r03 attested its 50-query window
 #: (46 hash-green, 4 no_oracle, 0 failures); round 4 therefore
-#: front-loads (a) the 6 queries that are new or behavior-changed
-#: this round (newly-oracled PQ/IVF-PQ/compression/k-means/catalog
-#: rows + the re-quantized token-budget allocator) and (b) 44 of the
-#: 47 queries whose most recent attestation is ROUND 1 — the stalest
-#: evidence in the ledger. Exactly 50 names: no slot is wasted on a
-#: row the previous round just verified (every name here was
-#: last attested in r1 or never), and no-oracle rows stay out of the
-#: window (their evidence is pytest). Deferred to round 5: the 3
-#: remaining r1 set-ops (union_all_by_name, set_intersect_all,
+#: front-loads (a) the 8 queries that are new or behavior-changed
+#: this round (newly-oracled PQ/IVF-PQ top-k + recall, compression
+#: bounds, k-means convergence, catalog round-trip, and the
+#: re-quantized token-budget allocator) and (b) 42 of the 47 queries
+#: whose most recent attestation is ROUND 1 — the stalest evidence
+#: in the ledger. Exactly 50 names: no slot is wasted on a row the
+#: previous round just verified (every name here was last attested
+#: in r1 or never), and no-oracle rows stay out of the window (their
+#: evidence is pytest). Deferred to round 5: five r1 set-ops
+#: (set_union, set_intersect, union_all_by_name, set_intersect_all,
 #: set_except_all) plus the 26 r2-attested queries and the r3-green
 #: rows whose DuckDB oracle text got BIGINT-cast hardening
 #: (embedding_centroids, ivf_topk, ivf_recall_at10 — local
@@ -46,6 +47,8 @@ PRIORITY: tuple[str, ...] = (
     # (a) new or behavior-changed in round 4
     "pq_topk",
     "ivfpq_topk",
+    "pq_recall_at10",
+    "ivfpq_recall_at10",
     "doc_compression_ratio",
     "kmeans_convergence",
     "catalog_roundtrip_orders",
@@ -83,9 +86,9 @@ PRIORITY: tuple[str, ...] = (
     "anti_join_customers",
     "range_join_promo_windows",
     "staged_merge_orders",
-    # (b) set ops (3 of 6; rest round 5)
-    "set_union",
-    "set_intersect",
+    # (b) set ops (1 of 6 as the family representative; the other
+    # five rotate in round 5 — two slots ceded to the new PQ recall
+    # attestations above)
     "set_except",
     # (b) events / streaming twins
     "events_window_10min",
