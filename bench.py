@@ -83,7 +83,13 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
-        spreads[name] = round((max(runs) - min(runs)) / max(min(runs), 1e-9), 2)
+        # spread over runs 2..n: the first run pays per-query codegen
+        # (already excluded from the min), so including it in the
+        # spread would just re-measure compile time, not stability
+        steady = runs[1:]
+        spreads[name] = round(
+            (max(steady) - min(steady)) / max(min(steady), 1e-9), 2
+        )
 
     total = round(sum(timings.values()), 3)
     print(
