@@ -88,6 +88,21 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "k-row centroid broadcast per "
         "assignment round",
     },
+    "kmeans_convergence": {
+        "BroadcastNestedLoopJoin": "k-row centroid broadcast per "
+        "assignment/inertia round + 1-row count x 1-row sum crossJoin "
+        "for the certificate row",
+    },
+    "pq_recall_at10": {
+        "BroadcastNestedLoopJoin": "the exact-L2 reference side is the "
+        "bounded N_QUERIES broadcast sample (recall auditing is always "
+        "sampled); the PQ side scores codes via equi-joins",
+    },
+    "ivfpq_recall_at10": {
+        "BroadcastNestedLoopJoin": "same bounded cosine_topk exact "
+        "baseline as ann_lsh_recall_at10; the IVF-PQ side is cell + "
+        "code equi-joins",
+    },
     "regex_functions": {
         "BroadcastNestedLoopJoin": "1-row (LIMIT 1) broadcast side",
     },
