@@ -371,14 +371,80 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over decoded image payloads via mapInPandas
-    (rows-only check: numpy decode/entropy has no DuckDB twin)."""
+def multimodal_features_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw feature rows (n_bytes / mean_byte / byte_entropy / dims)
+    from genuinely decoded payloads — the analysis-facing shape."""
     from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 
     return spread(_payloads(spark, sf_dir)).mapInPandas(
         extract_features, schema=FEATURE_SCHEMA
     )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode attestation for the feature pass (the bounds-boolean
+    oracle contract of ``doc_compression_ratio``): WIDTH/HEIGHT come
+    from the kernel's parse of the real encoded headers, while the
+    DuckDB twin derives the same dims from the synth recipe
+    (octet_length(text) % 64 + 1, % 48 + 1) — a hash match proves all
+    three codecs decoded the actual containers. ``n_bytes_ok``
+    asserts the container size: EXACT closed forms for PPM
+    (9 + digits(w) + digits(h) + 3wh) and BMP (54 + padded-stride*h),
+    a zlib-overhead bound for PNG (deflate has no closed form);
+    ``stats_ok`` bounds the decoded-pixel stats. Raw values stay
+    available via :func:`multimodal_features_raw`."""
+    feats = multimodal_features_raw(spark, sf_dir)
+    nb = F.length(F.encode("text", "UTF-8"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (nb % 64 + 1).alias("_w"),
+        (nb % 48 + 1).alias("_h"),
+    )
+    j = feats.join(docs, "doc_id")
+    raster = F.col("_w") * F.col("_h") * 3
+    ppm_len = (
+        F.lit(9)
+        + F.length(F.col("_w").cast("string"))
+        + F.length(F.col("_h").cast("string"))
+        + raster
+    )
+    bmp_len = F.lit(54) + F.floor((F.col("_w") * 3 + 3) / 4) * 4 * F.col("_h")
+    png_in = F.col("_h") * (F.lit(1) + F.col("_w") * 3)  # filter byte + row
+    codec = F.col("doc_id") % 3
+    n_bytes_ok = (
+        F.when(codec == 0, F.col("n_bytes") == ppm_len)
+        .when(codec == 1, F.col("n_bytes") == bmp_len)
+        .otherwise(
+            (F.col("n_bytes") >= 40)
+            & (
+                F.col("n_bytes")
+                <= F.lit(134) + png_in + F.floor(png_in / 100)
+            )
+        )
+    )
+    stats_ok = (
+        (F.col("mean_byte") >= 0.0)
+        & (F.col("mean_byte") <= 255.0)
+        & (F.col("byte_entropy") >= 0.0)
+        & (F.col("byte_entropy") <= 8.0)
+    )
+    return j.select(
+        "doc_id",
+        "width",
+        "height",
+        n_bytes_ok.alias("n_bytes_ok"),
+        stats_ok.alias("stats_ok"),
+    )
+
+
+MULTIMODAL_FEATURES_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height,
+       TRUE AS n_bytes_ok,
+       TRUE AS stats_ok
+FROM documents
+"""
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,7 +489,9 @@ FROM documents
 
 
 def _register() -> None:
-    registry.register("multimodal_features", multimodal_features, None)
+    registry.register(
+        "multimodal_features", multimodal_features, MULTIMODAL_FEATURES_ORACLE
+    )
     registry.register(
         "multimodal_bytes_meta", multimodal_bytes_meta, BYTES_META_ORACLE
     )

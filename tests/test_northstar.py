@@ -325,8 +325,15 @@ def test_jpeg_codec_roundtrip_and_interop():
 def test_multimodal_features_real_decode(spark, sf_dir):
     """Features come from genuinely decoded pixels: width/height must
     equal the dims the synth kernel encoded (len(bytes) % 64+1 x
-    % 48+1), across all three codecs (PPM/BMP/PNG by doc_id % 3)."""
-    out = multimodal_features(spark, sf_dir)
+    % 48+1), across all three codecs (PPM/BMP/PNG by doc_id % 3).
+    The registered (attested) form must assert every bound true."""
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        multimodal_features_raw,
+    )
+
+    attested = multimodal_features(spark, sf_dir).collect()
+    assert all(r["n_bytes_ok"] and r["stats_ok"] for r in attested)
+    out = multimodal_features_raw(spark, sf_dir)
     rows = out.collect()
     assert len(rows) == 500
     assert {r["doc_id"] % 3 for r in rows} == {0, 1, 2}  # all codecs ran
