@@ -381,6 +381,39 @@ def multimodal_features_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _expected_container(nb):
+    """Cross-engine container-size expressions for the synth payloads
+    (dims from the recipe, then the codec's closed form): returns
+    (codec, ppm_len, bmp_len, png_in) columns given the text byte
+    length ``nb``. PNG has no closed form (deflate) — ``png_in`` is
+    the raw filter+raster input size for the zlib-overhead bound."""
+    w = nb % 64 + 1
+    h = nb % 48 + 1
+    raster = w * h * 3
+    ppm_len = (
+        F.lit(9)
+        + F.length(w.cast("string"))
+        + F.length(h.cast("string"))
+        + raster
+    )
+    bmp_len = F.lit(54) + F.floor((w * 3 + 3) / 4) * 4 * h
+    png_in = h * (F.lit(1) + w * 3)  # filter byte + row bytes
+    return w, h, ppm_len, bmp_len, png_in
+
+
+def _container_ok(codec, n_bytes, ppm_len, bmp_len, png_in):
+    """n_bytes matches the codec's container: exact for PPM/BMP,
+    zlib-overhead bound for PNG."""
+    return (
+        F.when(codec == 0, n_bytes == ppm_len)
+        .when(codec == 1, n_bytes == bmp_len)
+        .otherwise(
+            (n_bytes >= 40)
+            & (n_bytes <= F.lit(134) + png_in + F.floor(png_in / 100))
+        )
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode attestation for the feature pass (the bounds-boolean
     oracle contract of ``doc_compression_ratio``): WIDTH/HEIGHT come
@@ -395,32 +428,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     available via :func:`multimodal_features_raw`."""
     feats = multimodal_features_raw(spark, sf_dir)
     nb = F.length(F.encode("text", "UTF-8"))
+    _w, _h, ppm_len, bmp_len, png_in = _expected_container(nb)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        (nb % 64 + 1).alias("_w"),
-        (nb % 48 + 1).alias("_h"),
+        ppm_len.alias("_ppm"),
+        bmp_len.alias("_bmp"),
+        png_in.alias("_pin"),
     )
     j = feats.join(docs, "doc_id")
-    raster = F.col("_w") * F.col("_h") * 3
-    ppm_len = (
-        F.lit(9)
-        + F.length(F.col("_w").cast("string"))
-        + F.length(F.col("_h").cast("string"))
-        + raster
-    )
-    bmp_len = F.lit(54) + F.floor((F.col("_w") * 3 + 3) / 4) * 4 * F.col("_h")
-    png_in = F.col("_h") * (F.lit(1) + F.col("_w") * 3)  # filter byte + row
-    codec = F.col("doc_id") % 3
-    n_bytes_ok = (
-        F.when(codec == 0, F.col("n_bytes") == ppm_len)
-        .when(codec == 1, F.col("n_bytes") == bmp_len)
-        .otherwise(
-            (F.col("n_bytes") >= 40)
-            & (
-                F.col("n_bytes")
-                <= F.lit(134) + png_in + F.floor(png_in / 100)
-            )
-        )
+    n_bytes_ok = _container_ok(
+        F.col("doc_id") % 3,
+        F.col("n_bytes"),
+        F.col("_ppm"),
+        F.col("_bmp"),
+        F.col("_pin"),
     )
     stats_ok = (
         (F.col("mean_byte") >= 0.0)
@@ -455,12 +476,60 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_frame_sample_raw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Raw per-frame rows (frame bytes + digest) — the analysis shape."""
     from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 
     return spread(_payloads(spark, sf_dir)).mapInPandas(
         frame_sample_batch, schema=FRAMES_SCHEMA
     )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling attestation (bounds-boolean contract): the
+    DuckDB twin emits exactly 4 rows per document (frame_idx 0-3) —
+    so the hash match attests the fan-out count — and the Spark side
+    asserts per-frame that (a) the even-spacing policy held
+    (frame_bytes == floor(container/4), checked against the ACTUAL
+    payload length) and (b) the container size matches the codec's
+    closed form (exact PPM/BMP, zlib-bounded PNG). Raw frame rows
+    with digests stay available via
+    :func:`multimodal_frame_sample_raw`."""
+    frames = multimodal_frame_sample_raw(spark, sf_dir)
+    sizes = _payloads(spark, sf_dir).select(
+        "doc_id", F.length("payload").alias("_pn")
+    )
+    nb = F.length(F.encode("text", "UTF-8"))
+    _w, _h, ppm_len, bmp_len, png_in = _expected_container(nb)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        ppm_len.alias("_ppm"),
+        bmp_len.alias("_bmp"),
+        png_in.alias("_pin"),
+    )
+    j = frames.join(sizes, "doc_id").join(docs, "doc_id")
+    policy_ok = F.col("frame_bytes") == F.floor(F.col("_pn") / 4)
+    container_ok = _container_ok(
+        F.col("doc_id") % 3,
+        F.col("_pn"),
+        F.col("_ppm"),
+        F.col("_bmp"),
+        F.col("_pin"),
+    )
+    return j.select(
+        "doc_id",
+        "frame_idx",
+        (policy_ok & container_ok).alias("frame_ok"),
+    )
+
+
+FRAME_SAMPLE_ORACLE = """
+SELECT doc_id, CAST(g.f AS INT) AS frame_idx, TRUE AS frame_ok
+FROM documents
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) g
+"""
 
 
 def multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,4 +565,6 @@ def _register() -> None:
         "multimodal_bytes_meta", multimodal_bytes_meta, BYTES_META_ORACLE
     )
     registry.register("multimodal_resize", multimodal_resize, None)
-    registry.register("multimodal_frame_sample", multimodal_frame_sample, None)
+    registry.register(
+        "multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE
+    )

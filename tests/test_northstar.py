@@ -407,10 +407,18 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     rs = multimodal_resize(spark, sf_dir).collect()
     assert len(rs) == 500
     assert all(r["out_w"] == 16 and r["out_h"] == 16 for r in rs[:10])
-    fr = multimodal_frame_sample(spark, sf_dir)
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        multimodal_frame_sample_raw,
+    )
+
+    fr = multimodal_frame_sample_raw(spark, sf_dir)
     per_doc = fr.groupBy("doc_id").count().collect()
     assert len(per_doc) == 500
     assert all(1 <= r["count"] <= 4 for r in per_doc)
+    # attested form: every frame passes the policy + container checks
+    att = multimodal_frame_sample(spark, sf_dir).collect()
+    assert len(att) == 2000
+    assert all(r["frame_ok"] for r in att)
 
 
 def test_gopher_flags_line_rules_crafted(spark):
