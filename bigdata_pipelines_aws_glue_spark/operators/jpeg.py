@@ -419,9 +419,14 @@ def _dht_segment(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
     return struct.pack(">H", 2 + len(body)) + body
 
 
-def encode_jpeg(pixels: np.ndarray) -> bytes:
+def encode_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
     """Baseline 4:4:4 (RGB (H,W,3)) or single-component grayscale
-    ((H,W)) JPEG with the Annex K example tables."""
+    ((H,W)) JPEG with the Annex K example tables.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that-many MCUs (byte-aligned, DC predictors reset) — the
+    error-resilience feature real encoders use on large images; also
+    exercises the decoder's restart path in tests."""
     arr = pixels.astype(np.float64)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -453,6 +458,8 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     if not gray:
         out += b"\xff\xc4" + _dht_segment(0, 1, _DC_CHROMA)
         out += b"\xff\xc4" + _dht_segment(1, 1, _AC_CHROMA)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = struct.pack(">HB", 6 + 2 * nc, nc)
     for c in range(nc):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
@@ -469,8 +476,17 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     bw = _BitWriter()
     pred = [0] * nc
     hb, wb = -(-h // 8), -(-w // 8)
+    mcu = 0
     for by in range(hb):
         for bx in range(wb):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                out += bw.out
+                out += bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+                )
+                bw = _BitWriter()
+                pred = [0] * nc
             for ci, plane in enumerate(planes):
                 blk = np.full((8, 8), plane[min(by * 8, h - 1), min(bx * 8, w - 1)])
                 ys, xs = min(8, h - by * 8), min(8, w - bx * 8)
@@ -479,6 +495,7 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
                 _encode_block(
                     bw, blk, qtabs[ti], dc_codes[ti], ac_codes[ti], pred, ci
                 )
+            mcu += 1
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"

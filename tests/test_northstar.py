@@ -321,6 +321,13 @@ def test_jpeg_codec_roundtrip_and_interop():
     assert decj.shape == (hh, ww, 3)
     assert errj.mean() < 4 and errj.max() < 32, (errj.mean(), errj.max())
 
+    # restart markers (DRI + RSTn, byte-aligned, DC predictors reset):
+    # decode must be identical-quality to the unmarked stream
+    for ri in (1, 3):
+        decr = decode_jpeg(encode_jpeg(rgb, restart_interval=ri))
+        errr = np.abs(decr.astype(int) - rgb.astype(int))
+        assert errr.mean() < 4 and errr.max() < 32, (ri, errr.mean())
+
 
 def test_multimodal_features_real_decode(spark, sf_dir):
     """Features come from genuinely decoded pixels: width/height must
