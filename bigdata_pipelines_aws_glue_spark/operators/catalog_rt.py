@@ -36,8 +36,10 @@ from bigdata_pipelines_aws_glue_spark.sources.writers import (
 #: Registered in the always-present ``default`` database: CREATE
 #: DATABASE would mkdir under the session's warehouse dir, which a
 #: read-only driver cwd could refuse; the external table itself needs
-#: no warehouse storage.
-_TABLE = "catalog_rt_orders"
+#: no warehouse storage. The table name embeds the SF (like the
+#: scratch path) so checks at different scales sharing one metastore
+#: cannot re-point each other's table between registration and read.
+_TABLE_PREFIX = "catalog_rt_orders"
 
 
 def catalog_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,19 +47,23 @@ def catalog_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     table → MSCK → catalog read → aggregate. Partitioning by order
     status exercises partition-column reconstruction from the Hive
     layout (the value leaves the files and comes back from directory
-    names). Scratch location is per-SF so concurrent checks at
-    different scales don't collide; overwrite mode keeps re-runs
-    idempotent (C3)."""
+    names). Scratch location AND table name are per-SF so concurrent
+    checks at different scales sharing one metastore can't re-point
+    each other's table between registration and read; overwrite mode
+    keeps re-runs idempotent (C3)."""
     orders = load_table(spark, sf_dir, "orders")
-    loc = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_catalog_rt_{os.path.basename(os.path.normpath(sf_dir))}",
+    sf_tag = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_") or "sf"
     )
+    loc = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_catalog_rt_{sf_tag}"
+    )
+    table = f"{_TABLE_PREFIX}_{sf_tag}"
     write_partitioned_parquet(orders, loc, partition_col="o_orderstatus")
     register_external_table(
-        spark, _TABLE, loc, database="default", partition_cols=("o_orderstatus",)
+        spark, table, loc, database="default", partition_cols=("o_orderstatus",)
     )
-    back = spark.table(f"default.{_TABLE}")
+    back = spark.table(f"default.{table}")
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))

@@ -151,9 +151,20 @@ class _BitReader:
         self.acc, self.n = 0, 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            # truncated stream: feed the spec's 1-bit padding; the
+            # Huffman walk then terminates in a ValueError (or a
+            # bounded garbage block) instead of an IndexError
+            self.acc = (self.acc << 8) | 0xFF
+            self.n += 8
+            return
         b = self.buf[self.pos]
         if b == 0xFF:
-            nxt = self.buf[self.pos + 1]
+            nxt = (
+                self.buf[self.pos + 1]
+                if self.pos + 1 < len(self.buf)
+                else 0xD9  # treat a trailing lone 0xFF as EOI
+            )
             if nxt == 0x00:
                 self.pos += 2
             else:
@@ -212,8 +223,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
             continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG (marker segment header)")
         (seg_len,) = struct.unpack(">H", payload[pos : pos + 2])
         body = payload[pos + 2 : pos + seg_len]
+        if len(body) < seg_len - 2:
+            raise ValueError("truncated JPEG (marker segment body)")
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(body):

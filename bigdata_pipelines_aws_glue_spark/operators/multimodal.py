@@ -298,7 +298,10 @@ def sample_frames(payload: bytes, n_frames: int = 4) -> list[bytes]:
 
 
 RESIZED_SCHEMA = "doc_id long, out_w int, out_h int, mean_px double"
-FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_digest string"
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, frame_bytes int, payload_bytes int, "
+    "frame_digest string"
+)
 
 
 def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -331,11 +334,19 @@ def frame_sample_batch(
                         doc_id,
                         i,
                         len(frame),
+                        len(p),  # container size, for the policy check
                         hashlib.sha256(frame).hexdigest()[:16],
                     )
                 )
         yield pd.DataFrame(
-            rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_digest"]
+            rows,
+            columns=[
+                "doc_id",
+                "frame_idx",
+                "frame_bytes",
+                "payload_bytes",
+                "frame_digest",
+            ],
         )
 
 
@@ -423,9 +434,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     three codecs decoded the actual containers. ``n_bytes_ok``
     asserts the container size: EXACT closed forms for PPM
     (9 + digits(w) + digits(h) + 3wh) and BMP (54 + padded-stride*h),
-    a zlib-overhead bound for PNG (deflate has no closed form);
-    ``stats_ok`` bounds the decoded-pixel stats. Raw values stay
-    available via :func:`multimodal_features_raw`."""
+    a zlib-overhead bound for PNG (deflate has no closed form).
+    ``stats_ok`` is only a degenerate-decode guard (an empty pixel
+    array yields NaN stats, which fail every comparison) — the
+    substantive decode proof is the dims equality; exact pixel means
+    would need per-byte SQL access neither engine has. Raw values
+    stay available via :func:`multimodal_features_raw`."""
     feats = multimodal_features_raw(spark, sf_dir)
     nb = F.length(F.encode("text", "UTF-8"))
     _w, _h, ppm_len, bmp_len, png_in = _expected_container(nb)
@@ -492,15 +506,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin emits exactly 4 rows per document (frame_idx 0-3) —
     so the hash match attests the fan-out count — and the Spark side
     asserts per-frame that (a) the even-spacing policy held
-    (frame_bytes == floor(container/4), checked against the ACTUAL
-    payload length) and (b) the container size matches the codec's
-    closed form (exact PPM/BMP, zlib-bounded PNG). Raw frame rows
+    (frame_bytes == floor(container/4), against the payload length
+    the kernel measured on the actual bytes) and (b) the container
+    size matches the codec's closed form (exact PPM/BMP, zlib-bounded
+    PNG). One synthesis pass: the kernel carries the payload length
+    out, rather than re-encoding the corpus for it. Raw frame rows
     with digests stay available via
     :func:`multimodal_frame_sample_raw`."""
     frames = multimodal_frame_sample_raw(spark, sf_dir)
-    sizes = _payloads(spark, sf_dir).select(
-        "doc_id", F.length("payload").alias("_pn")
-    )
     nb = F.length(F.encode("text", "UTF-8"))
     _w, _h, ppm_len, bmp_len, png_in = _expected_container(nb)
     docs = load_table(spark, sf_dir, "documents").select(
@@ -509,7 +522,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         bmp_len.alias("_bmp"),
         png_in.alias("_pin"),
     )
-    j = frames.join(sizes, "doc_id").join(docs, "doc_id")
+    j = frames.withColumnRenamed("payload_bytes", "_pn").join(docs, "doc_id")
     policy_ok = F.col("frame_bytes") == F.floor(F.col("_pn") / 4)
     container_ok = _container_ok(
         F.col("doc_id") % 3,

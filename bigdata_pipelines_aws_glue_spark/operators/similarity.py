@@ -851,8 +851,9 @@ def kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the EXACT corpus/assignment counts both engines can compute, plus
     booleans only the training run can assert — per-iteration inertia
     non-increasing (Lloyd's guarantee, with 1e-6 relative slack for
-    the 1e-9 centroid quantization) and a strict first-to-last
-    decrease. The DuckDB twin recomputes the counts and asserts TRUE,
+    the 1e-9 centroid quantization) and final-vs-first non-increase
+    (non-strict: instant convergence is success, not a failure).
+    The DuckDB twin recomputes the counts and asserts TRUE,
     so a hash match proves full assignment coverage AND convergence.
     The inertia trajectory costs one extra broadcast-assignment pass
     per iteration — audit mode only, never the training path."""
@@ -862,7 +863,10 @@ def kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone = all(
         traj[i] <= traj[i - 1] * (1.0 + 1e-6) for i in range(1, len(traj))
     )
-    decreased = traj[-1] < traj[0]
+    # non-strict: a corpus whose assignments are already stable after
+    # the first update has traj[-1] == traj[0] bit-for-bit — that is
+    # correct convergence, not a failure, and must not flake the hash
+    final_le_first = traj[-1] <= traj[0]
     counts = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
     assigned = fitted.agg(
         F.sum("n_assigned").cast("long").alias("n_assigned_total")
@@ -873,7 +877,7 @@ def kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_assigned_total",
         F.lit(KMEANS_ITERS).alias("iters"),
         F.lit(bool(monotone)).alias("inertia_monotone"),
-        F.lit(bool(decreased)).alias("inertia_decreased"),
+        F.lit(bool(final_le_first)).alias("inertia_final_le_first"),
     )
 
 
@@ -883,7 +887,7 @@ SELECT {KMEANS_K} AS k,
        count(*) AS n_assigned_total,
        {KMEANS_ITERS} AS iters,
        TRUE AS inertia_monotone,
-       TRUE AS inertia_decreased
+       TRUE AS inertia_final_le_first
 FROM embeddings
 """
 
@@ -910,7 +914,10 @@ def _corpus_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cached_codebooks(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir)
+    # applicationId is unique per SparkContext — unlike id(), which
+    # the allocator can recycle after a session stop/start, leaving a
+    # cache hit pointing at checkpoint blocks of a dead context
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PQ_CODEBOOK_CACHE:
         _PQ_CODEBOOK_CACHE[key] = pq_train(emb, vec_col="v")
     return _PQ_CODEBOOK_CACHE[key]

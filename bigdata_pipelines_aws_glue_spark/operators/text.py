@@ -243,16 +243,12 @@ FROM documents
 """
 
 
-def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Within-document repetition filters (the Gopher-rule family):
-    repeated-bigram fraction and the frequency share of the single most
-    common bigram. Explode → two keyed aggregations — both shuffles are
-    hash-partitioned on doc_id, so the pattern holds at corpus scale
-    (no per-doc driver work, no array materialization beyond one doc's
-    grams per row)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tokens = _tokens(F.col("text"))
-    bigrams = F.when(
+def _bigrams(tokens: Column) -> Column:
+    """Space-joined adjacent-token bigrams (empty array below 2
+    tokens) — the shared recipe behind ``doc_repetition_stats`` and
+    ``doc_compression_ratio``'s bounds; their DuckDB twins replay the
+    same construction, so the two MUST NOT diverge."""
+    return F.when(
         F.size(tokens) >= 2,
         F.transform(
             F.sequence(F.lit(0), F.size(tokens) - 2),
@@ -261,7 +257,19 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = docs.select("doc_id", F.explode(bigrams).alias("gram"))
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filters (the Gopher-rule family):
+    repeated-bigram fraction and the frequency share of the single most
+    common bigram. Explode → two keyed aggregations — both shuffles are
+    hash-partitioned on doc_id, so the pattern holds at corpus scale
+    (no per-doc driver work, no array materialization beyond one doc's
+    grams per row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(_bigrams(_tokens(F.col("text")))).alias("gram")
+    )
     per_gram = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     return (
         per_gram.groupBy("doc_id")
@@ -545,16 +553,7 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ratio = make_compression_ratio()
     docs = spread(load_table(spark, sf_dir, "documents"))
-    tokens = _tokens(F.col("text"))
-    bigrams = F.when(
-        F.size(tokens) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(tokens, i + 1), F.element_at(tokens, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = _bigrams(_tokens(F.col("text")))
     n_big = F.size(bigrams)
     rep = F.when(
         n_big > 0,

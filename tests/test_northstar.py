@@ -328,6 +328,15 @@ def test_jpeg_codec_roundtrip_and_interop():
         errr = np.abs(decr.astype(int) - rgb.astype(int))
         assert errr.mean() < 4 and errr.max() < 32, (ri, errr.mean())
 
+    # a truncated entropy stream must fail loudly (ValueError) or
+    # finish with a garbage-but-shaped array — never IndexError
+    whole = encode_jpeg(rgb)
+    try:
+        out = decode_jpeg(whole[: len(whole) // 2])
+        assert out.shape == rgb.shape
+    except ValueError:
+        pass
+
 
 def test_multimodal_features_real_decode(spark, sf_dir):
     """Features come from genuinely decoded pixels: width/height must
