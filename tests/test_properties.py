@@ -87,3 +87,34 @@ def test_minhash_kernel_identical_docs_identical_sigs(texts):
         s1, s2 = sig(t), sig(t)
         assert s1 == s2
         assert len(s1) in (0, N_HASHES)
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_bounded_error_any_shape(h, w, gray, seed):
+    """Baseline JPEG encode->decode on arbitrary (incl. non-multiple-
+    of-8, 1-pixel) shapes: output shape is exact and per-pixel error
+    is bounded. Random noise is JPEG's worst case — the Annex K
+    tables quantize high frequencies hard — so the bound is loose
+    (mean < 40) but shape/termination must always hold."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == img.shape
+    mean_err = np.abs(dec.astype(int) - img.astype(int)).mean()
+    # sub-block color images amortize one pixel's chroma-quant error
+    # (Annex K chroma table goes to 99) over very few samples
+    assert mean_err < (40 if h * w >= 64 else 96), mean_err
