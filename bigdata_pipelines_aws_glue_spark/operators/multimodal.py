@@ -357,18 +357,21 @@ def synth_image_batch(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel synthesizing REAL encoded images from each
-    document's text bytes: doc_id % 3 picks the codec — P6 PPM, 24-bit
-    BMP, or 8-bit RGB PNG — so every downstream decode exercises all
-    three. Deterministic — dims derive from the byte length, pixels
-    tile the text bytes."""
-    encoders = (encode_ppm, encode_bmp, encode_png)
+    document's text bytes: doc_id % 4 picks the codec — P6 PPM, 24-bit
+    BMP, 8-bit RGB PNG, or baseline JPEG — so every downstream decode
+    exercises all four, including the (lossy) entropy-coded format
+    real corpora are dominated by. Deterministic — dims derive from
+    the byte length, pixels tile the text bytes."""
+    from bigdata_pipelines_aws_glue_spark.operators.jpeg import encode_jpeg
+
+    encoders = (encode_ppm, encode_bmp, encode_png, encode_jpeg)
     for pdf in batches:
         payloads = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             b = np.frombuffer((text or "").encode(), dtype=np.uint8)
             w, h = len(b) % 64 + 1, len(b) % 48 + 1
             px = np.resize(b, (h, w, 3))
-            payloads.append(encoders[doc_id % 3](px))
+            payloads.append(encoders[doc_id % 4](px))
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
@@ -414,13 +417,19 @@ def _expected_container(nb):
 
 def _container_ok(codec, n_bytes, ppm_len, bmp_len, png_in):
     """n_bytes matches the codec's container: exact for PPM/BMP,
-    zlib-overhead bound for PNG."""
+    zlib-overhead bound for PNG, fixed-headers + entropy bound for
+    JPEG (~625 B of Annex-K tables, entropy data bounded by ~2x the
+    raw raster for the noise-like tiled-text pixels)."""
     return (
         F.when(codec == 0, n_bytes == ppm_len)
         .when(codec == 1, n_bytes == bmp_len)
-        .otherwise(
+        .when(
+            codec == 2,
             (n_bytes >= 40)
-            & (n_bytes <= F.lit(134) + png_in + F.floor(png_in / 100))
+            & (n_bytes <= F.lit(134) + png_in + F.floor(png_in / 100)),
+        )
+        .otherwise(
+            (n_bytes >= 500) & (n_bytes <= F.lit(800) + 2 * png_in)
         )
     )
 
@@ -451,7 +460,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = feats.join(docs, "doc_id")
     n_bytes_ok = _container_ok(
-        F.col("doc_id") % 3,
+        F.col("doc_id") % 4,
         F.col("n_bytes"),
         F.col("_ppm"),
         F.col("_bmp"),
@@ -525,7 +534,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = frames.withColumnRenamed("payload_bytes", "_pn").join(docs, "doc_id")
     policy_ok = F.col("frame_bytes") == F.floor(F.col("_pn") / 4)
     container_ok = _container_ok(
-        F.col("doc_id") % 3,
+        F.col("doc_id") % 4,
         F.col("_pn"),
         F.col("_ppm"),
         F.col("_bmp"),

@@ -341,7 +341,7 @@ def test_jpeg_codec_roundtrip_and_interop():
 def test_multimodal_features_real_decode(spark, sf_dir):
     """Features come from genuinely decoded pixels: width/height must
     equal the dims the synth kernel encoded (len(bytes) % 64+1 x
-    % 48+1), across all three codecs (PPM/BMP/PNG by doc_id % 3).
+    % 48+1), across all four codecs (PPM/BMP/PNG/JPEG by doc_id % 4).
     The registered (attested) form must assert every bound true."""
     from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
         multimodal_features_raw,
@@ -352,7 +352,7 @@ def test_multimodal_features_real_decode(spark, sf_dir):
     out = multimodal_features_raw(spark, sf_dir)
     rows = out.collect()
     assert len(rows) == 500
-    assert {r["doc_id"] % 3 for r in rows} == {0, 1, 2}  # all codecs ran
+    assert {r["doc_id"] % 4 for r in rows} == {0, 1, 2, 3}  # all codecs ran
     text_len = {
         r["doc_id"]: len(r["text"].encode())
         for r in load_table(spark, sf_dir, "documents")
