@@ -554,6 +554,166 @@ CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS f) g
 """
 
 
+# ------------------------------------------------------------- audio
+
+AUDIO_SAMPLE_RATE = 8000  # Hz, mono 16-bit PCM
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = AUDIO_SAMPLE_RATE) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + mono 16-bit little-endian
+    PCM data (the one WAV layout everything reads)."""
+    pcm = samples.astype("<i2").tobytes()
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF",
+            36 + len(pcm),
+            b"WAVE",
+            b"fmt ",
+            16,
+            1,  # PCM
+            1,  # mono
+            sample_rate,
+            sample_rate * 2,  # byte rate
+            2,  # block align
+            16,  # bits per sample
+            b"data",
+            len(pcm),
+        )
+        + pcm
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """(samples int16 array, sample_rate) from a RIFF/WAVE payload —
+    walks the chunk list (fmt may be followed by LIST/fact before
+    data), PCM 16-bit mono/stereo; anything else raises at the
+    ffmpeg/soundfile seam."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16 or channels not in (1, 2):
+        raise NotImplementedError(
+            f"WAV variant fmt={audio_fmt} bits={bits} ch={channels} "
+            "needs an external codec (ffmpeg/soundfile seam)"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    if channels == 2:
+        samples = samples.reshape(-1, 2)
+    return samples, rate
+
+
+def synth_audio_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL encoded WAV payloads from each document's text bytes:
+    consecutive byte pairs become int16 PCM samples (odd tail
+    zero-padded) — deterministic, so sample counts derive from the
+    byte length exactly."""
+    for pdf in batches:
+        payloads = []
+        for text in pdf["text"]:
+            b = np.frombuffer((text or "").encode(), dtype=np.uint8)
+            if len(b) % 2:
+                b = np.concatenate([b, np.zeros(1, np.uint8)])
+            samples = b.view("<i2").astype(np.int16)
+            payloads.append(encode_wav(samples))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_samples int, sample_rate int, duration_ms int, "
+    "rms double, zero_crossings int"
+)
+
+
+def audio_features_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: parse the WAV container and extract the
+    standard quick-look features (duration, RMS loudness, zero
+    crossings) from the REAL decoded samples."""
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            samples, rate = decode_wav(p)
+            s = samples.astype(np.float64)
+            rms = float(np.sqrt((s * s).mean())) if len(s) else 0.0
+            zc = int(((samples[:-1] < 0) != (samples[1:] < 0)).sum())
+            # integer half-up: Python round() is banker's, DuckDB's is
+            # half-away — integer arithmetic sidesteps both
+            dur_ms = (len(samples) * 1000 + rate // 2) // rate
+            rows.append((doc_id, len(samples), rate, dur_ms, rms, zc))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_samples",
+                "sample_rate",
+                "duration_ms",
+                "rms",
+                "zero_crossings",
+            ],
+        )
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality attestation (bounds-boolean contract):
+    N_SAMPLES, SAMPLE_RATE, and DURATION_MS come from the kernel's
+    parse of the real RIFF container, while the DuckDB twin derives
+    them from the synth recipe (ceil(bytes/2) 16-bit samples at
+    8 kHz) — a hash match proves the WAV round-trip preserved the
+    stream layout end to end. ``stats_ok`` guards degenerate decode
+    (NaN RMS, negative crossings). At 100 TB this is the same
+    Arrow-batched map-only pass as the image path."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        synth_audio_batch, schema="doc_id long, payload binary"
+    )
+    feats = spread(payloads).mapInPandas(
+        audio_features_batch, schema=AUDIO_FEATURE_SCHEMA
+    )
+    stats_ok = (
+        (F.col("rms") >= 0.0)
+        & (F.col("rms") <= 32768.0)
+        & (F.col("zero_crossings") >= 0)
+        & (F.col("zero_crossings") < F.col("n_samples"))
+    )
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        "duration_ms",
+        stats_ok.alias("stats_ok"),
+    )
+
+
+AUDIO_FEATURES_ORACLE = f"""
+SELECT doc_id,
+       CAST(ceil(octet_length(encode(text)) / 2.0) AS INT) AS n_samples,
+       {AUDIO_SAMPLE_RATE} AS sample_rate,
+       CAST((CAST(ceil(octet_length(encode(text)) / 2.0) AS BIGINT) * 1000
+             + {AUDIO_SAMPLE_RATE // 2}) // {AUDIO_SAMPLE_RATE}
+            AS INT) AS duration_ms,
+       TRUE AS stats_ok
+FROM documents
+"""
+
+
 def multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata/integrity pass over binary payloads: sizes + sha256
     digest — pure JVM expressions (sha2 over the *string*; DuckDB's
@@ -589,4 +749,9 @@ def _register() -> None:
     registry.register("multimodal_resize", multimodal_resize, None)
     registry.register(
         "multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE
+    )
+    registry.register(
+        "multimodal_audio_features",
+        multimodal_audio_features,
+        AUDIO_FEATURES_ORACLE,
     )

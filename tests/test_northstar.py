@@ -437,6 +437,43 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     assert all(r["frame_ok"] for r in att)
 
 
+def test_wav_codec_roundtrip_and_audio_attestation(spark, sf_dir):
+    """WAV (RIFF PCM) encode->decode is an exact inverse for mono and
+    stereo int16 (incl. odd-length chunk word alignment), unsupported
+    variants raise at the seam, and the registered audio query
+    asserts every bound with header-derived sample counts."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        multimodal_audio_features,
+    )
+
+    rng = np.random.RandomState(11)
+    for n in (1, 7, 256, 8001):
+        s = rng.randint(-32768, 32768, n).astype(np.int16)
+        out, rate = decode_wav(encode_wav(s))
+        assert rate == 8000 and (out == s).all()
+    # stereo round-trip through the chunk walk
+    st = rng.randint(-32768, 32768, (64, 2)).astype(np.int16)
+    stereo = encode_wav(st.reshape(-1))
+    stereo = stereo.replace(b"\x01\x00\x01\x00", b"\x01\x00\x02\x00", 1)
+    out2, _ = decode_wav(stereo)
+    assert out2.shape == (64, 2) and (out2 == st).all()
+    # non-PCM (format 3 = IEEE float) is the external-codec seam
+    bad = encode_wav(np.zeros(4, np.int16)).replace(
+        b"\x01\x00\x01\x00", b"\x03\x00\x01\x00", 1
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(bad)
+
+    att = multimodal_audio_features(spark, sf_dir).collect()
+    assert len(att) == 500
+    assert all(r["stats_ok"] for r in att)
+    assert all(r["sample_rate"] == 8000 for r in att)
+
+
 def test_gopher_flags_line_rules_crafted(spark):
     """The line-based Gopher rules (bullets, ellipsis endings) and the
     symbol/alpha/stopword rules trip on crafted documents the synthetic
