@@ -714,6 +714,175 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------- video
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 10
+) -> bytes:
+    """Motion-JPEG AVI (RIFF 'AVI ' per the public msdn/OpenDML
+    layout): avih + one video strl (strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER), then a movi LIST with one '00dc' chunk per
+    frame, each a baseline JPEG from :mod:`jpeg`. Every frame must
+    share the first frame's dimensions (the AVI contract)."""
+    from bigdata_pipelines_aws_glue_spark.operators.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg(f) for f in frames]
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,  # us per frame
+        0, 0, 0x10,  # max bytes/sec, padding, flags (HASINDEX off)
+        len(frames), 0, 1, 0,  # total frames, initial, streams, bufsize
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps,  # scale, rate -> fps
+        0, len(frames), 0, 0xFFFFFFFF, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0x47504A4D,  # 'MJPG'
+        w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi = _riff_list(
+        b"movi", b"".join(_riff_chunk(b"00dc", p) for p in payloads)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes) -> list[np.ndarray]:
+    """Decode a Motion-JPEG AVI to its frame arrays: RIFF walk to the
+    movi LIST, one :func:`jpeg.decode_jpeg` per '00dc'/'00db' chunk.
+    Non-MJPEG codecs raise at the ffmpeg seam."""
+    from bigdata_pipelines_aws_glue_spark.operators.jpeg import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + ln]
+            if len(body) < ln:
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                walk(body[4:])
+            elif tag in (b"00dc", b"00db"):
+                if body[:2] != b"\xff\xd8":
+                    raise NotImplementedError(
+                        "non-MJPEG AVI stream needs an external codec "
+                        "(ffmpeg seam)"
+                    )
+                frames.append(decode_jpeg(body))
+            elif (
+                tag == b"strh"
+                and body[:4] == b"vids"
+                and body[4:8] != b"MJPG"
+            ):
+                raise NotImplementedError(
+                    "non-MJPEG AVI stream needs an external codec (ffmpeg seam)"
+                )
+            pos += 8 + ln + (ln & 1)
+
+    walk(payload[12:])
+    return frames
+
+
+#: Video synth recipe: n_frames and dims derive from the byte length.
+VIDEO_W_MOD, VIDEO_H_MOD, VIDEO_NF_MOD = 24, 16, 4
+
+
+def synth_video_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL MJPEG-AVI payloads from document text: nb%4+2 frames,
+    each (nb%24+8) wide x (nb%16+8) high RGB, frame i's pixels are
+    the text bytes rolled by i (a deterministic 'moving' scene)."""
+    for pdf in batches:
+        payloads = []
+        for text in pdf["text"]:
+            b = np.frombuffer((text or "").encode(), dtype=np.uint8)
+            w = len(b) % VIDEO_W_MOD + 8
+            h = len(b) % VIDEO_H_MOD + 8
+            n = len(b) % VIDEO_NF_MOD + 2
+            frames = [
+                np.resize(np.roll(b, -i), (h, w, 3)) for i in range(n)
+            ]
+            payloads.append(encode_avi_mjpeg(frames))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def video_frames_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode the AVI, emit one row per decoded
+    frame with its parsed dimensions."""
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            for i, f in enumerate(decode_avi_mjpeg(p)):
+                rows.append((doc_id, i, f.shape[1], f.shape[0]))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "frame_w", "frame_h"]
+        )
+
+
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-modality attestation: the kernel DECODES real MJPEG-AVI
+    containers (RIFF walk + per-frame JPEG decode) and emits each
+    frame's parsed dimensions; the DuckDB twin derives frame count
+    and dims from the synth recipe — a hash match proves the
+    container layout, the frame fan-out, AND every frame's JPEG
+    header survived the round trip."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        synth_video_batch, schema="doc_id long, payload binary"
+    )
+    return spread(payloads).mapInPandas(
+        video_frames_batch,
+        schema="doc_id long, frame_idx int, frame_w int, frame_h int",
+    )
+
+
+VIDEO_FRAMES_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+)
+SELECT doc_id,
+       CAST(g.f AS INT) AS frame_idx,
+       CAST(nb % {VIDEO_W_MOD} + 8 AS INT) AS frame_w,
+       CAST(nb % {VIDEO_H_MOD} + 8 AS INT) AS frame_h
+FROM d
+CROSS JOIN (SELECT unnest(generate_series(0, {VIDEO_NF_MOD + 1})) AS f) g
+WHERE g.f < nb % {VIDEO_NF_MOD} + 2
+"""
+
+
 def multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata/integrity pass over binary payloads: sizes + sha256
     digest — pure JVM expressions (sha2 over the *string*; DuckDB's
@@ -754,4 +923,7 @@ def _register() -> None:
         "multimodal_audio_features",
         multimodal_audio_features,
         AUDIO_FEATURES_ORACLE,
+    )
+    registry.register(
+        "multimodal_video_frames", multimodal_video_frames, VIDEO_FRAMES_ORACLE
     )

@@ -29,22 +29,23 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence. CORRECTNESS_r03 attested its 50-query window
 #: (46 hash-green, 4 no_oracle, 0 failures); round 4 therefore
-#: front-loads (a) the 11 queries that are new or behavior-changed
+#: front-loads (a) the 12 queries that are new or behavior-changed
 #: this round (newly-oracled PQ/IVF-PQ top-k + recall, compression
 #: bounds, k-means convergence, catalog round-trip, multimodal
-#: decode + frame-sampling + audio attestations, and the
-#: re-quantized token-budget allocator) and (b) 39 of the 47 queries
+#: decode + frame-sampling + audio + video attestations, and the
+#: re-quantized token-budget allocator) and (b) 38 of the 47 queries
 #: whose most recent attestation is ROUND 1 — the stalest evidence
 #: in the ledger. Exactly 50 names: no slot is wasted on a row the
 #: previous round just verified (every name here was last attested
 #: in r1 or never), and no-oracle rows stay out of the window (their
-#: evidence is pytest). Deferred to round 5: eight r1 queries
-#: (distinct_agg, cube_status, histogram_order_totals, set_union,
-#: set_intersect, union_all_by_name, set_intersect_all,
-#: set_except_all) plus the 26 r2-attested queries and the r3-green
-#: rows whose DuckDB oracle text got BIGINT-cast hardening
-#: (embedding_centroids, ivf_topk, ivf_recall_at10 — local
-#: check_oracle confirms their hashes are unchanged).
+#: evidence is pytest). Deferred to round 5: nine r1 queries
+#: (distinct_agg, cube_status, histogram_order_totals,
+#: unpivot_measures, set_union, set_intersect, union_all_by_name,
+#: set_intersect_all, set_except_all) plus the 26 r2-attested
+#: queries and the r3-green rows whose DuckDB oracle text got
+#: BIGINT-cast hardening (embedding_centroids, ivf_topk,
+#: ivf_recall_at10 — local check_oracle confirms their hashes are
+#: unchanged).
 PRIORITY: tuple[str, ...] = (
     # (a) new or behavior-changed in round 4
     "pq_topk",
@@ -58,6 +59,7 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_audio_features",
+    "multimodal_video_frames",
     # (b) last attested round 1 — aggregates / TPC-H shapes
     "q1_pricing_summary",
     "sales_trends_monthly",
@@ -72,7 +74,6 @@ PRIORITY: tuple[str, ...] = (
     "q2_top_supplier_per_nation",
     "q16_supplier_diversity",
     "stats_moments",
-    "unpivot_measures",
     "monthly_revenue_gapfill",
     # (b) sorts / windows / joins / merge
     "topk_orders",

@@ -474,6 +474,52 @@ def test_wav_codec_roundtrip_and_audio_attestation(spark, sf_dir):
     assert all(r["sample_rate"] == 8000 for r in att)
 
 
+def test_avi_mjpeg_codec_and_video_attestation(spark, sf_dir):
+    """MJPEG-AVI: encode->decode returns every frame at exact shape
+    with JPEG-bounded pixel error; non-MJPEG streams raise at the
+    ffmpeg seam; the registered query's fan-out matches the recipe
+    (nb%4+2 frames per doc) with header-parsed dims."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        multimodal_video_frames,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    frames = [
+        np.stack(
+            [(yy * 8 + i * 5) % 256, (xx * 6) % 256, ((xx + yy) * 4) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        for i in range(4)
+    ]
+    out = decode_avi_mjpeg(encode_avi_mjpeg(frames))
+    assert len(out) == 4
+    for f, o in zip(frames, out):
+        assert o.shape == f.shape
+        assert np.abs(o.astype(int) - f.astype(int)).mean() < 5
+    # a non-MJPEG fourcc in the video strh is the external-codec seam
+    avi = encode_avi_mjpeg(frames)
+    with pytest.raises(NotImplementedError):
+        decode_avi_mjpeg(avi.replace(b"vidsMJPG", b"vidsH264", 1))
+
+    rows = multimodal_video_frames(spark, sf_dir).collect()
+    text_nb = {
+        r["doc_id"]: len(r["text"].encode())
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    per_doc = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        nb = text_nb[r["doc_id"]]
+        assert r["frame_w"] == nb % 24 + 8 and r["frame_h"] == nb % 16 + 8
+    assert all(per_doc[d] == text_nb[d] % 4 + 2 for d in per_doc)
+
+
 def test_gopher_flags_line_rules_crafted(spark):
     """The line-based Gopher rules (bullets, ellipsis endings) and the
     symbol/alpha/stopword rules trip on crafted documents the synthetic
