@@ -949,11 +949,19 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Product-quantization codebooks: an independent deterministic
-    k-means (:func:`kmeans_fit`) per contiguous subspace. Returns
-    (block, code_id, cvec) — m*k rows, a broadcast table at any
-    corpus size. The one-row dim probe is fine here: PQ training is
-    already an iterative driver-side loop (like k-means itself)."""
+    """Product-quantization codebooks: deterministic quantized-mean
+    Lloyd's over ALL subspaces in one keyed pass — ``block`` is just
+    another grouping key, exactly as the DuckDB replay
+    (``_pq_ctes``) models it, so m subspaces cost one training run
+    instead of m sequential ones (the per-block ``kmeans_fit`` loop
+    this replaces checkpointed 4x as often and dominated pq_topk's
+    runtime). Identical output by construction: per-block seeds are
+    the k lowest-vid sub-vectors, assignment ties break on
+    (in-order sqdist, code_id), and the update is the
+    1e-9-quantized long-summed mean. Returns (block, code_id, cvec)
+    — m*k rows, a broadcast table at any corpus size. The one-row
+    dim probe is fine here: PQ training is already an iterative
+    driver-side loop (like k-means itself)."""
     v = vectors.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -961,23 +969,45 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    books = []
-    for b in range(m):
-        blockvec = v.select(
-            "vid", F.slice("v", b * sub + 1, sub).alias("bv")
+    blocks = _vector_blocks(v, "vid", "v", m, sub)
+    seed_w = Window.partitionBy("block").orderBy("vid")
+    cb = (
+        blocks.withColumn("code_id", F.row_number().over(seed_w))
+        .filter(F.col("code_id") <= k)
+        .select("block", "code_id", F.col("bv").alias("cvec"))
+        .localCheckpoint(eager=True)
+    )
+    asg_w = Window.partitionBy("vid", "block").orderBy("d", "code_id")
+    for _ in range(PQ_ITERS):
+        assigned = (
+            blocks.join(F.broadcast(cb), "block")
+            .withColumn("d", _sqdist(F.col("bv"), F.col("cvec")))
+            .withColumn("rn", F.row_number().over(asg_w))
+            .filter(F.col("rn") == 1)
         )
-        cb = kmeans_fit(blockvec, k=k, n_iter=PQ_ITERS, id_col="vid", vec_col="bv")
-        books.append(
-            cb.select(
-                F.lit(b).alias("block"),
-                F.col("cluster_id").alias("code_id"),
-                F.col("centroid").alias("cvec"),
+        cb = (
+            assigned.select(
+                "block", "code_id", F.posexplode("bv").alias("dim", "val")
             )
+            .groupBy("block", "code_id", "dim")
+            .agg(
+                (
+                    (F.sum(F.floor(F.col("val") * 1e9 + F.lit(0.5))) / F.lit(1e9))
+                    / F.count(F.lit(1))
+                ).alias("cv")
+            )
+            .groupBy("block", "code_id")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("dim"), F.col("cv")))
+                    ),
+                    lambda s: s.getField("cv"),
+                ).alias("cvec")
+            )
+            .localCheckpoint(eager=True)
         )
-    out = books[0]
-    for bdf in books[1:]:
-        out = out.unionByName(bdf)
-    return out.localCheckpoint(eager=True)
+    return cb
 
 
 def pq_encode(
