@@ -164,6 +164,7 @@ def _load_all() -> None:
         "corpus_stats",
         "trends",
         "catalog_rt",
+        "retrieval",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(
