@@ -1,0 +1,213 @@
+"""Distributed BPE tokenizer training ([north-star], BASELINE.json:6)
+— learn byte-pair-encoding merges FROM the corpus, the step upstream
+of ``token_count_bpe`` (which applies a fixed tokenizer).
+
+Algorithm (Sennrich et al. 2016, the map-reduce formulation): collapse
+the corpus to its word VOCABULARY with frequencies (one corpus-sized
+shuffle, done once); represent each word as a character sequence plus
+a ``</w>`` terminal; then per merge round (a) count adjacent symbol
+pairs weighted by word frequency — work proportional to the VOCAB, not
+the corpus, (b) take the argmax pair (ties: count desc, pair asc),
+(c) apply the merge greedily left-to-right to every vocab word.
+
+Scale posture: after the initial word groupBy, every round touches
+only the vocabulary table (~1e6-1e7 rows at web scale — thousands of
+times smaller than the corpus). Pair counting shuffles (a, b, partial
+sum) triples; the argmax is a 1-row collect per round (the same
+trained-scalar pattern as ``kmeans_fit``'s centroids); the merge
+application is map-only (a JVM-side ``F.aggregate`` fold — no Python
+UDF). Vocab state is ``localCheckpoint``-ed per round to keep lineage
+flat, exactly like the k-means centroid state.
+
+Cross-engine determinism: all counts are exact integers; the DuckDB
+oracle replays the merge rounds as unrolled CTEs, applying each merge
+via greedy-position selection (match positions, split into runs of
+consecutive indices — only possible when left==right — and keep the
+1st, 3rd, ... of each run), which is equivalent to the left-to-right
+fold. ``corpus_syms_after`` attests the merge APPLICATION, not just
+the pair counting: both engines must shrink the corpus symbol count
+identically every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.operators.dedup import _tokens
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+#: merge rounds to learn. Small because the synthetic corpus has a
+#: ~31-word vocabulary; real runs set hundreds/thousands — the loop
+#: cost is per-round vocab work + one 1-row collect.
+NUM_MERGES = 8
+
+#: end-of-word marker (standard BPE — lets merges learn suffixes
+#: without crossing word boundaries).
+EOW = "</w>"
+
+
+def _char_syms(word):
+    """Character list + terminal marker, via substring (identical in
+    Spark and DuckDB; empty-separator split differs across engines)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: word.substr(i, F.lit(1)),
+    )
+    return F.concat(chars, F.array(F.lit(EOW)))
+
+
+def _adjacent_pairs(syms):
+    """structs (a, b) for each adjacent position (size >= 2 always:
+    one char + EOW)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("a"),
+            F.element_at(syms, i + 1).alias("b"),
+        ),
+    )
+
+
+def _merge_fold(syms, a: str, b: str):
+    """Greedy left-to-right merge of adjacent (a, b) -> ab, as a
+    JVM-side fold. ``F.get`` (0-based) returns NULL out of bounds, so
+    the empty-accumulator case falls through under ANSI mode."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn ``NUM_MERGES`` BPE merges from ``documents.text``.
+
+    Returns one row per round: the merged pair, its (position-counted)
+    frequency at selection time, and the corpus-wide symbol count
+    after applying it — a strict audit trail of the training run.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("word", "freq", _char_syms(F.col("word")).alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    out_rows = []
+    for rank in range(1, NUM_MERGES + 1):
+        best = (
+            vocab.select("freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .first()
+        )
+        vocab = vocab.withColumn(
+            "syms", _merge_fold(F.col("syms"), best.a, best.b)
+        ).localCheckpoint(eager=True)
+        after = vocab.agg(
+            F.sum(F.col("freq") * F.size(F.col("syms"))).alias("s")
+        ).first()[0]
+        out_rows.append((rank, best.a, best.b, int(best.cnt), int(after)))
+    schema = T.StructType(
+        [
+            T.StructField("merge_rank", T.IntegerType()),
+            T.StructField("left_sym", T.StringType()),
+            T.StructField("right_sym", T.StringType()),
+            T.StructField("pair_count", T.LongType()),
+            T.StructField("corpus_syms_after", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)
+
+
+def _bpe_oracle() -> str:
+    """Unrolled DuckDB replay of the merge rounds (see module doc)."""
+    ctes = [
+        """v1 AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq,
+           list_append(list_transform(range(1, length(word) + 1),
+                       i -> substr(word, CAST(i AS INT), 1)), '</w>') AS syms
+    FROM (SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
+    WHERE length(word) > 0
+    GROUP BY word
+)"""
+    ]
+    for k in range(1, NUM_MERGES + 1):
+        ctes.append(
+            f"""p{k} AS (
+    SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS a,
+               unnest(list_transform(range(1, len(syms)), i -> syms[i + 1])) AS b
+        FROM v{k}
+    ) GROUP BY a, b
+),
+best{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+pos{k} AS (
+    SELECT word, freq, syms, len(syms) AS L,
+           unnest(range(1, len(syms) + 1)) AS i
+    FROM v{k}
+),
+mm{k} AS (
+    SELECT p.word, p.freq, p.syms, p.i,
+           CASE WHEN p.i < p.L AND p.syms[p.i] = bb.a
+                     AND p.syms[p.i + 1] = bb.b THEN 1 ELSE 0 END AS is_match
+    FROM pos{k} p CROSS JOIN best{k} bb
+),
+fl{k} AS (
+    SELECT word, freq, syms, i, is_match,
+           CASE WHEN is_match = 1 THEN
+               i - row_number() OVER (PARTITION BY word, is_match ORDER BY i)
+           END AS grp
+    FROM mm{k}
+),
+se{k} AS (
+    SELECT word, freq, syms, i, is_match,
+           CASE WHEN is_match = 1 AND
+                (row_number() OVER (PARTITION BY word, grp ORDER BY i)) % 2 = 1
+           THEN 1 ELSE 0 END AS selected
+    FROM fl{k}
+),
+fi{k} AS (
+    SELECT word, freq, syms, i, selected,
+           coalesce(lag(selected) OVER (PARTITION BY word ORDER BY i), 0)
+               AS consumed
+    FROM se{k}
+),
+v{k + 1} AS (
+    SELECT word, min(freq) AS freq,
+           list(CASE WHEN selected = 1 THEN syms[i] || syms[i + 1]
+                     ELSE syms[i] END ORDER BY i) AS syms
+    FROM fi{k} WHERE consumed = 0 GROUP BY word
+),
+o{k} AS (
+    SELECT {k} AS merge_rank, bb.a AS left_sym, bb.b AS right_sym,
+           bb.cnt AS pair_count,
+           (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM v{k + 1})
+               AS corpus_syms_after
+    FROM best{k} bb
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT * FROM o{k}" for k in range(1, NUM_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+BPE_ORACLE = _bpe_oracle()
+
+
+def _register() -> None:
+    registry.register("bpe_train_merges", bpe_train_merges, BPE_ORACLE)

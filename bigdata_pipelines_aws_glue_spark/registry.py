@@ -165,6 +165,7 @@ def _load_all() -> None:
         "trends",
         "catalog_rt",
         "retrieval",
+        "bpe",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(

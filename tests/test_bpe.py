@@ -1,0 +1,50 @@
+"""Semantic checks for ``operators/bpe.py`` (hash oracle covers the
+full replay; these pin the greedy-merge contract and the audit trail)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark.operators.bpe import (
+    NUM_MERGES,
+    _merge_fold,
+    bpe_train_merges,
+)
+
+
+def test_merge_fold_greedy_left_to_right(spark):
+    cases = [
+        # (input syms, pair, expected) — overlap runs merge 1st/3rd/...
+        (["a", "a", "a"], ("a", "a"), ["aa", "a"]),
+        (["a", "a", "a", "a"], ("a", "a"), ["aa", "aa"]),
+        (["x", "a", "b", "a", "b"], ("a", "b"), ["x", "ab", "ab"]),
+        (["a", "b", "b"], ("a", "b"), ["ab", "b"]),
+        (["b", "a"], ("a", "b"), ["b", "a"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _, _) in enumerate(cases)], "id int, syms array<string>"
+    )
+    for i, (syms, (a, b), want) in enumerate(cases):
+        got = (
+            df.filter(F.col("id") == i)
+            .select(_merge_fold(F.col("syms"), a, b).alias("m"))
+            .first()
+            .m
+        )
+        assert got == want, (syms, (a, b), got, want)
+
+
+def test_bpe_training_audit_trail(spark, sf_dir):
+    out = bpe_train_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    assert [r.merge_rank for r in out] == list(range(1, NUM_MERGES + 1))
+    # every merge strictly shrinks the corpus symbol count, by at most
+    # its pair_count (overlaps can make applied merges < counted pairs)
+    for prev, cur in zip(out, out[1:]):
+        assert cur.corpus_syms_after < prev.corpus_syms_after
+        assert prev.corpus_syms_after - cur.corpus_syms_after <= cur.pair_count
+    # merged symbols grow: later rounds may merge earlier outputs, and
+    # every learned pair was seen at least once
+    assert all(r.pair_count > 0 for r in out)
+    # no pair is learned twice
+    pairs = [(r.left_sym, r.right_sym) for r in out]
+    assert len(set(pairs)) == len(pairs)
