@@ -86,7 +86,62 @@ GROUP BY o_orderstatus
 """
 
 
+def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-interchange edge on the hard signal: write ``events`` to
+    JSON-lines through the format-agnostic sink, read it back with the
+    declared schema, aggregate. JSON is the round-trip-lossy-prone
+    format (timestamps become ISO strings, doubles become decimal
+    text), so the hash match against the parquet-direct DuckDB twin
+    proves the writer/reader pair preserves micros-precision
+    timestamps and every double bit (Spark emits shortest-round-trip
+    decimal repr). Money-style sums quantized to exact integer cents;
+    the raw-double min/max ride through unreduced."""
+    from bigdata_pipelines_aws_glue_spark.sources.writers import write_table
+
+    events = load_table(spark, sf_dir, "events")
+    sf_tag = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_") or "sf"
+    )
+    loc = os.path.join(tempfile.gettempdir(), f"spark_graft_jsonl_rt_{sf_tag}")
+    # Spark's default JSON timestamp pattern carries millis only; the
+    # corpus carries micros. Pin a micros NTZ pattern on BOTH edges —
+    # the oracle mismatch without it (xx.824000 vs xx.824425) is the
+    # exact lossiness this query exists to catch.
+    ntz_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    write_table(events, loc, format="json", timestampNTZFormat=ntz_fmt)
+    back = (
+        spark.read.schema(events.schema)
+        .option("timestampNTZFormat", ntz_fmt)
+        .json(loc)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("value_cents"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+JSONL_RT_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+GROUP BY event_type
+"""
+
+
 def _register() -> None:
     registry.register(
         "catalog_roundtrip_orders", catalog_roundtrip_orders, CATALOG_RT_ORACLE
+    )
+    registry.register(
+        "jsonl_roundtrip_events", jsonl_roundtrip_events, JSONL_RT_ORACLE
     )
