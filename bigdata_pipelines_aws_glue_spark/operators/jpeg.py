@@ -11,16 +11,21 @@ sequential DCT*:
   zigzag, float IDCT, chroma upsampling for sampling factors 1-2
   (4:4:4 / 4:2:2 / 4:2:0), YCbCr -> RGB; grayscale single-component
   scans decode to (H, W).
+- progressive decoder (SOF2, T.81 Annex G): multi-scan coefficient
+  accumulation with spectral selection (Ss..Se) and successive
+  approximation (Ah/Al) for both DC and AC bands — interleaved DC
+  scans, non-interleaved AC scans, EOB-run coding, and the
+  correction-bit refinement algorithm; one IDCT pass at EOI.
 - encoder: 4:4:4 (or single-component gray) baseline with the Annex K
   example quantization + Huffman tables — used by the round-trip
   tests and the synthetic corpus tooling.
 
-Progressive (SOF2), arithmetic coding, 12-bit precision, and
-hierarchical modes still raise ``NotImplementedError`` — that seam
-now carries only genuinely-rare variants; wire libjpeg-turbo / PIL
-there at deploy time. Pure-Python Huffman bit I/O is the documented
-perf seam: correctness-complete, but a native codec should replace it
-for bulk decode at scale.
+Arithmetic coding, 12-bit precision, and hierarchical modes still
+raise ``NotImplementedError`` — that seam now carries only
+genuinely-rare variants; wire libjpeg-turbo / PIL there at deploy
+time. Pure-Python Huffman bit I/O is the documented perf seam:
+correctness-complete, but a native codec should replace it for bulk
+decode at scale.
 """
 
 from __future__ import annotations
@@ -205,8 +210,8 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline-sequential JPEG -> (H, W, 3) RGB uint8 ((H, W) for
-    single-component grayscale scans)."""
+    """Baseline-sequential or progressive JPEG -> (H, W, 3) RGB uint8
+    ((H, W) for single-component grayscale scans)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -215,12 +220,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    coefs: list[np.ndarray] | None = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG (dangling marker byte)")
         marker = payload[pos + 1]
         pos += 2
+        if marker == 0xD9 and coefs is not None:  # EOI after prog scans
+            break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
             continue
         if pos + 2 > len(payload):
@@ -253,7 +263,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 (huff_ac if tc else huff_dc)[th] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (baseline), SOF2 (prog.)
             prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
             if prec != 8:
                 raise NotImplementedError("12-bit JPEG needs an external codec")
@@ -263,11 +273,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/extended JPEG needs an external codec "
+                "arithmetic/hierarchical JPEG needs an external codec "
                 "(libjpeg-turbo/PIL seam)"
             )
         elif marker == 0xDD:  # DRI
@@ -280,11 +293,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for s in range(ns):
                 cs, tt = body[1 + 2 * s], body[2 + 2 * s]
                 sel[cs] = (tt >> 4, tt & 0xF)
-            return _decode_scan(
-                payload, pos + seg_len, frame, sel, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not frame["progressive"]:
+                return _decode_scan(
+                    payload, pos + seg_len, frame, sel, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            pos = _decode_prog_scan(
+                payload, pos + seg_len, frame, sel,
+                (ss, se, ah_al >> 4, ah_al & 0xF),
+                huff_dc, huff_ac, restart_interval, coefs,
             )
+            continue
         pos += seg_len
+    if coefs is not None:
+        return _finish_progressive(frame, coefs, qt)
     raise ValueError("JPEG missing SOS")
 
 
@@ -306,7 +332,11 @@ def _decode_scan(buf, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 rd.align()
-                if rd.buf[rd.pos] == 0xFF and 0xD0 <= rd.buf[rd.pos + 1] <= 0xD7:
+                if (
+                    rd.pos + 1 < len(rd.buf)
+                    and rd.buf[rd.pos] == 0xFF
+                    and 0xD0 <= rd.buf[rd.pos + 1] <= 0xD7
+                ):
                     rd.pos += 2
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
@@ -321,6 +351,16 @@ def _decode_scan(buf, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_count += 1
+    return _planes_to_image(planes, frame)
+
+
+def _planes_to_image(planes, frame) -> np.ndarray:
+    """Upsample subsampled chroma planes, crop padding, YCbCr->RGB
+    (shared by the baseline and progressive finishers)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h_img, w_img = frame["h"], frame["w"]
     out = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -337,6 +377,200 @@ def _decode_scan(buf, pos, frame, sel, qt, huff_dc, huff_ac, restart_interval):
         axis=-1,
     )
     return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive (Annex G)
+
+
+def _alloc_coefs(frame) -> list[np.ndarray]:
+    """Per-component zigzag-order coefficient store, padded to the MCU
+    grid (interleaved DC scans code the padding blocks too)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+
+
+def _prog_restart(rd, pred, state) -> None:
+    rd.align()
+    if (
+        rd.pos + 1 < len(rd.buf)
+        and rd.buf[rd.pos] == 0xFF
+        and 0xD0 <= rd.buf[rd.pos + 1] <= 0xD7
+    ):
+        rd.pos += 2
+    for k in pred:
+        pred[k] = 0
+    state["eobrun"] = 0
+
+
+def _prog_dc(rd, blk, table, pred, ci, ah, al) -> None:
+    """DC band: first scan codes the point-transformed difference;
+    refinement scans append one magnitude bit (two's-complement OR —
+    exact for either sign because the approximation zeroed the low
+    bits)."""
+    if ah == 0:
+        t = rd.huff(table)
+        diff = _extend(rd.bits(t), t) if t else 0
+        pred[ci] += diff
+        blk[0] = pred[ci] << al
+    elif rd.bits(1):
+        blk[0] |= 1 << al
+
+
+def _prog_ac_first(rd, blk, table, ss, se, al, state) -> None:
+    """AC band, Ah=0 (G.1.2.2): run/size coding within Ss..Se with
+    EOB-run escapes covering whole zero blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = rd.huff(table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += rd.bits(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC run past Se")
+        blk[k] = _extend(rd.bits(s), s) << al
+        k += 1
+
+
+def _prog_ac_refine(rd, blk, table, ss, se, al, state) -> None:
+    """AC band, Ah>0 (G.1.2.3): each symbol may create one new ±1<<Al
+    coefficient; every already-nonzero coefficient passed on the way
+    (and the whole Ss..Se tail during an EOB run) receives a
+    correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = rd.huff(table)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += rd.bits(r)
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement size must be 1")
+                val = p1 if rd.bits(1) else m1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if rd.bits(1) and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("JPEG AC refinement position past Se")
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0 and rd.bits(1) and (v & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_prog_scan(
+    buf, pos, frame, sel, spec, huff_dc, huff_ac, restart_interval, coefs
+) -> int:
+    """Decode one progressive scan into ``coefs``; returns the buffer
+    position of the terminating marker."""
+    ss, se, ah, al = spec
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    scomps = [(ci, c) for ci, c in enumerate(comps) if c["id"] in sel]
+    if not scomps:
+        raise ValueError("JPEG scan selects unknown component")
+    rd = _BitReader(buf, pos)
+    state = {"eobrun": 0}
+    pred = {ci: 0 for ci, _ in scomps}
+    unit = 0
+    if len(scomps) > 1:
+        if ss != 0:
+            raise ValueError("interleaved progressive scan must be DC")
+        mcus_x = -(-frame["w"] // (8 * hmax))
+        mcus_y = -(-frame["h"] // (8 * vmax))
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    _prog_restart(rd, pred, state)
+                for ci, c in scomps:
+                    table = huff_dc.get(sel[c["id"]][0]) if ah == 0 else None
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = coefs[ci][my * c["v"] + by, mx * c["h"] + bx]
+                            _prog_dc(rd, blk, table, pred, ci, ah, al)
+                unit += 1
+    else:
+        ci, c = scomps[0]
+        # non-interleaved scans cover ceil(component_samples / 8)
+        # blocks per axis — padding blocks are NOT coded (A.2.2)
+        comp_w = -(-(frame["w"] * c["h"]) // hmax)
+        comp_h = -(-(frame["h"] * c["v"]) // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        dc_tab, ac_tab = sel[c["id"]]
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    _prog_restart(rd, pred, state)
+                blk = coefs[ci][by, bx]
+                if ss == 0:
+                    _prog_dc(
+                        rd, blk,
+                        huff_dc.get(dc_tab) if ah == 0 else None,
+                        pred, ci, ah, al,
+                    )
+                elif ah == 0:
+                    _prog_ac_first(rd, blk, huff_ac[ac_tab], ss, se, al, state)
+                else:
+                    _prog_ac_refine(rd, blk, huff_ac[ac_tab], ss, se, al, state)
+                unit += 1
+    return rd.pos
+
+
+def _finish_progressive(frame, coefs, qt) -> np.ndarray:
+    """Dequantize + vectorized IDCT over the accumulated coefficient
+    store (one einsum per component — the per-block Python loop exists
+    only in the entropy decode, where the bitstream forces it)."""
+    zr = np.array([r for r, _ in _ZIGZAG])
+    zc = np.array([c for _, c in _ZIGZAG])
+    planes = []
+    for ci, c in enumerate(frame["comps"]):
+        q = qt[c["tq"]]
+        arr = coefs[ci].astype(np.float64) * q[zr, zc]
+        bh, bw = arr.shape[:2]
+        nat = np.zeros((bh, bw, 8, 8))
+        nat[..., zr, zc] = arr
+        px = np.einsum("ij,xyjk,kl->xyil", _T.T, nat, _T) + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _planes_to_image(planes, frame)
 
 
 def _decode_block(rd, dc_tab, ac_tab, pred, ci) -> np.ndarray:

@@ -9,14 +9,15 @@ time.
 The container ships no imaging libraries, so the codecs here are
 real, dependency-free numpy implementations: binary PPM/PGM (P6/P5),
 uncompressed 24-bit BMP, non-interlaced 8-bit PNG, and — in
-``jpeg.py`` — baseline-sequential JPEG per ITU-T T.81 (the dominant
-format of real image corpora), all round-trip tested and the JPEG
-path cross-validated against ``javax.imageio``. The synthetic corpus
-payloads are REAL encoded images; ``decode_image`` dispatches on the
-magic bytes and actually decodes them. Remaining formats
-(progressive JPEG, video containers) raise ``NotImplementedError``
-at the same dispatch point — the PIL/ffmpeg integration seam at
-deploy time.
+``jpeg.py`` — baseline-sequential AND progressive JPEG per ITU-T
+T.81 (the dominant formats of real image corpora), all round-trip
+tested and the JPEG paths cross-validated against ``javax.imageio``.
+The synthetic corpus payloads are REAL encoded images;
+``decode_image`` dispatches on the magic bytes and actually decodes
+them. Remaining formats (arithmetic/hierarchical JPEG, 16-bit PNG,
+non-MJPEG video containers) raise ``NotImplementedError`` at the
+same dispatch point — the PIL/ffmpeg integration seam at deploy
+time.
 
 ``multimodal_bytes_meta`` — the metadata/integrity pass (sizes,
 digests) — is pure JVM expressions and oracle-checked.
@@ -222,10 +223,11 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image payload to an (H, W[, 3]) uint8 array.
 
     Real decoders for PPM/PGM, 24-bit BMP, non-interlaced 8-bit PNG,
-    and baseline-sequential JPEG (``jpeg.py``, cross-validated
-    against javax.imageio output — numpy + stdlib only, see module
-    docstring); anything else — progressive JPEG, 16-bit/interlaced
-    PNG, video containers — raises ``NotImplementedError`` here, the
+    and baseline-sequential + progressive JPEG (``jpeg.py``,
+    cross-validated against javax.imageio output — numpy + stdlib
+    only, see module docstring); anything else — arithmetic/
+    hierarchical JPEG, 16-bit/interlaced PNG, non-MJPEG video
+    containers — raises ``NotImplementedError`` here, the
     integration seam where a real deployment wires PIL / torchvision
     / ffmpeg."""
     if payload[:2] in (b"P5", b"P6"):

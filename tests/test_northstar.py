@@ -255,14 +255,22 @@ def test_png_codec_roundtrip_and_filters():
 
 
 def test_multimodal_unknown_codec_is_integration_seam():
-    # progressive JPEG (SOF2) — still behind the external-codec seam
+    # arithmetic-coded JPEG (SOF9) — behind the external-codec seam
+    # (progressive SOF2 is now decoded for real; see
+    # test_jpeg_progressive_decode_interop_and_fuzz)
     import struct
 
-    progressive = (
-        b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+    arith = (
+        b"\xff\xd8\xff\xc9" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
     )
     with pytest.raises(NotImplementedError):
-        decode_image(progressive)
+        decode_image(arith)
+    # a progressive frame header with no scans must fail loudly
+    sof2_only = (
+        b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + b"\x01\x11\x00"
+    )
+    with pytest.raises(ValueError):
+        decode_image(sof2_only)
     # so is 16-bit / interlaced PNG
     from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
         _png_chunk,
@@ -771,3 +779,168 @@ _JAVA_IMAGEIO_JPEG_B64 = (
     "QPG4Y6vwx1HDHWhDHWlj9XrUCSGOtCGOo4Y/atCGOnY8utQJIY60IY6jhjq/DHRY8utQJYYq"
     "0IY6ihjrQhj9qLHl1qB//9k="
 )
+_JAVA_PROG_RGB_B64 = (
+    "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0a"
+    "HBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/2wBDAQkJCQwLDBgNDRgyIRwhMjIyMjIy"
+    "MjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjL/wgARCAAwAEADASIA"
+    "AhEBAxEB/8QAFwABAQEBAAAAAAAAAAAAAAAABAIGA//EABgBAQEBAQEAAAAAAAAAAAAAAAQAAQIG"
+    "/9oADAMBAAIQAxAAAAHCohG7aIRFtEIi0iURcaiUderpEoi0iURaRKIuN7yjr1dIlGlpEoi0iURf"
+    "/8QAFRABAQAAAAAAAAAAAAAAAAAAAQD/2gAIAQEAAQUCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCCC"
+    "CCCCCCCCCCCCCCCC/8QAFREBAQAAAAAAAAAAAAAAAAAAAgD/2gAIAQMBAT8BYmJiYmJiYmJiYmJi"
+    "/8QAFBEBAAAAAAAAAAAAAAAAAAAAMP/aAAgBAgEBPwFP/8QAFBABAAAAAAAAAAAAAAAAAAAAUP/a"
+    "AAgBAQAGPwJD/8QAFBABAAAAAAAAAAAAAAAAAAAAUP/aAAgBAQABPyFCqqqqqqqqqqqqqqqr/9oA"
+    "DAMBAAIAAwAAABA0037OMMJ/3nH/xAAUEQEAAAAAAAAAAAAAAAAAAAAw/9oACAEDAQE/EEVVVV//"
+    "xAAVEQEBAAAAAAAAAAAAAAAAAAAAEf/aAAgBAgEBPxCIiIiIiIj/xAAYEAEAAwEAAAAAAAAAAAAA"
+    "AABhACAwEP/aAAgBAQABPxDoAaAAAgECoAGAAAGoAAIAVAAn/9k="
+)
+_JAVA_PROG_GRAY_B64 = (
+    "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0a"
+    "HBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wgALCAAoADgBAREA/8QAFQABAQAAAAAA"
+    "AAAAAAAAAAAABAb/2gAIAQEAAAABh0IQhCJtCEIQmaQhCUImkIShCJpKEIQj/8QAFhAAAwAAAAAA"
+    "AAAAAAAAAAAAAAEC/9oACAEBAAEFAlIpFIpFIpFIpFIpFIpFIpFIpFIpFIpFIpFIpFIpFIpFIpFI"
+    "pFIpFJ//xAAUEAEAAAAAAAAAAAAAAAAAAABQ/9oACAEBAAY/Ag//xAAUEAEAAAAAAAAAAAAAAAAA"
+    "AABQ/9oACAEBAAE/IQ6qqqqqqqqqqq//2gAIAQEAAAAQ/wD7xwgf/8QAFRABAQAAAAAAAAAAAAAA"
+    "AAAAAGH/2gAIAQEAAT8Qiiiiiiiiiiiiiiiiiiiiiiiiiiiiiiiiiii//9k="
+)
+_JAVA_PROG_NOISE_B64 = (
+    "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0a"
+    "HBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/2wBDAQkJCQwLDBgNDRgyIRwhMjIyMjIy"
+    "MjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjL/wgARCABQAGADASIA"
+    "AhEBAxEB/8QAGAABAQEBAQAAAAAAAAAAAAAAAwIBBgD/xAAZAQEBAAMBAAAAAAAAAAAAAAADAQAC"
+    "BgT/2gAMAwEAAhADEAAAAeSY2zKabgIsrqNJiwaWWnn1ZaDxKwz9PaYkGllYOvKQKaG1C2hIHFLC"
+    "v1FLiwaTFga0vqGpjQKSWweIaGbp/ND4NMbahTQsG78uoUktB4hPL6Onu8TULXEg08JBRIeeelhd"
+    "R//EAB0QAQEAAgMBAQEAAAAAAAAAAAEAEBECITFBEjL/2gAIAQEAAQUC1HgbAiL51BaMEGPpfdbt"
+    "QRG4tX0giIjHE3k943kREeEd4C4xag610YDs43d+bWsagvpg/kLUEGoweBEXE1ERGDJatdWrWNR1"
+    "ERERFxtdkXE7C1EXkWsEQRHePL//xAAWEQEBAQAAAAAAAAAAAAAAAAACAAH/2gAIAQMBAT8BRkZG"
+    "RtyWSyRllplkjLJZLLTblpty3LRI2m02m3JZIyy3L//EABkRAAIDAQAAAAAAAAAAAAAAAAEQABEg"
+    "QP/aAAgBAgEBPwF1Cjg8RX//xAAcEAAABwEBAAAAAAAAAAAAAAAAARARICExMGH/2gAIAQEABj8C"
+    "kWpiOw8GQzhR8mngyLi0Lv4pI6XwtLGRsldu3o8g6Omy/8QAIhAAAgICAgMBAQEBAAAAAAAAAREA"
+    "ITFBUWFxgZGhscHw/9oACAEBAAE/IQANpwDgA+YoAV7cbwYDNoSgunuA0WPiEF0BNQYcCAgw13AN"
+    "v3A8f6loLAREnPzcFi2YG+cLcA6DwlBRzioFOKw4PCS9iCqzw5qFnzAQfyf8uAehAYFUcdTWYDtX"
+    "/YmD7MTYVYicn7CL9RACD01CjTmAgFnk4gmwTiDRseJ+4Fov5AQGu5VvIzSgCUBMgDuAIVW7lQIL"
+    "e4GrxDLsYMKXguOHeK4gQW/MC1YcFlJncQCNbMIEOIBYE1kQBQ6+wIBd8QbGu4PQyrI8GAUwtRCB"
+    "zhmBsofk2K/KgiW/aCjOTGaoxzRcwsP5BvPmB7uE01qAAH6gX3GhcEnO+oAbvxDBvcBaFwUhgdxG"
+    "n6EAwzmO39gMZ/YHpKC0kxNBsbgfAdwQHgZxmC9EFMWKhB4gAnFwCKocS2KWoNY9wW6oZUMGkWrB"
+    "MBW5wMWu4CJQHybD6JQFAOMPPhAmuxgimOswC8HnuAIqmTZNSyY1AlR3mYgFSoLbzDLE2I4uD0EF"
+    "WyEYil1P/9oADAMBAAIAAwAAABAaVB49h0UySMJ2JgtIGKEkVNfUZZA03//EABsRAAMAAwEBAAAA"
+    "AAAAAAAAAAABESExQRBR/9oACAEDAQE/EMIxo+BAkJShxKDdly5E5ncTI9eT08EnnzXpnYZtjlod"
+    "MitGcfSBlYuU/8QAGxEAAgMBAQEAAAAAAAAAAAAAAAERITFhQVH/2gAIAQIBAT8QMIXo4CDdlKOM"
+    "ajDLPo8gal0QMbb0iuDkj6RXDSE9Gjo9ogS9Gvojkiz/xAAlEAEAAgICAQQCAwEAAAAAAAABESEA"
+    "MUFRYXGBkfChscHh8dH/2gAIAQEAAT8QQhigmC2deD7eUAoQJmO/fWQAgiZFOCI/ysVzEzAjME68"
+    "ZIkx7EZ8/n3cQG3SEAkv5HGbBbGXMNYKLsgm9xvXfsYESG1oj7PWn0xxMUBSEHz9u6yOUs9zfAOs"
+    "ISIBqNy/e/x8lEuIqGJX34wIZDAChlT7fesARAkKd+HXnEFVySSH3TExy+cmZODSy719rDQYfUTe"
+    "v5MQJhVS4PPHGsABiE7k4Tr/ADH3sCwgD7H5yGOqgW457++TGWESNvfT4xkRzJbK4IZ+bxRgiyQN"
+    "IHHePJbo8Ln3yTRBoZY418n/AHDggFnp21X38ZVJKFjD089Lf1JYVS2oZ+O8DmWF06dutxrBFDZI"
+    "CeP9+PjAECVseZrswytAxCZm5X1rKMDEpnccTjy6FvCGda+mSp54D1UQxV/nCSXIXaZ9dYB2iwoZ"
+    "TxfHpk5gQsBCNNd/XE3IMQqvfe8e8laBghfj+8hsjImyul9TAAEAJhMeT34/rGlE9ttHj5yiF2n2"
+    "/fg6xaQBomnmQPM6/jJQITVRJ6+28otzdCILf1kIOMraddawkWAWlhS/i8kLYGxQa09/3jKgTjvu"
+    "q/3ARMtUl6/nAEWenBTWv5wkgggC6aqNa34wMBM+2V91r4nLhMZEL/c4Id3O0IgefDicRMqpEOeg"
+    "YZB+1kSAkEUm/f6T8KhmEAj0dzGMk0ExKlmPecUlKizcH0/vBVx7RH38YnUeXW7KnrATNClIg4vR"
+    "xkvFs4THPgrLjFkuSjX+d/xl2Rlo1BFV7/nHCyQpaTJIZKB5kSd7u/tYsBEkprq59zElQqICg9K4"
+    "lciER0waJd8zeBIahy1448HnBokNk9slhkUCNJj1nf2/bJtUgIQmJi+de2FXDrxHdwVv8YJ1ZbGL"
+    "7n+MjUktD2t+k5A5gJFVYGpf3xd4AkqBR23/AAfdY4gAyCQ9cyGuKyFkowCkH+ZG8kmfE9wHX4nE"
+    "TMEJ7D3rCREpFumNSvc/vxkQiiaFCPTnCsoLlAPrjAsS243IeKfH8BLrMK2npWsMMyCpt3rXpgg2"
+    "ZgTNaI7nBCBNFiYdbfTBRIgAF8wenjASnYyc1XyfrKDIFBNea1+sk6JKgljmfnBTCGyEVeZwQWOB"
+    "B66p3vCSFiSCkkEffTAgVCEkl9d+fTKwiTWjZrXAd4VGiEHStXfffHnEQgB2krzPxFYeSsyZ9Vfn"
+    "9404LENzE3Xj/mBlCoSakRn0wSS1SFP1vGlKKSYiFjZ0a7cYSSCAK874H+OcNiVqKEmOf+ZH62Ut"
+    "83P2PXAWtITY74/HftkiUSfYY69zJWIkS9RPHkwixyZR6P3/AHn/2Q=="
+)
+_JAVA_PROG_NOISE_REF_SUB4_B64 = (
+    "ERoZBQsLIi4sDCcgEi4fKEUzIEc1BTwpN3pZKHNIInFBM4hRMZBYKpJXF4NJEoRJAYFELLNxGKFb"
+    "HqtfH8d6ELhqIcdzINiCKSkrHBweHicmMEVAHTkqEjEhK1JAIldDK2ZGHV04JnFKJXhOIn5NMZJd"
+    "MpliHotSGJNaJ6lrPsWATNmNFbNpFbNmNtWBJNR/IBUbFgsRPjk9HignQFdNKkI1RWVWPWpVKlg8"
+    "IlQ3LW5QHmpMHWpGI3VNEG0+LZRfGo1WLKZtPL5+T9iSJ7dxNcd8SeWRQuqVRS44OyQuPS41REJF"
+    "NEA8LDkySlxQPltJPmZOPGpOLGNEP39dSIhtR45wJ3xTN5loR7GASbuHHZteKrFuLbZyRdaJKMZv"
+    "JMx1OR4nVjdHQSY3Qzo/My8wUVJWR1NRNVBBVm9ZVXdfNGBHS3tlTYduVZt5N4pgSqaBP5l2Rqd6"
+    "TL6DJqRlQcqCQNGMRNuYONaJTCo6OxgsQSQ2TUBHTERCNzM0Nz9BSl1XTGBVSGRVN2FNOWlTRn5j"
+    "VJVzQ49pSp58PI1tWbGHP6hwUceLSs2HQ8qIRdOXKsB4PQ8ra0FXVzhHVT5GUUFCRTk5S0lKQkdK"
+    "SFhYVWxmS2xbaZV6OW5SVYtxRYRnVpx6T5t3W7CHWbmJM55mP7N0Vc2QXuOkSteSQAMsUyM9ZUVQ"
+    "UTM7QCg1XElPUkZGWVNVU1tdWmRjUWBZZod2UHxjRnNebJ2IYJd4U5l0U6N+bMSaS653W8CIX8qS"
+    "XdiZW+CfbCpOWRo3RxIkZD1PXDVIZ0hXZFNbdmtxa3N1XFpdbmxtZ4d6QWlhTHFqU4Jwap+BUJVm"
+    "UZ56armcYbCDbcaaYMWZY9WiXNOdZxtJcitNXR82bUFSSx4yaURWXEZTZFRfWVRaZWNmcHJxUGFZ"
+    "V3JpaYt9a5WBSHheca6MfMSeWqqDecqhhNyyY8maY8+dY86aaRJFey9WaChCcz1Ucz9WZDdOg2B0"
+    "ZU5eeWNvZ15jZGhnd3Z0gpB/aIFrZIRvZox3WYh0VpZ0cL+Sdcqje9Cngt6va82adtmjdxVEfilQ"
+    "eTZVYSFEhEtrgUpnkGJ8b1JmeWVxgG93jYSHYmdjYW1jgZGEk6qagp+NjbWac6eQYKCIhsyqi8ys"
+    "dsKecMugfd+whydXdBtHey1UdCxRcjRLkFN0ekFqf1xwc1hnjHqGeXJ5gYGBjoWKf39/a3tuj6eR"
+    "f6WMhbGagq+ajbmeoNa8cq+OmuW8gNiwdhRDhilViTRekUNtbitMgD1gjk1vmmWDe1Vqh299jn6I"
+    "fnN5fHN2oqKih5SNgI+IiKeXfJ6Nha+XmcqticWpjMyqhsqliteziiNQnjtqdxlLgChbhDVllkxx"
+    "pF98j0hwmWeAiWJ0ooKRkXaFgHV5pKChi4qQen6HdIN+cIh7iq+dd6ePi8incK2OgL2el9q3ihpU"
+    "oDVtjipelThnjjZgrlyKikV0kU9znGV6pXCEtICXto+kmH6HoouTlYSMl5WafYOBk56YkKaag6KS"
+    "ibGWkrykmMWwjcqpjhpZnSdkgxFMiiVdo0FwizRfl0x3rmaLpl9/n195q3iLnnCMlHOIsZWknYiP"
+    "saemloyUpK6tmqqgip6TpcazqdG3pNK1lcytjwxYtTR3nyFepzVwmTNlkTRhmUhxnUx1qlyDs3OO"
+    "yJetnHCLqoSZpISTrJWfmIePtKKujpeUpLGnucm8tM/AfJyFpcyxsd/FyjaMwDJ+pB9enx9ayFeN"
+    "mjZoqE99pk98uGaMsWqMll9+jl17x5asqXyQr42eu6OzuaGvtLa1rLKouL+3tszAsMW0tMu30fTg"
+    "wyd6tiRtmhRTrCdpu0OAz2SaqUh7p0l71HihtWOLsW2Wp2qMvH2cv4ekr4SYupuqvp6zq6Ssqaeo"
+    "u7u5rsK5yNjLwtTEs9XE"
+)
+
+
+def test_jpeg_progressive_decode_interop_and_fuzz():
+    """Progressive JPEG (SOF2, T.81 Annex G): files written by
+    javax.imageio's default progressive scan script (interleaved
+    point-transformed DC scan, AC spectral selection, Ah=2->1->0
+    successive-approximation refinements, 4:2:0 subsampling) must
+    decode to the generating pattern. The LCG-noise fixture stresses
+    EOB runs / ZRL / correction bits; its decode is pinned against
+    javax.imageio's OWN decode of the same bytes (4x-subsampled
+    vendored reference, near-exact bound) — a refinement-logic bug
+    cannot hide behind JPEG's quantization loss there. Every
+    truncation offset must fail with ValueError, never IndexError."""
+    import base64
+
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.jpeg import decode_jpeg
+
+    rgb_bytes = base64.b64decode(_JAVA_PROG_RGB_B64)
+    dec = decode_jpeg(rgb_bytes)
+    yy, xx = np.mgrid[0:48, 0:64]
+    want = np.stack(
+        [(yy * 4) % 256, (xx * 3) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(int)
+    err = np.abs(dec.astype(int) - want)
+    assert dec.shape == (48, 64, 3)
+    assert err.mean() < 4 and err.max() < 32, (err.mean(), err.max())
+
+    gray_bytes = base64.b64decode(_JAVA_PROG_GRAY_B64)
+    decg = decode_jpeg(gray_bytes)
+    yg, xg = np.mgrid[0:40, 0:56]
+    wantg = ((xg * 2 + yg * 3) % 256).astype(int)
+    errg = np.abs(decg.astype(int) - wantg)
+    assert decg.shape == (40, 56)
+    assert errg.mean() < 4 and errg.max() < 32, (errg.mean(), errg.max())
+
+    # noise fixture: same 64-bit LCG as the Java generator
+    noise_bytes = base64.b64decode(_JAVA_PROG_NOISE_B64)
+    s, mask = 12345, (1 << 64) - 1
+    wantn = np.zeros((80, 96, 3), int)
+    for y in range(80):
+        for x in range(96):
+            c = []
+            for _ in range(3):
+                s = (s * 6364136223846793005 + 1442695040888963407) & mask
+                c.append((s >> 33) & 255)
+            wantn[y, x] = [
+                ((y * 2) + (c[0] >> 2)) & 255,
+                ((x * 2) + (c[1] >> 2)) & 255,
+                ((x + y) + (c[2] >> 2)) & 255,
+            ]
+    decn = decode_jpeg(noise_bytes).astype(int)
+    errn = np.abs(decn - wantn)
+    assert decn.shape == (80, 96, 3)
+    assert errn.mean() < 20 and errn.max() < 80, (errn.mean(), errn.max())
+    # near-exact vs the independent decoder (IDCT rounding only)
+    ref_sub = np.frombuffer(
+        base64.b64decode(_JAVA_PROG_NOISE_REF_SUB4_B64), np.uint8
+    ).reshape(20, 24, 3).astype(int)
+    errj = np.abs(decn[::4, ::4] - ref_sub)
+    assert errj.mean() < 2 and errj.max() <= 8, (errj.mean(), errj.max())
+
+    # truncation fuzz at EVERY cut offset across all three fixtures
+    for data in (rgb_bytes, gray_bytes, noise_bytes):
+        for k in range(2, len(data)):
+            try:
+                out = decode_jpeg(data[:k])
+                assert out.shape[0] > 0
+            except (ValueError, NotImplementedError):
+                pass
