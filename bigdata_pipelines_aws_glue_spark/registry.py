@@ -27,27 +27,30 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: Names emitted FIRST by ``queries()``/``oracle_sql()``. The driver
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
-#: OLDEST evidence. CORRECTNESS_r03 attested its 50-query window
-#: (46 hash-green, 4 no_oracle, 0 failures); round 4 therefore
-#: front-loads (a) the 12 queries that are new or behavior-changed
-#: this round (newly-oracled PQ/IVF-PQ top-k + recall, compression
-#: bounds, k-means convergence, catalog round-trip, multimodal
-#: decode + frame-sampling + audio + video attestations, and the
-#: re-quantized token-budget allocator) and (b) 38 of the 47 queries
-#: whose most recent attestation is ROUND 1 — the stalest evidence
-#: in the ledger. Exactly 50 names: no slot is wasted on a row the
-#: previous round just verified (every name here was last attested
-#: in r1 or never), and no-oracle rows stay out of the window (their
-#: evidence is pytest). Deferred to round 5: nine r1 queries
-#: (distinct_agg, cube_status, histogram_order_totals,
+#: OLDEST evidence (policy encoded in ``tools/rotate_priority.py``,
+#: which generated this window). Round-4 window: (a) the 4 queries
+#: added mid-round (BPE tokenizer training, LM perplexity filter,
+#: BM25 retrieval, JSONL round-trip), (b) the 11 never-attested
+#: queries from the start of the round (newly-oracled PQ/IVF-PQ
+#: top-k + recall, compression bounds, k-means convergence, catalog
+#: round-trip, multimodal decode/frame/audio/video attestations),
+#: (c) 35 of the queries whose most recent attestation is ROUND 1 —
+#: the stalest evidence in the ledger. No-oracle rows stay out of
+#: the window (their evidence is pytest). Deferred to round 5:
+#: twelve r1 queries (events_cohort_retention, events_attribution,
+#: dedup_exact, distinct_agg, cube_status, histogram_order_totals,
 #: unpivot_measures, set_union, set_intersect, union_all_by_name,
-#: set_intersect_all, set_except_all) plus the 26 r2-attested
-#: queries and the r3-green rows whose DuckDB oracle text got
-#: BIGINT-cast hardening (embedding_centroids, ivf_topk,
-#: ivf_recall_at10 — local check_oracle confirms their hashes are
-#: unchanged).
+#: set_intersect_all, set_except_all), the r2-attested block, and
+#: the r3-green rows whose DuckDB oracle text got BIGINT-cast
+#: hardening (embedding_centroids, ivf_topk, ivf_recall_at10 —
+#: local check_oracle confirms their hashes are unchanged).
 PRIORITY: tuple[str, ...] = (
-    # (a) new or behavior-changed in round 4
+    # (a) added mid-round-4
+    "bpe_train_merges",
+    "lm_perplexity_filter",
+    "bm25_search",
+    "jsonl_roundtrip_events",
+    # (b) new at the start of round 4 — never attested
     "pq_topk",
     "ivfpq_topk",
     "pq_recall_at10",
@@ -55,12 +58,11 @@ PRIORITY: tuple[str, ...] = (
     "doc_compression_ratio",
     "kmeans_convergence",
     "catalog_roundtrip_orders",
-    "token_budget_allocation",
     "multimodal_features",
     "multimodal_frame_sample",
     "multimodal_audio_features",
     "multimodal_video_frames",
-    # (b) last attested round 1 — aggregates / TPC-H shapes
+    # (c) last attested round 1 — aggregates / TPC-H shapes
     "q1_pricing_summary",
     "sales_trends_monthly",
     "rollup_sales",
@@ -75,7 +77,7 @@ PRIORITY: tuple[str, ...] = (
     "q16_supplier_diversity",
     "stats_moments",
     "monthly_revenue_gapfill",
-    # (b) sorts / windows / joins / merge
+    # (c) sorts / windows / joins / merge
     "topk_orders",
     "global_sorted_sample",
     "window_rank_orders",
@@ -89,11 +91,10 @@ PRIORITY: tuple[str, ...] = (
     "anti_join_customers",
     "range_join_promo_windows",
     "staged_merge_orders",
-    # (b) set ops (1 of 6 as the family representative; the other
-    # five rotate in round 5 — two slots ceded to the new PQ recall
-    # attestations above)
+    # (c) set ops (1 of 6 as the family representative; the rest
+    # rotate in round 5)
     "set_except",
-    # (b) events / streaming twins
+    # (c) events / streaming twins
     "events_window_10min",
     "events_sessionize",
     "events_json_props",
@@ -101,10 +102,6 @@ PRIORITY: tuple[str, ...] = (
     "events_json_typed",
     "events_grouping_sets",
     "events_funnel",
-    "events_cohort_retention",
-    "events_attribution",
-    # (b) dedup
-    "dedup_exact",
 )
 
 

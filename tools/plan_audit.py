@@ -44,6 +44,14 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "corpus-total + mix-denominator scalars "
         "(1-row broadcasts onto a |languages|-row aggregate)",
     },
+    "lm_perplexity_filter": {
+        "BroadcastNestedLoopJoin": "LM totals (T, V) and corpus-mean-NLL "
+        "scalars — 1-row broadcasts; model tables join on their keys",
+    },
+    "bm25_search": {
+        "BroadcastNestedLoopJoin": "(n_docs, avgdl) corpus scalar — 1-row "
+        "broadcast onto the (query, doc) aggregate",
+    },
     "token_budget_allocation": {
         "BroadcastNestedLoopJoin": "remainder-rank self-join and "
         "totals joins over the #languages-row aggregate — bounded by "
