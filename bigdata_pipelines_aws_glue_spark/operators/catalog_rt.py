@@ -31,6 +31,7 @@ from bigdata_pipelines_aws_glue_spark.sources.catalog import (
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 from bigdata_pipelines_aws_glue_spark.sources.writers import (
     write_partitioned_parquet,
+    write_table,
 )
 
 #: Registered in the always-present ``default`` database: CREATE
@@ -96,8 +97,6 @@ def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps and every double bit (Spark emits shortest-round-trip
     decimal repr). Money-style sums quantized to exact integer cents;
     the raw-double min/max ride through unreduced."""
-    from bigdata_pipelines_aws_glue_spark.sources.writers import write_table
-
     events = load_table(spark, sf_dir, "events")
     sf_tag = (
         os.path.basename(os.path.normpath(sf_dir)).replace(".", "_") or "sf"
@@ -125,6 +124,54 @@ def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-interchange edge on the hard signal: write ``lineitem``
+    to ORC through the format-agnostic sink, read it back, aggregate.
+    ORC is Spark's second built-in columnar analytic format (same
+    min/max row-group statistics contract as parquet — the S4
+    alternative storage the reference's Athena/warehouse layer could
+    point at), and unlike JSON it must preserve doubles and
+    ``timestamp_ntz`` natively rather than through text. The DuckDB
+    twin aggregates the source parquet directly, so a hash match
+    proves the ORC writer/reader pair is value-lossless for every
+    type the fact table carries. Money/quantity sums as exact integer
+    cents (LONG both engines) — aggregation-order independent."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sf_tag = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_") or "sf"
+    )
+    loc = os.path.join(tempfile.gettempdir(), f"spark_graft_orc_rt_{sf_tag}")
+    write_table(lineitem, loc, format="orc")
+    back = spark.read.schema(lineitem.schema).orc(loc)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("qty_cents"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("price_cents"),
+        F.count_distinct(F.col("l_orderkey")).alias("n_orders"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+ORC_RT_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_lines,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS qty_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS price_cents,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       min(l_shipdate) AS first_ship,
+       max(l_shipdate) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 JSONL_RT_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
@@ -144,4 +191,7 @@ def _register() -> None:
     )
     registry.register(
         "jsonl_roundtrip_events", jsonl_roundtrip_events, JSONL_RT_ORACLE
+    )
+    registry.register(
+        "orc_roundtrip_lineitem", orc_roundtrip_lineitem, ORC_RT_ORACLE
     )

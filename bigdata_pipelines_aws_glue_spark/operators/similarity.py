@@ -280,29 +280,18 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 3  # IVF cells searched per query
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (the other N3 scale path besides LSH): coarse
-    cells = per-label centroids; each vector is indexed under its
-    nearest centroid, each query probes its ``N_PROBE`` nearest cells
-    and re-scores exactly within them. At 100 TB: centroids are a
-    broadcast table (k rows), cell assignment is a map, and search is
-    an equi-join on cell id — never a cross join. Rows-only check;
-    recall vs brute force asserted in tests."""
-    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
-
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    )
-    # coarse centroids: mean vector per corpus label (k = n_labels).
-    # The mean is computed over 1e-9-quantized values summed as LONGs,
-    # so it is independent of partial-aggregation order AND expressible
-    # bit-for-bit in the DuckDB twin (``IVF_RECALL_ORACLE``) — the same
-    # move ``embedding_centroids`` uses. (Both sides sum as exact
-    # integers — Spark LONG, DuckDB BIGINT→HUGEINT — so the recipe
-    # holds at any scale, not just under 2^53.)
-    cents = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("label", _as_double(F.col("embedding")).alias("v"))
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """(cell, cvec): coarse centroids — the mean vector per corpus
+    label (k = n_labels). The mean is computed over 1e-9-quantized
+    values summed as LONGs, so it is independent of
+    partial-aggregation order AND expressible bit-for-bit in the
+    DuckDB twins (``IVF_RECALL_ORACLE``, ``SEMDEDUP_ORACLE``) — the
+    same move ``embedding_centroids`` uses. (Both sides sum as exact
+    integers — Spark LONG, DuckDB BIGINT→HUGEINT — so the recipe
+    holds at any scale, not just under 2^53.) Shared by ``ivf_topk``,
+    ``ivfpq_topk``, and ``semdedup_prune``."""
+    return (
+        emb.select("label", _as_double(F.col("embedding")).alias("v"))
         .withColumn("dim", F.sequence(F.lit(0), F.size("v") - 1))
         .select("label", F.explode(F.arrays_zip("dim", "v")).alias("z"))
         .groupBy("label", F.col("z.dim").alias("dim"))
@@ -319,6 +308,22 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("pairs", lambda p: p["cv"]).alias("cvec"),
         )
     )
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (the other N3 scale path besides LSH): coarse
+    cells = per-label centroids; each vector is indexed under its
+    nearest centroid, each query probes its ``N_PROBE`` nearest cells
+    and re-scores exactly within them. At 100 TB: centroids are a
+    broadcast table (k rows), cell assignment is a map, and search is
+    an equi-join on cell id — never a cross join. Rows-only check;
+    recall vs brute force asserted in tests."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    cents = label_centroids(load_table(spark, sf_dir, "embeddings"))
     # rank cells per vector by centroid cosine
     scored_cells = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
@@ -1167,25 +1172,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic; recall vs exact additionally asserted in tests."""
     emb = _corpus_vectors(spark, sf_dir)
     # ---- IVF side: quantized per-label centroids, cell assignment
-    cents = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("label", _as_double(F.col("embedding")).alias("v"))
-        .withColumn("dim", F.sequence(F.lit(0), F.size("v") - 1))
-        .select("label", F.explode(F.arrays_zip("dim", "v")).alias("z"))
-        .groupBy("label", F.col("z.dim").alias("dim"))
-        .agg(
-            (
-                (F.sum(F.floor(F.col("z.v") * 1e9 + F.lit(0.5))) / F.lit(1e9))
-                / F.count(F.lit(1))
-            ).alias("cv")
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("pairs"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("pairs", lambda p: p["cv"]).alias("cvec"),
-        )
-    )
+    cents = label_centroids(load_table(spark, sf_dir, "embeddings"))
     scored_cells = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "v", "cell", cosine(F.col("v"), F.col("cvec")).alias("cs")
     )

@@ -28,16 +28,18 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy encoded in ``tools/rotate_priority.py``,
-#: which generated this window). Round-4 window: (a) the 4 queries
-#: added mid-round (BPE tokenizer training, LM perplexity filter,
-#: BM25 retrieval, JSONL round-trip), (b) the 11 never-attested
-#: queries from the start of the round (newly-oracled PQ/IVF-PQ
-#: top-k + recall, compression bounds, k-means convergence, catalog
+#: which generated this window). Round-4 window: (a) the 7 queries
+#: added mid-round (SemDeDup prune, trade-graph PageRank, ORC
+#: round-trip, BPE tokenizer training, LM perplexity filter, BM25
+#: retrieval, JSONL round-trip), (b) the 11 never-attested queries
+#: from the start of the round (newly-oracled PQ/IVF-PQ top-k +
+#: recall, compression bounds, k-means convergence, catalog
 #: round-trip, multimodal decode/frame/audio/video attestations),
-#: (c) 35 of the queries whose most recent attestation is ROUND 1 —
+#: (c) 32 of the queries whose most recent attestation is ROUND 1 —
 #: the stalest evidence in the ledger. No-oracle rows stay out of
 #: the window (their evidence is pytest). Deferred to round 5:
-#: twelve r1 queries (events_cohort_retention, events_attribution,
+#: fifteen r1 queries (events_json_typed, events_grouping_sets,
+#: events_funnel, events_cohort_retention, events_attribution,
 #: dedup_exact, distinct_agg, cube_status, histogram_order_totals,
 #: unpivot_measures, set_union, set_intersect, union_all_by_name,
 #: set_intersect_all, set_except_all), the r2-attested block, and
@@ -46,6 +48,9 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: local check_oracle confirms their hashes are unchanged).
 PRIORITY: tuple[str, ...] = (
     # (a) added mid-round-4
+    "semdedup_prune",
+    "pagerank_trade_graph",
+    "orc_roundtrip_lineitem",
     "bpe_train_merges",
     "lm_perplexity_filter",
     "bm25_search",
@@ -99,9 +104,6 @@ PRIORITY: tuple[str, ...] = (
     "events_sessionize",
     "events_json_props",
     "events_sliding_window",
-    "events_json_typed",
-    "events_grouping_sets",
-    "events_funnel",
 )
 
 
@@ -163,6 +165,8 @@ def _load_all() -> None:
         "catalog_rt",
         "retrieval",
         "bpe",
+        "semdedup",
+        "graph",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(

@@ -114,6 +114,11 @@ WHITELIST: dict[str, dict[str, str]] = {
     "regex_functions": {
         "BroadcastNestedLoopJoin": "1-row (LIMIT 1) broadcast side",
     },
+    "semdedup_prune": {
+        "BroadcastNestedLoopJoin": "k-row centroid broadcast for cell "
+        "assignment (same bounded table as ivf_topk); the within-cell "
+        "pair join itself is a SortMergeJoin on cell — verified",
+    },
     "global_sorted_sample": {
         "SinglePartition": "deliberately global total order (sampled)",
     },
