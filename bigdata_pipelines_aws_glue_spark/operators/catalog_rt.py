@@ -172,6 +172,53 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def csv_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining interchange edge (S1/S2's read side already runs
+    on CSV in ``plans/reference_pipeline.py``; this attests the WRITE
+    side): ``customer`` -> CSV sink (header) -> declared-schema
+    read-back -> aggregate vs the parquet-direct DuckDB twin. The
+    risky types here are DOUBLE-through-text (Spark emits
+    shortest-round-trip decimals; the min/max acctbal ride through
+    unreduced so one ulp of loss anywhere flips the hash) and
+    BIGINT/INT re-parsing. The corpus strings are delimiter-free;
+    arbitrary-text escaping is jsonl_roundtrip_events' job."""
+    customer = load_table(spark, sf_dir, "customer")
+    sf_tag = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_") or "sf"
+    )
+    loc = os.path.join(tempfile.gettempdir(), f"spark_graft_csv_rt_{sf_tag}")
+    write_table(customer, loc, format="csv", header="true")
+    back = (
+        spark.read.schema(customer.schema).option("header", "true").csv(loc)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count_distinct(F.col("c_nationkey")).alias("n_nations"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("acctbal_cents"),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+        F.min("c_name").alias("first_name"),
+        F.max("c_name").alias("last_name"),
+    )
+
+
+CSV_RT_ORACLE = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents,
+       min(c_acctbal) AS min_acctbal,
+       max(c_acctbal) AS max_acctbal,
+       min(c_name) AS first_name,
+       max(c_name) AS last_name
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
 JSONL_RT_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
@@ -194,4 +241,7 @@ def _register() -> None:
     )
     registry.register(
         "orc_roundtrip_lineitem", orc_roundtrip_lineitem, ORC_RT_ORACLE
+    )
+    registry.register(
+        "csv_roundtrip_customer", csv_roundtrip_customer, CSV_RT_ORACLE
     )

@@ -428,7 +428,113 @@ FROM allr
 """
 
 
+#: Misra–Gries counter budget. Deliberately SMALLER than the corpus
+#: vocabulary (~40 terms), so evictions genuinely occur and the
+#: guarantee booleans attest real sketch behavior, not a trivially
+#: exact dictionary.
+MG_K = 32
+
+
+def _mg_partitions(it):
+    """Arrow-batched per-partition Misra–Gries summary over the
+    ``text`` column: at most ``MG_K`` (term, est) counters per
+    partition. est undercounts truth by at most n_p/(MG_K+1)."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in it:
+        for text in pdf["text"]:
+            for w in text.strip().split(" "):
+                if not w:
+                    continue
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < MG_K:
+                    counters[w] = 1
+                else:
+                    # decrement-all step (the incoming item's count of
+                    # 1 cancels too); drop zeroed counters
+                    for t in list(counters):
+                        if counters[t] == 1:
+                            del counters[t]
+                        else:
+                            counters[t] -= 1
+    yield pd.DataFrame(
+        {"term": list(counters.keys()), "est": list(counters.values())}
+    )
+
+
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed heavy hitters via mergeable Misra–Gries sketches —
+    the bounded-memory way to find >1/``MG_K``-frequency terms at
+    100 TB (exact per-term counts need a vocabulary-sized shuffle;
+    the sketch needs MG_K counters per partition plus a ≤ MG_K·P-row
+    merge). Per-partition sketches (Arrow ``mapInPandas``) merge by
+    summing per-term estimates; merged error stays ≤ n/(MG_K+1)
+    because per-partition decrements add.
+
+    Attestation follows the ``hll_vocab_rollup`` contract: the output
+    rows are the EXACTLY-heavy terms (true_count·K > n, integer
+    compare — both engines compute them identically), and the sketch
+    contributes two booleans that MG structurally guarantees under
+    ANY partitioning: every strictly-heavy term survives the sketch
+    (``in_sketch``), and its estimate lands in [true−n/K, true]
+    (``est_within_bound``). The DuckDB twin asserts TRUE, so a hash
+    match proves the sketch really held its guarantee on this corpus.
+    Raw per-term estimates are deliberately NOT emitted — they depend
+    on partition layout; the guarantee booleans do not. The exact
+    side here is the audit pass (at 100 TB you would ship the sketch
+    alone)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    sketch = docs.mapInPandas(_mg_partitions, "term string, est long")
+    merged = sketch.groupBy("term").agg(F.sum("est").alias("est"))
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("term")).filter(
+        F.length("term") > 0
+    )
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("true_count"))
+    total = (
+        exact.agg(F.sum("true_count").alias("n_tokens"))
+        .withColumn("k", F.lit(1))
+    )
+    heavy = (
+        exact.withColumn("k", F.lit(1))
+        .join(F.broadcast(total), "k")
+        .filter(F.col("true_count") * F.lit(MG_K) > F.col("n_tokens"))
+    )
+    und = F.col("true_count") - F.coalesce(F.col("est"), F.lit(0))
+    return heavy.join(merged, "term", "left").select(
+        "term",
+        "true_count",
+        "n_tokens",
+        F.col("est").isNotNull().alias("in_sketch"),
+        (
+            F.col("est").isNotNull()
+            & (F.col("est") <= F.col("true_count"))
+            & (und * F.lit(MG_K) <= F.col("n_tokens"))
+        ).alias("est_within_bound"),
+    )
+
+
+HEAVY_HITTERS_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+tok2 AS (SELECT term FROM toks WHERE length(term) > 0),
+exact AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS true_count
+    FROM tok2 GROUP BY term
+),
+tot AS (SELECT CAST(sum(true_count) AS BIGINT) AS n_tokens FROM exact)
+SELECT term, true_count, n_tokens,
+       TRUE AS in_sketch,
+       TRUE AS est_within_bound
+FROM exact CROSS JOIN tot
+WHERE true_count * {MG_K} > n_tokens
+"""
+
+
 def _register() -> None:
+    registry.register("heavy_hitters_mg", heavy_hitters_mg, HEAVY_HITTERS_ORACLE)
     registry.register("corpus_mix_weights", corpus_mix_weights, MIX_ORACLE)
     registry.register("hll_vocab_rollup", hll_vocab_rollup, HLL_ROLLUP_ORACLE)
     registry.register(

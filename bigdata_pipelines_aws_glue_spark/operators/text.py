@@ -665,7 +665,108 @@ FROM t
 """
 
 
+#: words per pseudo-sentence for readability on the unpunctuated
+#: corpus (the standard fallback for ASR-transcript-style text with
+#: no sentence delimiters; documented convention, not a guess).
+READABILITY_WPS = 20
+
+
+def _syllables(w: Column) -> Column:
+    """Heuristic syllable count: number of vowel groups (incl. y) —
+    the classic dictionary-free approximation behind automated
+    readability scoring."""
+    return F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0)))
+
+
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability profile: word/syllable/polysyllable
+    counts, Flesch reading ease, and Flesch–Kincaid grade — the
+    classic curation filter for targeting a corpus at a difficulty
+    band. Sentence boundaries don't exist in this corpus (no
+    punctuation), so the sentence unit is a fixed ``READABILITY_WPS``
+    -word span (rounded, min 1) — the documented fallback.
+
+    Map-only column expressions end-to-end (zero shuffle): at 100 TB
+    this is a pure scan pass, and Catalyst prunes to (doc_id, text).
+    Doubles are ratios of exact integers, so the DuckDB twin matches
+    bit-for-bit; scores are stable-rounded on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_tokens(F.col("text")), lambda w: F.length(w) > 0)
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, _syllables), F.lit(0), lambda a, x: a + x
+        )
+        .cast("long")
+        .alias("n_syllables"),
+        F.size(F.filter(toks, lambda w: _syllables(w) >= 3))
+        .cast("long")
+        .alias("n_polysyllabic"),
+    ).filter(F.col("n_words") > 0)
+    n_sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(F.col("n_words") / F.lit(float(READABILITY_WPS)) + F.lit(0.5)),
+    )
+    m = m.withColumn("n_sentences", n_sent)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_polysyllabic",
+        "n_sentences",
+        stable_round(spw, 6).alias("avg_syllables"),
+        stable_round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ).alias("flesch_ease"),
+        stable_round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+        ).alias("fk_grade"),
+    )
+
+
+READABILITY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(trim(text), ' '),
+                       w -> length(w) > 0) AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(coalesce(list_sum(list_transform(toks,
+                w -> len(regexp_extract_all(w, '[aeiouy]+')))), 0)
+               AS BIGINT) AS n_syllables,
+           CAST(len(list_filter(toks,
+                w -> len(regexp_extract_all(w, '[aeiouy]+')) >= 3))
+               AS BIGINT) AS n_polysyllabic
+    FROM t
+),
+s AS (
+    SELECT *,
+           greatest(CAST(1 AS BIGINT),
+                    CAST(floor(n_words / {float(READABILITY_WPS)} + 0.5)
+                         AS BIGINT)) AS n_sentences
+    FROM m WHERE n_words > 0
+)
+SELECT doc_id, n_words, n_syllables, n_polysyllabic, n_sentences,
+       floor((CAST(n_syllables AS DOUBLE) / n_words) * 1000000.0 + 0.5)
+           / 1000000.0 AS avg_syllables,
+       floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+             * 10000.0 + 0.5) / 10000.0 AS flesch_ease,
+       floor((0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+              + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59)
+             * 10000.0 + 0.5) / 10000.0 AS fk_grade
+FROM s
+"""
+
+
 def _register() -> None:
+    registry.register("doc_readability", doc_readability, READABILITY_ORACLE)
     registry.register("text_stats", text_stats, TEXT_STATS_ORACLE)
     registry.register(
         "doc_compression_ratio", doc_compression_ratio, COMPRESSION_BOUNDS_ORACLE

@@ -28,17 +28,19 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy encoded in ``tools/rotate_priority.py``,
-#: which generated this window). Round-4 window: (a) the 7 queries
+#: which generated this window). Round-4 window: (a) the 10 queries
 #: added mid-round (SemDeDup prune, trade-graph PageRank, ORC
+#: round-trip, Flesch readability, Misra-Gries heavy hitters, CSV
 #: round-trip, BPE tokenizer training, LM perplexity filter, BM25
 #: retrieval, JSONL round-trip), (b) the 11 never-attested queries
 #: from the start of the round (newly-oracled PQ/IVF-PQ top-k +
 #: recall, compression bounds, k-means convergence, catalog
 #: round-trip, multimodal decode/frame/audio/video attestations),
-#: (c) 32 of the queries whose most recent attestation is ROUND 1 —
+#: (c) 29 of the queries whose most recent attestation is ROUND 1 —
 #: the stalest evidence in the ledger. No-oracle rows stay out of
 #: the window (their evidence is pytest). Deferred to round 5:
-#: fifteen r1 queries (events_json_typed, events_grouping_sets,
+#: eighteen r1 queries (events_sessionize, events_json_props,
+#: events_sliding_window, events_json_typed, events_grouping_sets,
 #: events_funnel, events_cohort_retention, events_attribution,
 #: dedup_exact, distinct_agg, cube_status, histogram_order_totals,
 #: unpivot_measures, set_union, set_intersect, union_all_by_name,
@@ -51,6 +53,9 @@ PRIORITY: tuple[str, ...] = (
     "semdedup_prune",
     "pagerank_trade_graph",
     "orc_roundtrip_lineitem",
+    "doc_readability",
+    "heavy_hitters_mg",
+    "csv_roundtrip_customer",
     "bpe_train_merges",
     "lm_perplexity_filter",
     "bm25_search",
@@ -101,9 +106,6 @@ PRIORITY: tuple[str, ...] = (
     "set_except",
     # (c) events / streaming twins
     "events_window_10min",
-    "events_sessionize",
-    "events_json_props",
-    "events_sliding_window",
 )
 
 

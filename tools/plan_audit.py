@@ -114,6 +114,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "regex_functions": {
         "BroadcastNestedLoopJoin": "1-row (LIMIT 1) broadcast side",
     },
+    "heavy_hitters_mg": {
+        "BroadcastNestedLoopJoin": "1-row corpus-token-total scalar "
+        "broadcast onto the per-term exact aggregate",
+    },
     "semdedup_prune": {
         "BroadcastNestedLoopJoin": "k-row centroid broadcast for cell "
         "assignment (same bounded table as ivf_topk); the within-cell "
