@@ -28,18 +28,20 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy encoded in ``tools/rotate_priority.py``,
-#: which generated this window). Round-4 window: (a) the 10 queries
+#: which generated this window). Round-4 window: (a) the 11 queries
 #: added mid-round (SemDeDup prune, trade-graph PageRank, ORC
 #: round-trip, Flesch readability, Misra-Gries heavy hitters, CSV
-#: round-trip, BPE tokenizer training, LM perplexity filter, BM25
-#: retrieval, JSONL round-trip), (b) the 11 never-attested queries
-#: from the start of the round (newly-oracled PQ/IVF-PQ top-k +
-#: recall, compression bounds, k-means convergence, catalog
-#: round-trip, multimodal decode/frame/audio/video attestations),
-#: (c) 29 of the queries whose most recent attestation is ROUND 1 —
+#: round-trip, stateful CUSUM drift, BPE tokenizer training, LM
+#: perplexity filter, BM25 retrieval, JSONL round-trip), (b) the 11
+#: never-attested queries from the start of the round (newly-oracled
+#: PQ/IVF-PQ top-k + recall, compression bounds, k-means
+#: convergence, catalog round-trip, multimodal
+#: decode/frame/audio/video attestations),
+#: (c) 28 of the queries whose most recent attestation is ROUND 1 —
 #: the stalest evidence in the ledger. No-oracle rows stay out of
 #: the window (their evidence is pytest). Deferred to round 5:
-#: eighteen r1 queries (events_sessionize, events_json_props,
+#: nineteen r1 queries (events_window_10min, events_sessionize,
+#: events_json_props,
 #: events_sliding_window, events_json_typed, events_grouping_sets,
 #: events_funnel, events_cohort_retention, events_attribution,
 #: dedup_exact, distinct_agg, cube_status, histogram_order_totals,
@@ -56,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     "doc_readability",
     "heavy_hitters_mg",
     "csv_roundtrip_customer",
+    "events_cusum_drift",
     "bpe_train_merges",
     "lm_perplexity_filter",
     "bm25_search",
@@ -104,8 +107,6 @@ PRIORITY: tuple[str, ...] = (
     # (c) set ops (1 of 6 as the family representative; the rest
     # rotate in round 5)
     "set_except",
-    # (c) events / streaming twins
-    "events_window_10min",
 )
 
 
@@ -180,7 +181,9 @@ def _load_all() -> None:
     # exercised in tests/test_stateful.py)
     from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
     from bigdata_pipelines_aws_glue_spark.streaming.stateful import (
+        CUSUM_ORACLE,
         EWMA_ORACLE,
+        cusum_batch,
         ewma_batch,
     )
 
@@ -188,5 +191,10 @@ def _load_all() -> None:
         "ewma_anomaly_per_user",
         lambda spark, sf_dir: ewma_batch(load_table(spark, sf_dir, "events")),
         EWMA_ORACLE,
+    )
+    register(
+        "events_cusum_drift",
+        lambda spark, sf_dir: cusum_batch(load_table(spark, sf_dir, "events")),
+        CUSUM_ORACLE,
     )
     _LOADED = True

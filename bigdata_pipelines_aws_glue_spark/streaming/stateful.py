@@ -110,6 +110,168 @@ def ewma_batch(events: DataFrame) -> DataFrame:
     )
 
 
+#: CUSUM (Page's cumulative-sum drift detector) constants. Target
+#: mean matches the corpus value distribution (mean ~50); slack k
+#: half that, alarm threshold h chosen so the heavy right tail of
+#: ``value`` (max ~330) actually fires on real data. All exact
+#: binary doubles, so the recursive-CTE twin is bit-identical.
+CUSUM_MU = 50.0
+CUSUM_K = 25.0
+CUSUM_H = 150.0
+
+CUSUM_OUTPUT_SCHEMA = (
+    "user_id long, n_events int, s_pos double, s_neg double, n_alarms int"
+)
+CUSUM_STATE_SCHEMA = "s_pos double, s_neg double, n_seen long, n_alarms long"
+
+_MU_PLUS_K = CUSUM_MU + CUSUM_K
+_MU_MINUS_K = CUSUM_MU - CUSUM_K
+
+
+def _fold_cusum(
+    values: list[float],
+    s_pos: float = 0.0,
+    s_neg: float = 0.0,
+) -> tuple[float, float, int]:
+    """Sequential two-sided CUSUM fold with reset-on-alarm:
+    ``S+ = max(0, S+ + (x - mu - k))``, ``S- = max(0, S- + (mu - k -
+    x))``; each threshold crossing counts one alarm and resets that
+    side — the standard drift detector for data-quality monitoring
+    of a feed."""
+    alarms = 0
+    for v in values:
+        s_pos = max(0.0, s_pos + (v - _MU_PLUS_K))
+        s_neg = max(0.0, s_neg + (_MU_MINUS_K - v))
+        if s_pos > CUSUM_H:
+            alarms += 1
+            s_pos = 0.0
+        if s_neg > CUSUM_H:
+            alarms += 1
+            s_neg = 0.0
+    return s_pos, s_neg, alarms
+
+
+def cusum_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update function (state carries the
+    running S+/S- across triggers, so a drift split over many
+    micro-batches still alarms)."""
+    (user_id,) = key
+    if state.exists:
+        s_pos, s_neg, n_seen, n_alarms = state.get
+    else:
+        s_pos, s_neg, n_seen, n_alarms = 0.0, 0.0, 0, 0
+    values: list[tuple] = []
+    for pdf in pdfs:
+        values.extend(zip(pdf["ts"], pdf["value"]))
+    values.sort(key=lambda tv: tv[0])
+    ordered = [v for _, v in values]
+    s_pos, s_neg, alarms = _fold_cusum(ordered, s_pos, s_neg)
+    state.update((s_pos, s_neg, n_seen + len(ordered), n_alarms + alarms))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [len(ordered)],
+            "s_pos": [s_pos],
+            "s_neg": [s_neg],
+            "n_alarms": [alarms],
+        }
+    )
+
+
+def cusum_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming form: one output row per (user, trigger)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            cusum_update,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def cusum_batch(events: DataFrame) -> DataFrame:
+    """Batch twin over the same kernel."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        s_pos, s_neg, alarms = _fold_cusum(list(pdf["value"]))
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "s_pos": [s_pos],
+                "s_neg": [s_neg],
+                "n_alarms": [alarms],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, schema=CUSUM_OUTPUT_SCHEMA)
+    )
+
+
+#: DuckDB twin of ``cusum_batch`` — the same recursive-CTE recipe as
+#: ``EWMA_ORACLE`` (and the same preconditions: no NULL values,
+#: unique (user_id, ts); asserted in tests/test_stateful.py). Every
+#: step is max/add/compare on exact doubles in identical order, so
+#: the match is bit-exact. The raw S+/S- before reset are repeated
+#: expressions because a recursive SELECT cannot reference its own
+#: aliases.
+CUSUM_ORACLE = f"""
+WITH RECURSIVE ev AS (
+    SELECT user_id, CAST(value AS DOUBLE) AS value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+           count(*)     OVER (PARTITION BY user_id) AS n
+    FROM events
+), walk AS (
+    SELECT user_id, rn, n,
+           CASE WHEN greatest(0.0, value - {_MU_PLUS_K}) > {CUSUM_H}
+                THEN 0.0 ELSE greatest(0.0, value - {_MU_PLUS_K}) END AS s_pos,
+           CASE WHEN greatest(0.0, {_MU_MINUS_K} - value) > {CUSUM_H}
+                THEN 0.0 ELSE greatest(0.0, {_MU_MINUS_K} - value) END AS s_neg,
+           (CASE WHEN greatest(0.0, value - {_MU_PLUS_K}) > {CUSUM_H}
+                 THEN 1 ELSE 0 END
+            + CASE WHEN greatest(0.0, {_MU_MINUS_K} - value) > {CUSUM_H}
+                   THEN 1 ELSE 0 END) AS alarms
+    FROM ev WHERE rn = 1
+    UNION ALL
+    SELECT e.user_id, e.rn, e.n,
+           CASE WHEN greatest(0.0, w.s_pos + (e.value - {_MU_PLUS_K}))
+                     > {CUSUM_H}
+                THEN 0.0
+                ELSE greatest(0.0, w.s_pos + (e.value - {_MU_PLUS_K})) END,
+           CASE WHEN greatest(0.0, w.s_neg + ({_MU_MINUS_K} - e.value))
+                     > {CUSUM_H}
+                THEN 0.0
+                ELSE greatest(0.0, w.s_neg + ({_MU_MINUS_K} - e.value)) END,
+           w.alarms
+           + CASE WHEN greatest(0.0, w.s_pos + (e.value - {_MU_PLUS_K}))
+                       > {CUSUM_H}
+                  THEN 1 ELSE 0 END
+           + CASE WHEN greatest(0.0, w.s_neg + ({_MU_MINUS_K} - e.value))
+                       > {CUSUM_H}
+                  THEN 1 ELSE 0 END
+    FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id,
+       CAST(n AS INT)      AS n_events,
+       s_pos,
+       s_neg,
+       CAST(alarms AS INT) AS n_alarms
+FROM walk WHERE rn = n
+"""
+
+
 #: DuckDB twin of ``ewma_batch``: the same sequential fold as a
 #: recursive CTE. Cross-engine BIT-EXACT, not approximately equal —
 #: both engines run the identical IEEE-754 double operations in the

@@ -72,3 +72,85 @@ def test_ewma_oracle_preconditions_hold_in_corpus(spark, sf_dir):
         events.groupBy("user_id", "ts").count().filter(F.col("count") > 1)
     )
     assert dupes.count() == 0
+
+
+def test_fold_cusum_kernel():
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import (
+        CUSUM_H,
+        CUSUM_MU,
+        _fold_cusum,
+    )
+
+    # at-target stream never alarms and both sides stay at 0
+    s_pos, s_neg, alarms = _fold_cusum([CUSUM_MU] * 50)
+    assert (s_pos, s_neg, alarms) == (0.0, 0.0, 0)
+    # sustained upward drift crosses h, alarms once, and resets
+    s_pos, s_neg, alarms = _fold_cusum([CUSUM_MU + 100.0] * 7)
+    assert alarms >= 1
+    assert s_pos <= CUSUM_H
+    # sustained downward drift fires the negative side (values may go
+    # below zero in the kernel even though corpus values don't)
+    _, _, alarms_dn = _fold_cusum([CUSUM_MU - 100.0] * 7)
+    assert alarms_dn >= 1
+
+
+def test_cusum_state_carries_across_trigger_splits():
+    """Splitting one stream across two folds with carried state must
+    equal one fold over the concatenation — the property that makes
+    the streaming form (state across micro-batches) correct."""
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import _fold_cusum
+
+    vals = [120.0, 140.0, 30.0, 160.0, 10.0, 150.0, 90.0, 200.0]
+    whole = _fold_cusum(vals)
+    s_pos, s_neg, a1 = _fold_cusum(vals[:3])
+    s_pos, s_neg, a2 = _fold_cusum(vals[3:], s_pos, s_neg)
+    assert (s_pos, s_neg, a1 + a2) == whole
+
+
+def test_cusum_batch_alarms_on_corpus(spark, sf_dir):
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import cusum_batch
+
+    events = load_table(spark, sf_dir, "events")
+    rows = cusum_batch(events).collect()
+    totals = {
+        r["user_id"]: r["count"]
+        for r in events.groupBy("user_id").count().collect()
+    }
+    assert {r["user_id"]: r["n_events"] for r in rows} == totals
+    # the corpus value tail genuinely drifts past h somewhere
+    assert sum(r["n_alarms"] for r in rows) > 0
+    assert all(r["s_pos"] >= 0.0 and r["s_neg"] >= 0.0 for r in rows)
+
+
+def test_cusum_stream_matches_batch(spark, sf_dir, tmp_path):
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import (
+        cusum_batch,
+        cusum_stream,
+    )
+
+    events_dir = str(tmp_path / "events")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(
+        events_dir
+    )
+    stream = read_event_stream(spark, events_dir).drop("event_id")
+    q = (
+        cusum_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cusum_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("cusum_stream").groupBy("user_id").sum(
+        "n_events", "n_alarms"
+    )
+    got_rows = {
+        r["user_id"]: (r["sum(n_events)"], r["sum(n_alarms)"])
+        for r in got.collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["n_alarms"])
+        for r in cusum_batch(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got_rows == want
