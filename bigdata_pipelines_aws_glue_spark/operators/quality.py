@@ -121,6 +121,156 @@ FROM z GROUP BY 1
 """
 
 
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style verification suite (public pattern: Schelter et
+    al., VLDB 2018 "Automating Large-Scale Data Quality
+    Verification"): one row per declared constraint with the measured
+    violation metric and a pass/fail verdict — the report a
+    production ingestion gate publishes per load, where
+    ``dq_profile`` is the single-table metric row.
+
+    Constraints: PK uniqueness, completeness, two referential checks
+    (orders→customer, lineitem→orders), value-range checks, a
+    cross-column consistency check (documents.n_chars == actual
+    length), and a dimension-cardinality pin (region == 5).
+
+    Scale posture: one aggregation pass per table (constraint
+    metrics share the scan via multi-aggregate), anti-joins for the
+    referential checks (customer keys broadcast; lineitem→orders
+    stays a shuffled anti-join — at 100 TB the orders key set is not
+    broadcastable and AQE picks the strategy). Output is ~9 rows:
+    driver-safe always."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+    region = load_table(spark, sf_dir, "region")
+
+    def verdict(df: DataFrame, table: str, name: str, passed) -> DataFrame:
+        return df.select(
+            F.lit(table).alias("table_name"),
+            F.lit(name).alias("check_name"),
+            F.col("metric").cast("long").alias("metric"),
+            passed.alias("passed"),
+        )
+
+    zero_ok = F.col("metric") == 0
+    o = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_pk"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_cust"),
+    )
+    l = lineitem.agg(
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("bad_qty"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+        ).alias("bad_disc"),
+    )
+    orphan_o = orders.join(
+        F.broadcast(customer.select("c_custkey").distinct()),
+        orders.o_custkey == customer.c_custkey,
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("metric"))
+    orphan_l = lineitem.join(
+        orders.select("o_orderkey").distinct(),
+        lineitem.l_orderkey == orders.o_orderkey,
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("metric"))
+    ev = events.agg(
+        F.count(F.when(F.col("value") < 0, 1)).alias("metric")
+    )
+    d = documents.agg(
+        F.count(
+            F.when(F.col("n_chars") != F.length(F.col("text")), 1)
+        ).alias("metric")
+    )
+    r = region.agg(F.count(F.lit(1)).alias("metric"))
+
+    parts = [
+        verdict(
+            o.select(F.col("dup_pk").alias("metric")),
+            "orders", "pk_unique_o_orderkey", zero_ok,
+        ),
+        verdict(
+            o.select(F.col("null_cust").alias("metric")),
+            "orders", "complete_o_custkey", zero_ok,
+        ),
+        verdict(orphan_o, "orders", "fk_orders_customer", zero_ok),
+        verdict(orphan_l, "lineitem", "fk_lineitem_orders", zero_ok),
+        verdict(
+            l.select(F.col("bad_qty").alias("metric")),
+            "lineitem", "range_l_quantity_1_50", zero_ok,
+        ),
+        verdict(
+            l.select(F.col("bad_disc").alias("metric")),
+            "lineitem", "range_l_discount_0_01", zero_ok,
+        ),
+        verdict(ev, "events", "nonneg_value", zero_ok),
+        verdict(d, "documents", "len_consistency_n_chars", zero_ok),
+        verdict(r, "region", "dim_region_count_5", F.col("metric") == 5),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+DQ_EXPECTATIONS_ORACLE = """
+SELECT 'orders' AS table_name, 'pk_unique_o_orderkey' AS check_name,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS metric,
+       count(*) = count(DISTINCT o_orderkey) AS passed
+FROM orders
+UNION ALL
+SELECT 'orders', 'complete_o_custkey',
+       CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT),
+       count(CASE WHEN o_custkey IS NULL THEN 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'orders', 'fk_orders_customer', m, m = 0 FROM (
+    SELECT CAST(count(*) AS BIGINT) AS m
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL)
+UNION ALL
+SELECT 'lineitem', 'fk_lineitem_orders', m, m = 0 FROM (
+    SELECT CAST(count(*) AS BIGINT) AS m
+    FROM lineitem li
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON li.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL)
+UNION ALL
+SELECT 'lineitem', 'range_l_quantity_1_50',
+       CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+            AS BIGINT),
+       count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'range_l_discount_0_01',
+       CAST(count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END)
+            AS BIGINT),
+       count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'events', 'nonneg_value',
+       CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT),
+       count(CASE WHEN value < 0 THEN 1 END) = 0
+FROM events
+UNION ALL
+SELECT 'documents', 'len_consistency_n_chars',
+       CAST(count(CASE WHEN n_chars <> length(text) THEN 1 END) AS BIGINT),
+       count(CASE WHEN n_chars <> length(text) THEN 1 END) = 0
+FROM documents
+UNION ALL
+SELECT 'region', 'dim_region_count_5',
+       CAST(count(*) AS BIGINT), count(*) = 5
+FROM region
+"""
+
+
 def _register() -> None:
     registry.register("dq_profile", dq_profile, DQ_PROFILE_ORACLE)
     registry.register("zorder_layout_key", zorder_layout_key, ZORDER_ORACLE)
+    registry.register("dq_expectations", dq_expectations, DQ_EXPECTATIONS_ORACLE)

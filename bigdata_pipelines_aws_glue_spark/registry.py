@@ -28,20 +28,20 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy encoded in ``tools/rotate_priority.py``,
-#: which generated this window). Round-4 window: (a) the 11 queries
+#: which generated this window). Round-4 window: (a) the 12 queries
 #: added mid-round (SemDeDup prune, trade-graph PageRank, ORC
 #: round-trip, Flesch readability, Misra-Gries heavy hitters, CSV
-#: round-trip, stateful CUSUM drift, BPE tokenizer training, LM
-#: perplexity filter, BM25 retrieval, JSONL round-trip), (b) the 11
-#: never-attested queries from the start of the round (newly-oracled
-#: PQ/IVF-PQ top-k + recall, compression bounds, k-means
-#: convergence, catalog round-trip, multimodal
+#: round-trip, stateful CUSUM drift, DQ expectations suite, BPE
+#: tokenizer training, LM perplexity filter, BM25 retrieval, JSONL
+#: round-trip), (b) the 11 never-attested queries from the start of
+#: the round (newly-oracled PQ/IVF-PQ top-k + recall, compression
+#: bounds, k-means convergence, catalog round-trip, multimodal
 #: decode/frame/audio/video attestations),
-#: (c) 28 of the queries whose most recent attestation is ROUND 1 —
+#: (c) 27 of the queries whose most recent attestation is ROUND 1 —
 #: the stalest evidence in the ledger. No-oracle rows stay out of
 #: the window (their evidence is pytest). Deferred to round 5:
-#: nineteen r1 queries (events_window_10min, events_sessionize,
-#: events_json_props,
+#: twenty r1 queries (set_except, events_window_10min,
+#: events_sessionize, events_json_props,
 #: events_sliding_window, events_json_typed, events_grouping_sets,
 #: events_funnel, events_cohort_retention, events_attribution,
 #: dedup_exact, distinct_agg, cube_status, histogram_order_totals,
@@ -59,6 +59,7 @@ PRIORITY: tuple[str, ...] = (
     "heavy_hitters_mg",
     "csv_roundtrip_customer",
     "events_cusum_drift",
+    "dq_expectations",
     "bpe_train_merges",
     "lm_perplexity_filter",
     "bm25_search",
@@ -104,9 +105,6 @@ PRIORITY: tuple[str, ...] = (
     "anti_join_customers",
     "range_join_promo_windows",
     "staged_merge_orders",
-    # (c) set ops (1 of 6 as the family representative; the rest
-    # rotate in round 5)
-    "set_except",
 )
 
 

@@ -57,3 +57,56 @@ def test_pagerank_top_nodes_shape_and_mass(spark, sf_dir):
     n_supp = sum(1 for r in rows if r.node_type == "supplier")
     assert n_supp >= PR_TOPN // 2
     assert rows[0].node_type == "supplier"
+
+
+def test_dq_expectations_flags_planted_violations(spark, tmp_path):
+    """On a deliberately corrupted mini-corpus every targeted check
+    must flip to failed with the right violation count (the corpus
+    run only ever shows all-green, which can't distinguish a working
+    gate from a vacuous one)."""
+    from bigdata_pipelines_aws_glue_spark.operators.quality import (
+        dq_expectations,
+    )
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        # dup PK (1), null custkey (1), orphan custkey 99 (1)
+        [(1, 10, 100.0), (1, 11, 50.0), (2, None, 20.0), (3, 99, 30.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(10,), (11,)], "c_custkey long"
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        # orphan orderkey 9 (1), qty 0 out of range (1), discount 0.5 (1)
+        [(1, 0.0, 0.05), (9, 10.0, 0.5)],
+        "l_orderkey long, l_quantity double, l_discount double",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, -5.0)], "user_id long, value double"
+    ).write.parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        [(0, "abc", 2)], "doc_id long, text string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [(0,), (1,)], "r_regionkey long"
+    ).write.parquet(f"{d}/region.parquet")
+
+    rows = {
+        r.check_name: r for r in dq_expectations(spark, d).collect()
+    }
+    assert len(rows) == 9
+    expected_metric = {
+        "pk_unique_o_orderkey": 1,
+        "complete_o_custkey": 1,
+        "fk_orders_customer": 2,  # orphan 99 + NULL custkey never matches
+        "fk_lineitem_orders": 1,
+        "range_l_quantity_1_50": 1,
+        "range_l_discount_0_01": 1,
+        "nonneg_value": 1,
+        "len_consistency_n_chars": 1,
+        "dim_region_count_5": 2,
+    }
+    for name, want in expected_metric.items():
+        assert rows[name].metric == want, name
+        assert not rows[name].passed, name
