@@ -118,3 +118,69 @@ def test_jpeg_roundtrip_bounded_error_any_shape(h, w, gray, seed):
     # sub-block color images amortize one pixel's chroma-quant error
     # (Annex K chroma table goes to 99) over very few samples
     assert mean_err < (40 if h * w >= 64 else 96), mean_err
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from([f"t{i}" for i in range(50)]),
+        min_size=0,
+        max_size=400,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_misra_gries_guarantee_any_stream_any_split(tokens, n_parts):
+    """MG invariants under arbitrary streams and arbitrary partition
+    splits: merged estimates never exceed truth, undercount stays
+    within n/(K+1) summed over partitions, and every strictly-heavy
+    term survives the merged sketch."""
+    import pandas as pd
+
+    from bigdata_pipelines_aws_glue_spark.operators.corpus_stats import (
+        MG_K,
+        _mg_partitions,
+    )
+
+    # split the stream into n_parts contiguous partitions of documents
+    docs = [" ".join(tokens[i::n_parts]) for i in range(n_parts)]
+    merged: dict[str, int] = {}
+    for doc in docs:
+        out = list(
+            _mg_partitions(iter([pd.DataFrame({"text": [doc]})]))
+        )[0]
+        for t, e in zip(out["term"], out["est"]):
+            merged[t] = merged.get(t, 0) + int(e)
+    exact: dict[str, int] = {}
+    for t in tokens:
+        exact[t] = exact.get(t, 0) + 1
+    n = len(tokens)
+    for t, est in merged.items():
+        assert est <= exact[t]
+    for t, c in exact.items():
+        assert c - merged.get(t, 0) <= n // (MG_K + 1) + n_parts
+        if c * MG_K > n:
+            assert t in merged and merged[t] > 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-500.0, max_value=500.0, allow_nan=False),
+        max_size=100,
+    ),
+    st.integers(min_value=0, max_value=100),
+)
+def test_cusum_split_fold_equals_whole_fold(values, cut):
+    """State-carry property under any stream and any trigger split —
+    the invariant that makes the streaming CUSUM correct."""
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import (
+        CUSUM_H,
+        _fold_cusum,
+    )
+
+    cut = min(cut, len(values))
+    whole = _fold_cusum(values)
+    s_pos, s_neg, a1 = _fold_cusum(values[:cut])
+    s_pos, s_neg, a2 = _fold_cusum(values[cut:], s_pos, s_neg)
+    assert (s_pos, s_neg, a1 + a2) == whole
+    assert 0.0 <= s_pos <= CUSUM_H and 0.0 <= s_neg <= CUSUM_H
