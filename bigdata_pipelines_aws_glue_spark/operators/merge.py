@@ -62,5 +62,75 @@ SELECT o_orderkey, o_orderstatus, floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS
 """
 
 
+def merge_aggregate_delta(
+    base_agg: DataFrame, delta_agg: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Incremental view maintenance for a SUM/COUNT aggregate: merge a
+    delta batch's partial aggregate into the maintained aggregate by
+    full-outer join on the group keys and null-safe addition of every
+    measure column. Cost is O(|delta| + |affected groups|) — the base
+    FACT table is never rescanned, which is the whole point at 100 TB
+    (a late-arriving batch costs minutes, not a full-corpus pass).
+    SUM/COUNT are self-maintainable measures; MIN/MAX/DISTINCT need
+    auxiliary state and are out of scope here."""
+    measures = [c for c in base_agg.columns if c not in keys]
+    joined = base_agg.alias("b").join(delta_agg.alias("d"), keys, "full_outer")
+    return joined.select(
+        *[F.col(k) for k in keys],
+        *[
+            (
+                F.coalesce(F.col(f"b.{m}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{m}"), F.lit(0))
+            ).alias(m)
+            for m in measures
+        ],
+    )
+
+
+def incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance demo on the hard signal: the monthly
+    revenue aggregate is first built WITHOUT the late batch (every
+    order with ``o_orderkey % 10 == 7`` held back), then the late
+    batch's partial aggregate is merged in via
+    :func:`merge_aggregate_delta`. The DuckDB twin computes the same
+    aggregate over ALL orders in one pass, so a hash match proves the
+    incremental path is exactly equivalent to the full recompute —
+    the invariant an incremental pipeline must hold. Money sums as
+    exact cents (LONG both engines)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    month = F.trunc(F.col("o_orderdate"), "month").alias("month")
+    cents = F.sum(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+    ).cast("long")
+    is_late = F.col("o_orderkey") % 10 == 7
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            cents.alias("revenue_cents"),
+        )
+
+    base = agg(orders.filter(~is_late))
+    delta = agg(orders.filter(is_late))
+    return merge_aggregate_delta(base, delta, ["month"])
+
+
+INCREMENTAL_AGG_ORACLE = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
+"""
+
+
 def _register() -> None:
     registry.register("staged_merge_orders", staged_merge_orders, MERGE_ORACLE)
+    registry.register(
+        "incremental_monthly_revenue",
+        incremental_monthly_revenue,
+        INCREMENTAL_AGG_ORACLE,
+    )

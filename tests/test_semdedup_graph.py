@@ -110,3 +110,23 @@ def test_dq_expectations_flags_planted_violations(spark, tmp_path):
     for name, want in expected_metric.items():
         assert rows[name].metric == want, name
         assert not rows[name].passed, name
+
+
+def test_merge_aggregate_delta_new_and_existing_groups(spark):
+    """IVM merge must handle all three cases: group only in base,
+    group in both (measures add), group only in delta (appears)."""
+    from bigdata_pipelines_aws_glue_spark.operators.merge import (
+        merge_aggregate_delta,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 2, 100), ("b", 3, 300)], "k string, n long, s long"
+    )
+    delta = spark.createDataFrame(
+        [("b", 1, 50), ("c", 4, 400)], "k string, n long, s long"
+    )
+    got = {
+        r.k: (r.n, r.s)
+        for r in merge_aggregate_delta(base, delta, ["k"]).collect()
+    }
+    assert got == {"a": (2, 100), "b": (4, 350), "c": (4, 400)}
