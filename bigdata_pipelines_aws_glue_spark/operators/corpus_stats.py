@@ -459,8 +459,13 @@ def _mg_partitions(it):
                             del counters[t]
                         else:
                             counters[t] -= 1
+    # explicit dtype: an empty partition would otherwise emit a
+    # float64 "est" column and fail the Arrow long conversion
     yield pd.DataFrame(
-        {"term": list(counters.keys()), "est": list(counters.values())}
+        {
+            "term": pd.Series(list(counters.keys()), dtype="object"),
+            "est": pd.Series(list(counters.values()), dtype="int64"),
+        }
     )
 
 
