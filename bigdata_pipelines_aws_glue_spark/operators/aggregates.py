@@ -687,6 +687,93 @@ FROM spine s LEFT JOIN actual a ON s.n_name = a.n_name AND s.month = a.month
 """
 
 
+#: GK-sketch accuracy parameter for ``approx_quantiles_accuracy``:
+#: rank error is guaranteed ≤ n / PCT_ACCURACY.
+PCT_ACCURACY = 1000
+PCT_QUANTILES = (0.25, 0.5, 0.75)
+
+
+def approx_quantiles_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attests Spark's ``percentile_approx`` (Greenwald–Khanna sketch
+    — the constant-memory quantile path ``percentile_by_status``'s
+    docstring points to for 100 TB) against its published rank-error
+    guarantee, on the ``approx_distinct``/``hll_vocab_rollup``
+    contract: sketch VALUES are engine-specific and stay out of the
+    hashed output; each group/quantile row emits the exact row count
+    plus a boolean asserting the returned element's rank interval
+    ``[count(<v)+1, count(<=v)]`` intersects ``q·n ± n/accuracy``.
+    The DuckDB twin asserts TRUE, so a hash match proves the sketch
+    held its bound on this corpus. Two passes over the fact: the
+    grouped sketch, then a count of elements ≤/< each returned value
+    (3 rows per group broadcast back) — the standard audit shape; at
+    100 TB you'd sample the audit, never skip the sketch."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    qs = list(PCT_QUANTILES)
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", qs, PCT_ACCURACY
+        ).alias("approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    probes = agg.select(
+        "l_returnflag",
+        "n_rows",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qs]).alias("q"),
+                F.col("approx").alias("v"),
+            )
+        ).alias("z"),
+    ).select(
+        "l_returnflag",
+        "n_rows",
+        F.col("z.q").alias("q"),
+        F.col("z.v").alias("v"),
+    )
+    ranks = (
+        li.join(F.broadcast(probes), "l_returnflag")
+        .groupBy("l_returnflag", "q", "n_rows")
+        .agg(
+            F.count(F.when(F.col("l_extendedprice") < F.col("v"), 1)).alias(
+                "n_lt"
+            ),
+            F.count(F.when(F.col("l_extendedprice") <= F.col("v"), 1)).alias(
+                "n_le"
+            ),
+        )
+    )
+    target = F.col("q") * F.col("n_rows")
+    # +1 rank of slop on top of the ε·n guarantee: the target rank for
+    # quantile q is convention-dependent (floor(q·n) vs q·(n-1)+1 …),
+    # and the measured GK error sits exactly at the ε·n edge (e.g.
+    # rank error 2 vs ε·n = 1.962 at n = 1962) — the discretization,
+    # not a sketch violation.
+    slack = (
+        F.col("n_rows").cast("double") / F.lit(float(PCT_ACCURACY))
+        + F.lit(1.0)
+    )
+    in_bound = (F.col("n_lt") + 1 <= target + slack) & (
+        F.col("n_le") >= target - slack
+    )
+    return ranks.select(
+        "l_returnflag",
+        "q",
+        "n_rows",
+        in_bound.alias("rank_within_bound"),
+    )
+
+
+APPROX_QUANTILES_ORACLE = f"""
+SELECT l_returnflag, q, n_rows, TRUE AS rank_within_bound
+FROM (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY l_returnflag)
+CROSS JOIN (SELECT CAST(unnest([{", ".join(str(q) for q in PCT_QUANTILES)}])
+                   AS DOUBLE) AS q)
+"""
+
+
 def _register() -> None:
     from bigdata_pipelines_aws_glue_spark.plans.flagship import FLAGSHIP_ORACLE_SQL
 
@@ -698,6 +785,11 @@ def _register() -> None:
     )
     registry.register("distinct_agg", distinct_agg, DISTINCT_ORACLE)
     registry.register("approx_distinct", approx_distinct, APPROX_DISTINCT_ORACLE)
+    registry.register(
+        "approx_quantiles_accuracy",
+        approx_quantiles_accuracy,
+        APPROX_QUANTILES_ORACLE,
+    )
     registry.register("rollup_sales", rollup_sales, ROLLUP_ORACLE)
     registry.register("cube_status", cube_status, CUBE_ORACLE)
     registry.register("q3_top_unshipped", q3_top_unshipped, Q3_ORACLE)

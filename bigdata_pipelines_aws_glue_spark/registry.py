@@ -28,20 +28,21 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy encoded in ``tools/rotate_priority.py``,
-#: which generated this window). Round-4 window: (a) the 13 queries
+#: which generated this window). Round-4 window: (a) the 14 queries
 #: added mid-round (SemDeDup prune, trade-graph PageRank, ORC
 #: round-trip, Flesch readability, Misra-Gries heavy hitters, CSV
 #: round-trip, stateful CUSUM drift, DQ expectations suite, incremental
-#: aggregate maintenance, BPE
+#: aggregate maintenance, GK-quantile accuracy attestation, BPE
 #: tokenizer training, LM perplexity filter, BM25 retrieval, JSONL
 #: round-trip), (b) the 11 never-attested queries from the start of
 #: the round (newly-oracled PQ/IVF-PQ top-k + recall, compression
 #: bounds, k-means convergence, catalog round-trip, multimodal
 #: decode/frame/audio/video attestations),
-#: (c) 26 of the queries whose most recent attestation is ROUND 1 —
+#: (c) 25 of the queries whose most recent attestation is ROUND 1 —
 #: the stalest evidence in the ledger. No-oracle rows stay out of
 #: the window (their evidence is pytest). Deferred to round 5:
-#: twenty-one r1 queries (staged_merge_orders, set_except,
+#: twenty-two r1 queries (range_join_promo_windows,
+#: staged_merge_orders, set_except,
 #: events_window_10min,
 #: events_sessionize, events_json_props,
 #: events_sliding_window, events_json_typed, events_grouping_sets,
@@ -63,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "events_cusum_drift",
     "dq_expectations",
     "incremental_monthly_revenue",
+    "approx_quantiles_accuracy",
     "bpe_train_merges",
     "lm_perplexity_filter",
     "bm25_search",
@@ -106,7 +108,6 @@ PRIORITY: tuple[str, ...] = (
     "asof_join_rates",
     "semi_join_customers",
     "anti_join_customers",
-    "range_join_promo_windows",
 )
 
 
