@@ -30,14 +30,18 @@ def read_event_stream(
     input_dir: str,
     watermark: str = "30 minutes",
     fmt: str = "parquet",
+    max_files_per_trigger: int = 8,
 ) -> DataFrame:
     """readStream over a file source with a watermark for late data.
     File sources give exactly-once replay; at scale swap ``fmt`` for
-    kafka — everything downstream is unchanged."""
+    kafka — everything downstream is unchanged.
+    ``max_files_per_trigger`` bounds micro-batch size (and, in tests,
+    forces a deterministic batch-per-file sequence so watermark
+    advancement between batches is observable)."""
     stream = (
         spark.readStream.format(fmt)
         .schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(input_dir)
     )
     return stream.withWatermark("ts", watermark)

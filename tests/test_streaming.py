@@ -212,3 +212,75 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_dir):
     }
     assert want, "corpus should produce click->purchase pairs"
     assert got == want
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Append-mode semantics under late data: once the watermark has
+    passed a window's end (and a subsequent batch has run — Spark
+    applies the late filter from the NEXT batch after the advance), a
+    straggler row for that window must be dropped, and the emitted
+    aggregate must count only the on-time rows. Three single-file
+    micro-batches: 1) on-time rows + a 12:00 row that advances the
+    watermark to 11:30, 2) an unrelated current row, 3) the too-late
+    10:02 straggler."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    from bigdata_pipelines_aws_glue_spark.streaming.jobs import (
+        read_event_stream,
+        windowed_counts_stream,
+    )
+
+    events_dir = tmp_path / "late_events"
+    events_dir.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(events_dir / name))
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_file("a", [
+        (1, t(10, 1), 1, "click", 1.0, "{}"),
+        (2, t(10, 4), 1, "click", 1.0, "{}"),
+        (3, t(12, 0), 1, "click", 1.0, "{}"),
+    ])
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    write_file("b", [(5, t(12, 1), 1, "view", 1.0, "{}")])
+    time.sleep(1.1)
+    write_file("c", [(4, t(10, 2), 1, "click", 1.0, "{}")])
+
+    stream = read_event_stream(
+        spark, str(events_dir) + "/*", max_files_per_trigger=1
+    )
+    q = (
+        windowed_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        (p["stateOperators"][0]["numRowsDroppedByWatermark"]
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1  # the straggler was refused by the watermark
+    out = {
+        r.window_start: r.n_events
+        for r in spark.table("late_drop")
+        .filter(F.col("event_type") == "click")
+        .collect()
+    }
+    # the finalized 10:00 window counts ONLY the two on-time rows
+    assert out.get(t(10, 0)) == 2
+    # the 12:00 window never fired (watermark never passed its end)
+    assert t(12, 0) not in out
