@@ -34,6 +34,15 @@ def build_parser() -> argparse.ArgumentParser:
     rq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     rq.add_argument("--limit", type=int, default=20)
 
+    rc = sub.add_parser(
+        "run-curation",
+        help="materialize the curated pretraining corpus "
+        "(Gopher gate -> exact dedup -> near-dup drop -> split) "
+        "as split-partitioned parquet",
+    )
+    rc.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    rc.add_argument("--output", required=True, help="curated parquet dir")
+
     sub.add_parser("list-queries", help="list registered queries")
     return p
 
@@ -78,6 +87,19 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
             return 2
         queries[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
+
+    if args.command == "run-curation":
+        from bigdata_pipelines_aws_glue_spark.operators.curation import (
+            curation_funnel_report,
+            run_curation,
+        )
+
+        run_curation(spark, args.sf_dir, args.output)
+        # the report IS the manifest of what was just written
+        for row in curation_funnel_report(spark, args.sf_dir).collect():
+            print(f"{row['stage']}\t{row['n_docs']}")
+        print(f"curated corpus written to {args.output}")
         return 0
 
     return 2

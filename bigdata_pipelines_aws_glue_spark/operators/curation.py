@@ -191,22 +191,12 @@ FROM q
 """
 
 
-def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END curation funnel — the composed pipeline an LLM
-    pretraining corpus actually runs, as ONE hash-checked query:
-
-      total -> Gopher quality gate -> exact dedup (min-id keeper per
-      sha256) -> near-dup drop (MinHash-LSH candidates + exact
-      Jaccard >= 0.8 verify; the greater id of each surviving pair
-      drops) -> train/val/test assignment.
-
-    Emits one row per funnel stage plus one per final split, so the
-    whole pipeline's selectivity is a single attested artifact. Every
-    stage reuses an already-oracled operator (gopher_flags,
-    sha256-window dedup, neardup_verified_pairs, the md5-hash split),
-    which is exactly what makes the composed DuckDB replay possible.
-    Scale shape: each stage is the same plan as its standalone query;
-    the funnel adds only semi/anti joins on doc_id."""
+def _funnel_stages(spark: SparkSession, sf_dir: str):
+    """Shared funnel core: (docs, gopher-kept, exact-deduped,
+    near-deduped, split expression). ``curation_funnel_report`` turns
+    these into the attested per-stage counts; ``run_curation``
+    materializes the survivors as a training corpus — same plans, so
+    the report is exactly the manifest of what gets written."""
     from bigdata_pipelines_aws_glue_spark.operators.dedup import (
         neardup_verified_pairs,
     )
@@ -247,6 +237,41 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(u < _VAL_HI, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+    return docs, s1, s2, s3, split
+
+
+def run_curation(
+    spark: SparkSession, sf_dir: str, output_path: str
+) -> DataFrame:
+    """Materialize the curated pretraining corpus: funnel survivors
+    (full document rows + their split) written as parquet partitioned
+    by split — the operational form of ``curation_funnel_report``
+    (same stage plans, so that report is this output's manifest).
+    Overwrite mode keeps re-runs idempotent (C3). Returns the curated
+    DataFrame (lazy; caller/CLI triggers the write)."""
+    docs, _, _, s3, split = _funnel_stages(spark, sf_dir)
+    curated = s3.join(docs, "doc_id").withColumn("split", split)
+    curated.write.mode("overwrite").partitionBy("split").parquet(output_path)
+    return curated
+
+
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation funnel — the composed pipeline an LLM
+    pretraining corpus actually runs, as ONE hash-checked query:
+
+      total -> Gopher quality gate -> exact dedup (min-id keeper per
+      sha256) -> near-dup drop (MinHash-LSH candidates + exact
+      Jaccard >= 0.8 verify; the greater id of each surviving pair
+      drops) -> train/val/test assignment.
+
+    Emits one row per funnel stage plus one per final split, so the
+    whole pipeline's selectivity is a single attested artifact. Every
+    stage reuses an already-oracled operator (gopher_flags,
+    sha256-window dedup, neardup_verified_pairs, the md5-hash split),
+    which is exactly what makes the composed DuckDB replay possible.
+    Scale shape: each stage is the same plan as its standalone query;
+    the funnel adds only semi/anti joins on doc_id."""
+    docs, s1, s2, s3, split = _funnel_stages(spark, sf_dir)
     one = lambda name, df: df.agg(  # noqa: E731
         F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_docs")
     ).select("stage", "n_docs")

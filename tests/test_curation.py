@@ -80,3 +80,41 @@ def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
     )
     assert r.get("train", 0) + r.get("val", 0) + r.get("test", 0) == r["near_dedup"]
     assert r.get("train", 0) > r.get("val", 0)
+
+
+def test_run_curation_materializes_manifest_exactly(spark, sf_dir, tmp_path):
+    """The written corpus must BE what the funnel report promises:
+    per-split counts match the report rows, survivors carry full
+    document rows, and re-running overwrites idempotently."""
+    from pyspark.sql import functions as F
+
+    from bigdata_pipelines_aws_glue_spark.operators.curation import (
+        curation_funnel_report,
+        run_curation,
+    )
+
+    out = str(tmp_path / "curated")
+    run_curation(spark, sf_dir, out)
+    back = spark.read.parquet(out)
+    report = {
+        r["stage"]: r["n_docs"]
+        for r in curation_funnel_report(spark, sf_dir).collect()
+    }
+    got = {
+        r["split"]: r["count"]
+        for r in back.groupBy("split").count().collect()
+    }
+    for split in ("train", "val", "test"):
+        assert got.get(split, 0) == report.get(split, 0), split
+    assert sum(got.values()) == report["near_dedup"]
+    # full document rows survived the join
+    assert {"doc_id", "text", "lang", "source", "n_chars", "split"} <= set(
+        back.columns
+    )
+    # idempotent re-run (C3): same rows, no duplication
+    run_curation(spark, sf_dir, out)
+    assert spark.read.parquet(out).count() == report["near_dedup"]
+    assert (
+        spark.read.parquet(out)
+        .groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    )
