@@ -28,20 +28,22 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy encoded in ``tools/rotate_priority.py``,
-#: which generated this window). Round-4 window: (a) the 14 queries
+#: which generated this window). Round-4 window: (a) the 16 queries
 #: added mid-round (SemDeDup prune, trade-graph PageRank, ORC
 #: round-trip, Flesch readability, Misra-Gries heavy hitters, CSV
 #: round-trip, stateful CUSUM drift, DQ expectations suite, incremental
-#: aggregate maintenance, GK-quantile accuracy attestation, BPE
+#: aggregate maintenance, GK-quantile accuracy attestation,
+#: exact-integer correlation matrix, power-iteration PCA, BPE
 #: tokenizer training, LM perplexity filter, BM25 retrieval, JSONL
 #: round-trip), (b) the 11 never-attested queries from the start of
 #: the round (newly-oracled PQ/IVF-PQ top-k + recall, compression
 #: bounds, k-means convergence, catalog round-trip, multimodal
 #: decode/frame/audio/video attestations),
-#: (c) 25 of the queries whose most recent attestation is ROUND 1 —
+#: (c) 23 of the queries whose most recent attestation is ROUND 1 —
 #: the stalest evidence in the ledger. No-oracle rows stay out of
 #: the window (their evidence is pytest). Deferred to round 5:
-#: twenty-two r1 queries (range_join_promo_windows,
+#: twenty-four r1 queries (semi_join_customers,
+#: anti_join_customers, range_join_promo_windows,
 #: staged_merge_orders, set_except,
 #: events_window_10min,
 #: events_sessionize, events_json_props,
@@ -65,6 +67,8 @@ PRIORITY: tuple[str, ...] = (
     "dq_expectations",
     "incremental_monthly_revenue",
     "approx_quantiles_accuracy",
+    "correlation_matrix",
+    "pca_power_iteration",
     "bpe_train_merges",
     "lm_perplexity_filter",
     "bm25_search",
@@ -106,8 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "window_lead_lag",
     "full_outer_reconciliation",
     "asof_join_rates",
-    "semi_join_customers",
-    "anti_join_customers",
 )
 
 
@@ -171,6 +173,7 @@ def _load_all() -> None:
         "bpe",
         "semdedup",
         "graph",
+        "linalg",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(
