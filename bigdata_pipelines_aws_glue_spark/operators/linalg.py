@@ -183,17 +183,39 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("m")
     )
-    centered = x.join(F.broadcast(means), "dim").select(
-        "vec_id", "dim", (F.col("val") - F.col("m")).alias("c")
-    )
     n = emb.count()
-    cov_rows = (
-        centered.alias("a")
-        .join(centered.alias("b"), "vec_id")
-        .groupBy(
-            F.col("a.dim").alias("i"), F.col("b.dim").alias("j")
+    # per-row outer product via double posexplode over the CENTERED
+    # array (means joined back as a broadcast d-row table and applied
+    # inside transform) — no join/shuffle before the d^2-key partial
+    # aggregation, unlike an (a.vec_id == b.vec_id) self-join which
+    # would sort-merge two n*d tables first. The shuffle carries only
+    # d^2 partial sums per task.
+    cvec = (
+        means.groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("mv")
         )
-        .agg(_qsum(F.col("a.c") * F.col("b.c"), "s"))
+    )
+    centered_arr = (
+        emb.crossJoin(F.broadcast(cvec))
+        .select(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("mv"),
+                lambda a, b: a - b,
+            ).alias("cv")
+        )
+    )
+    cov_rows = (
+        centered_arr.select(
+            F.posexplode(F.col("cv")).alias("i", "ci"), F.col("cv")
+        )
+        .select("i", "ci", F.posexplode(F.col("cv")).alias("j", "cj"))
+        .groupBy("i", "j")
+        .agg(_qsum(F.col("ci") * F.col("cj"), "s"))
         .select("i", "j", (F.col("s") / F.lit(float(n))).alias("cij"))
         .collect()
     )
