@@ -90,15 +90,23 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "run-curation":
+        from pyspark.sql import functions as F
+
         from bigdata_pipelines_aws_glue_spark.operators.curation import (
-            curation_funnel_report,
             run_curation,
         )
 
         run_curation(spark, args.sf_dir, args.output)
-        # the report IS the manifest of what was just written
-        for row in curation_funnel_report(spark, args.sf_dir).collect():
-            print(f"{row['stage']}\t{row['n_docs']}")
+        # manifest comes from the parquet just written — a cheap
+        # read-back, NOT a second funnel computation (the full
+        # per-stage report is `run-query curation_funnel_report`)
+        written = spark.read.parquet(args.output)
+        splits = written.groupBy("split").count().orderBy("split").collect()
+        total = 0
+        for row in splits:
+            print(f"split={row['split']}\t{row['count']}")
+            total += row["count"]
+        print(f"curated\t{total}")
         print(f"curated corpus written to {args.output}")
         return 0
 

@@ -444,7 +444,10 @@ def _mg_partitions(it):
     counters: dict[str, int] = {}
     for pdf in it:
         for text in pdf["text"]:
-            for w in text.strip().split(" "):
+            # strip(' ') mirrors F.trim / DuckDB trim (spaces only);
+            # bare strip() would also eat \t/\n and desync the sketch
+            # from the exact audit side on edge whitespace.
+            for w in text.strip(" ").split(" "):
                 if not w:
                     continue
                 if w in counters:

@@ -247,8 +247,11 @@ def run_curation(
     (full document rows + their split) written as parquet partitioned
     by split — the operational form of ``curation_funnel_report``
     (same stage plans, so that report is this output's manifest).
-    Overwrite mode keeps re-runs idempotent (C3). Returns the curated
-    DataFrame (lazy; caller/CLI triggers the write)."""
+    Overwrite mode keeps re-runs idempotent (C3). The write happens
+    HERE (eagerly, inside this function); the returned DataFrame is
+    the curated plan, for callers that want to inspect or re-derive
+    it — re-evaluating it recomputes the funnel, so manifests should
+    be read back from ``output_path`` instead."""
     docs, _, _, s3, split = _funnel_stages(spark, sf_dir)
     curated = s3.join(docs, "doc_id").withColumn("split", split)
     curated.write.mode("overwrite").partitionBy("split").parquet(output_path)

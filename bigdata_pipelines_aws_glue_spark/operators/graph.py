@@ -125,7 +125,7 @@ def _pr_round(i: int) -> str:
     quantized-sum update bit-for-bit)."""
     return f"""r{i} AS (
     SELECT e.dst AS node,
-           (1.0 - {PR_DAMP}) / (SELECT n FROM nn)
+           CAST({(1.0 - PR_DAMP)!r} AS DOUBLE) / (SELECT n FROM nn)
              + {PR_DAMP} * (sum(CAST(floor(r.r * e.p * 1000000000.0 + 0.5)
                                      AS BIGINT)) / 1000000000.0) AS r
     FROM e JOIN r{i - 1} r ON r.node = e.src

@@ -25,10 +25,13 @@ Scale posture (100 TB): centroids are a broadcast k-row table;
 assignment is a map over the corpus (argmin against the broadcast —
 the corpus never shuffles for it); the within-cell self-join is an
 equi-join on cell id, never a global cross join. Cluster sizes are
-bounded by construction in SemDeDup (k scales with n, keeping n/k
-fixed at ~1k-10k members); with per-label cells the same boundedness
-holds as labels partition the corpus. The max-sim aggregation
-partial-aggregates on vec_id.
+bounded by construction in SemDeDup only when k scales with n (n/k
+fixed at ~1k-10k members). The per-label cells used here have FIXED
+cardinality, so cell populations grow O(n) and the within-cell pair
+join is O(n^2/k) — fine at tested scales, but a production 100 TB
+deployment must swap in k ∝ n k-means cells (``kmeans_fit`` provides
+them) or cap cell size. The max-sim aggregation partial-aggregates
+on vec_id.
 """
 
 from __future__ import annotations
