@@ -25,6 +25,7 @@ from bigdata_pipelines_aws_glue_spark.functions.rounding import (
     quantized_sum,
     stable_round,
 )
+from bigdata_pipelines_aws_glue_spark.hints import maybe_broadcast
 from bigdata_pipelines_aws_glue_spark.plans.flagship import flagship_query
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
@@ -252,7 +253,7 @@ def q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -313,7 +314,7 @@ def pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-scan job and the plan is a single aggregation."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    joined = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    joined = orders.join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
     return (
         joined.withColumn("order_year", F.year("o_orderdate"))
         .groupBy("order_year")
@@ -382,7 +383,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",
@@ -419,7 +420,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned = li.filter(F.col("l_returnflag") == "R")
     return (
         returned.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -485,7 +486,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(
             F.countDistinct("l_suppkey").alias("supplier_cnt"),

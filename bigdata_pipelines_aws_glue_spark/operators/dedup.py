@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
 from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
+from bigdata_pipelines_aws_glue_spark.hints import maybe_broadcast
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 
@@ -688,12 +689,13 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     'src0' source plays the held-out benchmark) above 5% — the
     standard pre-training hygiene pass that removes eval leakage.
 
-    Scale posture: the eval shingle set is tiny relative to the
-    corpus, so membership is a broadcast left join against a distinct
-    shingle set; the per-doc overlap fraction partial-aggregates on
-    doc_id. The corpus side never self-joins — cost is O(|corpus
-    shingles|), one shuffle (doc_id agg). At 100 TB the eval set is
-    still MBs: the broadcast holds.
+    Scale posture: a REAL eval set is tiny (MBs at any corpus
+    size), so its distinct-shingle membership join broadcasts. The
+    stand-in here ('src0' slice) grows WITH the corpus, so the hint
+    is size-gated (maybe_broadcast): planner+AQE take over past the
+    threshold. The per-doc overlap fraction partial-aggregates on
+    doc_id; the corpus side never self-joins — cost is O(|corpus
+    shingles|), one shuffle (doc_id agg).
     """
     docs = load_table(spark, sf_dir, "documents")
     shingled = docs.select(
@@ -707,7 +709,7 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = (
         shingled.filter(F.col("source") != "src0")
-        .join(F.broadcast(bench), "sh", "left")
+        .join(maybe_broadcast(bench), "sh", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

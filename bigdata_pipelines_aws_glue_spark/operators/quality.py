@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.hints import maybe_broadcast
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 
@@ -39,7 +40,7 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_keys = load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
     orphans = (
         orders.join(
-            F.broadcast(cust_keys),
+            maybe_broadcast(cust_keys),
             orders.o_custkey == cust_keys.c_custkey,
             "left_anti",
         )
@@ -169,7 +170,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bad_disc"),
     )
     orphan_o = orders.join(
-        F.broadcast(customer.select("c_custkey").distinct()),
+        maybe_broadcast(customer.select("c_custkey").distinct()),
         orders.o_custkey == customer.c_custkey,
         "left_anti",
     ).agg(F.count(F.lit(1)).alias("metric"))

@@ -240,11 +240,18 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # df over the FULL vocab grows with the corpus (Heaps' law) — too
+    # big to force-broadcast at 100 TB. Restrict it to the query's own
+    # terms first (bounded: N_QUERIES docs' vocabularies); df values
+    # per term are unchanged, so scores are identical.
+    df_q = df_.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+    )
     scored = (
         F.broadcast(qterms)
         .join(tf, "term")
         .filter(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(df_), "term")
+        .join(F.broadcast(df_q), "term")
         .join(dl, "doc_id")
         .withColumn("k", F.lit(1))
         .join(F.broadcast(n_avg), "k")

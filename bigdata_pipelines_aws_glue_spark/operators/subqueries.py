@@ -31,6 +31,7 @@ from bigdata_pipelines_aws_glue_spark.functions.rounding import (
     quantized_sum,
     stable_round,
 )
+from bigdata_pipelines_aws_glue_spark.hints import maybe_broadcast
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 from bigdata_pipelines_aws_glue_spark.sql import register_corpus_views
 
@@ -120,7 +121,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * quantized_avg("l_quantity")).alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#1")),
+        li.join(maybe_broadcast(part.filter(F.col("p_brand") == "Brand#1")),
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(per_part.withColumnRenamed("l_partkey", "ap_partkey"),
               F.col("p_partkey") == F.col("ap_partkey"))
@@ -157,7 +158,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.month("l_shipdate").alias("ship_month"))
         .agg(
             stable_round(
@@ -197,7 +198,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") >= 10)
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(maybe_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
             stable_round(
@@ -240,7 +241,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -282,8 +283,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
@@ -326,10 +327,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.1) * F.col("p_retailprice")
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+        li.join(maybe_broadcast(part.filter(F.col("p_name").like("%red%"))),
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").alias("o_year"))

@@ -42,6 +42,7 @@ from bigdata_pipelines_aws_glue_spark.functions.rounding import (
     sql_round,
     stable_round,
 )
+from bigdata_pipelines_aws_glue_spark.hints import maybe_broadcast
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -80,11 +81,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     target = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+        li.join(maybe_broadcast(part.filter(F.col("p_type") == "PROMO")),
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(maybe_broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
             stable_round(
@@ -242,7 +243,7 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(part.filter(F.col("p_name").startswith("s"))),
+        .join(maybe_broadcast(part.filter(F.col("p_name").startswith("s"))),
               F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(quantized_sum("l_quantity").alias("qty"))
@@ -251,7 +252,7 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        supp.join(F.broadcast(qualifying),
+        supp.join(maybe_broadcast(qualifying),
                   F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
@@ -302,7 +303,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .groupBy("late_supp")
         .agg(F.sum("late_lines").alias("numwait"))
-        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .join(maybe_broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
         .select("s_name", "numwait")
     )
 

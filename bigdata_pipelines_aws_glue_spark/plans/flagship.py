@@ -24,10 +24,13 @@ Spark-first divergences from the reference's *implementation* (SURVEY.md §4):
 - The fact-side join keys are synthesized deterministically so the
   DuckDB oracle can mirror them exactly (pure SQL, no randomness).
 
-Scale notes: the two dimension joins (rates: <=5 rows per currency
-set; categories: |part| rows) are explicit ``F.broadcast`` — at 100 TB
-the fact table never shuffles for either join. The only wide exchange
-in the whole plan is the fact/orders equi-join, which AQE handles
+Scale notes: the rates join side (<=5 rows per currency set, a
+bounded aggregate) keeps an explicit ``F.broadcast``; the categories
+side is |part| rows — it GROWS with the corpus, so it takes the
+size-gated ``maybe_broadcast`` (hinted at tested scales where the
+estimate fits the threshold; left to planner+AQE at 100 TB where a
+forced build would OOM executors). The only wide exchange in the
+whole plan is the fact/orders equi-join, which AQE handles
 (skew-split + partition coalescing).
 """
 
@@ -36,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_pipelines_aws_glue_spark.hints import maybe_broadcast
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 #: Deterministic currency assignment: l_orderkey % 5 indexes this list.
@@ -201,8 +205,10 @@ def flagship_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     categories = synth_product_categories(spark, sf_dir)
 
     converted = convert_currency(transactions, rates)
+    # categories derives from `part`, which scales with the corpus —
+    # size-gated hint so a 100 TB run falls back to planner+AQE.
     enriched = converted.join(
-        F.broadcast(categories), on="product_id", how="left"
+        maybe_broadcast(categories), on="product_id", how="left"
     )
     final = derive_time_columns(enriched)
     return final.select(*OUTPUT_CONTRACT)

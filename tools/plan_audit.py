@@ -12,6 +12,21 @@ Flags:
                                 moves one partial row per partition — that
                                 case is benign and NOT flagged (detector
                                 requires a Sort/Window consumer).
+- ForcedBroadcastUnbounded    — an explicit broadcast hint (which AQE
+                                CANNOT demote) whose subtree scans an
+                                SF-scaling base table (part/supplier/
+                                customer/orders/lineitem/events/
+                                documents/embeddings) with no bounding
+                                node (GlobalLimit or global aggregate)
+                                on the path hint->scan. Such a hint is
+                                free at sf0.1 and an executor OOM at
+                                100 TB; those sides must use the
+                                size-gated ``hints.maybe_broadcast``.
+                                The audit runs with
+                                SPARK_GRAFT_ASSUME_HUGE=1, under which
+                                maybe_broadcast never hints — so every
+                                hint still visible in the ANALYZED
+                                logical plan is a static F.broadcast.
 
 Whitelist entries document WHY a hit is intentional; anything else is
 an audit failure. Usage: python tools/plan_audit.py [sf_dir] [query ...]
@@ -36,95 +51,128 @@ WHITELIST: dict[str, dict[str, str]] = {
     },
     "monthly_revenue_gapfill": {
         "BroadcastNestedLoopJoin": "date-spine bounds: 1-row broadcast",
+        "ForcedBroadcastUnbounded": "actuals keyed by (nation, month): 25 x |months| rows — grows with "
+        "calendar span, not volume; the spine side of the left join cannot "
+        "broadcast anyway",
     },
     "q15_top_supplier": {
         "BroadcastNestedLoopJoin": "global-max subquery: 1-row broadcast",
     },
     "corpus_mix_weights": {
-        "BroadcastNestedLoopJoin": "corpus-total + mix-denominator scalars "
-        "(1-row broadcasts onto a |languages|-row aggregate)",
+        "BroadcastNestedLoopJoin": "corpus-total + mix-denominator scalars (1-row broadcasts onto a "
+        "|languages|-row aggregate)",
+        "ForcedBroadcastUnbounded": "per-language weight table + literal-key 1-row totals — "
+        "language-cardinality bounded",
     },
     "lm_perplexity_filter": {
-        "BroadcastNestedLoopJoin": "LM totals (T, V) and corpus-mean-NLL "
-        "scalars — 1-row broadcasts; model tables join on their keys",
+        "BroadcastNestedLoopJoin": "LM totals (T, V) and corpus-mean-NLL scalars — 1-row broadcasts; "
+        "model tables join on their keys",
+        "ForcedBroadcastUnbounded": "LM totals (T, V) and corpus-mean NLL are literal-key groupings -> "
+        "exactly 1 row each; the n-gram model tables join on their keys, "
+        "never broadcast",
     },
     "bm25_search": {
-        "BroadcastNestedLoopJoin": "(n_docs, avgdl) corpus scalar — 1-row "
-        "broadcast onto the (query, doc) aggregate",
+        "BroadcastNestedLoopJoin": "(n_docs, avgdl) corpus scalar — 1-row broadcast onto the (query, "
+        "doc) aggregate",
+        "ForcedBroadcastUnbounded": "query side and per-query-term df are bounded by N_QUERIES docs' "
+        "vocabularies (df is semi-joined to query terms BEFORE the hint); "
+        "(n_docs, avgdl) is a literal-key 1-row scalar",
     },
     "token_budget_allocation": {
-        "BroadcastNestedLoopJoin": "remainder-rank self-join and "
-        "totals joins over the #languages-row aggregate — bounded by "
-        "language cardinality, never corpus size",
+        "BroadcastNestedLoopJoin": "remainder-rank self-join and totals joins over the #languages-row "
+        "aggregate — bounded by language cardinality, never corpus size",
+        "ForcedBroadcastUnbounded": "per-language allocations + literal-key 1-row totals — "
+        "language-cardinality bounded",
     },
     "hll_vocab_rollup": {
-        "BroadcastNestedLoopJoin": "1-row global-exact x 1-row "
-        "union-estimate crossJoin for the ALL row — scalar join",
+        "BroadcastNestedLoopJoin": "1-row global-exact x 1-row union-estimate crossJoin for the ALL "
+        "row — scalar join",
     },
     "cosine_topk": {
-        "BroadcastNestedLoopJoin": "query side is a bounded broadcast "
-        "(N_QUERIES rows) against the corpus — by design",
+        "BroadcastNestedLoopJoin": "query side is a bounded broadcast (N_QUERIES rows) against the "
+        "corpus — by design",
+        "ForcedBroadcastUnbounded": "query side is the fixed N_QUERIES (vec_id < 50) sample — "
+        "documented recall baseline",
     },
     "ann_lsh_recall_at10": {
-        "BroadcastNestedLoopJoin": "the exact-baseline side is "
-        "cosine_topk over the bounded N_QUERIES audit sample (recall "
-        "auditing is always sampled); the ANN side stays a banded "
-        "equi-join",
+        "BroadcastNestedLoopJoin": "the exact-baseline side is cosine_topk over the bounded N_QUERIES "
+        "audit sample (recall auditing is always sampled); the ANN side "
+        "stays a banded equi-join",
+        "ForcedBroadcastUnbounded": "N_QUERIES exact-baseline sample",
     },
     "ann_lsh_multiprobe_recall_at10": {
-        "BroadcastNestedLoopJoin": "same bounded cosine_topk exact "
-        "baseline as ann_lsh_recall_at10; the multiprobe side is "
-        "still a banded equi-join",
+        "BroadcastNestedLoopJoin": "same bounded cosine_topk exact baseline as ann_lsh_recall_at10; "
+        "the multiprobe side is still a banded equi-join",
+        "ForcedBroadcastUnbounded": "N_QUERIES exact-baseline sample",
     },
     "ivf_recall_at10": {
-        "BroadcastNestedLoopJoin": "same bounded cosine_topk exact "
-        "baseline as ann_lsh_recall_at10; the IVF side is a cell "
-        "equi-join",
+        "BroadcastNestedLoopJoin": "same bounded cosine_topk exact baseline as ann_lsh_recall_at10; "
+        "the IVF side is a cell equi-join",
+        "ForcedBroadcastUnbounded": "centroid index + N_QUERIES exact-baseline sample",
     },
     "ann_lsh_topk": {
         "BroadcastNestedLoopJoin": "bounded query-side broadcast",
     },
     "ivf_topk": {
         "BroadcastNestedLoopJoin": "bounded query-side broadcast",
+        "ForcedBroadcastUnbounded": "k-row label-centroid index",
     },
     "ivfpq_topk": {
-        "BroadcastNestedLoopJoin": "k-row centroid / m*k-row codebook "
-        "broadcasts (cell assignment + PQ training) — bounded tables "
-        "by construction",
+        "BroadcastNestedLoopJoin": "k-row centroid / m*k-row codebook broadcasts (cell assignment + PQ "
+        "training) — bounded tables by construction",
+        "ForcedBroadcastUnbounded": "k-row coarse centroids + m*k-row codebooks — fixed size at any "
+        "corpus scale",
     },
     "kmeans_embeddings": {
-        "BroadcastNestedLoopJoin": "k-row centroid broadcast per "
-        "assignment round",
+        "BroadcastNestedLoopJoin": "k-row centroid broadcast per assignment round",
     },
     "kmeans_convergence": {
-        "BroadcastNestedLoopJoin": "k-row centroid broadcast per "
-        "assignment/inertia round + 1-row count x 1-row sum crossJoin "
-        "for the certificate row",
+        "BroadcastNestedLoopJoin": "k-row centroid broadcast per assignment/inertia round + 1-row "
+        "count x 1-row sum crossJoin for the certificate row",
     },
     "pq_recall_at10": {
-        "BroadcastNestedLoopJoin": "the exact-L2 reference side is the "
-        "bounded N_QUERIES broadcast sample (recall auditing is always "
-        "sampled); the PQ side scores codes via equi-joins",
+        "BroadcastNestedLoopJoin": "the exact-L2 reference side is the bounded N_QUERIES broadcast "
+        "sample (recall auditing is always sampled); the PQ side scores "
+        "codes via equi-joins",
+        "ForcedBroadcastUnbounded": "codebooks + the N_QUERIES (vec_id < 50) exact-baseline sample — "
+        "recall audits are always sampled",
     },
     "ivfpq_recall_at10": {
-        "BroadcastNestedLoopJoin": "same bounded cosine_topk exact "
-        "baseline as ann_lsh_recall_at10; the IVF-PQ side is cell + "
-        "code equi-joins",
+        "BroadcastNestedLoopJoin": "same bounded cosine_topk exact baseline as ann_lsh_recall_at10; "
+        "the IVF-PQ side is cell + code equi-joins",
+        "ForcedBroadcastUnbounded": "centroids/codebooks + the N_QUERIES exact-baseline sample",
     },
     "regex_functions": {
         "BroadcastNestedLoopJoin": "1-row (LIMIT 1) broadcast side",
     },
     "heavy_hitters_mg": {
-        "BroadcastNestedLoopJoin": "1-row corpus-token-total scalar "
-        "broadcast onto the per-term exact aggregate",
+        "BroadcastNestedLoopJoin": "1-row corpus-token-total scalar broadcast onto the per-term exact "
+        "aggregate",
     },
     "semdedup_prune": {
-        "BroadcastNestedLoopJoin": "k-row centroid broadcast for cell "
-        "assignment (same bounded table as ivf_topk); the within-cell "
-        "pair join itself is a SortMergeJoin on cell — verified",
+        "BroadcastNestedLoopJoin": "k-row centroid broadcast for cell assignment (same bounded table "
+        "as ivf_topk); the within-cell pair join itself is a SortMergeJoin "
+        "on cell — verified",
+        "ForcedBroadcastUnbounded": "label-centroid index (k rows) + per-cell member counts (|cells| "
+        "rows) — both label-bounded",
     },
     "global_sorted_sample": {
         "SinglePartition": "deliberately global total order (sampled)",
+    },
+    "approx_quantiles_accuracy": {
+        "ForcedBroadcastUnbounded": "3 GK probe rows per returnflag group (9 rows total) joined back to "
+        "lineitem",
+    },
+    "pq_topk": {
+        "ForcedBroadcastUnbounded": "m*k-row PQ codebooks (k-means on a literal block grid) — fixed "
+        "size at any corpus scale",
+    },
+    "events_outlier_mad": {
+        "ForcedBroadcastUnbounded": "median/MAD per event_type — |event types| rows, key-cardinality "
+        "bounded",
+    },
+    "corpus_token_entropy": {
+        "ForcedBroadcastUnbounded": "literal-key 1-row corpus token total",
     },
 }
 
@@ -143,7 +191,83 @@ def _single_partition_sort_or_window(plan: str) -> bool:
     return False
 
 
-PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "SinglePartition")
+#: Relation-line signature column of each base table that grows with
+#: scale factor (nation/region are fixed 25/5 rows and absent here).
+SCALING_SIGNATURES = {
+    "part": "p_partkey#",
+    "supplier": "s_suppkey#",
+    "customer": "c_custkey#",
+    "orders": "o_orderkey#",
+    "lineitem": "l_linenumber#",
+    "events": "event_id#",
+    "documents": "doc_id#",
+    "embeddings": "vec_id#",
+}
+
+
+def _indent(line: str) -> int:
+    return len(line) - len(line.lstrip(":+- "))
+
+
+def _node(line: str) -> str:
+    return line.lstrip(":+- ")
+
+
+def _bounding(line: str) -> bool:
+    """Nodes that cap the row count of everything above them:
+    GlobalLimit N, or a GLOBAL aggregate (one expr list — a grouped
+    Aggregate prints `Aggregate [keys], [outputs]`)."""
+    n = _node(line)
+    if n.startswith("GlobalLimit"):
+        return True
+    return n.startswith("Aggregate [") and "], [" not in n
+
+
+def _forced_broadcast_unbounded(analyzed: str) -> list[str]:
+    """Scaling base tables scanned under a broadcast ResolvedHint with
+    no bounding node on the hint->scan ancestor path. Parent of a line
+    in the tree printout = nearest preceding line with smaller indent."""
+    lines = analyzed.splitlines()
+    flagged: set[str] = set()
+    for hi, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line:
+            continue
+        hd = _indent(line)
+        end = hi + 1
+        while end < len(lines) and _indent(lines[end]) > hd:
+            end += 1
+        for ri in range(hi + 1, end):
+            rnode = _node(lines[ri])
+            if not rnode.startswith("Relation"):
+                continue
+            tables = [
+                t for t, sig in SCALING_SIGNATURES.items() if sig in rnode
+            ]
+            if not tables:
+                continue
+            # climb the ancestor chain from the scan up to the hint
+            covered, cur, d = False, ri, _indent(lines[ri])
+            while cur > hi:
+                j = cur - 1
+                while j > hi and _indent(lines[j]) >= d:
+                    j -= 1
+                if j <= hi:
+                    break
+                if _bounding(lines[j]):
+                    covered = True
+                    break
+                cur, d = j, _indent(lines[j])
+            if not covered:
+                flagged.update(tables)
+    return sorted(flagged)
+
+
+PATTERNS = (
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "SinglePartition",
+    "ForcedBroadcastUnbounded",
+)
 
 CHECKS = {
     "CartesianProduct": lambda plan: "CartesianProduct" in plan,
@@ -153,6 +277,13 @@ CHECKS = {
 
 
 def main() -> int:
+    # Simulate the 100 TB posture: maybe_broadcast never hints, so any
+    # broadcast ResolvedHint left in an analyzed plan is a static
+    # F.broadcast — exactly what ForcedBroadcastUnbounded audits.
+    import os
+
+    os.environ["SPARK_GRAFT_ASSUME_HUGE"] = "1"
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
@@ -166,23 +297,28 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            plan = (
-                fn(spark, sf_dir)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            qe = fn(spark, sf_dir)._jdf.queryExecution()
+            analyzed = qe.analyzed().toString()
+            plan = qe.executedPlan().toString()
         except Exception as exc:  # plan construction itself failed
             failures.append((name, f"plan build error: {exc}"))
             continue
         n_checked += 1
         allowed = WHITELIST.get(name, {})
-        hits = [p for p in PATTERNS if CHECKS[p](plan)]
+        hits = [p for p in PATTERNS if p in CHECKS and CHECKS[p](plan)]
+        forced = _forced_broadcast_unbounded(analyzed)
+        if forced:
+            hits.append("ForcedBroadcastUnbounded")
         bad = [p for p in hits if p not in allowed]
         status = "ok" if not bad else "FLAG"
+        detail = {"ForcedBroadcastUnbounded": f"({','.join(forced)})"}
         notes = "; ".join(
-            [f"{p} [allowed: {allowed[p]}]" for p in hits if p in allowed]
-            + [f"{p} <-- NOT WHITELISTED" for p in bad]
+            [
+                f"{p}{detail.get(p, '')} [allowed: {allowed[p]}]"
+                for p in hits
+                if p in allowed
+            ]
+            + [f"{p}{detail.get(p, '')} <-- NOT WHITELISTED" for p in bad]
         )
         print(f"  {name}: {status}" + (f"  {notes}" if notes else ""))
         if bad:
