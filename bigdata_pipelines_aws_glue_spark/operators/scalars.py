@@ -166,7 +166,11 @@ def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-match for extract."""
     part = load_table(spark, sf_dir, "part")
     cust = load_table(spark, sf_dir, "customer")
-    joined = part.crossJoin(cust.orderBy("c_custkey").limit(1).select("c_name"))
+    # argmin via min_by: one partial-aggregatable pass, no global sort
+    first_cust = cust.agg(
+        F.min_by("c_name", "c_custkey").alias("c_name")
+    )
+    joined = part.crossJoin(F.broadcast(first_cust))
     return joined.filter(
         F.col("p_name").rlike("^(red|blue|hot|small) ")
     ).select(

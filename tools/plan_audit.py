@@ -143,7 +143,7 @@ WHITELIST: dict[str, dict[str, str]] = {
         "ForcedBroadcastUnbounded": "centroids/codebooks + the N_QUERIES exact-baseline sample",
     },
     "regex_functions": {
-        "BroadcastNestedLoopJoin": "1-row (LIMIT 1) broadcast side",
+        "BroadcastNestedLoopJoin": "1-row min_by argmin broadcast side",
     },
     "heavy_hitters_mg": {
         "BroadcastNestedLoopJoin": "1-row corpus-token-total scalar broadcast onto the per-term exact "
