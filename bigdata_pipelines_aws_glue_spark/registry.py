@@ -28,88 +28,81 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy encoded in ``tools/rotate_priority.py``,
-#: which generated this window). Round-4 window: (a) the 16 queries
-#: added mid-round (SemDeDup prune, trade-graph PageRank, ORC
-#: round-trip, Flesch readability, Misra-Gries heavy hitters, CSV
-#: round-trip, stateful CUSUM drift, DQ expectations suite, incremental
-#: aggregate maintenance, GK-quantile accuracy attestation,
-#: exact-integer correlation matrix, power-iteration PCA, BPE
-#: tokenizer training, LM perplexity filter, BM25 retrieval, JSONL
-#: round-trip), (b) the 11 never-attested queries from the start of
-#: the round (newly-oracled PQ/IVF-PQ top-k + recall, compression
-#: bounds, k-means convergence, catalog round-trip, multimodal
-#: decode/frame/audio/video attestations),
-#: (c) 23 of the queries whose most recent attestation is ROUND 1 —
-#: the stalest evidence in the ledger. No-oracle rows stay out of
-#: the window (their evidence is pytest). Deferred to round 5:
-#: twenty-four r1 queries (semi_join_customers,
-#: anti_join_customers, range_join_promo_windows,
-#: staged_merge_orders, set_except,
-#: events_window_10min,
-#: events_sessionize, events_json_props,
-#: events_sliding_window, events_json_typed, events_grouping_sets,
-#: events_funnel, events_cohort_retention, events_attribution,
-#: dedup_exact, distinct_agg, cube_status, histogram_order_totals,
-#: unpivot_measures, set_union, set_intersect, union_all_by_name,
-#: set_intersect_all, set_except_all), the r2-attested block, and
-#: the r3-green rows whose DuckDB oracle text got BIGINT-cast
-#: hardening (embedding_centroids, ivf_topk, ivf_recall_at10 —
-#: local check_oracle confirms their hashes are unchanged).
+#: which generated this window). Round-5 window: (a) the 25 queries
+#: whose code or oracle changed this round and MUST re-attest — the 3
+#: BIGINT-hardened oracles from round 4 (embedding_centroids,
+#: ivf_topk, ivf_recall_at10), the PageRank teleport-constant oracle
+#: fix, the 17 queries whose broadcast hints moved to the size-gated
+#: maybe_broadcast (flagship + the TPC-H star joins + the DQ pair),
+#: bm25_search (query-term-restricted df broadcast), regex_functions
+#: (min_by argmin), decontaminate_against_eval (gated eval-side
+#: hint), and heavy_hitters_mg (trim-exact tokenizer) — all verified
+#: hash-identical locally before rotation; (b) the 24 queries whose
+#: latest attestation is ROUND 1 (the full deferred block from the
+#: round-4 comment: semi/anti/range joins, staged merge, the 9-query
+#: events suite, set ops, distinct/cube/histogram/unpivot,
+#: dedup_exact); (c) approx_distinct, the oldest r2 row. Round-6
+#: backlog (documented schedule per the round-4 verdict item 5): the
+#: remaining 15 r2-stale rows (asof_join_sortmerge, sequence_pack
+#: chunks/fill, multimodal_bytes_meta, stratified/weighted samples,
+#: skew_safe_agg, q4/q22/q11/q12/q13, corpus mix/entropy, crossdoc,
+#: ewma) re-enter first, then the oldest r3 rows — after which no
+#: query will be older than 2 rounds of attestation. No-oracle rows
+#: stay out of the window (their evidence is pytest).
 PRIORITY: tuple[str, ...] = (
-    # (a) added mid-round-4
-    "semdedup_prune",
+    # (a) code/oracle changed in round 5 — must re-attest
+    "embedding_centroids",
+    "ivf_topk",
+    "ivf_recall_at10",
     "pagerank_trade_graph",
-    "orc_roundtrip_lineitem",
-    "doc_readability",
-    "heavy_hitters_mg",
-    "csv_roundtrip_customer",
-    "events_cusum_drift",
-    "dq_expectations",
-    "incremental_monthly_revenue",
-    "approx_quantiles_accuracy",
-    "correlation_matrix",
-    "pca_power_iteration",
-    "bpe_train_merges",
-    "lm_perplexity_filter",
-    "bm25_search",
-    "jsonl_roundtrip_events",
-    # (b) new at the start of round 4 — never attested
-    "pq_topk",
-    "ivfpq_topk",
-    "pq_recall_at10",
-    "ivfpq_recall_at10",
-    "doc_compression_ratio",
-    "kmeans_convergence",
-    "catalog_roundtrip_orders",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "multimodal_video_frames",
-    # (c) last attested round 1 — aggregates / TPC-H shapes
-    "q1_pricing_summary",
-    "sales_trends_monthly",
-    "rollup_sales",
-    "q3_top_unshipped",
+    "flagship_pipeline",
     "q5_local_revenue",
-    "percentile_by_status",
     "pivot_revenue",
-    "q6_forecast_revenue",
     "q18_large_orders",
     "q10_returned_items",
-    "q2_top_supplier_per_nation",
     "q16_supplier_diversity",
-    "stats_moments",
-    "monthly_revenue_gapfill",
-    # (c) sorts / windows / joins / merge
-    "topk_orders",
-    "global_sorted_sample",
-    "window_rank_orders",
-    "window_distribution_ranks",
-    "scd2_rate_history",
-    "window_running_total",
-    "window_lead_lag",
-    "full_outer_reconciliation",
-    "asof_join_rates",
+    "q17_small_quantity_revenue",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "q15_top_supplier",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q8_market_share",
+    "q20_bulk_suppliers",
+    "q21_waiting_suppliers",
+    "dq_profile",
+    "dq_expectations",
+    "bm25_search",
+    "regex_functions",
+    "decontaminate_against_eval",
+    "heavy_hitters_mg",
+    # (b) last attested round 1 — the stalest evidence in the ledger
+    "distinct_agg",
+    "cube_status",
+    "histogram_order_totals",
+    "unpivot_measures",
+    "semi_join_customers",
+    "anti_join_customers",
+    "range_join_promo_windows",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "union_all_by_name",
+    "set_intersect_all",
+    "set_except_all",
+    "staged_merge_orders",
+    "events_window_10min",
+    "events_sessionize",
+    "events_json_props",
+    "events_sliding_window",
+    "events_json_typed",
+    "events_grouping_sets",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_attribution",
+    "dedup_exact",
+    # (c) oldest r2 row fills the 50th slot
+    "approx_distinct",
 )
 
 
