@@ -130,6 +130,18 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "k-row centroid broadcast per assignment/inertia round + 1-row "
         "count x 1-row sum crossJoin for the certificate row",
     },
+    "pq_topk_sampled": {
+        "BroadcastNestedLoopJoin": "bounded query-side broadcast (same "
+        "shape as pq_topk)",
+        "ForcedBroadcastUnbounded": "m*k-row codebooks (trained on the "
+        "fixed-size PQ_TRAIN_TARGET sample) — fixed size at any scale",
+    },
+    "pq_sampled_recall_at10": {
+        "BroadcastNestedLoopJoin": "N_QUERIES exact-baseline sample "
+        "(recall audits are always sampled)",
+        "ForcedBroadcastUnbounded": "codebooks + the N_QUERIES "
+        "exact-baseline sample",
+    },
     "pq_recall_at10": {
         "BroadcastNestedLoopJoin": "the exact-L2 reference side is the bounded N_QUERIES broadcast "
         "sample (recall auditing is always sampled); the PQ side scores "
