@@ -25,7 +25,7 @@ row), never a driver-side collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
@@ -541,8 +541,131 @@ WHERE true_count * {MG_K} > n_tokens
 """
 
 
+CMS_D = 4  # hash rows
+CMS_W = 512  # buckets per row
+CMS_TOPN = 20  # point-query audit set
+#: ceil(e * 1e9): integer-rational overestimate factor for the CMS
+#: guarantee bound — excess <= e*N/W holds w.p. 1 - e^-d; kept as a
+#: BIGINT ratio so both engines compute the identical cutoff.
+_CMS_E_NUM = 2_718_281_829
+
+
+def _cms_bucket(term: Column, r: Column) -> Column:
+    """Row-``r`` bucket of ``term``: first 60 bits of
+    ``md5(term ':cms:' r)`` mod W — the same cross-engine md5-prefix
+    hash family as :mod:`sampling`'s shuffle_key."""
+    s = F.concat(term, F.lit(":cms:"), r.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(CMS_W)
+    )
+
+
+def count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream + point-query
+    audit — completing the mergeable-sketch family (HLL cardinality,
+    GK quantiles, Misra-Gries heavy hitters, CMS point frequency).
+
+    Build: every token increments d=4 (row, bucket) cells; on Spark
+    that is ONE keyed aggregation whose map-side partial aggregates
+    ARE the per-partition sketches and whose reduce is the (+)-merge
+    — 2048 cells total regardless of corpus size, the textbook
+    100 TB shape (the exact term-frequency pass here is the audit
+    side; at scale you ship the sketch alone).
+
+    Audit: for the exact top-20 terms, est = min over rows of their
+    cell counts. Unlike MG, CMS estimates are PARTITION-LAYOUT
+    INVARIANT (a pure function of the multiset + hash), so the
+    estimates themselves are emitted and hash-checked, plus the two
+    structural guarantees: never-undercount (always true), and
+    excess <= e*N/W (true w.p. 1-e^-4 per term; deterministic for a
+    fixed corpus+hash, so the oracle replays the same booleans)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(_tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    rows = toks.select(
+        "term", F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
+    )
+    cms = (
+        rows.select("r", _cms_bucket(F.col("term"), F.col("r")).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = tf.orderBy(F.col("true_cnt").desc(), F.col("term")).limit(CMS_TOPN)
+    probes = top.select(
+        "term",
+        "true_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r"),
+    ).withColumn("b", _cms_bucket(F.col("term"), F.col("r")))
+    est = (
+        probes.join(cms, ["r", "b"])
+        .groupBy("term", "true_cnt")
+        .agg(F.min("c").alias("est"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+    bound = F.expr(
+        f"CAST({_CMS_E_NUM} AS BIGINT) * n_tokens"
+        f" DIV CAST({10**9 * CMS_W} AS BIGINT)"
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "term",
+        "true_cnt",
+        "est",
+        "n_tokens",
+        (F.col("est") >= F.col("true_cnt")).alias("never_under"),
+        (F.col("est") <= F.col("true_cnt") + bound).alias("within_bound"),
+    )
+
+
+CMS_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+tok2 AS (SELECT term FROM toks WHERE length(term) > 0),
+rs AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS r),
+cms AS (
+    SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT rs.r,
+               (('0x' || substring(md5(term || ':cms:' ||
+                                       CAST(rs.r AS VARCHAR)), 1, 15))::BIGINT
+                % {CMS_W}) AS b
+        FROM tok2 CROSS JOIN rs)
+    GROUP BY r, b
+),
+tf AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS true_cnt
+    FROM tok2 GROUP BY term
+),
+top AS (
+    SELECT term, true_cnt FROM tf
+    ORDER BY true_cnt DESC, term LIMIT {CMS_TOPN}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM tok2),
+probes AS (
+    SELECT t.term, t.true_cnt, rs.r,
+           (('0x' || substring(md5(t.term || ':cms:' ||
+                                   CAST(rs.r AS VARCHAR)), 1, 15))::BIGINT
+            % {CMS_W}) AS b
+    FROM top t CROSS JOIN rs
+),
+est AS (
+    SELECT p.term, p.true_cnt, min(c.c) AS est
+    FROM probes p JOIN cms c ON c.r = p.r AND c.b = p.b
+    GROUP BY p.term, p.true_cnt
+)
+SELECT term, true_cnt, est, n_tokens,
+       est >= true_cnt AS never_under,
+       est <= true_cnt + ({_CMS_E_NUM} * n_tokens)
+                           // {10**9 * CMS_W} AS within_bound
+FROM est CROSS JOIN tot
+"""
+
+
 def _register() -> None:
     registry.register("heavy_hitters_mg", heavy_hitters_mg, HEAVY_HITTERS_ORACLE)
+    registry.register("count_min_sketch", count_min_sketch, CMS_ORACLE)
     registry.register("corpus_mix_weights", corpus_mix_weights, MIX_ORACLE)
     registry.register("hll_vocab_rollup", hll_vocab_rollup, HLL_ROLLUP_ORACLE)
     registry.register(

@@ -157,6 +157,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "regex_functions": {
         "BroadcastNestedLoopJoin": "1-row min_by argmin broadcast side",
     },
+    "count_min_sketch": {
+        "BroadcastNestedLoopJoin": "1-row corpus-token-total scalar "
+        "broadcast onto the 20-row point-query audit",
+    },
     "heavy_hitters_mg": {
         "BroadcastNestedLoopJoin": "1-row corpus-token-total scalar broadcast onto the per-term exact "
         "aggregate",
