@@ -1,0 +1,294 @@
+"""Distributed logistic-regression quality classifier.
+
+The standard LLM-curation move (CCNet, GPT-3, Llama): distill an
+expensive or rule-based quality gate into a cheap linear model that
+scores the whole corpus. Here the teacher is the already-attested
+Gopher keep/drop gate (``text.gopher_flags``); the student is
+logistic regression over four cheap text features, trained by
+full-batch gradient descent run AS SPARK AGGREGATIONS — the shape
+that scales: each round is one map over the corpus producing five
+quantized gradient sums (plus the round's loss and accuracy), i.e.
+O(d) driver bytes per round, never a per-doc collect. The same
+discipline as ``kmeans_fit`` / ``pagerank`` / ``bpe_train_merges``:
+per-doc gradient addends quantize to 1e-9 longs before summing, so
+every round's weight vector is bit-identical in any aggregation
+order and the DuckDB twin replays all ``GD_ROUNDS`` rounds as
+unrolled CTEs.
+
+Features deliberately reuse expression forms whose cross-engine
+replay is already proven by the Gopher oracle (token count, mean
+word length, alpha-word ratio, stopword hits) with FIXED scale
+divisors — a production run would z-score, but fixed constants keep
+the replay surface minimal and the determinism argument one line.
+
+100 TB posture: training is GD_ROUNDS scans of a checkpointed
+feature projection (5 doubles + label per doc); each scan partial-
+aggregates map-side to 7 longs per partition. Scoring
+(``quality_classifier_weights`` consumers) is a map-only pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
+from bigdata_pipelines_aws_glue_spark.operators.text import (
+    GOPHER_STOPWORDS,
+    gopher_flags,
+)
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+GD_ROUNDS = 8
+GD_LR = 2.0  # exact in binary, so both engines scale identically
+_Q9 = 1_000_000_000.0
+#: (feature name, fixed scale divisor) in model order; x0 is the bias.
+FEATURES = (
+    ("bias", None),
+    ("n_words_over_100", 100.0),
+    ("mean_word_len_over_10", 10.0),
+    ("alpha_word_ratio", None),
+    ("stop_hits_over_5", 5.0),
+)
+
+#: (applicationId, sf_dir) -> (weights, history) — training is
+#: deterministic, so the two registered views share one run.
+_TRAIN_CACHE: dict[tuple[str, str], tuple[list[float], list[tuple]]] = {}
+
+
+def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, x1..x4, y): the scaled features + the Gopher teacher
+    label. Token conventions mirror ``gopher_flags`` exactly (the
+    oracle-proven forms): toks = split(trim(text), ' ') WITHOUT
+    empty-filtering, n_words = size(toks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_words = F.size(toks)
+    mean_wl = (
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).cast("double")
+        / n_words
+    )
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / n_words
+    )
+    stop_hits = sum(
+        (F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS),
+        F.lit(0),
+    )
+    feats = docs.select(
+        "doc_id",
+        (n_words.cast("double") / F.lit(100.0)).alias("x1"),
+        (mean_wl / F.lit(10.0)).alias("x2"),
+        alpha_ratio.alias("x3"),
+        (stop_hits.cast("double") / F.lit(5.0)).alias("x4"),
+    )
+    labels = gopher_flags(docs).select(
+        "doc_id", F.col("keep").cast("double").alias("y")
+    )
+    return feats.join(labels, "doc_id")
+
+
+def _train(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[tuple]]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
+    f = _feature_frame(spark, sf_dir).localCheckpoint(eager=True)
+    n = f.count()
+    w = [0.0] * len(FEATURES)
+    hist: list[tuple] = []
+    for rnd in range(1, GD_ROUNDS + 1):
+        margin = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+            + F.lit(w[4]) * F.col("x4")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+        err = p - F.col("y")
+        q = lambda c: F.sum(F.floor(c * F.lit(_Q9) + F.lit(0.5)))  # noqa: E731
+        nll = -(
+            F.col("y") * F.log(p)
+            + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+        )
+        row = f.agg(
+            q(err).alias("g0"),
+            q(err * F.col("x1")).alias("g1"),
+            q(err * F.col("x2")).alias("g2"),
+            q(err * F.col("x3")).alias("g3"),
+            q(err * F.col("x4")).alias("g4"),
+            q(nll).alias("nllq"),
+            F.sum(((p >= 0.5) == (F.col("y") >= 0.5)).cast("long")).alias(
+                "n_correct"
+            ),
+        ).first()
+        hist.append((rnd, (row["nllq"] / _Q9) / n, row["n_correct"]))
+        # identical operation order to the oracle's r{t} CTEs
+        w = [
+            w[j] - GD_LR * ((row[f"g{j}"] / _Q9) / n)
+            for j in range(len(FEATURES))
+        ]
+    _TRAIN_CACHE[key] = (w, hist)
+    return _TRAIN_CACHE[key]
+
+
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GD trajectory: one row per round with the mean NLL and the
+    exact number of documents the pre-update weights classify
+    correctly (integer — immune to float ulps). The loss must fall
+    and accuracy rise as the student absorbs the Gopher gate."""
+    _, hist = _train(spark, sf_dir)
+    df = spark.createDataFrame(
+        hist, "round int, mean_nll double, n_correct long"
+    )
+    return df.select(
+        "round", stable_round(F.col("mean_nll"), 6).alias("mean_nll"),
+        "n_correct",
+    )
+
+
+def quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final model, one row per feature — the artifact a scoring pass
+    would broadcast to grade the full corpus map-only."""
+    w, _ = _train(spark, sf_dir)
+    rows = [(name, w[j]) for j, (name, _s) in enumerate(FEATURES)]
+    df = spark.createDataFrame(rows, "feature string, weight double")
+    return df.select(
+        "feature", stable_round(F.col("weight"), 6).alias("weight")
+    )
+
+
+def _gd_ctes() -> str:
+    """Feature extraction + GD_ROUNDS unrolled GD rounds in DuckDB,
+    bit-for-bit against :func:`_train` (same quantized gradient sums,
+    same update expression order)."""
+    stop_sql = " + ".join(
+        f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS
+    )
+    # Every CTE is MATERIALIZED: the r{i} chain is referenced by both
+    # g{i+1} and r{i+1} (and r8 once per weight row), so without it
+    # DuckDB re-inlines the whole chain exponentially — the same
+    # pitfall the PCA matvec oracle hit (linalg.py).
+    ctes = [
+        """t AS MATERIALIZED (
+    SELECT doc_id, text,
+           string_split(trim(text), ' ') AS toks,
+           string_split(text, chr(10)) AS lines
+    FROM documents
+)""",
+        f"""f AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(len(toks) AS DOUBLE) / 100.0 AS x1,
+           (list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+              / len(toks)) / 10.0 AS x2,
+           len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+             / len(toks) AS x3,
+           CAST(({stop_sql}) AS DOUBLE) / 5.0 AS x4,
+           CASE WHEN
+               len(toks) BETWEEN 20 AND 80
+               AND (list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                      / len(toks)) BETWEEN 3.0 AND 10.0
+               AND len(regexp_extract_all(text, '(#|\\.\\.\\.)'))::DOUBLE
+                     / len(toks) < 0.1
+               AND len(list_filter(lines,
+                     x -> regexp_matches(x, '^\\s*[-*•]')))::DOUBLE
+                     / len(lines) <= 0.1
+               AND len(list_filter(lines, x -> x LIKE '%...'))::DOUBLE
+                     / len(lines) <= 0.3
+               AND len(list_filter(toks,
+                     x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                     / len(toks) >= 0.7
+               AND ({stop_sql}) >= 2
+           THEN 1.0 ELSE 0.0 END AS y
+    FROM t
+)""",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM f)",
+        "r0 AS MATERIALIZED "
+        "(SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,"
+        " CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,"
+        " CAST(0.0 AS DOUBLE) AS w4",
+    ]
+    # r0 needs closing paren; build rounds
+    ctes[-1] += ")"
+    qsum = (
+        "sum(CAST(floor(({expr}) * 1000000000.0 + 0.5) AS BIGINT))"
+    )
+    for i in range(1, GD_ROUNDS + 1):
+        p = (
+            "(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-("
+            "w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3"
+            " + w.w4 * f.x4))))"
+        )
+        gsum = lambda x: qsum.format(expr=f"({p} - f.y){x}")  # noqa: E731
+        nll = (
+            f"-(f.y * ln({p}) + (CAST(1.0 AS DOUBLE) - f.y)"
+            f" * ln(CAST(1.0 AS DOUBLE) - {p}))"
+        )
+        ctes.append(
+            f"""g{i} AS MATERIALIZED (
+    SELECT {gsum('')} AS g0,
+           {gsum(' * f.x1')} AS g1,
+           {gsum(' * f.x2')} AS g2,
+           {gsum(' * f.x3')} AS g3,
+           {gsum(' * f.x4')} AS g4,
+           {qsum.format(expr=nll)} AS nllq,
+           sum(CASE WHEN ({p} >= 0.5) = (f.y >= 0.5)
+               THEN 1 ELSE 0 END) AS n_correct
+    FROM f CROSS JOIN r{i - 1} w
+)""",
+        )
+        upd = ", ".join(
+            f"w.w{j} - {GD_LR!r} * ((CAST(g.g{j} AS DOUBLE)"
+            f" / CAST(1000000000 AS DOUBLE)) / (SELECT n FROM nn)) AS w{j}"
+            for j in range(len(FEATURES))
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED "
+            f"(SELECT {upd} FROM r{i - 1} w CROSS JOIN g{i} g)"
+        )
+    return ",\n".join(ctes)
+
+
+_TRAJ_ROWS = "\nUNION ALL\n".join(
+    f"""SELECT CAST({i} AS INT) AS round,
+       floor(((CAST(nllq AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+              / (SELECT n FROM nn)) * 1000000.0 + 0.5) / 1000000.0
+         AS mean_nll,
+       CAST(n_correct AS BIGINT) AS n_correct
+FROM g{i}"""
+    for i in range(1, GD_ROUNDS + 1)
+)
+
+CLASSIFIER_TRAIN_ORACLE = f"""WITH {_gd_ctes()}
+{_TRAJ_ROWS}
+"""
+
+_WEIGHT_ROWS = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS feature,
+       floor(w{j} * 1000000.0 + 0.5) / 1000000.0 AS weight
+FROM r{GD_ROUNDS}"""
+    for j, (name, _s) in enumerate(FEATURES)
+)
+
+CLASSIFIER_WEIGHTS_ORACLE = f"""WITH {_gd_ctes()}
+{_WEIGHT_ROWS}
+"""
+
+
+def _register() -> None:
+    registry.register(
+        "quality_classifier_train",
+        quality_classifier_train,
+        CLASSIFIER_TRAIN_ORACLE,
+    )
+    registry.register(
+        "quality_classifier_weights",
+        quality_classifier_weights,
+        CLASSIFIER_WEIGHTS_ORACLE,
+    )
+

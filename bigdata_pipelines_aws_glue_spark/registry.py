@@ -167,6 +167,7 @@ def _load_all() -> None:
         "semdedup",
         "graph",
         "linalg",
+        "classifier",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(
