@@ -168,6 +168,7 @@ def _load_all() -> None:
         "graph",
         "linalg",
         "classifier",
+        "layout",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(

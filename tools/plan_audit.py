@@ -157,6 +157,15 @@ WHITELIST: dict[str, dict[str, str]] = {
     "regex_functions": {
         "BroadcastNestedLoopJoin": "1-row min_by argmin broadcast side",
     },
+    "zorder_layout": {
+        "BroadcastNestedLoopJoin": "1-row domain-stats (min/max custkey"
+        "/date) scalar broadcast onto the orders scan",
+    },
+    "zorder_pruning_gain": {
+        "BroadcastNestedLoopJoin": "1-row domain-stats scalar + the "
+        "N_PROBES-row probe table (both bounded broadcasts) onto the "
+        "<=64-row zone-map tables",
+    },
     "count_min_sketch": {
         "BroadcastNestedLoopJoin": "1-row corpus-token-total scalar "
         "broadcast onto the 20-row point-query audit",
