@@ -169,6 +169,7 @@ def _load_all() -> None:
         "linalg",
         "classifier",
         "layout",
+        "resolution",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(
