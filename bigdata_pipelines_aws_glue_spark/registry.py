@@ -170,6 +170,7 @@ def _load_all() -> None:
         "classifier",
         "layout",
         "resolution",
+        "drift",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(

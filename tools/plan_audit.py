@@ -157,6 +157,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "regex_functions": {
         "BroadcastNestedLoopJoin": "1-row min_by argmin broadcast side",
     },
+    "split_token_drift": {
+        "BroadcastNestedLoopJoin": "1-row (split totals, vocab) scalar "
+        "broadcast onto the vocab-sized term-count table",
+    },
     "zorder_layout": {
         "BroadcastNestedLoopJoin": "1-row domain-stats (min/max custkey"
         "/date) scalar broadcast onto the orders scan",
