@@ -171,6 +171,8 @@ def _load_all() -> None:
         "layout",
         "resolution",
         "drift",
+        "privacy",
+        "optimizer_stats",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(

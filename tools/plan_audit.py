@@ -157,6 +157,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "regex_functions": {
         "BroadcastNestedLoopJoin": "1-row min_by argmin broadcast side",
     },
+    "join_size_estimate": {
+        "BroadcastNestedLoopJoin": "1-row degree-totals x 1-row "
+        "histogram-head totals crossJoin (both scalar aggregates)",
+    },
     "split_token_drift": {
         "BroadcastNestedLoopJoin": "1-row (split totals, vocab) scalar "
         "broadcast onto the vocab-sized term-count table",
