@@ -173,6 +173,7 @@ def _load_all() -> None:
         "drift",
         "privacy",
         "optimizer_stats",
+        "basket",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(

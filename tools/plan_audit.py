@@ -157,6 +157,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "regex_functions": {
         "BroadcastNestedLoopJoin": "1-row min_by argmin broadcast side",
     },
+    "market_basket_pairs": {
+        "BroadcastNestedLoopJoin": "1-row distinct-order-count scalar "
+        "broadcast onto the pair-support table for the lift division",
+    },
     "join_size_estimate": {
         "BroadcastNestedLoopJoin": "1-row degree-totals x 1-row "
         "histogram-head totals crossJoin (both scalar aggregates)",
