@@ -135,8 +135,122 @@ GROUP BY d.event_type
 """
 
 
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic additive seasonal decomposition of daily order revenue
+    (the moving-average method of STL's ancestor, Macaulay 1931):
+    trend = centered 7-day moving average over a gap-free calendar
+    spine, seasonal index = mean detrended value per day-of-week.
+
+    Exactness discipline: revenue is summed in integer CENTS
+    (``floor(price*100+0.5)`` per order — aggregation-order
+    independent), the detrended series is kept as the EXACT integer
+    ``7*rev - window_sum`` (no division until the end), and each
+    day-of-week index is one double division of two exact integers.
+
+    Scale posture: the only single-partition step — the 7-row
+    centered window — runs over the DAILY ROLLUP, whose size is
+    bounded by the calendar (~2.4k rows for the 6.5-year span)
+    regardless of corpus size; the fact table itself contributes one
+    keyed aggregation. ``dow_id`` anchors at the 1970-01-01 epoch
+    (0 = Thursday), not locale week rules, for cross-engine parity.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev_c")
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("rev_c", F.lit(0)).alias("rev_c")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    t = (
+        filled.select(
+            "d",
+            "rev_c",
+            F.sum("rev_c").over(w).alias("wsum"),
+            F.count(F.lit(1)).over(w).alias("wcnt"),
+        )
+        .filter(F.col("wcnt") == 7)
+        .withColumn(
+            "dow_id",
+            F.pmod(
+                F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")),
+                F.lit(7),
+            ).cast("long"),
+        )
+    )
+    return (
+        t.groupBy("dow_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("rev_c").alias("_rev"),
+            F.sum(F.lit(7) * F.col("rev_c") - F.col("wsum")).alias("_det"),
+        )
+        .select(
+            "dow_id",
+            "n_days",
+            stable_round(
+                F.col("_rev").cast("double")
+                / (F.lit(100.0) * F.col("n_days").cast("double")),
+                4,
+            ).alias("avg_revenue"),
+            stable_round(
+                F.col("_det").cast("double")
+                / (F.lit(700.0) * F.col("n_days").cast("double")),
+                4,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow_id")
+    )
+
+
+SEASONAL_ORACLE = """WITH daily AS MATERIALIZED (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+    FROM orders GROUP BY 1
+),
+bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+spine AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        AS d
+    FROM bounds
+),
+filled AS MATERIALIZED (
+    SELECT s.d, coalesce(y.rev_c, 0) AS rev_c
+    FROM spine s LEFT JOIN daily y USING (d)
+),
+t AS MATERIALIZED (
+    SELECT d, rev_c,
+           sum(rev_c) OVER win AS wsum,
+           count(*) OVER win AS wcnt
+    FROM filled
+    WINDOW win AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT date_diff('day', DATE '1970-01-01', d) % 7 AS dow_id,
+       CAST(count(*) AS BIGINT) AS n_days,
+       floor(CAST(sum(rev_c) AS DOUBLE) / (100.0 * count(*))
+             * 10000.0 + 0.5) / 10000.0 AS avg_revenue,
+       floor(CAST(sum(7 * rev_c - wsum) AS DOUBLE) / (700.0 * count(*))
+             * 10000.0 + 0.5) / 10000.0 AS seasonal_index
+FROM t
+WHERE wcnt = 7
+GROUP BY 1
+ORDER BY dow_id
+"""
+
+
 def _register() -> None:
     registry.register(
         "events_rolling_avg_time", events_rolling_avg_time, ROLLING_ORACLE
     )
     registry.register("events_outlier_mad", events_outlier_mad, MAD_ORACLE)
+    registry.register(
+        "seasonal_decompose_daily", seasonal_decompose_daily, SEASONAL_ORACLE
+    )

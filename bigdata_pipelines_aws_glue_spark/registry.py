@@ -186,6 +186,7 @@ def _load_all() -> None:
         "privacy",
         "optimizer_stats",
         "basket",
+        "compaction",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(
