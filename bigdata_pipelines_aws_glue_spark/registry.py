@@ -51,12 +51,13 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: stay out of the window (their evidence is pytest).
 #: Mid-round-5 note: the round-4 verdict's window arithmetic fills
 #: all 50 slots exactly (25 changed + 24 r1-stale + 1 r2), so the
-#: THIRTEEN queries ADDED in round 5 (count_min_sketch,
+#: FIFTEEN queries ADDED in round 5 (count_min_sketch,
 #: pq_topk_sampled, pq_sampled_recall_at10,
 #: quality_classifier_train/_weights, zorder_layout,
 #: zorder_pruning_gain, fuzzy_match_parts, er_golden_record,
 #: split_token_drift, k_anonymity_audit, join_size_estimate,
-#: market_basket_pairs) deliberately wait for the ROUND-6 window,
+#: market_basket_pairs, seasonal_decompose_daily, compaction_plan)
+#: deliberately wait for the ROUND-6 window,
 #: where the rotation policy sorts never-attested rows first
 #: automatically. Each was oracle-verified locally at sf0.01 (plus
 #: the round's full-registry sweep) before registration — NOTES_r5.md
