@@ -8,14 +8,16 @@ time.
 
 The container ships no imaging libraries, so the codecs here are
 real, dependency-free numpy implementations: binary PPM/PGM (P6/P5),
-uncompressed 24-bit BMP, non-interlaced 8-bit PNG, and — in
-``jpeg.py`` — baseline-sequential AND progressive JPEG per ITU-T
-T.81 (the dominant formats of real image corpora), all round-trip
-tested and the JPEG paths cross-validated against ``javax.imageio``.
-The synthetic corpus payloads are REAL encoded images;
-``decode_image`` dispatches on the magic bytes and actually decodes
-them. Remaining formats (arithmetic/hierarchical JPEG, 16-bit PNG,
-non-MJPEG video containers) raise ``NotImplementedError`` at the
+uncompressed 24-bit BMP, PNG at 8- AND 16-bit depth in sequential
+AND Adam7-interlaced layout, and — in ``jpeg.py`` —
+baseline-sequential AND progressive JPEG per ITU-T T.81 (the
+dominant formats of real image corpora), all round-trip tested and
+the JPEG + PNG-variant paths cross-validated against
+``javax.imageio``. The synthetic corpus payloads are REAL encoded
+images; ``decode_image`` dispatches on the magic bytes and actually
+decodes them. Remaining formats (arithmetic/hierarchical JPEG,
+palette PNG, non-MJPEG video containers) raise
+``NotImplementedError`` at the
 same dispatch point — the PIL/ffmpeg integration seam at deploy
 time.
 
@@ -129,17 +131,49 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """Non-interlaced 8-bit PNG encoder (stdlib zlib + numpy): color
-    type 2 (RGB) for (H, W, 3) input, 0 (grayscale) for (H, W).
-    Scanlines use filter 0 — valid PNG any decoder reads; compression
-    comes from zlib itself."""
-    arr = pixels.astype(np.uint8)
+#: Adam7 pass origins/strides (PNG spec §8.2): (x0, y0, dx, dy).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
+    """PNG encoder (stdlib zlib + numpy): color type 2 (RGB) for
+    (H, W, 3) input, 0 (grayscale) for (H, W); bit depth 8 for uint8
+    input, 16 (big-endian samples) for uint16; optional Adam7
+    interlacing (each pass is an independently-filtered sub-image in
+    spec pass order; empty passes emit no bytes). Scanlines use
+    filter 0 — valid PNG any decoder reads; compression comes from
+    zlib itself."""
+    arr = np.asarray(pixels)
+    depth = 16 if arr.dtype == np.uint16 else 8
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
-    flat = arr.reshape(h, -1)
-    raster = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, 0 if gray else 2, 0, 0,
+        1 if interlace else 0,
+    )
+    a3 = arr.reshape(h, w, -1)
+
+    def rows(sub: np.ndarray) -> bytes:
+        flat = sub.reshape(sub.shape[0], -1)
+        conv = flat.astype(">u2") if depth == 16 else flat.astype(np.uint8)
+        return b"".join(b"\x00" + conv[y].tobytes() for y in range(len(conv)))
+
+    if not interlace:
+        raster = rows(a3)
+    else:
+        raster = b"".join(
+            rows(a3[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if a3[y0::dy, x0::dx].size
+        )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -156,12 +190,58 @@ def _png_paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _png_unfilter(
+    raw: bytes, pos: int, pw: int, ph: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter one (sub-)image of ``ph`` scanlines of ``pw`` pixels
+    at ``bpp`` filter-bytes per pixel, starting at ``pos`` in the
+    inflated stream. All five filter types; 0/2 vectorize, 1/3/4 are
+    the per-byte recurrence the spec defines (the 'previous pixel'
+    offset is ``bpp`` bytes, which is what lets the same code serve
+    8- and 16-bit samples). Returns the raw byte raster and the new
+    stream position."""
+    stride = pw * bpp
+    out = np.zeros((ph, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(ph):
+        f = raw[pos]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int32)
+        pos += stride + 1
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: byte recurrence
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pred = _png_paeth(int(a), int(b), int(c))
+                cur[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    return out, pos
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit grayscale/RGB/RGBA PNG decoder: chunk walk
-    -> zlib inflate -> per-scanline unfilter (all five filter types;
-    filters 0/2 vectorize, 1/3/4 need the per-byte recurrence the spec
-    defines). RGBA drops alpha so every codec here lands on the same
-    (H, W[, 3]) contract."""
+    """Grayscale/RGB/RGBA PNG decoder, 8- OR 16-bit samples,
+    sequential OR Adam7-interlaced: chunk walk -> zlib inflate ->
+    per-(sub-)image unfilter -> (for Adam7) scatter each pass to its
+    spec origin/stride grid. 16-bit samples reduce to their high byte
+    (the standard 16->8 tone mapping) and RGBA drops alpha, so every
+    codec here lands on the same (H, W[, 3]) uint8 contract.
+    Cross-validated against javax.imageio's PNG reader
+    (tests/test_png_variants.py)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, ihdr, idat = 8, None, []
@@ -180,53 +260,46 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
     channels = {0: 1, 2: 3, 6: 4}.get(color)
-    if depth != 8 or channels is None or comp != 0 or interlace != 0:
+    if (
+        depth not in (8, 16)
+        or channels is None
+        or comp != 0
+        or interlace not in (0, 1)
+    ):
         raise NotImplementedError(
             f"PNG variant depth={depth} color={color} interlace={interlace}"
             " needs an external codec (PIL seam)"
         )
+    sw = depth // 8
+    bpp = channels * sw
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        if f == 0:
-            cur = line
-        elif f == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: byte recurrence
-            cur = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = cur[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + b) >> 1
-                else:
-                    pred = _png_paeth(int(a), int(b), int(c))
-                cur[i] = (line[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter {f}")
-        out[y] = cur
-        prev = cur
-    px = out.reshape(h, w, channels) if channels > 1 else out.reshape(h, w)
+    if interlace == 0:
+        img, _ = _png_unfilter(raw, 0, w, h, bpp)
+        img = img.reshape(h, w, channels, sw)
+    else:
+        img = np.zeros((h, w, channels, sw), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, (w - x0 + dx - 1) // dx)
+            ph = max(0, (h - y0 + dy - 1) // dy)
+            if pw == 0 or ph == 0:
+                continue
+            sub, pos = _png_unfilter(raw, pos, pw, ph, bpp)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, channels, sw)
+    px = img[..., 0]  # the 8-bit sample, or the 16-bit sample's high byte
+    px = px.reshape(h, w, channels) if channels > 1 else px.reshape(h, w)
     return px[:, :, :3].copy() if channels == 4 else px
 
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image payload to an (H, W[, 3]) uint8 array.
 
-    Real decoders for PPM/PGM, 24-bit BMP, non-interlaced 8-bit PNG,
+    Real decoders for PPM/PGM, 24-bit BMP, PNG (8/16-bit,
+    sequential or Adam7-interlaced),
     and baseline-sequential + progressive JPEG (``jpeg.py``,
     cross-validated against javax.imageio output — numpy + stdlib
     only, see module docstring); anything else — arithmetic/
-    hierarchical JPEG, 16-bit/interlaced PNG, non-MJPEG video
+    hierarchical JPEG, non-MJPEG video
     containers — raises ``NotImplementedError`` here, the
     integration seam where a real deployment wires PIL / torchvision
     / ffmpeg."""

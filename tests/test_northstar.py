@@ -271,17 +271,18 @@ def test_multimodal_unknown_codec_is_integration_seam():
     )
     with pytest.raises(ValueError):
         decode_image(sof2_only)
-    # so is 16-bit / interlaced PNG
+    # so is palette (indexed-color) PNG — 16-bit and Adam7-interlaced
+    # are now decoded for real (see tests/test_png_variants.py)
     from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
         _png_chunk,
         _PNG_SIG,
     )
 
-    deep = _PNG_SIG + _png_chunk(
-        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    palette = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     )
     with pytest.raises(NotImplementedError):
-        decode_image(deep)
+        decode_image(palette)
 
 
 def test_jpeg_codec_roundtrip_and_interop():
