@@ -8,18 +8,19 @@ time.
 
 The container ships no imaging libraries, so the codecs here are
 real, dependency-free numpy implementations: binary PPM/PGM (P6/P5),
-uncompressed 24-bit BMP, PNG at 8- AND 16-bit depth in sequential
-AND Adam7-interlaced layout, and — in ``jpeg.py`` —
+uncompressed 24-bit BMP, spec-complete PNG (color types
+gray/RGB/palette/gray+alpha/RGBA at every legal bit depth 1/2/4/8/16,
+sequential or Adam7-interlaced), and — in ``jpeg.py`` —
 baseline-sequential AND progressive JPEG per ITU-T T.81 (the
 dominant formats of real image corpora), all round-trip tested and
 the JPEG + PNG-variant paths cross-validated against
-``javax.imageio``. The synthetic corpus payloads are REAL encoded
-images; ``decode_image`` dispatches on the magic bytes and actually
-decodes them. Remaining formats (arithmetic/hierarchical JPEG,
-palette PNG, non-MJPEG video containers) raise
-``NotImplementedError`` at the
-same dispatch point — the PIL/ffmpeg integration seam at deploy
-time.
+``javax.imageio`` in BOTH directions (their reader on our bytes,
+our reader on their writer's palette/bilevel/gray output). The
+synthetic corpus payloads are REAL encoded images; ``decode_image``
+dispatches on the magic bytes and actually decodes them. Remaining
+formats (arithmetic/hierarchical JPEG, non-MJPEG video containers)
+raise ``NotImplementedError`` at the same dispatch point — the
+PIL/ffmpeg integration seam at deploy time.
 
 ``multimodal_bytes_meta`` — the metadata/integrity pass (sizes,
 digests) — is pure JVM expressions and oracle-checked.
@@ -191,16 +192,14 @@ def _png_paeth(a: int, b: int, c: int) -> int:
 
 
 def _png_unfilter(
-    raw: bytes, pos: int, pw: int, ph: int, bpp: int
+    raw: bytes, pos: int, stride: int, ph: int, bpp: int
 ) -> tuple[np.ndarray, int]:
-    """Unfilter one (sub-)image of ``ph`` scanlines of ``pw`` pixels
-    at ``bpp`` filter-bytes per pixel, starting at ``pos`` in the
-    inflated stream. All five filter types; 0/2 vectorize, 1/3/4 are
-    the per-byte recurrence the spec defines (the 'previous pixel'
-    offset is ``bpp`` bytes, which is what lets the same code serve
-    8- and 16-bit samples). Returns the raw byte raster and the new
-    stream position."""
-    stride = pw * bpp
+    """Unfilter one (sub-)image of ``ph`` scanlines of ``stride``
+    bytes with the previous-pixel offset at ``bpp`` bytes (= the
+    pixel's byte width, floored to 1 for sub-byte depths, per spec),
+    starting at ``pos`` in the inflated stream. All five filter
+    types; 0/2 vectorize, 1/3/4 are the per-byte recurrence the spec
+    defines. Returns the byte raster and the new stream position."""
     out = np.zeros((ph, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(ph):
@@ -233,24 +232,56 @@ def _png_unfilter(
     return out, pos
 
 
+def _png_samples(
+    raw: bytes, pos: int, pw: int, ph: int, channels: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub-)image to a (ph, pw, channels)
+    uint8 array of byte samples (16-bit samples keep their high
+    byte — the standard 16->8 tone mapping; sub-byte samples stay as
+    raw index/level values for the caller to scale or palette-map)."""
+    sw = max(1, depth // 8)
+    stride = (pw * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
+    img, pos = _png_unfilter(raw, pos, stride, ph, bpp)
+    if depth >= 8:
+        # big-endian samples: byte 0 of each sample is the value (8-bit)
+        # or the high byte (16-bit)
+        return (
+            img.reshape(ph, pw, channels, sw)[..., 0].copy(),
+            pos,
+        )
+    # 1/2/4-bit: MSB-first packed samples, scanline-padded to bytes
+    bits = np.unpackbits(img, axis=1)  # (ph, stride*8)
+    n = pw * channels
+    groups = bits[:, : n * depth].reshape(ph, n, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (groups * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(ph, pw, channels), pos
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
-    """Grayscale/RGB/RGBA PNG decoder, 8- OR 16-bit samples,
-    sequential OR Adam7-interlaced: chunk walk -> zlib inflate ->
-    per-(sub-)image unfilter -> (for Adam7) scatter each pass to its
-    spec origin/stride grid. 16-bit samples reduce to their high byte
-    (the standard 16->8 tone mapping) and RGBA drops alpha, so every
-    codec here lands on the same (H, W[, 3]) uint8 contract.
-    Cross-validated against javax.imageio's PNG reader
+    """Full-coverage PNG decoder: color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA); bit depths 1/2/4/8/16 as
+    the spec allows per type; sequential or Adam7-interlaced layout
+    (seven independently-filtered sub-images scattered to their spec
+    origin/stride grids). Chunk walk -> zlib inflate -> unfilter ->
+    bit-unpack -> palette map / gray scale. 16-bit samples reduce to
+    their high byte, sub-byte grays scale by 255/(2^d-1) (exact
+    integers), and alpha drops, so every codec here lands on the
+    same (H, W[, 3]) uint8 contract. Cross-validated against
+    javax.imageio's PNG reader AND writer
     (tests/test_png_variants.py)."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -259,43 +290,54 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    ok_depths = {
+        0: (1, 2, 4, 8, 16),
+        2: (8, 16),
+        3: (1, 2, 4, 8),
+        4: (8, 16),
+        6: (8, 16),
+    }.get(color, ())
     if (
-        depth not in (8, 16)
-        or channels is None
+        channels is None
+        or depth not in ok_depths
         or comp != 0
         or interlace not in (0, 1)
+        or (color == 3 and plte is None)
     ):
         raise NotImplementedError(
             f"PNG variant depth={depth} color={color} interlace={interlace}"
             " needs an external codec (PIL seam)"
         )
-    sw = depth // 8
-    bpp = channels * sw
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        img, _ = _png_unfilter(raw, 0, w, h, bpp)
-        img = img.reshape(h, w, channels, sw)
+        img, _ = _png_samples(raw, 0, w, h, channels, depth)
     else:
-        img = np.zeros((h, w, channels, sw), dtype=np.uint8)
+        img = np.zeros((h, w, channels), dtype=np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = max(0, (w - x0 + dx - 1) // dx)
             ph = max(0, (h - y0 + dy - 1) // dy)
             if pw == 0 or ph == 0:
                 continue
-            sub, pos = _png_unfilter(raw, pos, pw, ph, bpp)
-            img[y0::dy, x0::dx] = sub.reshape(ph, pw, channels, sw)
-    px = img[..., 0]  # the 8-bit sample, or the 16-bit sample's high byte
-    px = px.reshape(h, w, channels) if channels > 1 else px.reshape(h, w)
+            sub, pos = _png_samples(raw, pos, pw, ph, channels, depth)
+            img[y0::dy, x0::dx] = sub
+    if color == 3:
+        return plte[img.reshape(h, w)]
+    if color == 0 and depth < 8:
+        img = (img.astype(np.int32) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
+    px = img[..., 0] if channels in (1, 2) else img
+    px = px.reshape(h, w) if channels in (1, 2) else px.reshape(h, w, channels)
     return px[:, :, :3].copy() if channels == 4 else px
 
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a binary image payload to an (H, W[, 3]) uint8 array.
 
-    Real decoders for PPM/PGM, 24-bit BMP, PNG (8/16-bit,
-    sequential or Adam7-interlaced),
+    Real decoders for PPM/PGM, 24-bit BMP, spec-complete PNG (all
+    color types and bit depths, sequential or Adam7-interlaced),
     and baseline-sequential + progressive JPEG (``jpeg.py``,
     cross-validated against javax.imageio output — numpy + stdlib
     only, see module docstring); anything else — arithmetic/

@@ -271,18 +271,20 @@ def test_multimodal_unknown_codec_is_integration_seam():
     )
     with pytest.raises(ValueError):
         decode_image(sof2_only)
-    # so is palette (indexed-color) PNG — 16-bit and Adam7-interlaced
-    # are now decoded for real (see tests/test_png_variants.py)
+    # PNG now decodes every IHDR color/depth/interlace combination
+    # (tests/test_png_variants.py), so the PNG seam is reduced to
+    # out-of-spec headers: an undefined compression method must still
+    # raise cleanly rather than mis-decode
     from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
         _png_chunk,
         _PNG_SIG,
     )
 
-    palette = _PNG_SIG + _png_chunk(
-        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    bad_comp = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 1, 0, 0)
     )
     with pytest.raises(NotImplementedError):
-        decode_image(palette)
+        decode_image(bad_comp)
 
 
 def test_jpeg_codec_roundtrip_and_interop():

@@ -102,6 +102,100 @@ def _javax_read(spark, png_bytes):
     return out
 
 
+def _javax_write_png(spark, img):
+    jvm = spark._jvm
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+    return bytes(baos.toByteArray())
+
+
+def test_javax_written_palette_and_binary_pngs_decode(spark):
+    """The OPPOSITE interop direction: javax.imageio's PNG WRITER
+    produces palette (color type 3, depth 8) and bilevel (color 0,
+    depth 1) files; our decoder must reproduce the writer's own RGB
+    view exactly."""
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    rng = np.random.default_rng(3)
+    for ctor, h, w, ihdr_want in (
+        (BI.TYPE_BYTE_INDEXED, 7, 9, (8, 3)),
+        (BI.TYPE_BYTE_BINARY, 6, 10, (1, 0)),
+    ):
+        img = BI(w, h, ctor)
+        for y in range(h):
+            for x in range(w):
+                c = [int(v) for v in rng.integers(0, 256, 3)]
+                img.setRGB(x, y, (c[0] << 16) | (c[1] << 8) | c[2])
+        png = _javax_write_png(spark, img)
+        import struct
+
+        depth, color = struct.unpack(">IIBBBBB", png[16:29])[2:4]
+        assert (depth, color) == ihdr_want
+        want = np.zeros((h, w, 3), np.int64)
+        for y in range(h):
+            for x in range(w):
+                v = img.getRGB(x, y)
+                want[y, x] = [(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF]
+        got = _decode_png(png)
+        if got.ndim == 2:  # bilevel gray scales 0/1 -> 0/255
+            got = np.stack([got] * 3, axis=-1)
+        assert (got.astype(np.int64) == want).all()
+
+
+def test_javax_written_gray_pngs_decode(spark):
+    """Gray 8- and 16-bit files written by javax.imageio: compare raw
+    raster samples (getRGB would re-apply Java's linear<->sRGB gamma,
+    which is a colorspace question, not a PNG-decoding one)."""
+    jvm = spark._jvm
+    BI = jvm.java.awt.image.BufferedImage
+    rng = np.random.default_rng(11)
+    for ctor, h, w, depth in (
+        (BI.TYPE_BYTE_GRAY, 5, 8, 8),
+        (BI.TYPE_USHORT_GRAY, 6, 6, 16),
+    ):
+        img = BI(w, h, ctor)
+        raster = img.getRaster()
+        vals = rng.integers(0, 1 << depth, (h, w))
+        for y in range(h):
+            for x in range(w):
+                raster.setSample(x, y, 0, int(vals[y, x]))
+        got = _decode_png(_javax_write_png(spark, img))
+        want = (vals >> (depth - 8)).astype(np.uint8)
+        assert (got == want).all()
+
+
+def test_one_bit_adam7_handcrafted():
+    """Sub-byte depth x interlace interaction: pack a 1-bit gray
+    image into Adam7 passes by hand (MSB-first, per-pass scanline
+    byte padding) and check the decoder reassembles it."""
+    import struct
+    import zlib
+
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        _ADAM7,
+    )
+
+    rng = np.random.default_rng(5)
+    h, w = 11, 13
+    bits = rng.integers(0, 2, (h, w)).astype(np.uint8)
+    raster = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = bits[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            packed = np.packbits(row)  # MSB-first, zero-padded
+            raster += b"\x00" + packed.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 1)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raster))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (_decode_png(png) == bits * 255).all()
+
+
 @pytest.mark.parametrize(
     "name",
     ["rgb8_adam7", "gray16_seq", "rgb16_adam7"],
