@@ -164,12 +164,17 @@ def derive_time_columns(df: DataFrame, ts_col: str = "timestamp") -> DataFrame:
     """P2/F2-F6: calendar columns (glue_job.py:130-134). weekofyear is
     ISO-8601 in both Spark and the DuckDB oracle."""
     ts = F.col(ts_col)
-    return (
-        df.withColumn("transaction_date", ts.cast("date"))
-        .withColumn("transaction_year", F.year(ts))
-        .withColumn("transaction_month", F.month(ts))
-        .withColumn("transaction_week", F.weekofyear(ts))
-        .withColumn("transaction_day", F.dayofmonth(ts))
+    # one withColumns call, not a chain: each withColumn triggers a
+    # full analysis pass, so chains cost O(n^2) driver time on wide
+    # plans (measured ~70ms of flagship's construction)
+    return df.withColumns(
+        {
+            "transaction_date": ts.cast("date"),
+            "transaction_year": F.year(ts),
+            "transaction_month": F.month(ts),
+            "transaction_week": F.weekofyear(ts),
+            "transaction_day": F.dayofmonth(ts),
+        }
     )
 
 
