@@ -605,9 +605,15 @@ def count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("est"))
     )
     total = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+    # The e-numerator × N product overflows BIGINT past ~3.4e9 tokens
+    # (trivially reached at 100 TB), so the multiply runs in
+    # decimal(38,0) — same discipline as drift.py's exact TV
+    # numerators — and only the floor-divided bound (<= N/188, always
+    # long-ranged) comes back down to an integral value.
     bound = F.expr(
-        f"CAST({_CMS_E_NUM} AS BIGINT) * n_tokens"
-        f" DIV CAST({10**9 * CMS_W} AS BIGINT)"
+        f"CAST({_CMS_E_NUM} AS DECIMAL(19,0))"
+        f" * CAST(n_tokens AS DECIMAL(19,0))"
+        f" DIV CAST({10**9 * CMS_W} AS DECIMAL(19,0))"
     )
     return est.crossJoin(F.broadcast(total)).select(
         "term",
@@ -657,7 +663,7 @@ est AS (
 )
 SELECT term, true_cnt, est, n_tokens,
        est >= true_cnt AS never_under,
-       est <= true_cnt + ({_CMS_E_NUM} * n_tokens)
+       est <= true_cnt + (CAST({_CMS_E_NUM} AS HUGEINT) * n_tokens)
                            // {10**9 * CMS_W} AS within_bound
 FROM est CROSS JOIN tot
 """

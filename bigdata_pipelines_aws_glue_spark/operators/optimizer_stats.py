@@ -48,6 +48,20 @@ H_HEAVY = 50
 HOT_MOD = 10
 
 
+def _floor_to_dec(q: Column) -> Column:
+    """``floor(DOUBLE)`` landed in decimal(38,0) without Spark's
+    long-returning FLOOR anywhere past its range: below 2**53 the
+    long floor is exact and in-range; at/above 2**53 every double is
+    already integral, so the direct decimal cast IS the floor. This
+    matches DuckDB's ``CAST(floor(DOUBLE) AS HUGEINT)`` at any
+    magnitude, where a bare ``F.floor`` would wrap at Long.MaxValue
+    once N²/NDV leaves the long range (the very skew regime this
+    module exists to quantify)."""
+    return F.when(
+        q < F.lit(float(2**53)), F.floor(q).cast("decimal(38,0)")
+    ).otherwise(q.cast("decimal(38,0)"))
+
+
 def _estimate_rows(cnt: DataFrame, profile: str) -> DataFrame:
     """Three (method, est_pairs, rel_err) rows from a degree table."""
     d_dec = F.col("d").cast("decimal(38,0)")
@@ -69,15 +83,15 @@ def _estimate_rows(cnt: DataFrame, profile: str) -> DataFrame:
     tail_ndv = (F.col("ndv") - F.col("head_k")).cast("double")
     eb = F.col("head_pairs") + F.when(
         tail_ndv > 0,
-        F.floor((tail_n * tail_n) / tail_ndv).cast("decimal(38,0)"),
+        _floor_to_dec((tail_n * tail_n) / tail_ndv),
     ).otherwise(F.lit(0).cast("decimal(38,0)"))
     ests = j.select(
         F.col("exact_pairs"),
         F.col("exact_pairs").alias("e_exact"),
-        F.floor(
+        _floor_to_dec(
             (F.col("n").cast("double") * F.col("n").cast("double"))
             / F.col("ndv").cast("double")
-        ).cast("decimal(38,0)").alias("e_uniform"),
+        ).alias("e_uniform"),
         eb.alias("e_endbiased"),
     )
     rows = None
