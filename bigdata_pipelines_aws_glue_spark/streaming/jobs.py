@@ -200,9 +200,19 @@ def flagship_stream(
     applied to a streaming fact. Zero duplicated logic: the batch
     builders are called verbatim; only the read/write edges differ.
 
-    Scale shape: both joins are stream-static broadcasts, so each
-    micro-batch is map-only — no state store, no shuffle; throughput
-    is bounded by the source, not the plan."""
+    Scale shape: the rates join is a stream-static broadcast against
+    a provably bounded (one-row-per-currency) side; the categories
+    side derives from ``part``, which scales with the corpus, so —
+    exactly as in the batch flagship (plans/flagship.py) — it gets
+    the size-gated ``maybe_broadcast`` rather than a forced hint.
+    Stream-static joins re-resolve the static subtree per
+    micro-batch, but the gate itself runs once at plan-construction
+    time on the static DataFrame (driver-side plan metadata, no job),
+    so there is no per-batch cost. At tested scales both joins plan
+    as broadcasts and each micro-batch stays map-only — no state
+    store, no shuffle; at 100 TB the categories side becomes
+    demotable by threshold + AQE instead of an executor OOM."""
+    from bigdata_pipelines_aws_glue_spark.hints import maybe_broadcast
     from bigdata_pipelines_aws_glue_spark.plans.flagship import (
         OUTPUT_CONTRACT,
         convert_currency,
@@ -211,7 +221,7 @@ def flagship_stream(
 
     converted = convert_currency(transactions, rates)
     enriched = converted.join(
-        F.broadcast(categories), on="product_id", how="left"
+        maybe_broadcast(categories), on="product_id", how="left"
     )
     return derive_time_columns(enriched).select(*OUTPUT_CONTRACT)
 

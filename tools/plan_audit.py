@@ -299,6 +299,51 @@ def _forced_broadcast_unbounded(analyzed: str) -> list[str]:
     return sorted(flagged)
 
 
+def _streaming_plans(spark, sf_dir):
+    """Yield ``(name, analyzed_logical_plan)`` for every streaming
+    transformation builder. The registry sweep above only sees BATCH
+    queries, which is exactly how round 5's one surviving forced
+    broadcast (flagship_stream's categories side) escaped the audit.
+    A streaming DataFrame analyzes eagerly but refuses to produce an
+    executedPlan without ``writeStream.start()``, so this sweep runs
+    the LOGICAL detector only — ForcedBroadcastUnbounded is the one
+    that matters here (an explicit hint survives into the analyzed
+    plan; the physical patterns are covered by each stream's
+    oracle-checked batch twin). Sources point at an empty temp dir
+    with the real schemas: plan shape is schema-driven, no data or
+    query start needed."""
+    import tempfile
+
+    from bigdata_pipelines_aws_glue_spark.plans.flagship import (
+        synth_currency_rates,
+        synth_product_categories,
+        synth_transactions,
+    )
+    from bigdata_pipelines_aws_glue_spark.streaming import jobs, stateful
+
+    empty = tempfile.mkdtemp(prefix="plan_audit_stream_")
+    tx_schema = synth_transactions(spark, sf_dir).schema
+    rates = synth_currency_rates(spark, sf_dir)
+    categories = synth_product_categories(spark, sf_dir)
+    tx = jobs.read_transaction_stream(spark, empty, tx_schema)
+    ev = jobs.read_event_stream(spark, empty)
+    builders = {
+        "stream:flagship": lambda: jobs.flagship_stream(
+            tx, rates, categories
+        ),
+        "stream:windowed_counts": lambda: jobs.windowed_counts_stream(ev),
+        "stream:deduped": lambda: jobs.deduped_stream(ev),
+        "stream:sessionized": lambda: jobs.sessionized_stream(ev),
+        "stream:click_purchase_join": lambda: (
+            jobs.click_purchase_join_stream(spark, empty)
+        ),
+        "stream:ewma": lambda: stateful.ewma_stream(ev),
+        "stream:cusum": lambda: stateful.cusum_stream(ev),
+    }
+    for name, build in builders.items():
+        yield name, build()._jdf.queryExecution().analyzed().toString()
+
+
 PATTERNS = (
     "CartesianProduct",
     "BroadcastNestedLoopJoin",
@@ -360,6 +405,29 @@ def main() -> int:
         print(f"  {name}: {status}" + (f"  {notes}" if notes else ""))
         if bad:
             failures.append((name, ", ".join(bad)))
+
+    if not only:
+        print("  -- streaming builders (logical sweep) --")
+        try:
+            stream_plans = list(_streaming_plans(spark, sf_dir))
+        except Exception as exc:
+            failures.append(("streaming", f"stream plan build error: {exc}"))
+            stream_plans = []
+        for name, analyzed in stream_plans:
+            n_checked += 1
+            forced = _forced_broadcast_unbounded(analyzed)
+            status = "ok" if not forced else "FLAG"
+            print(
+                f"  {name}: {status}"
+                + (
+                    f"  ForcedBroadcastUnbounded({','.join(forced)})"
+                    f" <-- NOT WHITELISTED"
+                    if forced
+                    else ""
+                )
+            )
+            if forced:
+                failures.append((name, "ForcedBroadcastUnbounded"))
 
     print()
     if failures:
