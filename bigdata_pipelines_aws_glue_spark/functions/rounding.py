@@ -44,16 +44,39 @@ def quantized_sum(col: Column | str, q: int = 4) -> Column:
 
     Semantics: sum of per-row-rounded values (documented divergence
     from raw double sum; the oracle mirrors it exactly).
+
+    The SUM itself runs in decimal(38,0) (HUGEINT on the DuckDB
+    side): the addends are integral, but a 100 TB group's sum can
+    pass Long.MaxValue, where Spark's long sum wraps SILENTLY while
+    DuckDB's sum promotes — the cross-engine divergence class both
+    round-5 advisor findings flagged. decimal(38,0) matches HUGEINT
+    at any magnitude; the result converts to double exactly below
+    2^53 (tested-scale hashes bit-identical) and correctly rounded
+    above, so both engines keep producing the same double.
     """
     c = F.col(col) if isinstance(col, str) else col
     scale = float(10**q)
-    return F.sum(F.floor(c * scale + F.lit(0.5))) / F.lit(scale)
+    return dec_qsum(c, scale).cast("double") / F.lit(scale)
+
+
+def dec_qsum(c: Column, scale: float) -> Column:
+    """Σ floor(c*scale + 0.5) with the sum carried in decimal(38,0)
+    — the overflow-safe integral-sum primitive behind
+    :func:`quantized_sum` and every ad-hoc quantized mean (k-means /
+    PQ centroid updates, linalg power sums, retrieval NLL totals)."""
+    return F.sum(
+        F.floor(c * F.lit(scale) + F.lit(0.5)).cast("decimal(38,0)")
+    )
 
 
 def sql_quantized_sum(expr: str, q: int = 4) -> str:
-    """DuckDB twin of :func:`quantized_sum`."""
+    """DuckDB twin of :func:`quantized_sum` (BIGINT addends promote
+    to a HUGEINT sum — the decimal(38,0) mirror)."""
     scale = float(10**q)
-    return f"(sum(floor(({expr}) * {scale} + 0.5)) / {scale})"
+    return (
+        f"(sum(CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT))"
+        f" / {scale})"
+    )
 
 
 def quantized_avg(col: Column | str, q: int = 4) -> Column:

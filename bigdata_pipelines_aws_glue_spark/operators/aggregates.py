@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
 from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+    dec_qsum,
     quantized_avg,
     quantized_sum,
     stable_round,
@@ -539,19 +540,20 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     stddev) per return flag, computed from quantized integer-domain
     power sums so Spark and DuckDB agree bit-for-bit despite different
     summation orders (`functions/rounding.py` rationale). Squares are
-    quantized at q=2: |x²| ≤ 2.5e9 for extendedprice ≤ 5e4, so the
-    integer sum stays exact below ~3.6e4 rows per group per 2^53 —
-    fine through sf0.1; a 100 TB deployment would shift to Spark's
-    built-in var_pop (single-engine, no cross-engine hash gate).
-    One partial-aggregatable groupBy — no extra pass for the mean.
+    quantized at q=2 (|x²| ≤ 2.5e9 for extendedprice ≤ 5e4) and the
+    power sums are carried in decimal(38,0) / HUGEINT, so the integer
+    domain never wraps — exact at any corpus size; only the final
+    double conversion rounds (correctly, identically in both
+    engines). One partial-aggregatable groupBy — no extra pass for
+    the mean.
     """
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_extendedprice")
     n = F.count(F.lit(1))
-    sx = F.sum(F.floor(x * 10000.0 + F.lit(0.5)))  # q=4
-    sxx = F.sum(F.floor(x * x * 100.0 + F.lit(0.5)))  # q=2
-    mean = sx / 10000.0 / n
-    var = sxx / 100.0 / n - mean * mean
+    sx = dec_qsum(x, 10000.0)  # q=4
+    sxx = dec_qsum(x * x, 100.0)  # q=2
+    mean = sx.cast("double") / 10000.0 / n
+    var = sxx.cast("double") / 100.0 / n - mean * mean
     return li.groupBy("l_returnflag").agg(
         n.alias("n_items"),
         stable_round(mean, 2).alias("mean_price"),
@@ -563,13 +565,13 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 MOMENTS_ORACLE = """
 SELECT l_returnflag,
        count(*) AS n_items,
-       floor(((sum(floor(l_extendedprice * 10000.0 + 0.5)) / 10000.0) / count(*)) * 100.0 + 0.5) / 100.0 AS mean_price,
-       floor(((sum(floor(l_extendedprice * l_extendedprice * 100.0 + 0.5)) / 100.0) / count(*)
-              - ((sum(floor(l_extendedprice * 10000.0 + 0.5)) / 10000.0) / count(*))
-                * ((sum(floor(l_extendedprice * 10000.0 + 0.5)) / 10000.0) / count(*))) * 100.0 + 0.5) / 100.0 AS var_price,
-       floor(sqrt((sum(floor(l_extendedprice * l_extendedprice * 100.0 + 0.5)) / 100.0) / count(*)
-              - ((sum(floor(l_extendedprice * 10000.0 + 0.5)) / 10000.0) / count(*))
-                * ((sum(floor(l_extendedprice * 10000.0 + 0.5)) / 10000.0) / count(*))) * 10000.0 + 0.5) / 10000.0 AS stddev_price
+       floor(((sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) / 10000.0) / count(*)) * 100.0 + 0.5) / 100.0 AS mean_price,
+       floor(((sum(CAST(floor(l_extendedprice * l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0) / count(*)
+              - ((sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) / 10000.0) / count(*))
+                * ((sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) / 10000.0) / count(*))) * 100.0 + 0.5) / 100.0 AS var_price,
+       floor(sqrt((sum(CAST(floor(l_extendedprice * l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0) / count(*)
+              - ((sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) / 10000.0) / count(*))
+                * ((sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) / 10000.0) / count(*))) * 10000.0 + 0.5) / 10000.0 AS stddev_price
 FROM lineitem
 GROUP BY l_returnflag
 """

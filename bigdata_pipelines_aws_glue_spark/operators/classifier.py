@@ -33,7 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
-from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
+from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+    dec_qsum,
+    stable_round,
+)
 from bigdata_pipelines_aws_glue_spark.operators.text import (
     GOPHER_STOPWORDS,
     gopher_flags,
@@ -110,7 +113,9 @@ def _train(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[tuple]]:
         )
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
         err = p - F.col("y")
-        q = lambda c: F.sum(F.floor(c * F.lit(_Q9) + F.lit(0.5)))  # noqa: E731
+        # decimal(38,0)-carried: gradient sums of 1e9-quantized
+        # addends wrap a long past ~9e9 documents
+        q = lambda c: dec_qsum(c, _Q9)  # noqa: E731
         nll = -(
             F.col("y") * F.log(p)
             + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
@@ -126,10 +131,10 @@ def _train(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[tuple]]:
                 "n_correct"
             ),
         ).first()
-        hist.append((rnd, (row["nllq"] / _Q9) / n, row["n_correct"]))
+        hist.append((rnd, (float(row["nllq"]) / _Q9) / n, row["n_correct"]))
         # identical operation order to the oracle's r{t} CTEs
         w = [
-            w[j] - GD_LR * ((row[f"g{j}"] / _Q9) / n)
+            w[j] - GD_LR * ((float(row[f"g{j}"]) / _Q9) / n)
             for j in range(len(FEATURES))
         ]
     _TRAIN_CACHE[key] = (w, hist)

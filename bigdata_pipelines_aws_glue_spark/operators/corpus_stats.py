@@ -29,7 +29,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
-from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
+from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+    dec_qsum,
+    stable_round,
+)
 from bigdata_pipelines_aws_glue_spark.operators.dedup import _tokens
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
@@ -110,7 +113,9 @@ def corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_term.join(F.broadcast(totals), "lang")
         .groupBy("lang")
         .agg(
-            (F.sum(F.floor(term_e * 1e9 + F.lit(0.5))) / F.lit(1e9)).alias("ent_q"),
+            (dec_qsum(term_e, 1e9).cast("double") / F.lit(1e9)).alias(
+                "ent_q"
+            ),
             F.min("vocab_size").alias("vocab_size"),
             F.min("total").alias("n_tokens"),
         )
@@ -139,8 +144,9 @@ totals AS (
 ),
 agg AS (
     SELECT p.lang,
-           sum(floor(-((CAST(p.n AS DOUBLE) / t.total)
-                       * ln(CAST(p.n AS DOUBLE) / t.total)) * 1000000000.0 + 0.5))
+           sum(CAST(floor(-((CAST(p.n AS DOUBLE) / t.total)
+                       * ln(CAST(p.n AS DOUBLE) / t.total)) * 1000000000.0
+                       + 0.5) AS BIGINT))
                / 1000000000.0 AS ent_q,
            min(t.vocab_size) AS vocab_size,
            min(t.total) AS n_tokens

@@ -34,7 +34,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
-from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
+from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+    dec_qsum,
+    stable_round,
+)
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 PR_DAMP = 0.85
@@ -96,7 +99,7 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(teleport)
                     + F.lit(PR_DAMP)
                     * (
-                        F.sum(F.floor(F.col("c") * F.lit(_Q9) + F.lit(0.5)))
+                        dec_qsum(F.col("c"), _Q9).cast("double")
                         / F.lit(_Q9)
                     )
                 ).alias("r")

@@ -186,6 +186,33 @@ def zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_zorder_orders(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """MATERIALIZE the z-order layout as real parquet (round-6 close
+    of the audit loop): every order lands in the file of its top-6-bit
+    Morton quadrant — ``partitionBy(file_id)`` after a
+    ``repartition(N_FILES, file_id)`` so each quadrant directory holds
+    exactly ONE data file whose parquet footer min/max ARE the zone
+    maps ``zorder_layout`` predicts. The pytest twin
+    (tests/test_layout.py) reads the real footers back and asserts
+    (a) footer zones == the audited zone maps and (b) the measured
+    files-touched-per-probe == ``zorder_pruning_gain``'s counts, so
+    the 8-14/64 skip ratio is attested on bytes, not just arithmetic.
+
+    At cluster scale the identical plan is the same map-only
+    assignment with ``maxRecordsPerFile`` bounding file size; no
+    global sort or window anywhere (the z high bits are the quadrant
+    id)."""
+    b = _bucketed(spark, sf_dir)
+    zix = F.shiftright(_morton(F.col("bx"), F.col("by")), 2 * BITS - 6)
+    (
+        b.withColumn("file_id", zix)
+        .repartition(N_FILES, "file_id")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(path)
+    )
+
+
 def _z_sql(bx: str, by: str) -> str:
     terms = []
     for i in range(BITS):

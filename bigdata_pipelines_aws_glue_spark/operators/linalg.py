@@ -37,7 +37,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
-from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
+from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+    dec_qsum,
+    stable_round,
+)
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 #: (column, scale-to-integer factor) — all exact at 2 decimals.
@@ -146,10 +149,9 @@ _Q9 = 1e9
 
 
 def _qsum(col, alias):
-    """1e-9-quantized order-independent sum."""
-    return (F.sum(F.floor(col * F.lit(_Q9) + F.lit(0.5))) / F.lit(_Q9)).alias(
-        alias
-    )
+    """1e-9-quantized order-independent sum (decimal(38,0)-carried —
+    long sums wrap past ~9e9 corpus rows at this quantization)."""
+    return (dec_qsum(col, _Q9).cast("double") / F.lit(_Q9)).alias(alias)
 
 
 def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,7 +181,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantized per-dim mean (exact long sums -> deterministic double)
     means = x.groupBy("dim").agg(
         (
-            (F.sum(F.floor(F.col("val") * F.lit(_Q9) + F.lit(0.5))) / F.lit(_Q9))
+            (dec_qsum(F.col("val"), _Q9).cast("double") / F.lit(_Q9))
             / F.count(F.lit(1))
         ).alias("m")
     )

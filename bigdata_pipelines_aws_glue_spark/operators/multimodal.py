@@ -415,6 +415,14 @@ def sample_frames(payload: bytes, n_frames: int = 4) -> list[bytes]:
 
 
 RESIZED_SCHEMA = "doc_id long, out_w int, out_h int, mean_px double"
+RESIZED_ORACLE_SCHEMA = (
+    "doc_id long, codec int, out_w int, out_h int, px_sum long, src_sum long"
+)
+#: |resized-mean(decode(jpeg)) - resized-mean(source)| ceiling for the
+#: lossy codec's attestation boolean. Observed max 12.1 at sf0.01
+#: (nearest-neighbor sampling reads single lossy pixels, not block
+#: means); a broken decoder lands tens-to-hundreds off.
+JPEG_RESIZE_MEAN_TOL = 32.0
 FRAMES_SCHEMA = (
     "doc_id long, frame_idx int, frame_bytes int, payload_bytes int, "
     "frame_digest string"
@@ -431,6 +439,39 @@ def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out_rows.append((doc_id, 16, 16, float(small.mean())))
         yield pd.DataFrame(
             out_rows, columns=["doc_id", "out_w", "out_h", "mean_px"]
+        )
+
+
+def resize_oracle_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel behind the HASH-ORACLED resize query: one
+    pass per document runs the full synth -> encode -> REAL decode ->
+    nearest-neighbor 16x16 resize chain and emits the resized
+    pixel-value sum as an EXACT integer (768 uint8 addends — no float
+    rounding anywhere), alongside the same sum taken over the
+    pre-encode source raster. For the three lossless codecs the two
+    sums are equal iff the decoder and resize are correct, and the
+    DuckDB twin recomputes the source sum independently from the text
+    recipe — so the hash match attests the decode chain. JPEG is
+    lossy; its rows attest a tolerance boolean instead."""
+    from bigdata_pipelines_aws_glue_spark.operators.jpeg import encode_jpeg
+
+    encoders = (encode_ppm, encode_bmp, encode_png, encode_jpeg)
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            b = np.frombuffer((text or "").encode(), dtype=np.uint8)
+            w, h = len(b) % 64 + 1, len(b) % 48 + 1
+            px = np.resize(b, (h, w, 3))
+            codec = int(doc_id % 4)
+            decoded = decode_image(encoders[codec](px))
+            px_sum = int(resize_image(decoded, 16, 16).astype(np.int64).sum())
+            src_sum = int(resize_image(px, 16, 16).astype(np.int64).sum())
+            rows.append((doc_id, codec, 16, 16, px_sum, src_sum))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "codec", "out_w", "out_h", "px_sum", "src_sum"],
         )
 
 
@@ -609,11 +650,72 @@ FROM documents
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize over the synthesized corpus,
+    HASH-ORACLED (round 6; previously rows-only): nearest-neighbor is
+    pure index selection, so the resized pixel sum of every LOSSLESS
+    payload is replayable in SQL from the synthesis recipe — the
+    DuckDB twin recomputes it from the text bytes, attesting the
+    whole PPM/BMP/PNG decode + resize chain, not just row counts.
+    JPEG rows (lossy by design) carry a tolerance boolean the twin
+    asserts TRUE."""
+    from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+        stable_round,
+    )
     from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 
-    return spread(_payloads(spark, sf_dir)).mapInPandas(
-        resize_batch, schema=RESIZED_SCHEMA
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = spread(docs).mapInPandas(
+        resize_oracle_batch, schema=RESIZED_ORACLE_SCHEMA
     )
+    mean = F.col("px_sum").cast("double") / F.lit(768.0)
+    src_mean = F.col("src_sum").cast("double") / F.lit(768.0)
+    return raw.select(
+        "doc_id",
+        "codec",
+        "out_w",
+        "out_h",
+        F.when(F.col("codec") != 3, F.col("px_sum")).alias("px_sum"),
+        F.when(F.col("codec") != 3, stable_round(mean, 6)).alias("mean_px"),
+        (F.abs(mean - src_mean) <= F.lit(JPEG_RESIZE_MEAN_TOL)).alias(
+            "mean_within_tol"
+        ),
+    )
+
+
+MULTIMODAL_RESIZE_ORACLE = """
+WITH d AS (
+    SELECT doc_id, CAST(doc_id % 4 AS INT) AS codec, text,
+           length(text) AS nb,
+           length(text) % 64 + 1 AS w,
+           length(text) % 48 + 1 AS h
+    FROM documents
+),
+idx AS (
+    SELECT i.i, j.j, ch.ch
+    FROM generate_series(0, 15) i(i),
+         generate_series(0, 15) j(j),
+         generate_series(0, 2) ch(ch)
+),
+sel AS (
+    SELECT d.doc_id,
+           ascii(substr(d.text,
+                CAST((((i * d.h // 16) * d.w + (j * d.w // 16)) * 3 + ch)
+                     % d.nb AS BIGINT) + 1, 1)) AS byte
+    FROM d CROSS JOIN idx
+),
+s AS (
+    SELECT doc_id, CAST(sum(byte) AS BIGINT) AS sel_sum
+    FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id, d.codec,
+       CAST(16 AS INT) AS out_w, CAST(16 AS INT) AS out_h,
+       CASE WHEN d.codec <> 3 THEN s.sel_sum END AS px_sum,
+       CASE WHEN d.codec <> 3
+            THEN floor((s.sel_sum / 768.0) * 1000000.0 + 0.5) / 1000000.0
+       END AS mean_px,
+       TRUE AS mean_within_tol
+FROM d JOIN s USING (doc_id)
+"""
 
 
 def multimodal_frame_sample_raw(
@@ -1032,7 +1134,9 @@ def _register() -> None:
     registry.register(
         "multimodal_bytes_meta", multimodal_bytes_meta, BYTES_META_ORACLE
     )
-    registry.register("multimodal_resize", multimodal_resize, None)
+    registry.register(
+        "multimodal_resize", multimodal_resize, MULTIMODAL_RESIZE_ORACLE
+    )
     registry.register(
         "multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE
     )

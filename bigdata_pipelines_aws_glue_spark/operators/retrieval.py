@@ -34,7 +34,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
-from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
+from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+    dec_qsum,
+    stable_round,
+)
 from bigdata_pipelines_aws_glue_spark.operators.dedup import _tokens
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
@@ -52,8 +55,9 @@ _Q9 = 1e9
 
 
 def _quantized_sum_expr(col, alias):
-    """1e-9-quantized order-independent sum (long domain)."""
-    return (F.sum(F.floor(col * F.lit(_Q9) + F.lit(0.5))) / F.lit(_Q9)).alias(alias)
+    """1e-9-quantized order-independent sum (decimal(38,0)-carried —
+    long sums wrap past ~9e9 addends at this quantization)."""
+    return (dec_qsum(col, _Q9).cast("double") / F.lit(_Q9)).alias(alias)
 
 
 def _doc_bigrams(docs: DataFrame) -> DataFrame:
@@ -115,7 +119,7 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             (
-                F.sum(F.floor(F.col("avg_nll") * F.lit(_Q9) + F.lit(0.5)))
+                dec_qsum(F.col("avg_nll"), _Q9).cast("double")
                 / F.lit(_Q9)
                 / F.count(F.lit(1))
             ).alias("mean_nll")

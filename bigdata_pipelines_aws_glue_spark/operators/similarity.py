@@ -24,7 +24,10 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
-from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
+from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+    dec_qsum,
+    stable_round,
+)
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 N_QUERIES = 50  # vec_id < 50 are the query vectors
@@ -297,7 +300,7 @@ def label_centroids(emb: DataFrame) -> DataFrame:
         .groupBy("label", F.col("z.dim").alias("dim"))
         .agg(
             (
-                (F.sum(F.floor(F.col("z.v") * 1e9 + F.lit(0.5))) / F.lit(1e9))
+                (dec_qsum(F.col("z.v"), 1e9).cast("double") / F.lit(1e9))
                 / F.count(F.lit(1))
             ).alias("cv")
         )
@@ -611,7 +614,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exploded.groupBy("label", "dim").agg(
         stable_round(
-            (F.sum(F.floor(F.col("val") * 1e9 + F.lit(0.5))) / F.lit(1e9))
+            (dec_qsum(F.col("val"), 1e9).cast("double") / F.lit(1e9))
             / F.count(F.lit(1)),
             8,
         ).alias("centroid_val"),
@@ -798,7 +801,7 @@ def kmeans_fit(
             .groupBy("cluster_id", "dim")
             .agg(
                 (
-                    (F.sum(F.floor(F.col("val") * 1e9 + F.lit(0.5))) / F.lit(1e9))
+                    (dec_qsum(F.col("val"), 1e9).cast("double") / F.lit(1e9))
                     / F.count(F.lit(1))
                 ).alias("m"),
                 F.count(F.lit(1)).alias("n"),
@@ -839,15 +842,80 @@ def kmeans_inertia(vectors: DataFrame, centroids: DataFrame) -> float:
 
 
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only entry (float iteration order has no cross-engine
-    twin); monotone-inertia and determinism are asserted in tests."""
+    """Full-vector Lloyd's clustering certificate: (cluster_id,
+    n_assigned, centroid_norm) after KMEANS_ITERS rounds. HASH-ORACLED
+    since round 6: the same unrolled-CTE replay technique as the PQ
+    codebooks (``_pq_ctes``) — deterministic lowest-vid seeding,
+    (distance, cluster_id) tie-breaks, and the 1e-9-quantized
+    decimal-summed centroid mean make every round bit-reproducible in
+    DuckDB (``KMEANS_EMBEDDINGS_ORACLE``), so the centroids themselves
+    are attested, not just convergence booleans."""
     emb = load_table(spark, sf_dir, "embeddings")
     fitted = kmeans_fit(emb)
     return fitted.select(
-        "cluster_id",
+        F.col("cluster_id").cast("int").alias("cluster_id"),
         "n_assigned",
         stable_round(norm(F.col("centroid")), 6).alias("centroid_norm"),
     )
+
+
+def _kmeans_ctes(k: int = KMEANS_K, n_iter: int = KMEANS_ITERS) -> str:
+    """CTE prefix replaying :func:`kmeans_fit` bit-for-bit in DuckDB —
+    the full-vector sibling of ``_pq_ctes`` (same seeding, tie-break,
+    and quantized-mean conventions; ``list_dot_product(df, df)``
+    reproduces ``_sqdist``'s in-order fold). Yields ``c{n_iter}``
+    with (cluster_id, cvec, n_assigned)."""
+    ctes = [
+        """v AS (
+    SELECT vec_id AS vid, embedding::DOUBLE[] AS e FROM embeddings
+)""",
+        f"""c0 AS (
+    SELECT cluster_id, e AS cvec FROM (
+        SELECT e, row_number() OVER (ORDER BY vid) AS cluster_id FROM v)
+    WHERE cluster_id <= {k}
+)""",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""asg{i} AS (
+    SELECT vid, e, cluster_id,
+           row_number() OVER (PARTITION BY vid
+                              ORDER BY list_dot_product(df, df),
+                                       cluster_id) AS rn
+    FROM (
+        SELECT v.vid, v.e, c.cluster_id,
+               list_transform(generate_series(1, len(v.e)),
+                              x -> v.e[x] - c.cvec[x]) AS df
+        FROM v CROSS JOIN c{i - 1} c)
+)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+    SELECT cluster_id, list(cv ORDER BY dim) AS cvec,
+           min(n) AS n_assigned
+    FROM (
+        SELECT cluster_id, dim,
+               (sum(CAST(floor(val * 1000000000.0 + 0.5) AS BIGINT))
+                  / 1000000000.0) / count(*) AS cv,
+               count(*) AS n
+        FROM (
+            SELECT cluster_id, generate_subscripts(e, 1) AS dim,
+                   unnest(e) AS val
+            FROM asg{i} WHERE rn = 1)
+        GROUP BY cluster_id, dim)
+    GROUP BY cluster_id
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+KMEANS_EMBEDDINGS_ORACLE = f"""WITH {_kmeans_ctes()}
+SELECT CAST(cluster_id AS INT) AS cluster_id,
+       CAST(n_assigned AS BIGINT) AS n_assigned,
+       floor(sqrt(list_dot_product(cvec, cvec)) * 1000000.0 + 0.5)
+         / 1000000.0 AS centroid_norm
+FROM c{KMEANS_ITERS}
+"""
 
 
 def kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1018,7 +1086,7 @@ def pq_train(
             .groupBy("block", "code_id", "dim")
             .agg(
                 (
-                    (F.sum(F.floor(F.col("val") * 1e9 + F.lit(0.5))) / F.lit(1e9))
+                    (dec_qsum(F.col("val"), 1e9).cast("double") / F.lit(1e9))
                     / F.count(F.lit(1))
                 ).alias("cv")
             )
@@ -1592,7 +1660,9 @@ def _register() -> None:
     registry.register(
         "dedup_embedding_cosine", dedup_embedding_cosine, EMBEDDING_NEAR_DUP_ORACLE
     )
-    registry.register("kmeans_embeddings", kmeans_embeddings, None)
+    registry.register(
+        "kmeans_embeddings", kmeans_embeddings, KMEANS_EMBEDDINGS_ORACLE
+    )
     registry.register(
         "kmeans_convergence", kmeans_convergence, KMEANS_CONVERGENCE_ORACLE
     )

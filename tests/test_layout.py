@@ -60,3 +60,81 @@ def test_zorder_assignment_is_map_only(spark, sf_dir):
     # the only Sort allowed is the final 64-row presentation orderBy
     body = plan.split("Exchange rangepartitioning")[-1]
     assert "Sort" not in body.split("HashAggregate")[-1]
+
+
+def test_materialized_zorder_footers_match_audit(spark, sf_dir, tmp_path):
+    """Close the loop on real bytes: write the z-order layout as
+    parquet, read the FOOTER statistics back, and assert they equal
+    the audited zone maps — then replay every probe against the real
+    footers and assert the measured files-touched counts equal
+    ``zorder_pruning_gain``'s predictions (the 8-14/64 skip ratio),
+    and that a probe scan pushes its custkey predicates into the
+    parquet scan."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from bigdata_pipelines_aws_glue_spark.operators.layout import (
+        write_zorder_orders,
+    )
+
+    target = str(tmp_path / "orders_zorder")
+    write_zorder_orders(spark, sf_dir, target)
+
+    # one data file per quadrant directory, real footer zone per file
+    footer_zones = {}
+    total_rows = 0
+    for d in glob.glob(os.path.join(target, "file_id=*")):
+        fid = int(d.rsplit("=", 1)[1])
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, f"quadrant {fid}: {len(files)} files"
+        meta = pq.ParquetFile(files[0]).metadata
+        ck_ix = next(
+            i
+            for i in range(len(meta.schema))
+            if meta.schema.column(i).name == "o_custkey"
+        )
+        lo = min(
+            meta.row_group(g).column(ck_ix).statistics.min
+            for g in range(meta.num_row_groups)
+        )
+        hi = max(
+            meta.row_group(g).column(ck_ix).statistics.max
+            for g in range(meta.num_row_groups)
+        )
+        footer_zones[fid] = (lo, hi)
+        total_rows += meta.num_rows
+
+    audited = {
+        r.file_id: (r.ck_min, r.ck_max, r.n_rows)
+        for r in zorder_layout(spark, sf_dir).collect()
+    }
+    assert set(footer_zones) == set(audited)
+    assert total_rows == sum(v[2] for v in audited.values())
+    for fid, (lo, hi) in footer_zones.items():
+        assert (lo, hi) == audited[fid][:2], f"file {fid} zone drift"
+
+    # replay every probe against the REAL footers
+    for r in zorder_pruning_gain(spark, sf_dir).collect():
+        measured = sum(
+            1
+            for lo, hi in footer_zones.values()
+            if lo <= r.p_hi and hi >= r.p_lo
+        )
+        assert measured == r.files_zorder, (
+            f"probe {r.probe_id}: measured {measured} vs "
+            f"audited {r.files_zorder}"
+        )
+        assert measured < N_FILES / 3  # the skip ratio is real
+
+    # and the probe predicate reaches the parquet scan
+    probe = zorder_pruning_gain(spark, sf_dir).collect()[0]
+    back = spark.read.parquet(target).filter(
+        (F.col("o_custkey") >= probe.p_lo)
+        & (F.col("o_custkey") <= probe.p_hi)
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_custkey" in pushed
