@@ -39,6 +39,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # ambient-load context, sampled BEFORE the session spins up (the
+    # bench itself drives loadavg to ~n_cpus, so an end-of-run sample
+    # would mostly measure the bench): round-5's +21% cosine_topk
+    # reading was unexplainable without knowing what else the host
+    # was doing at bench time.
+    loadavg = [round(x, 2) for x in os.getloadavg()]
     t0 = time.time()
     spark = get_spark("bench")
     # Warm the engine's one-time machinery outside any measured query:
@@ -103,6 +109,7 @@ def main() -> None:
                 "startup_sec": round(startup, 3),
                 "n_queries": len(timings),
                 "rel_spread": spreads,
+                "loadavg_1_5_15": loadavg,
             }
         )
     )
