@@ -27,95 +27,93 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: Names emitted FIRST by ``queries()``/``oracle_sql()``. The driver
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
-#: OLDEST evidence (policy encoded in ``tools/rotate_priority.py``,
-#: which generated this window). Round-5 window: (a) the 25 queries
-#: whose code or oracle changed this round and MUST re-attest — the 3
-#: BIGINT-hardened oracles from round 4 (embedding_centroids,
-#: ivf_topk, ivf_recall_at10), the PageRank teleport-constant oracle
-#: fix, the 17 queries whose broadcast hints moved to the size-gated
-#: maybe_broadcast (flagship + the TPC-H star joins + the DQ pair),
-#: bm25_search (query-term-restricted df broadcast), regex_functions
-#: (min_by argmin), decontaminate_against_eval (gated eval-side
-#: hint), and heavy_hitters_mg (trim-exact tokenizer) — all verified
-#: hash-identical locally before rotation; (b) the 24 queries whose
-#: latest attestation is ROUND 1 (the full deferred block from the
-#: round-4 comment: semi/anti/range joins, staged merge, the 9-query
-#: events suite, set ops, distinct/cube/histogram/unpivot,
-#: dedup_exact); (c) approx_distinct, the oldest r2 row. Round-6
-#: backlog (documented schedule per the round-4 verdict item 5): the
-#: remaining 15 r2-stale rows (asof_join_sortmerge, sequence_pack
-#: chunks/fill, multimodal_bytes_meta, stratified/weighted samples,
-#: skew_safe_agg, q4/q22/q11/q12/q13, corpus mix/entropy, crossdoc,
-#: ewma) re-enter first, then the oldest r3 rows — after which no
-#: query will be older than 2 rounds of attestation. No-oracle rows
-#: stay out of the window (their evidence is pytest).
-#: Mid-round-5 note: the round-4 verdict's window arithmetic fills
-#: all 50 slots exactly (25 changed + 24 r1-stale + 1 r2), so the
-#: FIFTEEN queries ADDED in round 5 (count_min_sketch,
-#: pq_topk_sampled, pq_sampled_recall_at10,
-#: quality_classifier_train/_weights, zorder_layout,
-#: zorder_pruning_gain, fuzzy_match_parts, er_golden_record,
-#: split_token_drift, k_anonymity_audit, join_size_estimate,
-#: market_basket_pairs, seasonal_decompose_daily, compaction_plan)
-#: deliberately wait for the ROUND-6 window,
-#: where the rotation policy sorts never-attested rows first
-#: automatically. Each was oracle-verified locally at sf0.01 (plus
-#: the round's full-registry sweep) before registration — NOTES_r5.md
-#: records the evidence.
+#: OLDEST evidence (policy in ``tools/rotate_priority.py``, which
+#: generated this window). Round-6 window: (a) FORCED, the 19 rows
+#: with no driver attestation or a changed oracle — the 15 round-5
+#: additions the round-5 verdict scheduled first for this window,
+#: the two former rows-only queries that gained full hash oracles
+#: this round (kmeans_embeddings via unrolled-Lloyd's CTEs,
+#: multimodal_resize via exact integer pixel sums), and the two
+#: whose oracle text changed in the decimal-sum hardening
+#: (stats_moments, corpus_token_entropy; count_min_sketch's changed
+#: bound is already in the never-attested set); (b) the FULL 15-row
+#: r2-stale backlog (the round-4 schedule, unchanged); (c) 16
+#: oldest-r3 rows. After this window attests, no oracled row is
+#: older than r3 and every query in the registry has driver
+#: evidence.
+#:
+#: Round-6 hardening note: the decimal(38,0) carry for quantized
+#: integer sums (functions/rounding.py::dec_qsum) touches ~50
+#: registry queries Spark-side. The change is VALUE-IDENTICAL below
+#: 2^53 by construction (decimal->double conversion is exact there)
+#: and was verified by a full 161-query sf0.01 sweep plus sf0.1
+#: spot-checks before rotation; rows already green at r4/r5
+#: therefore keep their attestations and re-enter by age as usual
+#: rather than crowding out never-attested evidence.
+#:
+#: Round-7 schedule (steady state: no row older than 2 rounds): the
+#: ~16 remaining r3 rows (doc_repetition_stats, lang_id_markers,
+#: token_count_bpe, doc_fingerprint, pii_scrub_report, cosine_topk,
+#: the 3 LSH ANN rows, dedup_embedding_cosine,
+#: deterministic_shuffle, train_val_test_split, string/date/array
+#: functions, sql_correlated_delta, zorder_layout_key,
+#: events_rolling_avg_time, events_outlier_mad, hll_vocab_rollup,
+#: token_budget_allocation, sales_trend_slope,
+#: rolling_7d_active_users) re-enter first, then oldest-r4
+#: (q1/sales_trends/approx_quantiles/rollup_sales/q3 and the
+#: remaining r4 block), filling 50 exactly; r8 takes the r4/r5
+#: remainder, after which rotation is purely two-round.
 PRIORITY: tuple[str, ...] = (
-    # (a) code/oracle changed in round 5 — must re-attest
-    "embedding_centroids",
-    "ivf_topk",
-    "ivf_recall_at10",
-    "pagerank_trade_graph",
-    "flagship_pipeline",
-    "q5_local_revenue",
-    "pivot_revenue",
-    "q18_large_orders",
-    "q10_returned_items",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "q15_top_supplier",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q8_market_share",
-    "q20_bulk_suppliers",
-    "q21_waiting_suppliers",
-    "dq_profile",
-    "dq_expectations",
-    "bm25_search",
-    "regex_functions",
-    "decontaminate_against_eval",
-    "heavy_hitters_mg",
-    # (b) last attested round 1 — the stalest evidence in the ledger
-    "distinct_agg",
-    "cube_status",
-    "histogram_order_totals",
-    "unpivot_measures",
-    "semi_join_customers",
-    "anti_join_customers",
-    "range_join_promo_windows",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "union_all_by_name",
-    "set_intersect_all",
-    "set_except_all",
-    "staged_merge_orders",
-    "events_window_10min",
-    "events_sessionize",
-    "events_json_props",
-    "events_sliding_window",
-    "events_json_typed",
-    "events_grouping_sets",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_attribution",
-    "dedup_exact",
-    # (c) oldest r2 row fills the 50th slot
-    "approx_distinct",
+    "kmeans_embeddings",  # new/changed
+    "multimodal_resize",  # new/changed
+    "count_min_sketch",  # new/changed
+    "pq_topk_sampled",  # new/changed
+    "pq_sampled_recall_at10",  # new/changed
+    "quality_classifier_train",  # new/changed
+    "quality_classifier_weights",  # new/changed
+    "zorder_layout",  # new/changed
+    "zorder_pruning_gain",  # new/changed
+    "fuzzy_match_parts",  # new/changed
+    "er_golden_record",  # new/changed
+    "split_token_drift",  # new/changed
+    "k_anonymity_audit",  # new/changed
+    "join_size_estimate",  # new/changed
+    "market_basket_pairs",  # new/changed
+    "seasonal_decompose_daily",  # new/changed
+    "compaction_plan",  # new/changed
+    "stats_moments",  # new/changed
+    "corpus_token_entropy",  # new/changed
+    "asof_join_sortmerge",  # r2
+    "sequence_pack_chunks",  # r2
+    "chunk_fill_report",  # r2
+    "multimodal_bytes_meta",  # r2
+    "stratified_sample",  # r2
+    "weighted_sample_topk",  # r2
+    "skew_safe_agg",  # r2
+    "q4_late_shipment_priority",  # r2
+    "q22_idle_customers",  # r2
+    "q11_important_parts",  # r2
+    "q12_priority_shipping",  # r2
+    "q13_customer_distribution",  # r2
+    "corpus_mix_weights",  # r2
+    "crossdoc_shingle_dup",  # r2
+    "ewma_anomaly_per_user",  # r2
+    "asof_join_skewproof",  # r3
+    "events_click_to_purchase",  # r3
+    "dedup_content_hash",  # r3
+    "dedup_ngram_jaccard",  # r3
+    "dedup_minhash_lsh",  # r3
+    "dedup_neardup_pipeline",  # r3
+    "dedup_incremental_neardup",  # r3
+    "dedup_simhash",  # r3
+    "dedup_clusters",  # r3
+    "corpus_curation_summary",  # r3
+    "curation_funnel_report",  # r3
+    "embedding_quantize_int8",  # r3
+    "text_stats",  # r3
+    "doc_sentiment_lexicon",  # r3
+    "gopher_quality_filter",  # r3
+    "top_terms_per_lang",  # r3
 )
 
 
