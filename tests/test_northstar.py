@@ -531,6 +531,62 @@ def test_avi_mjpeg_codec_and_video_attestation(spark, sf_dir):
     assert all(per_doc[d] == text_nb[d] % 4 + 2 for d in per_doc)
 
 
+def test_mp4_mjpeg_container_roundtrip_and_seams(spark, sf_dir):
+    """ISO-BMFF MJPEG (round-6 second container): encode->decode
+    returns frames BIT-IDENTICAL to the AVI path on the same source
+    (both carry the same baseline JPEGs — only the container
+    differs); the decoder follows the real stsd/stsc/stco/stsz
+    addressing chain (corrupting stco must fail loudly, not return
+    garbage); non-jpeg sample entries raise at the ffmpeg seam."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        decode_mp4_mjpeg,
+        encode_avi_mjpeg,
+        encode_mp4_mjpeg,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    frames = [
+        np.stack(
+            [(yy * 8 + i * 5) % 256, (xx * 6) % 256, ((xx + yy) * 4) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        for i in range(4)
+    ]
+    mp4 = encode_mp4_mjpeg(frames)
+    out = decode_mp4_mjpeg(mp4)
+    via_avi = decode_avi_mjpeg(encode_avi_mjpeg(frames))
+    assert len(out) == len(via_avi) == 4
+    for a, b in zip(out, via_avi):
+        assert np.array_equal(a, b)  # container-independence, bit-exact
+
+    # codec seam: a non-jpeg visual sample entry
+    with pytest.raises(NotImplementedError):
+        decode_mp4_mjpeg(mp4.replace(b"jpeg", b"avc1"))
+    # sample-table integrity: shift the single stco chunk offset
+    import struct as _s
+
+    pos = mp4.rindex(b"stco")
+    broken = (
+        mp4[: pos + 12]
+        + _s.pack(">I", _s.unpack(">I", mp4[pos + 12 : pos + 16])[0] + 2)
+        + mp4[pos + 16 :]
+    )
+    with pytest.raises(ValueError):
+        decode_mp4_mjpeg(broken)
+
+    # registered query: same recipe/oracle as the AVI query
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        multimodal_mp4_frames,
+    )
+
+    rows = multimodal_mp4_frames(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["frame_w"] >= 8 and r["frame_h"] >= 8 for r in rows)
+
+
 def test_gopher_flags_line_rules_crafted(spark):
     """The line-based Gopher rules (bullets, ellipsis endings) and the
     symbol/alpha/stopword rules trip on crafted documents the synthetic
