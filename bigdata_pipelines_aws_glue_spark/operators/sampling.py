@@ -216,6 +216,54 @@ LIMIT {WEIGHTED_K}
 """
 
 
+#: Per-source document cap (the "domain capping" step of web-corpus
+#: curation: no single domain/feed may dominate the training mix).
+#: 15 bites at every test SF (sources hold 25 docs at sf0.01, 250 at
+#: sf0.1) and stands in for the production 10k-100k-per-domain caps.
+SOURCE_CAP = 15
+
+
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source capping with QUALITY-RANKED retention — the domain
+    balancing every web-scale corpus applies (cap each domain's
+    contribution; when over cap, keep the best documents, not a
+    random subset). Rank within source by (n_chars DESC, doc_id ASC)
+    — deterministic, tie-free — and keep the top ``SOURCE_CAP``.
+    Kept MEMBERSHIP is the emitted (and hash-attested) artifact,
+    like ``train_val_test_split``.
+
+    Scale shape: one shuffle on ``source`` carrying only (doc_id,
+    source, n_chars) — never the text — then a per-key window. A
+    production hot domain (billions of rows behind one key) would
+    first pre-prune per partition: any partition only needs its local
+    top-``SOURCE_CAP`` per source (a partial aggregate shape), which
+    bounds the skewed key's shuffle input to cap x n_partitions rows;
+    at this corpus's cardinalities Catalyst's window is already the
+    right plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= SOURCE_CAP)
+        .select("doc_id", "source", "src_rank")
+    )
+
+
+SOURCE_CAP_ORACLE = f"""
+SELECT doc_id, source, CAST(src_rank AS INT) AS src_rank
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id ASC)
+             AS src_rank
+    FROM documents)
+WHERE src_rank <= {SOURCE_CAP}
+"""
+
+
 #: Split boundaries on the [0, M) hash-uniform: 80 / 10 / 10.
 _SPLIT_SEED = 7
 _TRAIN_HI = int(0.8 * _SHUFFLE_MOD)
@@ -262,3 +310,4 @@ def _register() -> None:
         "stratified_sample", stratified_sample, STRATIFIED_ORACLE
     )
     registry.register("weighted_sample_topk", weighted_sample_topk, WEIGHTED_ORACLE)
+    registry.register("source_cap_sample", source_cap_sample, SOURCE_CAP_ORACLE)

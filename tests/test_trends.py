@@ -114,3 +114,32 @@ def test_deterministic_shuffle_parallel_rank(spark):
                 )
     ranks = sorted(r["shuffle_rank"] for r in df.collect())
     assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_source_cap_keeps_best_per_source(spark, sf_dir):
+    """Domain capping must (a) never exceed the cap, (b) retain the
+    highest-quality (longest) documents of each over-cap source, and
+    (c) be append-stable in rank order (rank 1 = longest)."""
+    from bigdata_pipelines_aws_glue_spark.operators.sampling import (
+        SOURCE_CAP,
+        source_cap_sample,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    kept = source_cap_sample(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    by_source = {}
+    for r in docs:
+        by_source.setdefault(r.source, []).append((r.n_chars, -r.doc_id))
+    kept_by_source = {}
+    for r in kept:
+        kept_by_source.setdefault(r.source, set()).add(r.doc_id)
+        assert 1 <= r.src_rank <= SOURCE_CAP
+    for src, rows in by_source.items():
+        want = {
+            -negid
+            for _, negid in sorted(rows, reverse=True)[:SOURCE_CAP]
+        }
+        assert kept_by_source[src] == want, f"wrong retention for {src}"
