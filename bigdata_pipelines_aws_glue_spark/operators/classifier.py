@@ -167,6 +167,36 @@ def quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE pass the distillation exists for (round 6): score
+    every document with the trained model, map-only — the d+1 weights
+    enter the plan as LITERALS in a codegen'd expression (no join, no
+    shuffle, no Python), so at 100 TB this is a pure map over the
+    corpus. Emits the sigmoid score, the keep decision, and per-doc
+    agreement with the Gopher teacher (whose corpus-level rate is the
+    distillation's quality metric). The DuckDB twin replays training
+    (the proven ``_gd_ctes`` chain) and scores from its own r8
+    weights — a hash match proves the Spark-held Python weights and
+    the SQL replay agree doc-for-doc through the sigmoid, not just
+    rounded to 6 places in the weights view."""
+    w, _ = _train(spark, sf_dir)
+    f = _feature_frame(spark, sf_dir)
+    margin = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+        + F.lit(w[4]) * F.col("x4")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return f.select(
+        "doc_id",
+        stable_round(p, 6).alias("score"),
+        (p >= 0.5).alias("keep_pred"),
+        ((p >= 0.5) == (F.col("y") >= 0.5)).alias("agrees_teacher"),
+    )
+
+
 def _gd_ctes() -> str:
     """Feature extraction + GD_ROUNDS unrolled GD rounds in DuckDB,
     bit-for-bit against :func:`_train` (same quantized gradient sums,
@@ -284,6 +314,21 @@ CLASSIFIER_WEIGHTS_ORACLE = f"""WITH {_gd_ctes()}
 {_WEIGHT_ROWS}
 """
 
+#: scoring replay: same sigmoid, same operand order as the Spark
+#: expression (w0 + w1*x1 + ...), from the replayed r8 weights.
+_SCORE_P = (
+    "(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-("
+    "w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 + w.w4 * f.x4))))"
+)
+
+CLASSIFIER_SCORE_ORACLE = f"""WITH {_gd_ctes()}
+SELECT f.doc_id,
+       floor({_SCORE_P} * 1000000.0 + 0.5) / 1000000.0 AS score,
+       {_SCORE_P} >= 0.5 AS keep_pred,
+       ({_SCORE_P} >= 0.5) = (f.y >= 0.5) AS agrees_teacher
+FROM f CROSS JOIN r{GD_ROUNDS} w
+"""
+
 
 def _register() -> None:
     registry.register(
@@ -295,5 +340,10 @@ def _register() -> None:
         "quality_classifier_weights",
         quality_classifier_weights,
         CLASSIFIER_WEIGHTS_ORACLE,
+    )
+    registry.register(
+        "quality_classifier_score",
+        quality_classifier_score,
+        CLASSIFIER_SCORE_ORACLE,
     )
 

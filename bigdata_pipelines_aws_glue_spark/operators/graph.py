@@ -176,7 +176,159 @@ WHERE pos <= {PR_TOPN}
 """
 
 
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part CO-OCCURRENCE graph (parts are
+    adjacent iff some order contains both) — the graph-health metric
+    behind clustering-coefficient / community analyses, and the
+    second classic graph algorithm beside PageRank. Emits one row:
+    node/edge/wedge/triangle counts (all integer-exact) plus the
+    global clustering coefficient 3T/W.
+
+    Scale shape (Suri & Vassilvitskii's MR-triangle design, public):
+    each undirected edge is DIRECTED from its (degree, id)-smaller
+    endpoint to the larger, so every wedge is generated at its
+    lowest-degree apex — the join fan-out is Σ d_out² with
+    d_out ≤ O(√m) instead of Σ d² (a hub of degree 1e6 contributes
+    ~m, not 1e12, wedges). Wedge closure is then ONE equi-join of
+    the wedge list against the directed edge list on the composite
+    (v, w) key — shuffle-partitioned, no broadcast of anything
+    unbounded. Edge generation reuses the per-order pair explosion
+    bounded by Σ basket² (the `market_basket_pairs` posture)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    # checkpointed: edges feed degree, both wedge sides, the closing
+    # list, and the edge count — without materialization Spark would
+    # recompute the per-order pair explosion once per self-join side
+    # (no common-subexpression elimination across self-joins)
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    # direct each edge from the (degree, id)-smaller endpoint
+    ed = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+        .localCheckpoint(eager=True)  # shared by w1, w2, closing
+    )
+    w1, w2 = ed.alias("w1"), ed.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.s") == F.col("w2.s")) & (F.col("w1.t") < F.col("w2.t")),
+    ).select(F.col("w1.t").alias("x"), F.col("w2.t").alias("y"))
+    # a wedge (x, y) closes iff the directed edge x->y or y->x exists;
+    # normalize both sides to an unordered key for one equi-join
+    closing = ed.select(
+        F.least("s", "t").alias("x"), F.greatest("s", "t").alias("y")
+    )
+    tri = wedges.join(
+        closing, ["x", "y"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+    )
+    # per-row d(d-1)/2 in integer arithmetic, summed in decimal(38,0)
+    # (the dec_qsum discipline — wedge totals pass long range early
+    # on a skewed co-occurrence graph)
+    wedge_tot = deg.agg(
+        F.sum(
+            F.expr("d * (d - 1) DIV 2").cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("n_wedges")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedge_tot))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            stable_round(
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double"),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
+TRIANGLE_ORACLE = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+edges AS (
+    SELECT DISTINCT a.p AS u, b.p AS v
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+),
+deg AS (
+    SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+    GROUP BY n
+),
+ed AS (
+    SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                THEN e.u ELSE e.v END AS s,
+           CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                THEN e.v ELSE e.u END AS t
+    FROM edges e
+    JOIN deg du ON du.n = e.u
+    JOIN deg dv ON dv.n = e.v
+),
+wedges AS (
+    SELECT w1.t AS x, w2.t AS y
+    FROM ed w1 JOIN ed w2 ON w1.s = w2.s AND w1.t < w2.t
+),
+closing AS (
+    SELECT least(s, t) AS x, greatest(s, t) AS y FROM ed
+),
+tri AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM wedges w WHERE EXISTS (
+        SELECT 1 FROM closing c WHERE c.x = w.x AND c.y = w.y)
+),
+counts AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges
+),
+nodes AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+wt AS (
+    SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       floor((3.0 * n_triangles / n_wedges) * 1000000.0 + 0.5)
+         / 1000000.0 AS global_clustering
+FROM counts, nodes, tri, wt
+"""
+
+
 def _register() -> None:
+    registry.register(
+        "triangle_count_parts", triangle_count_parts, TRIANGLE_ORACLE
+    )
     registry.register(
         "pagerank_trade_graph", pagerank_trade_graph, PAGERANK_ORACLE
     )

@@ -130,3 +130,39 @@ def test_merge_aggregate_delta_new_and_existing_groups(spark):
         for r in merge_aggregate_delta(base, delta, ["k"]).collect()
     }
     assert got == {"a": (2, 100), "b": (4, 350), "c": (4, 400)}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-ordered wedge counting must equal the brute-force
+    adjacency-set triangle census on the sf0.001 co-occurrence
+    graph (an independent Python implementation, no SQL)."""
+    import duckdb
+
+    from bigdata_pipelines_aws_glue_spark.operators.graph import (
+        triangle_count_parts,
+    )
+
+    row = triangle_count_parts(spark, "/root/testdata/sf0.001").collect()[0]
+
+    edges = duckdb.sql(
+        "WITH op AS (SELECT DISTINCT l_orderkey o, l_partkey p "
+        "FROM '/root/testdata/sf0.001/lineitem.parquet') "
+        "SELECT DISTINCT a.p, b.p FROM op a "
+        "JOIN op b ON a.o = b.o AND a.p < b.p"
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = (
+        sum(
+            len(adj[u] & adj[v])
+            for u, v in edges
+        )
+        // 3
+    )
+    wedges = sum(d * (len(n) - 1) for d, n in ((len(n), n) for n in adj.values())) // 2
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(adj)
+    assert row.n_triangles == tri
+    assert row.n_wedges == wedges

@@ -84,6 +84,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "ForcedBroadcastUnbounded": "per-language allocations + literal-key 1-row totals — "
         "language-cardinality bounded",
     },
+    "triangle_count_parts": {
+        "BroadcastNestedLoopJoin": "three 1-row census scalars (edge/node/wedge/triangle counts) "
+        "crossJoined into the single output row; all data joins are "
+        "equi (order-key pair explosion, degree joins, wedge closure)",
+    },
     "hll_vocab_rollup": {
         "BroadcastNestedLoopJoin": "1-row global-exact x 1-row union-estimate crossJoin for the ALL "
         "row — scalar join",
