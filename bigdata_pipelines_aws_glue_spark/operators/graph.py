@@ -325,7 +325,69 @@ FROM counts, nodes, tri, wt
 """
 
 
+#: Bounded BFS over the trade graph as ONE SQL text both engines run
+#: verbatim — Spark 4's native WITH RECURSIVE (UNION ALL semantics;
+#: Spark rejects UNION-distinct recursion as of 4.1, so the hop bound
+#: keeps the path enumeration finite and the aggregation outside the
+#: recursion collapses it). n_paths is itself an attested output: the
+#: number of distinct 2-hop trade chains seed->supplier->customer.
+_REACH_SEED_MAX = 10
+_REACH_MAX_HOPS = 2
+RECURSIVE_REACH_SQL = f"""
+WITH RECURSIVE wts AS (
+    SELECT o_custkey AS cust, l_suppkey AS supp
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT cust AS src, supp + {SUPPLIER_NODE_BASE} AS dst FROM wts
+    UNION ALL
+    SELECT supp + {SUPPLIER_NODE_BASE} AS src, cust AS dst FROM wts
+),
+reach(node, hops) AS (
+    SELECT CAST(c_custkey AS BIGINT), 0
+    FROM customer WHERE c_custkey < {_REACH_SEED_MAX}
+    UNION ALL
+    SELECT e.dst, r.hops + 1
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.hops < {_REACH_MAX_HOPS}
+)
+SELECT CASE WHEN node >= {SUPPLIER_NODE_BASE} THEN 'supplier'
+            ELSE 'customer' END AS node_type,
+       CASE WHEN node >= {SUPPLIER_NODE_BASE}
+            THEN node - {SUPPLIER_NODE_BASE} ELSE node END AS node_id,
+       CAST(min(hops) AS INT) AS min_hops,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY 1, 2
+"""
+
+
+def recursive_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reachability on the trade graph through Spark 4's NATIVE
+    recursive CTE (``WITH RECURSIVE`` landed in Spark 4.0; the engine
+    plans the fixpoint itself — a UnionLoop, no driver-side iteration
+    or checkpointing like :func:`pagerank_trade_graph` hand-rolls for
+    its weighted update). Emits, per reachable node, the BFS distance
+    from the seed customers and the exact count of distinct trade
+    paths. DuckDB runs the IDENTICAL SQL text — the dialects agree on
+    recursion semantics, so the oracle is the same string.
+
+    Scale note: UNION ALL recursion enumerates PATHS, so the hop
+    bound is the cost control (2 hops ≈ 257k paths at sf0.1; the
+    deduplicated per-hop frontier a 100 TB run wants needs
+    UNION-distinct recursion, which Spark doesn't support yet —
+    at depth, iterate joins with a distinct per round, exactly what
+    ``connected_components`` does)."""
+    from bigdata_pipelines_aws_glue_spark.sql import register_corpus_views
+
+    register_corpus_views(spark, sf_dir)
+    return spark.sql(RECURSIVE_REACH_SQL)
+
+
 def _register() -> None:
+    registry.register(
+        "recursive_trade_reach", recursive_trade_reach, RECURSIVE_REACH_SQL
+    )
     registry.register(
         "triangle_count_parts", triangle_count_parts, TRIANGLE_ORACLE
     )
