@@ -144,6 +144,54 @@ GROUP BY 1, 2
 """
 
 
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type
+    (round 6 — the third JSON path beside ``get_json_object`` and
+    ``from_json``): ``parse_json`` produces the binary
+    shredding-capable VARIANT encoding — the modern schema-flexible
+    ingestion answer at scale (parse once, type-at-read, no declared
+    schema, columnar shredding in parquet readers that support it) —
+    then ``variant_get`` extracts typed paths, ``try_variant_get``
+    returns NULL for absent paths instead of raising, and
+    ``schema_of_variant`` is asserted against the known shape (a
+    boolean the oracle pins TRUE). The DuckDB twin reads the same
+    JSON through its native ``->>`` path operators."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    missing = F.expr("try_variant_get(parse_json(props), '$.absent', 'int')")
+    return (
+        events.select(
+            "event_type",
+            k.alias("k"),
+            missing.alias("m"),
+            (F.schema_of_variant(v) == F.lit("OBJECT<k: BIGINT>")).alias(
+                "shape_ok"
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("m").alias("n_absent_hits"),
+            F.min("shape_ok").alias("all_shapes_ok"),
+        )
+    )
+
+
+VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       min(CAST(props->>'$.k' AS INT)) AS min_k,
+       max(CAST(props->>'$.k' AS INT)) AS max_k,
+       count(CAST(props->>'$.absent' AS INT)) AS n_absent_hits,
+       TRUE AS all_shapes_ok
+FROM events
+GROUP BY 1
+"""
+
+
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (1h window, 30m slide): each event lands in 2
     windows; the oracle unions the two phase-shifted tumbling grids."""
@@ -483,6 +531,9 @@ def _register() -> None:
         "events_sliding_window", events_sliding_window, SLIDING_ORACLE
     )
     registry.register("events_json_typed", events_json_typed, JSON_TYPED_ORACLE)
+    registry.register(
+        "events_variant_props", events_variant_props, VARIANT_ORACLE
+    )
     registry.register(
         "events_grouping_sets", events_grouping_sets, GROUPING_SETS_ORACLE
     )
