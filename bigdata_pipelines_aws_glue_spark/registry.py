@@ -198,6 +198,11 @@ def _load_all() -> None:
         )
         mod._register()
 
+    # custom Python Data Source connector (Spark 4 datasource API)
+    from bigdata_pipelines_aws_glue_spark.sources import pydatasource
+
+    pydatasource._register()
+
     # custom stateful operator (batch twin; the streaming form is
     # exercised in tests/test_stateful.py)
     from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
