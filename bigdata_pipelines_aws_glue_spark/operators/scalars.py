@@ -194,7 +194,58 @@ WHERE regexp_matches(p_name, '^(red|blue|hot|small) ')
 """
 
 
+def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 ``CREATE FUNCTION``, round 6):
+    a SCALAR SQL UDF for the quantized line revenue and a TABLE
+    function for the returned-flag filter set, both used in one rollup.
+    Unlike Python UDFs, SQL UDFs are expanded by Catalyst INTO the
+    plan (macro semantics) — the aggregate stays whole-stage-codegen
+    with zero serialization, which is why this is the right tool for
+    shared business expressions at 100 TB. The sum carries
+    decimal(38,0) per the round's dec_qsum discipline. The DuckDB
+    twin inlines the same expressions (macro equivalence is the
+    semantic point)."""
+    from bigdata_pipelines_aws_glue_spark.sql import register_corpus_views
+
+    register_corpus_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION line_rev_q4(p DOUBLE,"
+        " d DOUBLE) RETURNS BIGINT"
+        " RETURN CAST(floor(p * (1.0 - d) * 10000.0 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION returned_flags()"
+        " RETURNS TABLE(m STRING)"
+        " RETURN SELECT * FROM (VALUES ('A'), ('R')) t(m)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               CAST(floor((CAST(sum(CAST(line_rev_q4(l_extendedprice,
+                                                     l_discount)
+                                         AS DECIMAL(38,0))) AS DOUBLE)
+                           / 10000.0) * 100.0 + 0.5) / 100.0
+                    AS DOUBLE) AS revenue
+        FROM lineitem JOIN returned_flags() ON l_returnflag = m
+        GROUP BY l_returnflag
+        """
+    )
+
+
+SQL_UDF_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       floor((sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                             * 10000.0 + 0.5) AS BIGINT))
+              / 10000.0) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem JOIN (VALUES ('A'), ('R')) t(m) ON l_returnflag = m
+GROUP BY l_returnflag
+"""
+
+
 def _register() -> None:
+    registry.register("sql_udf_revenue", sql_udf_revenue, SQL_UDF_ORACLE)
     registry.register("string_functions", string_functions, STRING_ORACLE)
     registry.register("regex_functions", regex_functions, REGEX_ORACLE)
     registry.register("date_functions", date_functions, DATE_ORACLE)
