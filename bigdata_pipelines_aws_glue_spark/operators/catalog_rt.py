@@ -67,6 +67,8 @@ def catalog_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.table(f"default.{table}")
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
+        # cents sums stay long-domain deliberately (round-6 decimal
+        # sweep): wrap needs > $9e13 per status group; output is long
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
         .cast("long")
         .alias("revenue_cents"),

@@ -51,6 +51,10 @@ def sales_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), x.alias("x"))
         .agg(
+            # cents sums stay long-domain deliberately (round-6 decimal
+            # sweep): wrap needs > $9e13 PER (nation, month) group —
+            # orders of magnitude past any real corpus, and the output
+            # column is typed long
             F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)))
             .cast("long")
             .alias("rev_cents")
