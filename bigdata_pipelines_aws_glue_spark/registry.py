@@ -193,6 +193,7 @@ def _load_all() -> None:
         "optimizer_stats",
         "basket",
         "compaction",
+        "datasketches",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(

@@ -84,6 +84,13 @@ WHITELIST: dict[str, dict[str, str]] = {
         "ForcedBroadcastUnbounded": "per-language allocations + literal-key 1-row totals — "
         "language-cardinality bounded",
     },
+    "theta_set_algebra": {
+        "BroadcastNestedLoopJoin": "1-row exact-counts x 1-row sketch-estimates scalar crossJoin",
+    },
+    "kll_quantile_merge": {
+        "BroadcastNestedLoopJoin": "1-row merged-sketch probes broadcast onto the rank count and "
+        "the 1-row total — scalar joins",
+    },
     "triangle_count_parts": {
         "BroadcastNestedLoopJoin": "three 1-row census scalars (edge/node/wedge/triangle counts) "
         "crossJoined into the single output row; all data joins are "
