@@ -244,8 +244,128 @@ GROUP BY l_returnflag
 """
 
 
+def safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``try_*`` error-safe expression family (ANSI-mode
+    companion, round 6): under Spark 4's ANSI-on default, a single
+    bad row — divide-by-zero, overflow, malformed cast — KILLS the
+    whole 100 TB job unless the pipeline opts into NULL-on-error via
+    try_divide / try_add / try_cast. This query exercises each form
+    with deterministic triggers and aggregates the NULL/non-NULL
+    split per order status, so the oracle attests both the error
+    semantics and the surviving values."""
+    orders = load_table(spark, sf_dir, "orders")
+    div = F.expr(
+        "try_divide(o_totalprice, CAST(o_custkey % 5 AS DOUBLE))"
+    )
+    # +1: the corpus contains o_orderkey = 0, which would not overflow
+    overflow = F.expr("try_add(9223372036854775807L, o_orderkey + 1L)")
+    bad_cast = F.expr("try_cast(o_orderpriority AS INT)")
+    prio_num = F.expr(
+        "try_cast(substring(o_orderpriority, 1, 1) AS INT)"
+    )
+    from bigdata_pipelines_aws_glue_spark.functions.rounding import dec_qsum
+
+    return (
+        orders.select(
+            "o_orderstatus",
+            div.alias("d"),
+            overflow.alias("ovf"),
+            bad_cast.alias("bad"),
+            prio_num.alias("p"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("d").isNull().cast("long")).alias("n_div_by_zero"),
+            stable_round(
+                dec_qsum(F.coalesce(F.col("d"), F.lit(0.0)), 10000.0)
+                .cast("double")
+                / F.lit(10000.0),
+                2,
+            ).alias("sum_safe_div"),
+            F.sum(F.col("ovf").isNull().cast("long")).alias("n_overflow"),
+            F.sum(F.col("bad").isNull().cast("long")).alias("n_bad_cast"),
+            F.min("p").alias("min_prio"),
+            F.max("p").alias("max_prio"),
+        )
+    )
+
+
+SAFE_ARITH_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN o_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_by_zero,
+       floor(((sum(CAST(floor(coalesce(o_totalprice
+                                       / nullif(CAST(o_custkey % 5 AS DOUBLE),
+                                                0.0), 0.0)
+                             * 10000.0 + 0.5) AS BIGINT)) / 10000.0))
+             * 100.0 + 0.5) / 100.0 AS sum_safe_div,
+       count(*) AS n_overflow,
+       count(*) AS n_bad_cast,
+       CAST(min(TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)) AS INT)
+         AS min_prio,
+       CAST(max(TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)) AS INT)
+         AS max_prio
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type surface (round 6 — the remaining complex type beside
+    arrays/structs/variant): props parsed as ``map<string,bigint>``
+    via from_json, then element_at lookups, map_contains_key,
+    map_concat with a literal map, and the map higher-order functions
+    ``transform_values`` / ``map_filter`` — all native JVM
+    expressions. The doubled-value identity (Σ transform_values ==
+    2Σ) rides through the aggregation, so the oracle attests the HOF
+    actually ran."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    enriched = F.map_concat(m, F.create_map(F.lit("one"), F.lit(1).cast("bigint")))
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    only_big = F.map_filter(m, lambda k, v: v >= 50)
+    return (
+        events.select(
+            "event_type",
+            F.element_at(m, "k").alias("k"),
+            F.element_at(enriched, "one").alias("one"),
+            F.element_at(doubled, "k").alias("k2"),
+            F.size(only_big).alias("n_big"),
+            F.map_contains_key(m, "k").alias("has_k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.sum("k2").alias("sum_k_doubled"),
+            F.sum("one").alias("sum_ones"),
+            F.sum("n_big").alias("n_k_ge_50"),
+            F.min("has_k").alias("all_have_k"),
+        )
+    )
+
+
+MAP_FUNCTIONS_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) * 2 AS BIGINT)
+         AS sum_k_doubled,
+       CAST(count(*) AS BIGINT) AS sum_ones,
+       CAST(sum(CASE WHEN CAST(props->>'$.k' AS BIGINT) >= 50
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_k_ge_50,
+       TRUE AS all_have_k
+FROM events
+GROUP BY event_type
+"""
+
+
 def _register() -> None:
     registry.register("sql_udf_revenue", sql_udf_revenue, SQL_UDF_ORACLE)
+    registry.register("safe_arithmetic", safe_arithmetic, SAFE_ARITH_ORACLE)
+    registry.register("map_functions", map_functions, MAP_FUNCTIONS_ORACLE)
     registry.register("string_functions", string_functions, STRING_ORACLE)
     registry.register("regex_functions", regex_functions, REGEX_ORACLE)
     registry.register("date_functions", date_functions, DATE_ORACLE)
