@@ -362,10 +362,71 @@ GROUP BY event_type
 """
 
 
+def xml_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML expressions (Spark 4 ``to_xml``/``from_xml``, round
+    6 — the interchange format the built-in sources gained in 4.0):
+    serialize each order to an XML document, parse it back with a
+    declared schema, and aggregate FROM THE PARSED fields with a
+    per-row round-trip fidelity boolean. Money rides as integer
+    cents so text formatting can't perturb values. DuckDB has no XML
+    — the twin computes the same aggregate directly from the
+    original columns, so a hash match proves serialize→parse is
+    lossless end-to-end."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    xml = F.to_xml(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("s"),
+            cents.alias("c"),
+        )
+    )
+    p = F.from_xml(xml, "k bigint, s string, c bigint")
+    rows = orders.select(
+        F.col("o_orderkey"),
+        cents.alias("cents0"),
+        F.col("o_orderstatus"),
+        p.alias("p"),
+    )
+    ok = (
+        (F.col("p.k") == F.col("o_orderkey"))
+        & (F.col("p.s") == F.col("o_orderstatus"))
+        & (F.col("p.c") == F.col("cents0"))
+    )
+    from bigdata_pipelines_aws_glue_spark.functions.rounding import dec_qsum
+
+    return (
+        rows.groupBy(F.col("p.s").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(ok).alias("all_roundtrip_ok"),
+            stable_round(
+                F.sum(F.col("p.c").cast("decimal(38,0)")).cast("double")
+                / F.lit(100.0),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+XML_ROUNDTRIP_ORACLE = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       TRUE AS all_roundtrip_ok,
+       floor((sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              / 100.0) * 100.0 + 0.5) / 100.0 AS revenue
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def _register() -> None:
     registry.register("sql_udf_revenue", sql_udf_revenue, SQL_UDF_ORACLE)
     registry.register("safe_arithmetic", safe_arithmetic, SAFE_ARITH_ORACLE)
     registry.register("map_functions", map_functions, MAP_FUNCTIONS_ORACLE)
+    registry.register(
+        "xml_roundtrip_orders", xml_roundtrip_orders, XML_ROUNDTRIP_ORACLE
+    )
     registry.register("string_functions", string_functions, STRING_ORACLE)
     registry.register("regex_functions", regex_functions, REGEX_ORACLE)
     registry.register("date_functions", date_functions, DATE_ORACLE)
