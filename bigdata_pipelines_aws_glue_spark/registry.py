@@ -228,4 +228,19 @@ def _load_all() -> None:
         lambda spark, sf_dir: cusum_batch(load_table(spark, sf_dir, "events")),
         CUSUM_ORACLE,
     )
+    # stateful sessionization (EventTimeTimeout) — the batch twin must
+    # agree exactly with the built-in session_window, so it shares
+    # events_sessionize's oracle
+    from bigdata_pipelines_aws_glue_spark.operators.events_time import (
+        SESSION_ORACLE,
+    )
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import (
+        session_batch,
+    )
+
+    register(
+        "sessions_stateful",
+        lambda spark, sf_dir: session_batch(load_table(spark, sf_dir, "events")),
+        SESSION_ORACLE,
+    )
     _LOADED = True

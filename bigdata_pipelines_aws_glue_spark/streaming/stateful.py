@@ -314,3 +314,126 @@ SELECT user_id,
        CAST(anom AS INT) AS n_anomalies
 FROM walk WHERE rn = n
 """
+
+
+# ------------------------------------------- sessions (with timeout)
+
+#: gap matches the batch `events_sessionize` operator so the stateful
+#: form can share its oracle.
+SESSION_GAP_S = 4 * 3600
+
+SESSION_OUT_SCHEMA = (
+    "session_start timestamp_ntz, user_id long, n_events long,"
+    " sum_value double"
+)
+#: epoch-micros longs + a 1e-6-quantized value sum — integer state, so
+#: resuming from any checkpoint is bit-exact.
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, sum_q long"
+
+
+def _emit_session(user_id, start_us, n, sum_q):
+    """One closed-session row, matching `events_sessionize`'s emitted
+    arithmetic exactly: sum_value = stable_round(quantized_sum(q=6), 4)."""
+    sum_value = (
+        __import__("math").floor((sum_q / 1e6) * 1e4 + 0.5) / 1e4
+    )
+    return {
+        "session_start": [pd.Timestamp(start_us, unit="us")],
+        "user_id": [user_id],
+        "n_events": [n],
+        "sum_value": [sum_value],
+    }
+
+
+def session_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update with EVENT-TIME TIMEOUT (the
+    GroupStateTimeout surface the EWMA/CUSUM operators don't use):
+    events extend the user's open session; when a gap appears inside
+    a batch the finished session EMITS immediately, and the still-open
+    session emits when the WATERMARK passes last_event + gap — the
+    timeout callback arrives with no data and ``state.hasTimedOut``
+    set. State is four integers per user; eviction is driven by the
+    watermark, so state size is bounded by the number of users active
+    inside the lateness horizon, not by stream length."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, last_us, n, sum_q = state.get
+        state.remove()
+        yield pd.DataFrame(_emit_session(user_id, start_us, n, sum_q))
+        return
+    rows: list[tuple] = []
+    for pdf in pdfs:
+        rows.extend(zip(pdf["ts"], pdf["value"]))
+    rows.sort(key=lambda tv: tv[0])
+    cur = state.get if state.exists else None
+    out: list[dict] = []
+    for ts, v in rows:
+        t_us = int(pd.Timestamp(ts).value // 1_000)
+        vq = int(__import__("math").floor(v * 1e6 + 0.5))
+        if cur is None:
+            cur = (t_us, t_us, 1, vq)
+        elif t_us - cur[1] > SESSION_GAP_S * 1_000_000:
+            out.append(_emit_session(user_id, cur[0], cur[2], cur[3]))
+            cur = (t_us, t_us, 1, vq)
+        else:
+            cur = (cur[0], t_us, cur[2] + 1, cur[3] + vq)
+    state.update(cur)
+    state.setTimeoutTimestamp(
+        cur[1] // 1_000 + SESSION_GAP_S * 1_000
+    )
+    for o in out:
+        yield pd.DataFrame(o)
+
+
+def session_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming sessionization — closed sessions only, each
+    emitted exactly once (in-batch gap or watermark timeout)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            session_update,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def session_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: the same per-user fold over full history, emitting
+    EVERY session (batch has no open tail). Shares the established
+    `events_sessionize` oracle — the custom stateful operator and the
+    built-in ``session_window`` must agree exactly."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("ts")
+        user_id = int(pdf["user_id"].iloc[0])
+        cur = None
+        rows = []
+        for ts, v in zip(pdf["ts"], pdf["value"]):
+            t_us = int(pd.Timestamp(ts).value // 1_000)
+            vq = int(math.floor(v * 1e6 + 0.5))
+            if cur is None:
+                cur = (t_us, t_us, 1, vq)
+            elif t_us - cur[1] > SESSION_GAP_S * 1_000_000:
+                rows.append(_emit_session(user_id, cur[0], cur[2], cur[3]))
+                cur = (t_us, t_us, 1, vq)
+            else:
+                cur = (cur[0], t_us, cur[2] + 1, cur[3] + vq)
+        if cur is not None:
+            rows.append(_emit_session(user_id, cur[0], cur[2], cur[3]))
+        return pd.concat([pd.DataFrame(r) for r in rows], ignore_index=True)
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, schema=SESSION_OUT_SCHEMA)
+    )

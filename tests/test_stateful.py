@@ -154,3 +154,100 @@ def test_cusum_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in cusum_batch(load_table(spark, sf_dir, "events")).collect()
     }
     assert got_rows == want
+
+
+def test_session_batch_equals_builtin_session_window(spark, sf_dir):
+    """The custom stateful fold must agree EXACTLY with Spark's
+    built-in session_window (same gap) — row-for-row, including the
+    quantized sums."""
+    from bigdata_pipelines_aws_glue_spark.operators.events_time import (
+        events_sessionize,
+    )
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import (
+        session_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in session_batch(events).collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in events_sessionize(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_stream_timeout_closes_sessions(spark, sf_dir, tmp_path):
+    """The EventTimeTimeout path, driven by a REAL stream: closed
+    sessions (in-batch gap or watermark timeout) must each appear
+    exactly once and match the batch fold; sessions still open at
+    stream end (watermark never passed last+gap) are the only ones
+    missing."""
+    from pyspark.sql import functions as F
+
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import (
+        SESSION_GAP_S,
+        session_batch,
+        session_stream,
+    )
+
+    events_dir = str(tmp_path / "events")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(
+        events_dir
+    )
+    stream = read_event_stream(spark, events_dir, watermark="30 minutes")
+    q = (
+        session_stream(stream)
+        .writeStream.format("memory")
+        .queryName("session_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in spark.table("session_stream").collect()
+    }
+    assert len(got) == len(spark.table("session_stream").collect())  # unique
+
+    events = load_table(spark, sf_dir, "events")
+    batch = session_batch(events).collect()
+    all_sessions = {
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in batch
+    }
+    # every emitted session is a true session
+    assert got <= all_sessions
+    # the only missing ones are open tails: sessions whose end is
+    # within gap+watermark of the stream's max event time
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    horizon_s = SESSION_GAP_S + 30 * 60
+    missing = all_sessions - got
+    # independent session-end reconstruction: any session whose END is
+    # older than max_ts - (gap + watermark) had its timeout fire and
+    # MUST have been emitted — only open tails may be missing
+    ends = {}
+    per_user: dict = {}
+    for r in events.select("user_id", "ts").collect():
+        per_user.setdefault(r.user_id, []).append(r.ts)
+    for user_id, tss in per_user.items():
+        tss.sort()
+        start = last = tss[0]
+        for ts in tss[1:]:
+            if (ts - last).total_seconds() > SESSION_GAP_S:
+                ends[(user_id, start)] = last
+                start = ts
+            last = ts
+        ends[(user_id, start)] = last
+    for user_id, start, _n, _s in missing:
+        end = ends[(user_id, start)]
+        assert (max_ts - end).total_seconds() <= horizon_s, (
+            f"closed session not emitted: user {user_id} start {start}"
+        )
+    # and the vast majority of sessions must have closed + emitted
+    assert len(got) > 0.5 * len(all_sessions), (
+        f"only {len(got)}/{len(all_sessions)} sessions emitted"
+    )
