@@ -196,6 +196,7 @@ def _load_all() -> None:
         "basket",
         "compaction",
         "datasketches",
+        "chunking",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(
