@@ -203,6 +203,112 @@ FROM orders
 """
 
 
+def approx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in frequent-items sketch (``approx_top_k``, Spark
+    4.1) against ground truth, per language: every term whose exact
+    count is STRICTLY above the 5th-highest count must appear in the
+    estimated top-10 (strict-above threshold sidesteps tie
+    nondeterminism — the same robustness trick as the MG guarantee
+    booleans in ``heavy_hitters_mg``, which is the hand-built form of
+    this operator). Exact counts hash-check; the containment boolean
+    pins the sketch."""
+    from bigdata_pipelines_aws_glue_spark.operators.dedup import _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    counts = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("term")
+    )
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    c5 = ranked.filter(F.col("rn") == 5).select(
+        "lang", F.col("c").alias("c5")
+    )
+    strict = (
+        counts.join(c5, "lang")
+        .filter(F.col("c") > F.col("c5"))
+        .select("lang", "term", "c5")
+    )
+    est = toks.groupBy("lang").agg(
+        F.expr("approx_top_k(term, 10)").alias("topk")
+    )
+    est_items = est.select(
+        "lang", F.transform("topk", lambda s: s["item"]).alias("items")
+    )
+    found = (
+        strict.join(est_items, "lang")
+        .select(
+            "lang",
+            "c5",
+            F.array_contains(F.col("items"), F.col("term")).alias("hit"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.first("c5").alias("count_5th"),
+            F.count(F.lit(1)).alias("n_strict_top"),
+            F.min("hit").alias("all_strict_top_found"),
+        )
+    )
+    totals = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.max("c").alias("max_count"),
+    )
+    return totals.join(found, "lang", "left").select(
+        "lang",
+        "vocab_size",
+        "max_count",
+        F.coalesce("count_5th", F.lit(None)).alias("count_5th"),
+        F.coalesce("n_strict_top", F.lit(0)).alias("n_strict_top"),
+        F.coalesce("all_strict_top_found", F.lit(True)).alias(
+            "all_strict_top_found"
+        ),
+    )
+
+
+APPROX_TOP_ORACLE = """
+WITH toks AS (
+    SELECT lang, unnest(string_split(trim(text), ' ')) AS term
+    FROM documents
+),
+counts AS (
+    SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+    FROM toks WHERE length(term) > 0 GROUP BY lang, term
+),
+ranked AS (
+    SELECT lang, c,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY c DESC, term) AS rn
+    FROM counts
+),
+c5 AS (SELECT lang, c AS c5 FROM ranked WHERE rn = 5),
+strict AS (
+    SELECT counts.lang, counts.c5n AS c5, term FROM (
+        SELECT counts.*, c5.c5 AS c5n
+        FROM counts JOIN c5 ON counts.lang = c5.lang) counts
+    WHERE c > c5n
+)
+SELECT t.lang,
+       CAST(t.vocab_size AS BIGINT) AS vocab_size,
+       t.max_count,
+       s.c5 AS count_5th,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_strict_top,
+       TRUE AS all_strict_top_found
+FROM (
+    SELECT lang, count(*) AS vocab_size, max(c) AS max_count
+    FROM counts GROUP BY lang) t
+LEFT JOIN (
+    SELECT lang, max(c5) AS c5, count(*) AS n FROM strict GROUP BY lang) s
+  ON t.lang = s.lang
+"""
+
+
 def _register() -> None:
     registry.register("theta_set_algebra", theta_set_algebra, THETA_ORACLE)
     registry.register("kll_quantile_merge", kll_quantile_merge, KLL_ORACLE)
+    registry.register("approx_top_terms", approx_top_terms, APPROX_TOP_ORACLE)
