@@ -406,31 +406,45 @@ def session_stream(events: DataFrame) -> DataFrame:
 
 
 def session_batch(events: DataFrame) -> DataFrame:
-    """Batch twin: the same per-user fold over full history, emitting
-    EVERY session (batch has no open tail). Shares the established
-    `events_sessionize` oracle — the custom stateful operator and the
-    built-in ``session_window`` must agree exactly."""
+    """Batch twin: the same per-user session semantics over full
+    history, emitting EVERY session (batch has no open tail). Shares
+    the established `events_sessionize` oracle — the custom stateful
+    operator and the built-in ``session_window`` must agree exactly.
+
+    VECTORIZED (round-6 scaling fix: the first per-row-loop +
+    per-session-concat version ran alpha=0.84, 19 s at sf0.1; this
+    numpy boundary-diff + groupby form is the Arrow-kernel shape the
+    repo's other pandas kernels use): boundaries are one diff>gap
+    compare, sessions one cumsum, aggregates one groupby — identical
+    arithmetic (same 1e-6 quantization, same float64 ops in the same
+    order), verified by the unchanged hash oracle."""
+    import numpy as np
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        import math
-
         pdf = pdf.sort_values("ts")
-        user_id = int(pdf["user_id"].iloc[0])
-        cur = None
-        rows = []
-        for ts, v in zip(pdf["ts"], pdf["value"]):
-            t_us = int(pd.Timestamp(ts).value // 1_000)
-            vq = int(math.floor(v * 1e6 + 0.5))
-            if cur is None:
-                cur = (t_us, t_us, 1, vq)
-            elif t_us - cur[1] > SESSION_GAP_S * 1_000_000:
-                rows.append(_emit_session(user_id, cur[0], cur[2], cur[3]))
-                cur = (t_us, t_us, 1, vq)
-            else:
-                cur = (cur[0], t_us, cur[2] + 1, cur[3] + vq)
-        if cur is not None:
-            rows.append(_emit_session(user_id, cur[0], cur[2], cur[3]))
-        return pd.concat([pd.DataFrame(r) for r in rows], ignore_index=True)
+        ts_us = (
+            pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        vq = np.floor(pdf["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        new = np.empty(len(ts_us), dtype=bool)
+        new[0] = True
+        new[1:] = (ts_us[1:] - ts_us[:-1]) > SESSION_GAP_S * 1_000_000
+        sid = np.cumsum(new) - 1
+        g = pd.DataFrame({"sid": sid, "t": ts_us, "vq": vq}).groupby(
+            "sid", sort=True
+        )
+        starts = g["t"].first().to_numpy()
+        ns = g.size().to_numpy().astype(np.int64)
+        sums = g["vq"].sum().to_numpy()
+        sum_value = np.floor((sums / 1e6) * 1e4 + 0.5) / 1e4
+        return pd.DataFrame(
+            {
+                "session_start": pd.to_datetime(starts, unit="us"),
+                "user_id": int(pdf["user_id"].iloc[0]),
+                "n_events": ns,
+                "sum_value": sum_value,
+            }
+        )
 
     return (
         events.select("user_id", "ts", "value")
