@@ -373,6 +373,62 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: matryoshka truncation width: keep the first half of the 64 dims.
+MATRYOSHKA_DIMS = 32
+
+
+def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k over TRUNCATED embeddings (first
+    ``MATRYOSHKA_DIMS`` components) — the matryoshka-representation
+    question every embedding-serving stack asks: how much recall does
+    halving the vector (and the index RAM/bandwidth with it) cost?
+    Same plan shape as ``cosine_topk`` (broadcast query sample, no
+    corpus shuffle, per-query window top-k)."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    tv = F.slice(_as_double(F.col("embedding")), 1, MATRYOSHKA_DIMS)
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), tv.alias("qv"))
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    base = emb.select(
+        F.col("vec_id").alias("neighbor_id"), tv.alias("bv")
+    ).withColumn("bn", norm(F.col("bv")))
+    scored = base.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("bv")) / (F.col("qn") * F.col("bn"))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            stable_round(F.col("score"), 8).alias("score"),
+        )
+    )
+
+
+def matryoshka_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of half-dimension exact search against full-dimension
+    exact search, per query — quantifying the truncation trade-off
+    with the same sampled-recall contract as the ANN audits."""
+    return _recall_vs_exact(
+        cosine_topk(spark, sf_dir), matryoshka_topk(spark, sf_dir)
+    )
+
+
 def _recall_vs_exact(exact: DataFrame, ann: DataFrame) -> DataFrame:
     """Per-query recall@k of an ANN result against the exact top-k:
     |ann ∩ exact| / k, driven from the exact side so queries the ANN
@@ -952,6 +1008,49 @@ def kmeans_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(monotone)).alias("inertia_monotone"),
         F.lit(bool(final_le_first)).alias("inertia_final_le_first"),
     )
+
+
+MATRYOSHKA_TOPK_ORACLE = f"""WITH {_SQL_VN},
+vt AS (
+    SELECT vec_id, list_slice(e, 1, {MATRYOSHKA_DIMS}) AS e,
+           sqrt(list_dot_product(list_slice(e, 1, {MATRYOSHKA_DIMS}),
+                                 list_slice(e, 1, {MATRYOSHKA_DIMS}))) AS nrm
+    FROM vn
+),
+tk AS (
+    SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_dot_product(q.e, b.e) / (q.nrm * b.nrm) AS score
+        FROM vt q JOIN vt b ON q.vec_id < {N_QUERIES} AND q.vec_id <> b.vec_id)
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       floor(score * 100000000.0 + 0.5) / 100000000.0 AS score
+FROM tk WHERE rank <= {TOP_K}
+"""
+
+MATRYOSHKA_RECALL_ORACLE = f"""WITH {_SQL_VN},
+{_SQL_EXACT_TOPK.strip().lstrip()},
+vt AS (
+    SELECT vec_id, list_slice(e, 1, {MATRYOSHKA_DIMS}) AS e,
+           sqrt(list_dot_product(list_slice(e, 1, {MATRYOSHKA_DIMS}),
+                                 list_slice(e, 1, {MATRYOSHKA_DIMS}))) AS nrm
+    FROM vn
+),
+ann_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_dot_product(q.e, b.e)
+                                           / (q.nrm * b.nrm) DESC,
+                                           b.vec_id) AS rank
+        FROM vt q JOIN vt b ON q.vec_id < {N_QUERIES} AND q.vec_id <> b.vec_id)
+    WHERE rank <= {TOP_K}
+)
+{_SQL_RECALL_SELECT}
+"""
 
 
 KMEANS_CONVERGENCE_ORACLE = f"""
@@ -1662,6 +1761,12 @@ def _register() -> None:
     )
     registry.register(
         "kmeans_embeddings", kmeans_embeddings, KMEANS_EMBEDDINGS_ORACLE
+    )
+    registry.register("matryoshka_topk", matryoshka_topk, MATRYOSHKA_TOPK_ORACLE)
+    registry.register(
+        "matryoshka_recall_at10",
+        matryoshka_recall_at10,
+        MATRYOSHKA_RECALL_ORACLE,
     )
     registry.register(
         "kmeans_convergence", kmeans_convergence, KMEANS_CONVERGENCE_ORACLE

@@ -106,6 +106,16 @@ WHITELIST: dict[str, dict[str, str]] = {
         "ForcedBroadcastUnbounded": "query side is the fixed N_QUERIES (vec_id < 50) sample — "
         "documented recall baseline",
     },
+    "matryoshka_topk": {
+        "BroadcastNestedLoopJoin": "bounded N_QUERIES query-sample broadcast against the corpus — "
+        "the cosine_topk shape over truncated vectors",
+        "ForcedBroadcastUnbounded": "fixed N_QUERIES (vec_id < 50) sample",
+    },
+    "matryoshka_recall_at10": {
+        "BroadcastNestedLoopJoin": "both sides are the bounded N_QUERIES exact audits "
+        "(full-dim and truncated)",
+        "ForcedBroadcastUnbounded": "N_QUERIES samples on both sides",
+    },
     "ann_lsh_recall_at10": {
         "BroadcastNestedLoopJoin": "the exact-baseline side is cosine_topk over the bounded N_QUERIES "
         "audit sample (recall auditing is always sampled); the ANN side "
