@@ -750,8 +750,98 @@ FROM per_doc
 """
 
 
+def lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality audit of the MinHash-LSH banding (round 6):
+    candidate-set PRECISION and RECALL against the exact
+    Jaccard>=0.8 ground truth — the S-curve of the chosen 16/4
+    banding measured on real data rather than quoted from theory.
+    Counts are exact integers (hash-checked); precision and recall
+    are their stable-rounded ratios. This is the number that tells a
+    100 TB operator whether the banding wastes verification work
+    (low precision) or silently drops near-dups (low recall)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    true_pairs = ngram_jaccard_pairs(docs, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    hits = cands.join(true_pairs, ["doc_a", "doc_b"], "inner")
+    n_c = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_t = true_pairs.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_h = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_c.crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_h))
+        .select(
+            "n_candidates",
+            "n_true_pairs",
+            "n_hits",
+            stable_round(
+                F.col("n_hits").cast("double")
+                / F.greatest(F.col("n_candidates").cast("double"), F.lit(1.0)),
+                6,
+            ).alias("precision"),
+            stable_round(
+                F.col("n_hits").cast("double")
+                / F.greatest(F.col("n_true_pairs").cast("double"), F.lit(1.0)),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+#: ground-truth pairs via the inverted shingle index (exact — a pair
+#: at Jaccard >= 0.8 must share a shingle; same construction as the
+#: Spark side and the sf0.1 scale twins), df-capped identically.
+_TRUE_PAIRS_CTE = """
+dt AS MATERIALIZED (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+    WHERE len(t) >= 3
+),
+inv AS MATERIALIZED (
+    SELECT doc_id, s FROM (SELECT doc_id, unnest(sh) AS s FROM dt)
+    QUALIFY count(*) OVER (PARTITION BY s) <= 500
+),
+tcand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+true_pairs AS (
+    SELECT c.doc_a, c.doc_b
+    FROM tcand c
+    JOIN dt da ON da.doc_id = c.doc_a
+    JOIN dt db ON db.doc_id = c.doc_b
+    WHERE c.n_shared::DOUBLE
+            / (len(da.sh) + len(db.sh) - c.n_shared)::DOUBLE >= 0.8
+)"""
+
+LSH_QUALITY_ORACLE = f"""
+WITH {_minhash_ctes()},
+{_TRUE_PAIRS_CTE},
+hits AS (
+    SELECT t.doc_a FROM true_pairs t
+    JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM true_pairs) AS n_true_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+       floor(((SELECT count(*) FROM hits)::DOUBLE
+              / greatest((SELECT count(*) FROM cand)::DOUBLE, 1.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS precision,
+       floor(((SELECT count(*) FROM hits)::DOUBLE
+              / greatest((SELECT count(*) FROM true_pairs)::DOUBLE, 1.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS recall
+"""
+
+
 def _register() -> None:
     registry.register("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE)
+    registry.register(
+        "lsh_candidate_quality", lsh_candidate_quality, LSH_QUALITY_ORACLE
+    )
     registry.register(
         "decontaminate_against_eval", decontaminate_against_eval, DECONTAMINATE_ORACLE
     )

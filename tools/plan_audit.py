@@ -106,6 +106,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "ForcedBroadcastUnbounded": "query side is the fixed N_QUERIES (vec_id < 50) sample — "
         "documented recall baseline",
     },
+    "lsh_candidate_quality": {
+        "BroadcastNestedLoopJoin": "three 1-row census scalars (candidate/true/hit counts) "
+        "crossJoined into the single audit row; candidate and truth "
+        "generation are banded/inverted-index equi-joins",
+    },
     "matryoshka_topk": {
         "BroadcastNestedLoopJoin": "bounded N_QUERIES query-sample broadcast against the corpus — "
         "the cosine_topk shape over truncated vectors",
