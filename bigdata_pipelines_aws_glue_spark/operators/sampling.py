@@ -299,7 +299,83 @@ FROM documents
 """
 
 
+#: id offset for the simulated re-ingestion (mirrors DUP_OFFSET's
+#: role in the embedding near-dup audit).
+_RECRAWL_OFFSET = 1_000_000
+
+
+def split_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split LEAKAGE audit (round 6): when the same content
+    enters the corpus twice under different ids — re-crawls, mirrors,
+    format-converted copies, the realistic leakage source — an
+    id-hashed split assigns the two copies INDEPENDENTLY, and any
+    copy-pair straddling train/val/test is evaluation contamination.
+    Simulated here exactly like ``dedup_exact``'s double-ingestion
+    (corpus ∪ corpus at ``doc_id + offset``); emits the unordered
+    (split_a, split_b) matrix of duplicate-content pairs. Off-diagonal
+    rows are the leaks; at ~80/10/10 the expected leak share is
+    2·(0.8·0.1 + 0.8·0.1 + 0.1·0.1) ≈ 34% of dup pairs — the reason
+    real pipelines dedup BEFORE splitting (or split by content hash),
+    which this audit quantifies. One shuffle on the content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + _RECRAWL_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    u = shuffle_key(F.col("doc_id"), seed=_SPLIT_SEED)
+    split = (
+        F.when(u < _TRAIN_HI, F.lit("train"))
+        .when(u < _VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = doubled.select(
+        F.sha2("text", 256).alias("h"), split.alias("split")
+    )
+    per_content = assigned.groupBy("h").agg(
+        F.min("split").alias("split_a"), F.max("split").alias("split_b")
+    )
+    return (
+        per_content.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_content_pairs"))
+        .withColumn(
+            "is_leak", F.col("split_a") != F.col("split_b")
+        )
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+WITH doubled AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_RECRAWL_OFFSET}, text FROM documents
+),
+assigned AS (
+    SELECT sha256(text) AS h,
+           CASE WHEN {shuffle_key_sql('doc_id', _SPLIT_SEED)} < {_TRAIN_HI}
+                THEN 'train'
+                WHEN {shuffle_key_sql('doc_id', _SPLIT_SEED)} < {_VAL_HI}
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM doubled
+),
+per_content AS (
+    SELECT h, min(split) AS split_a, max(split) AS split_b
+    FROM assigned GROUP BY h
+)
+SELECT split_a, split_b,
+       CAST(count(*) AS BIGINT) AS n_content_pairs,
+       split_a <> split_b AS is_leak
+FROM per_content GROUP BY split_a, split_b
+"""
+
+
 def _register() -> None:
+    registry.register(
+        "split_contamination_matrix",
+        split_contamination_matrix,
+        CONTAMINATION_ORACLE,
+    )
     registry.register(
         "deterministic_shuffle", deterministic_shuffle, SHUFFLE_ORACLE
     )
