@@ -52,16 +52,19 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: rather than crowding out never-attested evidence.
 #:
 #: Round-7 schedule (steady state: no row older than 2 rounds): the
-#: EIGHTEEN queries added after this window froze
+#: TWENTY queries added after this window froze
 #: (multimodal_mp4_frames, source_cap_sample,
 #: quality_classifier_score, triangle_count_parts,
 #: recursive_trade_reach, events_variant_props, pysource_lang_rollup,
 #: sql_udf_revenue, theta_set_algebra, kll_quantile_merge,
 #: safe_arithmetic, map_functions, xml_roundtrip_orders,
 #: sessions_stateful, chunk_documents_udtf, approx_top_terms,
-#: matryoshka_topk, matryoshka_recall_at10 — each oracle-verified
-#: locally at sf0.01 AND sf0.1 on registration, per the round-5
-#: precedent) enter FIRST as never-attested rows; then the
+#: matryoshka_topk, matryoshka_recall_at10, lsh_candidate_quality,
+#: split_contamination_matrix — each oracle-verified locally at
+#: sf0.01 AND sf0.1 on registration, per the round-5 precedent)
+#: enter FIRST as never-attested rows (they fill 20 of the 50 slots;
+#: the remaining 30 take the oldest-r3 tail, pushing the r4 block to
+#: r8 — still two-round steady state by r8); then the
 #: ~16 remaining r3 rows (doc_repetition_stats, lang_id_markers,
 #: token_count_bpe, doc_fingerprint, pii_scrub_report, cosine_topk,
 #: the 3 LSH ANN rows, dedup_embedding_cosine,
