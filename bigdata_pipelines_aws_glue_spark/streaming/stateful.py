@@ -334,9 +334,9 @@ SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, sum_q long"
 def _emit_session(user_id, start_us, n, sum_q):
     """One closed-session row, matching `events_sessionize`'s emitted
     arithmetic exactly: sum_value = stable_round(quantized_sum(q=6), 4)."""
-    sum_value = (
-        __import__("math").floor((sum_q / 1e6) * 1e4 + 0.5) / 1e4
-    )
+    import math
+
+    sum_value = math.floor((sum_q / 1e6) * 1e4 + 0.5) / 1e4
     return {
         "session_start": [pd.Timestamp(start_us, unit="us")],
         "user_id": [user_id],
@@ -368,12 +368,14 @@ def session_update(
     rows: list[tuple] = []
     for pdf in pdfs:
         rows.extend(zip(pdf["ts"], pdf["value"]))
+    import math
+
     rows.sort(key=lambda tv: tv[0])
     cur = state.get if state.exists else None
     out: list[dict] = []
     for ts, v in rows:
         t_us = int(pd.Timestamp(ts).value // 1_000)
-        vq = int(__import__("math").floor(v * 1e6 + 0.5))
+        vq = int(math.floor(v * 1e6 + 0.5))
         if cur is None:
             cur = (t_us, t_us, 1, vq)
         elif t_us - cur[1] > SESSION_GAP_S * 1_000_000:
