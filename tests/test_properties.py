@@ -184,3 +184,117 @@ def test_cusum_split_fold_equals_whole_fold(values, cut):
     s_pos, s_neg, a2 = _fold_cusum(values[cut:], s_pos, s_neg)
     assert (s_pos, s_neg, a1 + a2) == whole
     assert 0.0 <= s_pos <= CUSUM_H and 0.0 <= s_neg <= CUSUM_H
+
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=600,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_chunker_covers_text_exactly(text):
+    """The UDTF chunker kernel on arbitrary ASCII text: chunks
+    reassemble to the original (dropping each chunk's overlap
+    prefix), every chunk is full-size except possibly the last, and
+    the count matches the closed form the oracle uses."""
+    import math
+
+    from bigdata_pipelines_aws_glue_spark.operators.chunking import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        _make_chunker,
+    )
+
+    step = CHUNK_SIZE - CHUNK_OVERLAP
+    # drive the underlying generator, not Spark
+    cls = _make_chunker().func  # the wrapped class
+    chunks = list(cls().eval(text))
+    assert len(chunks) == (0 if not text else math.ceil(len(text) / step))
+    rebuilt = ""
+    for idx, chunk, ln in chunks:
+        assert ln == len(chunk)
+        assert chunk == text[idx * step : idx * step + CHUNK_SIZE]
+        rebuilt += chunk if idx == 0 else chunk[CHUNK_OVERLAP:] if len(rebuilt) >= idx * step + CHUNK_OVERLAP else chunk
+    if text:
+        assert rebuilt.startswith(text[: len(rebuilt)])
+        assert len(rebuilt) >= len(text)
+
+
+@given(
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=8, max_value=24),
+    st.integers(min_value=8, max_value=20),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_mp4_avi_containers_agree_on_any_frames(n, w, h, seed):
+    """Container independence on random frames: the MP4 and AVI paths
+    must decode to BIT-IDENTICAL arrays (they carry the same JPEGs),
+    for any frame count and dimensions."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        decode_mp4_mjpeg,
+        encode_avi_mjpeg,
+        encode_mp4_mjpeg,
+    )
+
+    rng = np.random.RandomState(seed)
+    frames = [
+        rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        for _ in range(n)
+    ]
+    via_mp4 = decode_mp4_mjpeg(encode_mp4_mjpeg(frames))
+    via_avi = decode_avi_mjpeg(encode_avi_mjpeg(frames))
+    assert len(via_mp4) == len(via_avi) == n
+    for a, b in zip(via_mp4, via_avi):
+        assert np.array_equal(a, b)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_degree_ordered_wedges_count_triangles(raw_edges):
+    """The degree-ordered wedge-counting scheme (the triangle query's
+    core) equals the brute-force census on arbitrary small graphs —
+    pure-python replica of the Spark plan's logic."""
+    edges = {(min(u, v), max(u, v)) for u, v in raw_edges if u != v}
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    # direct from (degree, id)-smaller endpoint
+    directed = set()
+    for u, v in edges:
+        s, t = (u, v) if (deg[u], u) < (deg[v], v) else (v, u)
+        directed.add((s, t))
+    out: dict[int, list[int]] = {}
+    for s, t in directed:
+        out.setdefault(s, []).append(t)
+    closing = {(min(s, t), max(s, t)) for s, t in directed}
+    wedges = 0
+    tri = 0
+    for s, ts in out.items():
+        ts = sorted(ts)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                wedges += 1
+                x, y = ts[i], ts[j]
+                if (min(x, y), max(x, y)) in closing:
+                    tri += 1
+    # brute force
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    brute = sum(len(adj[u] & adj[v]) for u, v in edges) // 3
+    assert tri == brute
