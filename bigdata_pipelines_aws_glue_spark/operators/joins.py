@@ -360,6 +360,15 @@ def asof_join_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The twin dedups RANGE MATCHES per left row, never left rows
+#: themselves: tx rows group on their full content with a
+#: multiplicity count, the as-of pick runs once per distinct row, and
+#: the result re-expands by the count. The earlier per-transaction_id
+#: row_number form silently COLLAPSED genuinely duplicated input rows
+#: — caught by the round-6 sf0.001 sweep, where the corpus contains
+#: one fully-duplicated lineitem and Spark (correctly) emits both
+#: copies. m = 1 everywhere at sf0.01/sf0.1, so attested values are
+#: unchanged there.
 ASOF_ORACLE = """
 WITH currencies(slot, currency) AS (
     VALUES (0,'USD'),(1,'EUR'),(2,'GBP'),(3,'JPY'),(4,'INR')
@@ -373,6 +382,10 @@ tx AS (
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     JOIN currencies c ON c.slot = l_orderkey % 5
 ),
+txg AS (
+    SELECT transaction_id, currency, amount, ts, count(*) AS m
+    FROM tx GROUP BY 1, 2, 3, 4
+),
 rates AS (
     SELECT c.currency AS currency,
            0.5::DOUBLE + (n_nationkey % 10) * 0.1::DOUBLE AS rate_to_usd,
@@ -381,11 +394,12 @@ rates AS (
     WHERE n_nationkey < 20 AND n_nationkey % 5 < 4
 ),
 matched AS (
-    SELECT t.transaction_id, t.currency, t.amount, t.ts,
+    SELECT t.transaction_id, t.currency, t.amount, t.ts, t.m,
            r.rate_to_usd, r.rate_date,
-           row_number() OVER (PARTITION BY t.transaction_id
+           row_number() OVER (PARTITION BY t.transaction_id, t.currency,
+                                           t.amount, t.ts
                               ORDER BY r.rate_date DESC NULLS LAST) AS rn
-    FROM tx t
+    FROM txg t
     LEFT JOIN rates r ON t.currency = r.currency AND r.rate_date <= t.ts
 )
 SELECT transaction_id, currency, amount,
@@ -393,7 +407,7 @@ SELECT transaction_id, currency, amount,
        coalesce(rate_to_usd, 1.0::DOUBLE) AS asof_rate,
        CASE WHEN currency = 'USD' THEN amount
             ELSE amount * coalesce(rate_to_usd, 1.0::DOUBLE) END AS amount_usd
-FROM matched WHERE rn = 1
+FROM (SELECT *, unnest(generate_series(1, m)) FROM matched WHERE rn = 1)
 """
 
 

@@ -40,7 +40,10 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: r2-stale backlog (the round-4 schedule, unchanged); (c) 16
 #: oldest-r3 rows. After this window attests, no oracled row is
 #: older than r3 and every query in the registry has driver
-#: evidence.
+#: evidence. (Late round-6 swap: the 50th slot goes to
+#: asof_join_rates — its shared ASOF_ORACLE text changed in the
+#: sf0.001 multiplicity fix, and changed-oracle rows must re-attest;
+#: top_terms_per_lang (r3) moves to the r7 window instead.)
 #:
 #: Round-6 hardening note: the decimal(38,0) carry for quantized
 #: integer sums (functions/rounding.py::dec_qsum) touches ~50
@@ -126,7 +129,7 @@ PRIORITY: tuple[str, ...] = (
     "text_stats",  # r3
     "doc_sentiment_lexicon",  # r3
     "gopher_quality_filter",  # r3
-    "top_terms_per_lang",  # r3
+    "asof_join_rates",  # oracle text changed (round-6 sf0.001 fix)
 )
 
 
