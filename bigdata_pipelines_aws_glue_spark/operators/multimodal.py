@@ -682,6 +682,12 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus assumptions (pinned by tests, like the other payload
+# oracles): documents.text is ASCII (length(text) chars == encoded
+# byte count, so ascii(substr(...)) IS the payload byte) and the
+# nb=0 guard below mirrors the kernel's np.resize zero-fill
+# (empty source -> all-zero pixels -> px_sum 0), where a bare
+# "% nb" would divide by zero in DuckDB.
 MULTIMODAL_RESIZE_ORACLE = """
 WITH d AS (
     SELECT doc_id, CAST(doc_id % 4 AS INT) AS codec, text,
@@ -702,6 +708,7 @@ sel AS (
                 CAST((((i * d.h // 16) * d.w + (j * d.w // 16)) * 3 + ch)
                      % d.nb AS BIGINT) + 1, 1)) AS byte
     FROM d CROSS JOIN idx
+    WHERE d.nb > 0
 ),
 s AS (
     SELECT doc_id, CAST(sum(byte) AS BIGINT) AS sel_sum
@@ -709,12 +716,14 @@ s AS (
 )
 SELECT d.doc_id, d.codec,
        CAST(16 AS INT) AS out_w, CAST(16 AS INT) AS out_h,
-       CASE WHEN d.codec <> 3 THEN s.sel_sum END AS px_sum,
        CASE WHEN d.codec <> 3
-            THEN floor((s.sel_sum / 768.0) * 1000000.0 + 0.5) / 1000000.0
+            THEN coalesce(s.sel_sum, 0) END AS px_sum,
+       CASE WHEN d.codec <> 3
+            THEN floor((coalesce(s.sel_sum, 0) / 768.0) * 1000000.0 + 0.5)
+                 / 1000000.0
        END AS mean_px,
        TRUE AS mean_within_tol
-FROM d JOIN s USING (doc_id)
+FROM d LEFT JOIN s USING (doc_id)
 """
 
 

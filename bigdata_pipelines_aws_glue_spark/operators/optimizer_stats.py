@@ -32,6 +32,15 @@ and — at extreme skew — longs); the histogram head is a bounded
 TakeOrderedAndProject of ``H`` rows broadcast back against the 1-row
 tail totals; estimates use double division identically in both
 engines. The DuckDB twin hash-checks bit-for-bit.
+
+Output representation: ``est_pairs`` is emitted as DOUBLE (the
+decimal(38,0)/HUGEINT carry stays internal, where the overflow
+safety matters) because Spark and DuckDB render decimals
+non-canonically and the registry forbids raw-DECIMAL output columns.
+The conversion is exact below 2**53; ``est_pairs_exact`` attests
+per-row whether that bound holds, so a 100 TB run where an estimate
+leaves the exact-double range announces itself instead of silently
+rounding.
 """
 
 from __future__ import annotations
@@ -100,10 +109,17 @@ def _estimate_rows(cnt: DataFrame, profile: str) -> DataFrame:
         ("uniform_ndv", "e_uniform"),
         (f"endbiased_h{H_HEAVY}", "e_endbiased"),
     ):
+        dec = F.col(col).cast("decimal(38,0)")
         r = ests.select(
             F.lit(profile).alias("key_profile"),
             F.lit(method).alias("method"),
-            F.col(col).cast("decimal(38,0)").alias("est_pairs"),
+            # Emit as DOUBLE: the registry bans raw-DECIMAL output
+            # columns (engines render/hash decimals non-canonically).
+            # Exact below 2**53; est_pairs_exact attests it.
+            dec.cast("double").alias("est_pairs"),
+            (dec < F.lit(2**53).cast("decimal(38,0)")).alias(
+                "est_pairs_exact"
+            ),
             stable_round(
                 F.abs(
                     F.col(col).cast("double")
@@ -180,7 +196,9 @@ ests_{profile} AS (
 ),
 rows_{profile} AS (
     SELECT '{profile}' AS key_profile, method,
-           CAST(est_pairs AS DECIMAL(38,0)) AS est_pairs,
+           CAST(est_pairs AS DOUBLE) AS est_pairs,
+           est_pairs < CAST(9007199254740992 AS HUGEINT)
+             AS est_pairs_exact,
            floor(abs(CAST(est_pairs AS DOUBLE)
                      - CAST(exact_pairs AS DOUBLE))
                  / CAST(exact_pairs AS DOUBLE) * 1000000.0 + 0.5)

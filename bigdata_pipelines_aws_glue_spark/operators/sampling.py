@@ -311,12 +311,16 @@ def split_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-hashed split assigns the two copies INDEPENDENTLY, and any
     copy-pair straddling train/val/test is evaluation contamination.
     Simulated here exactly like ``dedup_exact``'s double-ingestion
-    (corpus ∪ corpus at ``doc_id + offset``); emits the unordered
-    (split_a, split_b) matrix of duplicate-content pairs. Off-diagonal
-    rows are the leaks; at ~80/10/10 the expected leak share is
-    2·(0.8·0.1 + 0.8·0.1 + 0.1·0.1) ≈ 34% of dup pairs — the reason
-    real pipelines dedup BEFORE splitting (or split by content hash),
-    which this audit quantifies. One shuffle on the content hash."""
+    (corpus ∪ corpus at ``doc_id + offset``); emits, per distinct
+    content, the full SET of splits its copies landed in (sorted,
+    comma-joined — so content present in all three splits reports as
+    'test,train,val', not a collapsed pair) with the count of contents
+    per split-set. Multi-split rows are the leaks; at ~80/10/10 the
+    expected leak share is 2·(0.8·0.1 + 0.8·0.1 + 0.1·0.1) ≈ 34% of
+    dup pairs — the reason real pipelines dedup BEFORE splitting (or
+    split by content hash), which this audit quantifies. One shuffle
+    on the content hash; split-set cardinality is bounded by 2^3
+    subsets regardless of corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     doubled = docs.select("doc_id", "text").unionByName(
         docs.select(
@@ -333,14 +337,14 @@ def split_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("h"), split.alias("split")
     )
     per_content = assigned.groupBy("h").agg(
-        F.min("split").alias("split_a"), F.max("split").alias("split_b")
+        F.array_join(F.array_sort(F.collect_set("split")), ",").alias(
+            "splits"
+        )
     )
     return (
-        per_content.groupBy("split_a", "split_b")
-        .agg(F.count(F.lit(1)).alias("n_content_pairs"))
-        .withColumn(
-            "is_leak", F.col("split_a") != F.col("split_b")
-        )
+        per_content.groupBy("splits")
+        .agg(F.count(F.lit(1)).alias("n_contents"))
+        .withColumn("is_leak", F.col("splits").contains(","))
     )
 
 
@@ -360,13 +364,12 @@ assigned AS (
     FROM doubled
 ),
 per_content AS (
-    SELECT h, min(split) AS split_a, max(split) AS split_b
-    FROM assigned GROUP BY h
+    SELECT h, string_agg(split, ',' ORDER BY split) AS splits
+    FROM (SELECT DISTINCT h, split FROM assigned) GROUP BY h
 )
-SELECT split_a, split_b,
-       CAST(count(*) AS BIGINT) AS n_content_pairs,
-       split_a <> split_b AS is_leak
-FROM per_content GROUP BY split_a, split_b
+SELECT splits, CAST(count(*) AS BIGINT) AS n_contents,
+       contains(splits, ',') AS is_leak
+FROM per_content GROUP BY splits
 """
 
 

@@ -71,13 +71,17 @@ class SyntheticDocsReader(DataSourceReader):
         """Accept range/equality predicates on doc_id by narrowing
         [lo, hi) before partition planning; everything else is
         returned for Spark to evaluate post-scan. Called once at
-        planning time (4.1 API)."""
+        planning time (4.1 API). Narrowing happens EAGERLY here and a
+        plain list is returned — a generator would only apply the
+        pushdown if PySpark fully drained it before ``partitions()``
+        (true of current internals, but partial consumption would
+        silently skip pushdown while still claiming the filters)."""
+        unsupported = []
         for f in filters:
             col = getattr(f, "attribute", None)
             if col != ("doc_id",):
-                yield f
-                continue
-            if isinstance(f, GreaterThanOrEqual):
+                unsupported.append(f)
+            elif isinstance(f, GreaterThanOrEqual):
                 self.lo = max(self.lo, f.value)
             elif isinstance(f, GreaterThan):
                 self.lo = max(self.lo, f.value + 1)
@@ -89,7 +93,8 @@ class SyntheticDocsReader(DataSourceReader):
                 self.lo = max(self.lo, f.value)
                 self.hi = min(self.hi, f.value + 1)
             else:
-                yield f  # unsupported shape on doc_id
+                unsupported.append(f)  # unsupported shape on doc_id
+        return unsupported
 
     def partitions(self):
         return [

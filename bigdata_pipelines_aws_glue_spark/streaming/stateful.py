@@ -373,8 +373,16 @@ def session_update(
     rows.sort(key=lambda tv: tv[0])
     cur = state.get if state.exists else None
     out: list[dict] = []
+    # Spark does NOT pre-filter late rows for arbitrary stateful ops
+    # (unlike windowed aggregations, late filtering is the kernel's
+    # contract here): drop past-watermark events ourselves, or a
+    # too-late merge regresses the session and setTimeoutTimestamp
+    # throws INVALID_TIMEOUT_TIMESTAMP (< watermark).
+    wm_us = state.getCurrentWatermarkMs() * 1_000
     for ts, v in rows:
         t_us = int(pd.Timestamp(ts).value // 1_000)
+        if t_us < wm_us:
+            continue
         vq = int(math.floor(v * 1e6 + 0.5))
         if cur is None:
             cur = (t_us, t_us, 1, vq)
@@ -382,11 +390,34 @@ def session_update(
             out.append(_emit_session(user_id, cur[0], cur[2], cur[3]))
             cur = (t_us, t_us, 1, vq)
         else:
-            cur = (cur[0], t_us, cur[2] + 1, cur[3] + vq)
-    state.update(cur)
-    state.setTimeoutTimestamp(
-        cur[1] // 1_000 + SESSION_GAP_S * 1_000
-    )
+            # Cross-batch out-of-order (late but within-watermark):
+            # merge must EXTEND the session envelope, never shrink it —
+            # min/max keep start_us monotone-down and last_us
+            # monotone-up, so a late event can't regress the timeout
+            # or the emitted session_start. Remaining seam (documented,
+            # matches the single-open-session state shape): an
+            # in-watermark event more than one gap OLDER than start_us
+            # merges here, where the built-in session_window would
+            # open a separate earlier session; full parity needs a
+            # multi-session state list.
+            cur = (
+                min(cur[0], t_us),
+                max(cur[1], t_us),
+                cur[2] + 1,
+                cur[3] + vq,
+            )
+    if cur is not None:
+        timeout_ms = cur[1] // 1_000 + SESSION_GAP_S * 1_000
+        if timeout_ms <= wm_us // 1_000:
+            # Every row this batch was late-dropped and the watermark
+            # already passed the open session's end+gap (the timeout
+            # callback can't fire for a key that received data): the
+            # session is closed — emit it now.
+            out.append(_emit_session(user_id, cur[0], cur[2], cur[3]))
+            state.remove()
+        else:
+            state.update(cur)
+            state.setTimeoutTimestamp(timeout_ms)
     for o in out:
         yield pd.DataFrame(o)
 

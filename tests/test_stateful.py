@@ -251,3 +251,112 @@ def test_session_stream_timeout_closes_sessions(spark, sf_dir, tmp_path):
     assert len(got) > 0.5 * len(all_sessions), (
         f"only {len(got)}/{len(all_sessions)} sessions emitted"
     )
+
+
+def test_session_stream_out_of_order_across_batches(spark, tmp_path):
+    """Pin the EventTimeTimeout semantics at the edges with a
+    hand-built 3-batch fixture (maxFilesPerTrigger=1, strictly
+    increasing mtimes => one file per micro-batch, watermark advances
+    between batches):
+
+    - batch 2 delivers LATE-BUT-WITHIN-WATERMARK events: one BEFORE
+      u1's open-session start (must lower session_start via the
+      min-merge) and one before u2's last event (must NOT regress
+      last_us -- the old regression would make u2's later in-gap
+      event look > gap away and wrongly split the session);
+    - batch 3 delivers a late event PAST the watermark (must be
+      dropped: u1's session times out with n=3, not 4).
+
+    Gap = 4 h, watermark = 30 min."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import (
+        SESSION_GAP_S,
+        session_stream,
+    )
+
+    T = pd.Timestamp
+    gap_s = SESSION_GAP_S
+    assert gap_s == 4 * 3600  # fixture timestamps assume the 4 h gap
+    batches = [
+        # batch 1: open sessions for u1 [10:00:00..10:00:10] and u2
+        # [10:00:10]; watermark after = 09:30:10
+        [
+            (1, T("2024-01-01 10:00:00"), 1.0),
+            (1, T("2024-01-01 10:00:10"), 2.0),
+            (2, T("2024-01-01 10:00:10"), 1.0),
+        ],
+        # batch 2: late-but-within-watermark merges + a far event that
+        # advances the watermark to 18:01:00
+        [
+            (1, T("2024-01-01 09:55:00"), 4.0),  # before u1 start
+            (2, T("2024-01-01 10:00:05"), 2.0),  # before u2 last
+            # gap-2s after u2's TRUE last (10:00:10); with a regressed
+            # last_us (10:00:05) this would be gap+3s away and split
+            (2, T("2024-01-01 10:00:10") + pd.Timedelta(seconds=gap_s - 2), 8.0),
+            (4, T("2024-01-01 18:31:00"), 1.0),
+        ],
+        # batch 3: u1's 10:30:00 is PAST the 18:01:00 watermark ->
+        # dropped; u1/u2 timeouts fire (14:00:10 and 18:00:08 < 18:01)
+        [
+            (1, T("2024-01-01 10:30:00"), 100.0),
+            (5, T("2024-01-01 19:00:00"), 1.0),
+        ],
+    ]
+    events_dir = tmp_path / "ooo_events"
+    events_dir.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [
+                Row(
+                    event_id=j,
+                    ts=ts.to_pydatetime(),
+                    user_id=u,
+                    event_type="x",
+                    value=v,
+                    props="{}",
+                )
+                for j, (u, ts, v) in enumerate(rows)
+            ],
+            schema=(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            ),
+        )
+        path = str(events_dir / f"{i:03d}.parquet")
+        # coerce to microsecond timestamps: Spark's vectorized parquet
+        # reader cannot convert pandas' default TIMESTAMP(NANOS)
+        df.toPandas().to_parquet(
+            path, index=False, coerce_timestamps="us"
+        )
+        # FileStreamSource picks oldest-mtime first: force the order
+        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = read_event_stream(
+        spark, str(events_dir), watermark="30 minutes",
+        max_files_per_trigger=1,
+    )
+    q = (
+        session_stream(stream)
+        .writeStream.format("memory")
+        .queryName("session_stream_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"], r["sum_value"])
+        for r in spark.table("session_stream_ooo").collect()
+    )
+    assert got == [
+        # u1: start lowered to the late 09:55:00 event, n=3 (the
+        # past-watermark 10:30:00 event did NOT join), sum 1+2+4
+        (1, "2024-01-01 09:55:00", 3, 7.0),
+        # u2: ONE session of 3 (no false split from last_us
+        # regression), start lowered to 10:00:05, sum 1+2+8
+        (2, "2024-01-01 10:00:05", 3, 11.0),
+    ]

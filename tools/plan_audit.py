@@ -28,6 +28,14 @@ Flags:
                                 hint still visible in the ANALYZED
                                 logical plan is a static F.broadcast.
 
+- RawDecimalOutput            — a registry query emitting a top-level
+                                DECIMAL column; the driver's value
+                                hasher normalizes Spark vs DuckDB
+                                decimals differently (round-6
+                                join_size_estimate lesson), so outputs
+                                must be double/long/bool/string even
+                                when the arithmetic is decimal-carried.
+
 Whitelist entries document WHY a hit is intentional; anything else is
 an audit failure. Usage: python tools/plan_audit.py [sf_dir] [query ...]
 """
@@ -377,7 +385,24 @@ PATTERNS = (
     "BroadcastNestedLoopJoin",
     "SinglePartition",
     "ForcedBroadcastUnbounded",
+    "RawDecimalOutput",
 )
+
+
+def _raw_decimal_outputs(df) -> list[str]:
+    """Top-level DECIMAL columns in a registry query's OUTPUT schema.
+
+    Decimal arithmetic is encouraged internally (the dec_qsum carry),
+    but emitting a raw decimal column breaks the driver's cross-engine
+    value hash: Spark ``Decimal`` and DuckDB decimals normalize
+    differently (round 6's ``join_size_estimate`` red row — values
+    bit-identical, hash red). Convert to double/long/string before
+    returning; this flag makes the class unrepresentable."""
+    return [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName().startswith("decimal")
+    ]
 
 CHECKS = {
     "CartesianProduct": lambda plan: "CartesianProduct" in plan,
@@ -407,7 +432,8 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            qe = fn(spark, sf_dir)._jdf.queryExecution()
+            df = fn(spark, sf_dir)
+            qe = df._jdf.queryExecution()
             analyzed = qe.analyzed().toString()
             plan = qe.executedPlan().toString()
         except Exception as exc:  # plan construction itself failed
@@ -419,9 +445,15 @@ def main() -> int:
         forced = _forced_broadcast_unbounded(analyzed)
         if forced:
             hits.append("ForcedBroadcastUnbounded")
+        dec_cols = _raw_decimal_outputs(df)
+        if dec_cols:
+            hits.append("RawDecimalOutput")
         bad = [p for p in hits if p not in allowed]
         status = "ok" if not bad else "FLAG"
-        detail = {"ForcedBroadcastUnbounded": f"({','.join(forced)})"}
+        detail = {
+            "ForcedBroadcastUnbounded": f"({','.join(forced)})",
+            "RawDecimalOutput": f"({','.join(dec_cols)})",
+        }
         notes = "; ".join(
             [
                 f"{p}{detail.get(p, '')} [allowed: {allowed[p]}]"
