@@ -373,20 +373,131 @@ def recursive_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion semantics, so the oracle is the same string.
 
     Scale note: UNION ALL recursion enumerates PATHS, so the hop
-    bound is the cost control (2 hops ≈ 257k paths at sf0.1; the
-    deduplicated per-hop frontier a 100 TB run wants needs
-    UNION-distinct recursion, which Spark doesn't support yet —
-    at depth, iterate joins with a distinct per round, exactly what
-    ``connected_components`` does)."""
+    bound is the cost control (2 hops ≈ 257k paths at sf0.1); the
+    deduplicated per-hop frontier a 100 TB run wants is
+    :func:`trade_reach_frontier` below — same graph, same seeds,
+    per-node state instead of per-path."""
     from bigdata_pipelines_aws_glue_spark.sql import register_corpus_views
 
     register_corpus_views(spark, sf_dir)
     return spark.sql(RECURSIVE_REACH_SQL)
 
 
+#: Depth for the frontier-deduplicated BFS form. Deeper than the
+#: UNION-ALL variant's 2 because dedup makes depth cheap: per-node
+#: state is one (node, min_hops) row, never a path.
+_FRONTIER_MAX_HOPS = 4
+
+
+def trade_reach_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reachability with a DEDUPLICATED per-hop frontier — the
+    form that survives dense graphs, closing
+    :func:`recursive_trade_reach`'s documented caveat: UNION ALL
+    recursion enumerates PATHS (exponential in the worst case, the
+    hop bound its only guard), while this iterates joins with a
+    distinct + anti-join per round, so per-node state is one
+    (node, min_hops) row regardless of path multiplicity — the
+    ``connected_components`` machinery applied to BFS.
+
+    Spark rejects UNION-distinct recursion as of 4.1, so the Spark
+    side is a driver loop (one stage pair per hop, lineage truncated
+    with eager localCheckpoint exactly like connected_components;
+    early exit on an empty frontier via a limit(1) probe). The DuckDB
+    twin IS the UNION-distinct recursive CTE — min(hops) over
+    set-semantics recursion is the same BFS distance, so the two
+    forms attest each other.
+
+    Scale: each round shuffles (frontier x avg-degree) node ids only;
+    visited is bounded by |V| longs. At 100 TB the per-round cost is
+    |E_touched| + |V| — never the path count the UNION-ALL form pays.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    wts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .distinct()
+    )
+    fwd = wts.select(
+        F.col("cust").cast("long").alias("src"),
+        (F.col("supp") + SUPPLIER_NODE_BASE).cast("long").alias("dst"),
+    )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    seeds = cust.filter(F.col("c_custkey") < _REACH_SEED_MAX).select(
+        F.col("c_custkey").cast("long").alias("node")
+    )
+    visited = seeds.withColumn(
+        "min_hops", F.lit(0)
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for h in range(1, _FRONTIER_MAX_HOPS + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("min_hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    sup = F.col("node") >= SUPPLIER_NODE_BASE
+    return visited.select(
+        F.when(sup, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("node_type"),
+        F.when(sup, F.col("node") - SUPPLIER_NODE_BASE)
+        .otherwise(F.col("node"))
+        .alias("node_id"),
+        F.col("min_hops").cast("int").alias("min_hops"),
+    )
+
+
+FRONTIER_REACH_ORACLE = f"""
+WITH RECURSIVE wts AS (
+    SELECT o_custkey AS cust, l_suppkey AS supp
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT cust AS src, supp + {SUPPLIER_NODE_BASE} AS dst FROM wts
+    UNION ALL
+    SELECT supp + {SUPPLIER_NODE_BASE} AS src, cust AS dst FROM wts
+),
+reach(node, hops) AS (
+    SELECT CAST(c_custkey AS BIGINT), 0
+    FROM customer WHERE c_custkey < {_REACH_SEED_MAX}
+    UNION
+    SELECT e.dst, r.hops + 1
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.hops < {_FRONTIER_MAX_HOPS}
+)
+SELECT CASE WHEN node >= {SUPPLIER_NODE_BASE} THEN 'supplier'
+            ELSE 'customer' END AS node_type,
+       CASE WHEN node >= {SUPPLIER_NODE_BASE}
+            THEN node - {SUPPLIER_NODE_BASE} ELSE node END AS node_id,
+       CAST(min(hops) AS INT) AS min_hops
+FROM reach GROUP BY 1, 2
+"""
+
+
 def _register() -> None:
     registry.register(
         "recursive_trade_reach", recursive_trade_reach, RECURSIVE_REACH_SQL
+    )
+    registry.register(
+        "trade_reach_frontier", trade_reach_frontier, FRONTIER_REACH_ORACLE
     )
     registry.register(
         "triangle_count_parts", triangle_count_parts, TRIANGLE_ORACLE

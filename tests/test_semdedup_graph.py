@@ -166,3 +166,29 @@ def test_triangle_count_matches_bruteforce(spark):
     assert row.n_nodes == len(adj)
     assert row.n_triangles == tri
     assert row.n_wedges == wedges
+
+
+def test_frontier_reach_agrees_with_path_form_within_horizon(spark):
+    """The frontier-deduplicated BFS and the UNION-ALL path recursion
+    must assign identical min_hops to every node within the path
+    form's 2-hop horizon (the frontier form explores deeper; beyond
+    the shared horizon it may only ADD nodes, never relabel)."""
+    from bigdata_pipelines_aws_glue_spark.operators.graph import (
+        recursive_trade_reach,
+        trade_reach_frontier,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    path_form = {
+        (r.node_type, r.node_id): r.min_hops
+        for r in recursive_trade_reach(spark, sf).collect()
+    }
+    frontier = {
+        (r.node_type, r.node_id): r.min_hops
+        for r in trade_reach_frontier(spark, sf).collect()
+    }
+    assert len(path_form) > 0
+    for key, hops in path_form.items():
+        assert frontier[key] == hops, key
+    # deeper horizon: the frontier form never loses a node
+    assert set(path_form) <= set(frontier)
