@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 #: theta default lgK=12 ⇒ relative error ~1/sqrt(2^12) ≈ 1.6% per
@@ -308,7 +309,219 @@ LEFT JOIN (
 """
 
 
+#: Bloom filter geometry: m = 2^17 bits, k = 4 double-hashed probes.
+#: At sf0.1 (~10k inserted keys) the load kn/m ≈ 0.3 ⇒ theoretical
+#: FPR ≈ 0.5%; the bits table is bounded by m rows at ANY corpus
+#: scale, which is the whole point of the structure.
+BLOOM_M = 1 << 17
+BLOOM_K = 4
+#: shifts probe keys into a domain disjoint from any custkey, giving
+#: guaranteed non-members to measure the false-positive rate on
+_BLOOM_PROBE_OFFSET = 10_000_000
+
+
+def _bloom_h(key, tag: str, mod: int):
+    """60-bit md5-prefix hash mod ``mod`` — the repo's cross-engine
+    mixing hash (same construction as sampling.shuffle_key)."""
+    s = F.concat(key.cast("string"), F.lit(f":{tag}"))
+    return (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(mod)
+    )
+
+
+def _bloom_h_sql(key_expr: str, tag: str, mod: int) -> str:
+    return (
+        f"(('0x' || substring(md5(CAST({key_expr} AS VARCHAR) || "
+        f"':{tag}'), 1, 15))::BIGINT % {mod})"
+    )
+
+
+def _bloom_positions(df: DataFrame, key: str) -> DataFrame:
+    """(key, pos) pairs — the k Kirsch-Mitzenmacher double-hashed bit
+    positions (h1 + i·h2) mod m, h2 forced odd so the probe walk hits
+    distinct residues mod the power-of-two m."""
+    h1 = _bloom_h(F.col(key), "bf1", BLOOM_M)
+    h2 = _bloom_h(F.col(key), "bf2", BLOOM_M // 2) * 2 + 1
+    return (
+        df.select(F.col(key), h1.alias("h1"), h2.alias("h2"))
+        .select(
+            key,
+            F.explode(
+                F.sequence(F.lit(0), F.lit(BLOOM_K - 1))
+            ).alias("i"),
+            "h1",
+            "h2",
+        )
+        .select(
+            key,
+            ((F.col("h1") + F.col("i") * F.col("h2")) % BLOOM_M).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+
+
+def _bloom_pos_sql(src: str, key_expr: str, alias: str) -> str:
+    h1 = _bloom_h_sql(key_expr, "bf1", BLOOM_M)
+    h2 = f"({_bloom_h_sql(key_expr, 'bf2', BLOOM_M // 2)} * 2 + 1)"
+    return f"""
+{alias} AS (
+    SELECT DISTINCT {key_expr} AS key,
+           ({h1} + i * {h2}) % {BLOOM_M} AS pos
+    FROM {src}, generate_series(0, {BLOOM_K - 1}) t(i)
+)"""
+
+
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter membership sketch — the one classical mergeable
+    structure the HLL/GK/MG/CMS/theta/KLL family didn't yet cover.
+    Builds a filter over the customers who have ordered (distinct
+    o_custkey), probes every c_custkey PLUS the same keys shifted by
+    a disjoint offset (this corpus leaves almost no customer
+    order-less, so the shifted copies supply guaranteed non-members —
+    the double-ingestion pattern dedup_exact uses), and emits the
+    audit row: exact member / positive / false-positive counts,
+    measured FPR, theoretical FPR (1−e^{-kn/m})^k, and the
+    structural no-false-negatives guarantee.
+
+    Everything is deterministic — the bit positions are md5-derived,
+    so BOTH engines build the identical bitmap and every output
+    (including n_false_positives) hash-checks exactly; no tolerance
+    booleans needed, unlike the theta/KLL estimates.
+
+    100 TB shape: building = one distinct over (pos) bounded by m
+    rows regardless of corpus size (per-partition partial distinct
+    does the heavy lifting map-side — Bloom bitmaps OR-merge, and a
+    distinct-on-position set IS that OR); probing joins against the
+    m-bounded bits table (size-gated broadcast). The driver never
+    sees the bitmap."""
+    from bigdata_pipelines_aws_glue_spark.hints import maybe_broadcast
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    members = orders.select(
+        F.col("o_custkey").cast("long").alias("key")
+    ).distinct()
+    bits = _bloom_positions(members, "key").select("pos").distinct()
+    ckeys = cust.select(F.col("c_custkey").cast("long").alias("key"))
+    probe_keys = ckeys.unionByName(
+        ckeys.select((F.col("key") + _BLOOM_PROBE_OFFSET).alias("key"))
+    )
+    probe = _bloom_positions(probe_keys, "key")
+    hits = (
+        probe.join(
+            maybe_broadcast(bits.withColumn("hit", F.lit(1))),
+            "pos",
+            "left",
+        )
+        .groupBy("key")
+        .agg(F.min(F.coalesce("hit", F.lit(0))).alias("all_hit"))
+    )
+    classified = hits.join(
+        members.withColumn("is_member", F.lit(True)), "key", "left"
+    ).select(
+        "key",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        (F.col("all_hit") == 1).alias("positive"),
+    )
+    agg = classified.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum(F.col("positive").cast("long")).alias("n_positives"),
+        F.sum(
+            (F.col("positive") & ~F.col("is_member")).cast("long")
+        ).alias("n_false_positives"),
+        F.sum(
+            (F.col("is_member") & ~F.col("positive")).cast("long")
+        ).alias("n_false_negatives"),
+    )
+    return agg.select(
+        F.lit(BLOOM_M).cast("long").alias("m_bits"),
+        F.lit(BLOOM_K).cast("int").alias("k_hashes"),
+        F.col("n_probes").cast("long"),
+        F.col("n_members").cast("long").alias("n_inserted"),
+        F.col("n_positives").cast("long"),
+        F.col("n_false_positives").cast("long"),
+        (F.col("n_false_negatives") == 0).alias("no_false_negatives"),
+        stable_round(
+            F.col("n_false_positives")
+            / F.greatest(
+                F.col("n_probes") - F.col("n_members"), F.lit(1)
+            ),
+            6,
+        ).alias("fpr_measured"),
+        stable_round(
+            F.pow(
+                F.lit(1.0)
+                - F.exp(
+                    -F.lit(float(BLOOM_K))
+                    * F.col("n_members")
+                    / F.lit(float(BLOOM_M))
+                ),
+                F.lit(float(BLOOM_K)),
+            ),
+            6,
+        ).alias("fpr_theory"),
+    )
+
+
+BLOOM_ORACLE = f"""
+WITH members AS (
+    SELECT DISTINCT CAST(o_custkey AS BIGINT) AS key FROM orders
+),
+{_bloom_pos_sql('members', 'key', 'mpos').lstrip()},
+bits AS (SELECT DISTINCT pos FROM mpos),
+cust AS (
+    SELECT CAST(c_custkey AS BIGINT) AS key FROM customer
+    UNION ALL
+    SELECT CAST(c_custkey AS BIGINT) + 10_000_000 FROM customer
+),
+{_bloom_pos_sql('cust', 'key', 'ppos').lstrip()},
+hits AS (
+    SELECT p.key,
+           min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS all_hit
+    FROM ppos p LEFT JOIN bits b ON p.pos = b.pos
+    GROUP BY p.key
+),
+classified AS (
+    SELECT h.key,
+           m.key IS NOT NULL AS is_member,
+           h.all_hit = 1 AS positive
+    FROM hits h LEFT JOIN members m ON h.key = m.key
+),
+agg AS (
+    SELECT count(*) AS n_probes,
+           sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_members,
+           sum(CASE WHEN positive THEN 1 ELSE 0 END) AS n_positives,
+           sum(CASE WHEN positive AND NOT is_member THEN 1 ELSE 0 END)
+               AS n_false_positives,
+           sum(CASE WHEN is_member AND NOT positive THEN 1 ELSE 0 END)
+               AS n_false_negatives
+    FROM classified
+)
+SELECT CAST({BLOOM_M} AS BIGINT) AS m_bits,
+       CAST({BLOOM_K} AS INT) AS k_hashes,
+       CAST(n_probes AS BIGINT) AS n_probes,
+       CAST(n_members AS BIGINT) AS n_inserted,
+       CAST(n_positives AS BIGINT) AS n_positives,
+       CAST(n_false_positives AS BIGINT) AS n_false_positives,
+       n_false_negatives = 0 AS no_false_negatives,
+       floor((n_false_positives /
+              greatest(n_probes - n_members, 1)) * 1000000.0 + 0.5)
+         / 1000000.0 AS fpr_measured,
+       floor(pow(1.0 - exp(-{BLOOM_K}.0 * n_members / {BLOOM_M}.0),
+                 {BLOOM_K}.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS fpr_theory
+FROM agg
+"""
+
+
 def _register() -> None:
     registry.register("theta_set_algebra", theta_set_algebra, THETA_ORACLE)
     registry.register("kll_quantile_merge", kll_quantile_merge, KLL_ORACLE)
     registry.register("approx_top_terms", approx_top_terms, APPROX_TOP_ORACLE)
+    registry.register(
+        "bloom_membership_audit", bloom_membership_audit, BLOOM_ORACLE
+    )
