@@ -330,6 +330,131 @@ FROM ranked WHERE rank <= {BM25_TOPK}
 """
 
 
+#: RRF smoothing constant — the value from the original Cormack/
+#: Clarke/Buettcher paper (TREC 2009), used unchanged by every
+#: production hybrid-search implementation.
+RRF_K = 60
+RRF_TOPK = 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the SPARSE (BM25
+    over ``documents``) and DENSE (exact cosine over ``embeddings``;
+    ``vec_id`` is the embedding of ``doc_id`` — same cardinality and
+    id space in this corpus) top-10 lists for the same query
+    documents. ``rrf = Σ_lists 1/(K + rank)`` with K=60; a doc absent
+    from one list simply contributes nothing — the property that
+    makes RRF score-scale-free and the default fusion in hybrid
+    search engines.
+
+    Everything downstream of the two retrievals is rank arithmetic
+    on lists bounded by |queries|·k rows — the fusion itself costs
+    nothing at any corpus scale; the retrievals carry the documented
+    scale posture of ``bm25_search`` and ``cosine_topk``. 1/(K+r)
+    and the two-term sum are exactly-specified IEEE ops, so the
+    fused scores hash bit-for-bit cross-engine."""
+    from bigdata_pipelines_aws_glue_spark.operators.similarity import cosine
+
+    sparse = bm25_search(spark, sf_dir).select(
+        "query_id",
+        "doc_id",
+        F.col("rank").alias("r_sparse"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    dense = (
+        scored.withColumn("r_dense", F.row_number().over(wd))
+        .filter(F.col("r_dense") <= RRF_TOPK)
+        .select("query_id", "doc_id", "r_dense")
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer")
+    rrf = (
+        F.when(
+            F.col("r_sparse").isNotNull(),
+            F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("r_sparse")),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("r_dense").isNotNull(),
+            F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("r_dense")),
+        ).otherwise(F.lit(0.0))
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        rrf.desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= RRF_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.col("r_sparse").cast("int").alias("r_sparse"),
+            F.col("r_dense").cast("int").alias("r_dense"),
+            stable_round(rrf, 8).alias("rrf_score"),
+        )
+    )
+
+
+RRF_ORACLE = f"""
+WITH sparse AS (
+{BM25_ORACLE}
+),
+dense_scored AS (
+    SELECT q.vec_id AS query_id, b.vec_id AS doc_id,
+           list_dot_product(q.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]))) AS cos
+    FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+),
+dense AS (
+    SELECT query_id, doc_id, r_dense FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, doc_id) AS r_dense
+        FROM dense_scored
+    ) WHERE r_dense <= {RRF_TOPK}
+),
+fused AS (
+    SELECT coalesce(s.query_id, d.query_id) AS query_id,
+           coalesce(s.doc_id, d.doc_id) AS doc_id,
+           s.rank AS r_sparse, d.r_dense,
+           coalesce(1.0 / ({RRF_K} + s.rank), 0.0)
+             + coalesce(1.0 / ({RRF_K} + d.r_dense), 0.0) AS rrf
+    FROM (SELECT query_id, doc_id, rank FROM sparse) s
+    FULL OUTER JOIN dense d
+      ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+       CAST(r_sparse AS INT) AS r_sparse,
+       CAST(r_dense AS INT) AS r_dense,
+       floor(rrf * 100000000.0 + 0.5) / 100000000.0 AS rrf_score
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf DESC, doc_id) AS rank
+    FROM fused
+) WHERE rank <= {RRF_TOPK}
+"""
+
+
 def _register() -> None:
     registry.register("lm_perplexity_filter", lm_perplexity_filter, LM_PPL_ORACLE)
     registry.register("bm25_search", bm25_search, BM25_ORACLE)
+    registry.register("hybrid_search_rrf", hybrid_search_rrf, RRF_ORACLE)

@@ -114,6 +114,15 @@ WHITELIST: dict[str, dict[str, str]] = {
         "ForcedBroadcastUnbounded": "query side is the fixed N_QUERIES (vec_id < 50) sample — "
         "documented recall baseline",
     },
+    "hybrid_search_rrf": {
+        "BroadcastNestedLoopJoin": "the two bounded retrieval shapes it fuses: BM25's (n_docs, "
+        "avgdl) 1-row scalar + query-term broadcasts, and the dense "
+        "side's N_QUERIES-row query broadcast (the cosine_topk shape); "
+        "the fusion itself is a |queries|*k-row equi full-outer join",
+        "ForcedBroadcastUnbounded": "query sides are the fixed 5-doc query sample (BM25 qterms / "
+        "dense vec_id < 5) plus BM25's query-term-semi-joined df — all "
+        "bounded by the query set, not the corpus",
+    },
     "lsh_candidate_quality": {
         "BroadcastNestedLoopJoin": "three 1-row census scalars (candidate/true/hit counts) "
         "crossJoined into the single audit row; candidate and truth "
