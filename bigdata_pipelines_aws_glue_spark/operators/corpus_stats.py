@@ -25,7 +25,7 @@ row), never a driver-side collect.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
@@ -675,6 +675,138 @@ FROM est CROSS JOIN tot
 """
 
 
+#: terms entering the log-log fit — bounded, and the head is where
+#: Zipf's law actually holds (the tail bends; every published fit
+#: truncates).
+ZIPF_TOP_R = 200
+#: 1e-9 quantization of ln values before the regression sums (the
+#: BM25 precedent): libm ln is not IEEE-exactly specified, so the
+#: raw doubles could differ in the last ulp across engines; the
+#: quantized integers cannot.
+_ZQ = 1_000_000_000.0
+
+
+def zipf_fit_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency head: OLS of
+    ln(freq) on ln(rank) for the top ``ZIPF_TOP_R`` terms. A healthy
+    natural-language corpus fits slope ≈ −1 with r² near 1; template
+    spam / synthetic boilerplate bends the curve — which makes the
+    (slope, r²) pair a one-row corpus-health check alongside
+    ``corpus_token_entropy``. (On this synthetic corpus the check
+    fires as designed: the ~31-term template vocabulary is nearly
+    frequency-flat — measured slope ≈ −0.16, r² ≈ 0.05 at sf0.1 —
+    i.e. the corpus is detected as NON-Zipfian boilerplate.)
+
+    Numeric discipline: each ln is quantized to 1e-9 (cross-engine
+    libm safety, the BM25 precedent), and every regression sum —
+    including the Σxq·yq products at ~5e19 — is carried in
+    decimal(38,0)/HUGEINT per the repo-wide dec_qsum rule, so the
+    sums are order-independent exact integers; the closed-form OLS
+    then runs in doubles from identical inputs on both engines.
+
+    Scale: term counting is the vocab-sized aggregate (Heaps-law
+    sublinear); the top-R head arrives via TakeOrderedAndProject
+    (map-side partial top-k, no global sort of the vocab); the
+    regression itself sees R = 200 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(_tokens(F.col("text"))).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    head = tf.orderBy(
+        F.col("freq").desc(), F.col("term").asc()
+    ).limit(ZIPF_TOP_R)
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = head.withColumn("rank", F.row_number().over(w))
+    xq = F.floor(
+        F.log(F.col("rank").cast("double")) * F.lit(_ZQ) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    yq = F.floor(
+        F.log(F.col("freq").cast("double")) * F.lit(_ZQ) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    sums = ranked.select(xq.alias("xq"), yq.alias("yq")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    return sums.select(
+        F.col("n").cast("long").alias("n_terms_fit"),
+        stable_round(slope, 6).alias("zipf_slope"),
+        stable_round(
+            (sy - slope * sx) / (n * F.lit(_ZQ)), 6
+        ).alias("intercept_ln"),
+        stable_round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+ZIPF_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS freq
+    FROM toks WHERE length(term) > 0 GROUP BY term
+),
+head AS (
+    SELECT term, freq FROM tf
+    ORDER BY freq DESC, term ASC LIMIT {ZIPF_TOP_R}
+),
+ranked AS (
+    SELECT freq,
+           row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+    FROM head
+),
+q AS (
+    SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * {_ZQ} + 0.5)
+                AS HUGEINT) AS xq,
+           CAST(floor(ln(CAST(freq AS DOUBLE)) * {_ZQ} + 0.5)
+                AS HUGEINT) AS yq
+    FROM ranked
+),
+sums AS (
+    SELECT count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+           sum(xq * yq) AS sxy, sum(xq * xq) AS sxx,
+           sum(yq * yq) AS syy
+    FROM q
+)
+SELECT CAST(n AS BIGINT) AS n_terms_fit,
+       floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+       floor((CAST(sy AS DOUBLE)
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * {_ZQ})
+             * 1000000.0 + 0.5) / 1000000.0 AS intercept_ln,
+       floor(pow(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS r2
+FROM sums
+"""
+
+
 def _register() -> None:
     registry.register("heavy_hitters_mg", heavy_hitters_mg, HEAVY_HITTERS_ORACLE)
     registry.register("count_min_sketch", count_min_sketch, CMS_ORACLE)
@@ -685,3 +817,4 @@ def _register() -> None:
     )
     registry.register("corpus_token_entropy", corpus_token_entropy, ENTROPY_ORACLE)
     registry.register("crossdoc_shingle_dup", crossdoc_shingle_dup, SHINGLE_ORACLE)
+    registry.register("zipf_fit_terms", zipf_fit_terms, ZIPF_ORACLE)
