@@ -175,6 +175,7 @@ def _load_all() -> None:
         "layout",
         "resolution",
         "drift",
+        "observability",
         "privacy",
         "optimizer_stats",
         "basket",

@@ -284,3 +284,35 @@ def test_watermark_drops_late_event(spark, tmp_path):
     assert out.get(t(10, 0)) == 2
     # the 12:00 window never fired (watermark never passed its end)
     assert t(12, 0) not in out
+
+
+def test_streaming_observed_metrics_report_scan_totals(
+    spark, sf_dir, events_dir
+):
+    """observe() on a STREAMING source: per-batch observed metrics
+    arrive through StreamingQueryProgress (the listener-bus channel a
+    monitoring stack consumes) and their totals must equal the real
+    input — the streaming twin of observed_metrics_q6's batch path."""
+    stream = read_event_stream(spark, events_dir).drop("event_id")
+    observed = stream.observe(
+        "scan_metrics", F.count(F.lit(1)).alias("n_rows")
+    )
+    q = (
+        observed.groupBy("user_id")
+        .count()
+        .writeStream.format("memory")
+        .queryName("obs_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    seen = sum(
+        p["observedMetrics"]["scan_metrics"]["n_rows"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("scan_metrics")
+    )
+    want = load_table(spark, sf_dir, "events").count()
+    assert seen == want
+    got = spark.table("obs_stream").agg(F.sum("count")).collect()[0][0]
+    assert got == want
