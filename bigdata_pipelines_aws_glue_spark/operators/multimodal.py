@@ -340,9 +340,11 @@ def decode_image(payload: bytes) -> np.ndarray:
     color types and bit depths, sequential or Adam7-interlaced),
     and baseline-sequential + progressive JPEG (``jpeg.py``,
     cross-validated against javax.imageio output — numpy + stdlib
-    only, see module docstring); anything else — arithmetic/
-    hierarchical JPEG, non-MJPEG video
-    containers — raises ``NotImplementedError`` here, the
+    only, see module docstring); animated GIF is decoded for real
+    too (``gif.py``, full LZW, javax.imageio-cross-validated both
+    directions) via its own frame query. Anything else — arithmetic/
+    hierarchical JPEG, non-MJPEG/GIF video
+    codecs — raises ``NotImplementedError`` here, the
     integration seam where a real deployment wires PIL / torchvision
     / ffmpeg."""
     if payload[:2] in (b"P5", b"P6"):

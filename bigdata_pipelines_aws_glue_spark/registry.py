@@ -176,6 +176,7 @@ def _load_all() -> None:
         "resolution",
         "drift",
         "observability",
+        "gif",
         "privacy",
         "optimizer_stats",
         "basket",

@@ -1,0 +1,169 @@
+"""GIF89a codec tests: LZW round-trips (including table overflow and
+small code sizes), container round-trip, interlace, compositing
+semantics, and — the reason GIF was the codec chosen to narrow the
+video seam — cross-validation against javax.imageio in BOTH
+directions (our encoder → Java's decoder on a real 3-frame
+animation; Java's writer → our decoder vs Java's own read-back)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from bigdata_pipelines_aws_glue_spark.operators.gif import (
+    _sub_blocks,
+    decode_gif,
+    encode_gif,
+    grayscale_palette,
+    lzw_decode,
+    lzw_encode,
+)
+
+
+def test_lzw_roundtrips_incl_table_overflow():
+    rng = np.random.default_rng(7)
+    cases = [
+        bytes(rng.integers(0, 256, 20000).astype(np.uint8)),  # overflow
+        b"a" * 5000,
+        b"abc" * 3000,
+        bytes(range(256)) * 40,
+        b"",
+        b"x",
+    ]
+    for data in cases:
+        assert lzw_decode(lzw_encode(data, 8), 8) == data
+    for mcs in (2, 4):
+        data = bytes(rng.integers(0, 1 << mcs, 3000).astype(np.uint8))
+        assert lzw_decode(lzw_encode(data, mcs), mcs) == data
+
+
+def test_gif_roundtrip_multiframe():
+    rng = np.random.default_rng(3)
+    pal = grayscale_palette()
+    for nf in (1, 2, 4):
+        frames = [
+            rng.integers(0, 256, (16, 16)).astype(np.uint8)
+            for _ in range(nf)
+        ]
+        dec = decode_gif(encode_gif(frames))
+        assert len(dec) == nf
+        for f, d in zip(frames, dec):
+            assert (d == pal[f]).all()
+
+
+def test_gif_interlaced_image_deinterlaces():
+    """Hand-build an interlaced single-image GIF (rows stored in the
+    0::8/4::8/2::4/1::2 pass order) — decode must restore the
+    original row order."""
+    rng = np.random.default_rng(5)
+    h, w = 16, 8
+    idx = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    pass_rows = [
+        r
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for r in range(start, h, step)
+    ]
+    stored = idx[pass_rows]
+    g = bytearray(b"GIF89a")
+    g += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    g += grayscale_palette().tobytes()
+    g += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlace
+    g.append(8)
+    g += _sub_blocks(lzw_encode(stored.tobytes(), 8))
+    g.append(0x3B)
+    dec = decode_gif(bytes(g))
+    assert (dec[0] == grayscale_palette()[idx]).all()
+
+
+def test_gif_subregion_transparency_composites_onto_previous():
+    """Frame 2 is a 4x4 patch at (2,3) with a transparent index:
+    transparent pixels must show frame 1 underneath; disposal 3
+    raises the documented seam."""
+    pal = grayscale_palette()
+    base = np.full((8, 8), 10, np.uint8)
+    patch = np.array(
+        [[200, 0, 200, 0]] * 4, np.uint8
+    )  # 0 = transparent here
+    g = bytearray(b"GIF89a")
+    g += struct.pack("<HHBBB", 8, 8, 0xF7, 0, 0)
+    g += pal.tobytes()
+    g += b"\x2c" + struct.pack("<HHHHB", 0, 0, 8, 8, 0)
+    g.append(8)
+    g += _sub_blocks(lzw_encode(base.tobytes(), 8))
+    # GCE: disposal=1 keep, transparency on, transparent index 0
+    g += b"\x21\xf9" + bytes([4, 0b101, 0, 0, 0, 0])
+    g += b"\x2c" + struct.pack("<HHHHB", 3, 2, 4, 4, 0)
+    g.append(8)
+    g += _sub_blocks(lzw_encode(patch.tobytes(), 8))
+    g.append(0x3B)
+    dec = decode_gif(bytes(g))
+    assert len(dec) == 2
+    want = pal[base].copy()
+    for y in range(4):
+        for x in range(4):
+            if patch[y, x] != 0:
+                want[2 + y, 3 + x] = pal[patch[y, x]]
+    assert (dec[1] == want).all()
+
+    bad = bytes(g).replace(
+        b"\x21\xf9" + bytes([4, 0b101]), b"\x21\xf9" + bytes([4, 0b1101])
+    )
+    with pytest.raises(NotImplementedError):
+        decode_gif(bad)
+
+
+def _java_read_frames(spark, gif_bytes):
+    jvm = spark._jvm
+    stream = jvm.java.io.ByteArrayInputStream(bytearray(gif_bytes))
+    iis = jvm.javax.imageio.ImageIO.createImageInputStream(stream)
+    reader = jvm.javax.imageio.ImageIO.getImageReadersByFormatName(
+        "gif"
+    ).next()
+    reader.setInput(iis)
+    out = []
+    for i in range(reader.getNumImages(True)):
+        img = reader.read(i)
+        h, w = img.getHeight(), img.getWidth()
+        arr = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                rgb = img.getRGB(x, y)
+                arr[y, x] = [
+                    (rgb >> 16) & 255,
+                    (rgb >> 8) & 255,
+                    rgb & 255,
+                ]
+        out.append(arr)
+    return out
+
+
+def test_javax_reads_our_animated_gif_exactly(spark):
+    rng = np.random.default_rng(11)
+    pal = grayscale_palette()
+    frames = [
+        rng.integers(0, 256, (16, 16)).astype(np.uint8) for _ in range(3)
+    ]
+    jf = _java_read_frames(spark, encode_gif(frames))
+    assert len(jf) == 3
+    for f, j in zip(frames, jf):
+        assert (j == pal[f]).all()
+
+
+def test_our_decoder_matches_javax_writer_readback(spark):
+    """javax.imageio's GIF writer quantizes to its own palette; our
+    decode of its bytes must equal Java's own read-back of the same
+    bytes (palette + LZW agreement with an independent encoder)."""
+    jvm = spark._jvm
+    rng = np.random.default_rng(13)
+    BI = jvm.java.awt.image.BufferedImage
+    img = BI(20, 14, BI.TYPE_INT_RGB)
+    for y in range(14):
+        for x in range(20):
+            c = [int(v) for v in rng.integers(0, 256, 3)]
+            img.setRGB(x, y, (c[0] << 16) | (c[1] << 8) | c[2])
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "gif", baos)
+    jgif = bytes(baos.toByteArray())
+    assert (decode_gif(jgif)[0] == _java_read_frames(spark, jgif)[0]).all()
