@@ -17,10 +17,11 @@ the JPEG + PNG-variant paths cross-validated against
 ``javax.imageio`` in BOTH directions (their reader on our bytes,
 our reader on their writer's palette/bilevel/gray output). The
 synthetic corpus payloads are REAL encoded images; ``decode_image``
-dispatches on the magic bytes and actually decodes them. Remaining
-formats (arithmetic/hierarchical JPEG, non-MJPEG video containers)
-raise ``NotImplementedError`` at the same dispatch point — the
-PIL/ffmpeg integration seam at deploy time.
+dispatches on the magic bytes and actually decodes them; animated
+GIF (full LZW, ``gif.py``) is a real multi-frame path with its own
+query. Remaining formats (arithmetic/hierarchical JPEG, non-MJPEG/
+GIF video codecs) raise ``NotImplementedError`` at the same dispatch
+point — the PIL/ffmpeg integration seam at deploy time.
 
 ``multimodal_bytes_meta`` — the metadata/integrity pass (sizes,
 digests) — is pure JVM expressions and oracle-checked.
