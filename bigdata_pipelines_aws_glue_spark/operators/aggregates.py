@@ -777,6 +777,90 @@ CROSS JOIN (SELECT CAST(unnest([{", ".join(str(q) for q in PCT_QUANTILES)}])
 """
 
 
+def make_trimmed_mean_cents():
+    """GROUPED_AGG pandas UDF (Arrow-batched UDAF surface): 10%
+    two-sided trimmed mean over exact integer cents. Deterministic
+    cross-engine: int64 sort + int64 sum (exact), trim count is pure
+    integer arithmetic (``n // 10``), final mean is one correctly-
+    rounded double division — no float accumulation order anywhere."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def trimmed_mean_cents(cents):
+        import numpy as np
+
+        a = np.sort(cents.to_numpy(np.int64))
+        k = len(a) // 10
+        kept = a[k : len(a) - k] if k else a
+        return float(kept.sum()) / len(kept)
+
+    # pandas_udf infers GROUPED_AGG from (Series -> float) hints, but
+    # this module's ``from __future__ import annotations`` stringifies
+    # inline hints into names unresolvable from the UDF's globals —
+    # attach real objects instead (SPARK-28264 hint inference).
+    trimmed_mean_cents.__annotations__ = {"cents": pd.Series, "return": float}
+    return pandas_udf(trimmed_mean_cents, "double")
+
+
+def trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimate per return flag via the GROUPED_AGG
+    pandas UDF surface — the one UDF family the registry didn't yet
+    exercise (SCALAR: flagship history; GROUPED_MAP: stateful twins;
+    UDTF: chunking; mapInArrow: arrow_doc_stats).
+
+    Honest scale note: GROUPED_AGG materializes each group's column
+    in one Arrow batch, so it is the right tool for bounded groups
+    (per-key sketches, per-entity series), NOT for a 7e10-row 100 TB
+    group — there the rank-window formulation (percentile trim via
+    ``row_number``/``count`` windows, exactly this query's DuckDB
+    twin) is the scalable path. Both formulations are asserted equal
+    in tests/test_grouped_agg.py; at bench scale the groups are
+    ~2e5 rows and one batch per group is the cheapest plan.
+    Determinism: see :func:`make_trimmed_mean_cents`."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    tm = make_trimmed_mean_cents()
+    # Spark rejects mixing a GROUPED_AGG pandas UDF with non-pandas
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count is its own 3-group aggregate joined back (broadcast).
+    # No broadcast hint despite the tiny sides: both join inputs are
+    # aggregates of unbounded lineage (the plan-audit class the r5
+    # streaming finding banned) — AQE sees the ~3-row post-agg sizes
+    # at runtime and picks the broadcast itself.
+    means = li.groupBy("l_returnflag").agg(tm(F.col("cents")).alias("mean_cents"))
+    counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+    return means.join(counts, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        (F.col("mean_cents") / F.lit(100.0)).alias("trimmed_mean_price"),
+    )
+
+
+TRIMMED_MEAN_ORACLE = """
+WITH v AS (
+    SELECT l_returnflag,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+    FROM lineitem
+),
+r AS (
+    SELECT l_returnflag, c,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY c) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM v
+)
+SELECT l_returnflag,
+       CAST(max(n) AS BIGINT) AS n_rows,
+       (CAST(sum(c) AS DOUBLE) / count(*)) / 100.0 AS trimmed_mean_price
+FROM r
+WHERE rn > n // 10 AND rn <= n - n // 10
+GROUP BY l_returnflag
+"""
+
+
 def _register() -> None:
     from bigdata_pipelines_aws_glue_spark.plans.flagship import FLAGSHIP_ORACLE_SQL
 
@@ -812,3 +896,4 @@ def _register() -> None:
     registry.register(
         "monthly_revenue_gapfill", monthly_revenue_gapfill, GAPFILL_ORACLE
     )
+    registry.register("trimmed_mean_price", trimmed_mean_price, TRIMMED_MEAN_ORACLE)

@@ -14,7 +14,7 @@ the Redshift staging dance and Glue job bookmarks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
@@ -127,6 +127,117 @@ GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE)
 """
 
 
+def cdc_apply(
+    changelog: DataFrame, key: str, seq: str, op: str = "op"
+) -> DataFrame:
+    """Apply a CDC changelog (insert/update/delete rows with a
+    monotone per-key sequence number) to produce the current table
+    state: latest-sequence-wins per key, then drop keys whose latest
+    op is a delete.
+
+    The changelog arrives in ARBITRARY order (late/out-of-order
+    deliveries are the norm for log-based CDC), so correctness cannot
+    depend on ingest order — only on ``seq``. One hash shuffle on the
+    key; the ``row_number`` window never materializes more than one
+    key's ops per task, so the pattern holds for a 100 TB changelog
+    as long as per-key op counts are bounded (they are: CDC compaction
+    upstream caps them). ``max_by``-style argmax would also work but
+    a window keeps every column of the winning op without a struct
+    repack."""
+    w = Window.partitionBy(key).orderBy(F.col(seq).desc())
+    latest = (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return latest.filter(F.col(op) != F.lit("D")).drop(op, seq)
+
+
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC end-to-end on the hard signal: a deterministic changelog is
+    synthesized from ``orders`` — every key gets an INSERT (seq 1),
+    every 3rd key an UPDATE (+500 cents, seq 3), every 7th key a
+    DELETE (seq 2). The DELETE deliberately carries a LOWER sequence
+    than the UPDATE, so keys divisible by 21 exercise the
+    out-of-order resurrection case: the seq-3 update supersedes the
+    seq-2 delete and the row SURVIVES. Output: per-status live-row
+    count, survivors-that-were-updated count, and exact-cents revenue
+    (decimal(38,0)-carried sum, double-exact below 2^53).
+
+    The reference's merge design (redshift_setup.py:190-194) only
+    upserts; log-based CDC adds deletes and out-of-order sequencing,
+    which this operator pins cross-engine."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    inserts = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "cents",
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("cents") + F.lit(500)).alias("cents"),
+        F.lit("U").alias("op"),
+        F.lit(3).alias("seq"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.lit(None).cast("long").alias("cents"),
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    log = inserts.unionByName(updates).unionByName(deletes)
+    live = cdc_apply(log, key="o_orderkey", seq="seq").withColumn(
+        "was_updated", (F.col("o_orderkey") % 3 == 0).cast("int")
+    )
+    return live.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("was_updated").cast("long").alias("n_updated"),
+        F.sum(F.col("cents").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("revenue_cents"),
+    )
+
+
+CDC_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+log AS (
+    SELECT o_orderkey, o_orderstatus, cents, 'I' AS op, 1 AS seq FROM base
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, cents + 500, 'U', 3 FROM base
+    WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, NULL, 'D', 2 FROM base
+    WHERE o_orderkey % 7 = 0
+),
+latest AS (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM log
+)
+SELECT o_orderstatus,
+       count(*) AS n_live,
+       CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_updated,
+       CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS revenue_cents
+FROM latest
+WHERE rn = 1 AND op <> 'D'
+GROUP BY o_orderstatus
+"""
+
+
 def _register() -> None:
     registry.register("staged_merge_orders", staged_merge_orders, MERGE_ORACLE)
     registry.register(
@@ -134,3 +245,4 @@ def _register() -> None:
         incremental_monthly_revenue,
         INCREMENTAL_AGG_ORACLE,
     )
+    registry.register("cdc_apply_changes", cdc_apply_changes, CDC_ORACLE)
