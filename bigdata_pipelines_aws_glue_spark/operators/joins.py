@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
 from bigdata_pipelines_aws_glue_spark.plans.flagship import synth_transactions
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
@@ -595,10 +596,179 @@ FROM daily_orders o FULL OUTER JOIN daily_shipments r ON o.day = r.day
 """
 
 
+def _monthly_rate_points(spark: SparkSession) -> DataFrame:
+    """Dense rate curve for the interpolation as-of: one point per
+    month 1995-01 .. 2001-12 (84 points) per rated currency, so every
+    transaction shipdate (1995-01-02 .. 2001-11-04 — MEASURED on the
+    corpus; this synthetic calendar is not TPC-H's 1992-1998) sits
+    strictly inside the curve.
+    rate(slot, m) = 0.5 + slot*0.1 + ((m*7) % 13) * 0.01 — integer
+    congruence arithmetic scaled by exact-literal multipliers, so both
+    engines rebuild bit-identical doubles from closed form."""
+    from bigdata_pipelines_aws_glue_spark.plans.flagship import (
+        RATED_CURRENCY_SLOTS,
+        _currency_expr,
+    )
+
+    months = spark.range(84).select(F.col("id").alias("m"))
+    slots = spark.range(RATED_CURRENCY_SLOTS).select(F.col("id").alias("slot"))
+    return months.crossJoin(slots).select(
+        _currency_expr(F.col("slot")).alias("currency"),
+        F.expr("add_months(timestamp'1995-01-01 00:00:00', m)").alias(
+            "rate_date"
+        ),
+        (
+            F.lit(0.5)
+            + F.col("slot") * F.lit(0.1)
+            + ((F.col("m") * 7) % 13) * F.lit(0.01)
+        ).alias("rate"),
+    )
+
+
+def interpolated_asof(
+    left: DataFrame,
+    curve: DataFrame,
+    on: str,
+    left_time: str,
+    curve_time: str,
+    curve_val: str,
+    out_schema: str,
+    out_cols: list[str],
+) -> DataFrame:
+    """LINEARLY-INTERPOLATED as-of join via cogrouped
+    ``applyInPandas`` — the cogroup surface's canonical use: each task
+    receives one key's left rows AND that key's full rate curve
+    together, with no join row explosion and no prev+next double
+    window. A plain backward as-of (J4) steps; this blends between
+    the surrounding curve points:
+
+        r(t) = r0 + (r1 - r0) * ((t - t0) / (t1 - t0))
+
+    evaluated in exactly that operation order (each numpy binary op
+    is one correctly-rounded IEEE op, matching the scalar SQL parse
+    tree of the oracle's closed form). Keys with an EMPTY curve group
+    (unrated currencies) emit NULL — the cogroup equivalent of
+    left-outer.
+
+    Scale: one hash shuffle of each side on the key; per-task memory
+    is one key's rows + its curve (curves are calendar-bounded).
+    Skewed keys inherit the same mitigation as any keyed cogroup
+    (salt the LEFT and replicate the curve per salt)."""
+
+    def interp(l_pdf, r_pdf):
+        import numpy as np
+
+        out = l_pdf[out_cols].copy()
+        t = l_pdf[left_time].to_numpy().astype("datetime64[D]").astype(np.int64)
+        if len(r_pdf) == 0:
+            out["rate_interp"] = np.full(len(l_pdf), np.nan)
+            return out
+        r_pdf = r_pdf.sort_values(curve_time)
+        pd_days = (
+            r_pdf[curve_time].to_numpy().astype("datetime64[D]").astype(np.int64)
+        )
+        rates = r_pdf[curve_val].to_numpy(np.float64)
+        idx = np.searchsorted(pd_days, t, side="right") - 1
+        # shipdates are strictly inside the curve; clamp defensively
+        # at the edges (emits the boundary rate, never extrapolates)
+        idx = np.clip(idx, 0, len(pd_days) - 1)
+        nxt = np.minimum(idx + 1, len(pd_days) - 1)
+        d0 = pd_days[idx]
+        d1 = pd_days[nxt]
+        r0 = rates[idx]
+        r1 = rates[nxt]
+        den = (d1 - d0).astype(np.float64)
+        num = (t - d0).astype(np.float64)
+        frac = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+        # t before the first point: idx clipped to 0 leaves num < 0 —
+        # clamp to the boundary rate instead of extrapolating backward
+        # (interior rows have 0 <= frac < 1, so this is an identity
+        # for them; the oracle covers interior rows only)
+        frac = np.clip(frac, 0.0, 1.0)
+        out["rate_interp"] = r0 + (r1 - r0) * frac
+        return out
+
+    return (
+        left.groupBy(on)
+        .cogroup(curve.groupBy(on))
+        .applyInPandas(interp, schema=out_schema)
+    )
+
+
+def interp_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: every transaction priced at the rate linearly
+    interpolated between the surrounding monthly curve points of its
+    currency (INR has no curve -> NULL rate, NULL converted amount).
+    The DuckDB twin never materializes the curve: because the points
+    sit at month starts with a closed-form rate, the oracle recomputes
+    r0/r1 from date_trunc arithmetic — so a hash match proves the
+    whole cogroup/searchsorted/interpolation pipeline equals the
+    analytic ground truth."""
+    tx = synth_transactions(spark, sf_dir).select(
+        "transaction_id", "currency", "amount", "timestamp"
+    )
+    curve = _monthly_rate_points(spark)
+    out = interpolated_asof(
+        tx,
+        curve,
+        on="currency",
+        left_time="timestamp",
+        curve_time="rate_date",
+        curve_val="rate",
+        out_schema=(
+            "transaction_id long, currency string, amount double,"
+            " rate_interp double"
+        ),
+        out_cols=["transaction_id", "currency", "amount"],
+    )
+    return out.select(
+        "transaction_id",
+        "currency",
+        stable_round(F.col("rate_interp"), 9).alias("rate_interp"),
+        stable_round(F.col("amount") * F.col("rate_interp"), 4).alias(
+            "amount_usd"
+        ),
+    )
+
+
+INTERP_ASOF_ORACLE = """
+WITH tx AS (
+    SELECT ((l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey) * 1000
+               + l_suppkey AS transaction_id,
+           l_orderkey % 5 AS slot,
+           l_extendedprice AS amount,
+           l_shipdate AS ts
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+calc AS (
+    SELECT transaction_id,
+           (['USD','EUR','GBP','JPY','INR'])[slot + 1] AS currency,
+           amount,
+           CASE WHEN slot <= 3 THEN
+               (0.5::DOUBLE + slot * 0.1::DOUBLE
+                    + (((year(ts) - 1995) * 12 + month(ts) - 1) * 7 % 13) * 0.01::DOUBLE)
+               + ((0.5::DOUBLE + slot * 0.1::DOUBLE
+                    + ((((year(ts) - 1995) * 12 + month(ts) - 1) + 1) * 7 % 13) * 0.01::DOUBLE)
+                  - (0.5::DOUBLE + slot * 0.1::DOUBLE
+                    + (((year(ts) - 1995) * 12 + month(ts) - 1) * 7 % 13) * 0.01::DOUBLE))
+                 * (CAST(date_diff('day', date_trunc('month', ts), ts) AS DOUBLE)
+                    / CAST(date_diff('day', date_trunc('month', ts),
+                           date_trunc('month', ts) + INTERVAL 1 MONTH) AS DOUBLE))
+           ELSE NULL END AS rate_interp
+    FROM tx
+)
+SELECT transaction_id, currency,
+       floor(rate_interp * 1000000000.0 + 0.5) / 1000000000.0 AS rate_interp,
+       floor((amount * rate_interp) * 10000.0 + 0.5) / 10000.0 AS amount_usd
+FROM calc
+"""
+
+
 def _register() -> None:
     registry.register(
         "full_outer_reconciliation", full_outer_reconciliation, FULL_OUTER_ORACLE
     )
+    registry.register("interp_asof_rates", interp_asof_rates, INTERP_ASOF_ORACLE)
     registry.register("asof_join_rates", asof_join_rates, ASOF_ORACLE)
     registry.register(
         "asof_join_sortmerge", asof_join_sortmerge_rates, ASOF_ORACLE

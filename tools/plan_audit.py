@@ -57,6 +57,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "dq_profile": {
         "BroadcastNestedLoopJoin": "1-row profile x 1-row orphan count",
     },
+    "interp_asof_rates": {
+        "BroadcastNestedLoopJoin": "rate-curve synthesis: 84-month x "
+        "4-currency range() cross join — calendar-bounded literals, not data",
+    },
     "monthly_revenue_gapfill": {
         "BroadcastNestedLoopJoin": "date-spine bounds: 1-row broadcast",
         "ForcedBroadcastUnbounded": "actuals keyed by (nation, month): 25 x |months| rows — grows with "
