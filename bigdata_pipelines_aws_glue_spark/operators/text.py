@@ -765,7 +765,92 @@ FROM s
 """
 
 
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information —
+    the classic collocation detector (Church & Hanks 1990):
+    PMI(a,b) = ln(c_ab * N / (c_a * c_b)) over bigram INSTANCES,
+    where c_a / c_b are the left / right marginal counts and N the
+    total bigram count. A min-count floor (c_ab >= 10) screens the
+    unstable low-frequency tail, the standard practice.
+
+    Plan: one explode of the shared ``_bigrams`` recipe, three
+    vocab-sized keyed aggregations joined back on the marginals, a
+    1-row N cross join (whitelisted scalar broadcast), and a global
+    top-k (TakeOrdered — no full sort). Determinism: counts are
+    exact ints; the ln argument is one int-ratio division (exact
+    below 2^53 — at a 100 TB N the PRODUCT c_ab*N leaves the exact
+    range, which shifts PMI by <1e-6 nats and is statistically
+    irrelevant; the oracle gate runs at exact scales); ln output is
+    1e-9-quantized (libm-safety precedent: BM25/zipf), ties broken
+    by gram text."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(_bigrams(_tokens(F.col("text")))).alias("gram")
+    ).select(
+        "gram",
+        F.substring_index("gram", " ", 1).alias("w1"),
+        F.substring_index("gram", " ", -1).alias("w2"),
+    )
+    cab = grams.groupBy("gram", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    ca = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("n_left"))
+    cb = grams.groupBy("w2").agg(F.count(F.lit(1)).alias("n_right"))
+    n_tot = grams.agg(F.count(F.lit(1)).alias("n_total"))
+    joined = (
+        cab.join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(n_tot)
+        .filter(F.col("n_pair") >= 10)
+    )
+    pmi = F.log(
+        (F.col("n_pair") * F.col("n_total")).cast("double")
+        / (F.col("n_left") * F.col("n_right")).cast("double")
+    )
+    out = joined.select(
+        "gram",
+        "n_pair",
+        "n_left",
+        "n_right",
+        stable_round(pmi, 9).alias("pmi"),
+    )
+    return out.orderBy(F.col("pmi").desc(), F.col("gram").asc()).limit(20)
+
+
+PMI_ORACLE = """
+WITH t AS (
+    SELECT string_split(trim(text), ' ') AS toks FROM documents
+),
+g AS (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS gram
+    FROM t WHERE len(toks) >= 2
+),
+p AS (
+    SELECT gram, split_part(gram, ' ', 1) AS w1,
+           split_part(gram, ' ', 2) AS w2
+    FROM g
+),
+cab AS (SELECT gram, w1, w2, count(*) AS n_pair FROM p GROUP BY gram, w1, w2),
+ca AS (SELECT w1, count(*) AS n_left FROM p GROUP BY w1),
+cb AS (SELECT w2, count(*) AS n_right FROM p GROUP BY w2),
+nt AS (SELECT count(*) AS n_total FROM p)
+SELECT gram,
+       CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       floor(ln(CAST(n_pair * n_total AS DOUBLE)
+                / CAST(n_left * n_right AS DOUBLE))
+             * 1000000000.0 + 0.5) / 1000000000.0 AS pmi
+FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN nt
+WHERE n_pair >= 10
+ORDER BY pmi DESC, gram ASC
+LIMIT 20
+"""
+
+
 def _register() -> None:
+    registry.register("pmi_collocations", pmi_collocations, PMI_ORACLE)
     registry.register("doc_readability", doc_readability, READABILITY_ORACLE)
     registry.register("text_stats", text_stats, TEXT_STATS_ORACLE)
     registry.register(

@@ -246,10 +246,111 @@ ORDER BY dow_id
 """
 
 
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the zero-filled daily revenue
+    series at lags 1..14 — the standard seasonality screen that
+    complements ``seasonal_decompose_daily`` (which ASSUMES the weekly
+    period; the ACF is how you detect it).
+
+    Series definition: exact-cents revenue per calendar day over the
+    FULL [min(o_orderdate), max(o_orderdate)] spine, missing days = 0
+    (sparse-at-small-SF days would otherwise change the series shape
+    per SF). Lag pairs come from a keyed self-join on
+    ``date_add(d, lag)`` — an equi-join shuffle on the date, NOT a
+    global-ordered window (which would be a SinglePartition plan);
+    the spine is calendar-bounded so every stage is metadata-sized
+    next to the orders scan.
+
+    Numerics: Pearson correlation per lag over pairwise-complete
+    observations, every power sum carried in decimal(38,0)/HUGEINT
+    (cents-squared daily terms reach ~8e17 at sf1 and ~8e23 at the
+    100 TB scale — past int64); numerator/denominator convert to
+    double once, then one sqrt + one division in fixed order."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("c")
+    )
+    bounds = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("d")
+    )
+    rev = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0).cast("long")).alias("x")
+    )
+    lags = F.explode(F.array(*[F.lit(i) for i in range(1, 15)])).alias("lag")
+    a = rev.select("d", "x", lags)
+    b = rev.select(F.col("d").alias("bd"), F.col("x").alias("y"))
+    pairs = a.join(b, F.col("bd") == F.date_add(F.col("d"), F.col("lag")))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        stable_round(num / den, 9).alias("acf"),
+    )
+
+
+ACF_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+    FROM orders GROUP BY 1
+),
+b AS (SELECT min(d) AS mn, max(d) AS mx FROM daily),
+spine AS (
+    SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM b
+),
+rev AS (
+    SELECT s.d, coalesce(dl.c, 0) AS x
+    FROM spine s LEFT JOIN daily dl USING (d)
+),
+lags AS (SELECT CAST(unnest(range(1, 15)) AS INTEGER) AS lag),
+pairs AS (
+    SELECT l.lag, a.x AS x, bb.x AS y
+    FROM rev a CROSS JOIN lags l
+    JOIN rev bb ON bb.d = a.d + l.lag
+),
+agg AS (
+    SELECT lag, count(*) AS n,
+           sum(CAST(x AS HUGEINT)) AS sx,
+           sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx,
+           sum(CAST(y AS HUGEINT) * y) AS syy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy
+    FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag,
+       CAST(n AS BIGINT) AS n_pairs,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE)))
+             * 1000000000.0 + 0.5) / 1000000000.0 AS acf
+FROM agg
+"""
+
+
 def _register() -> None:
     registry.register(
         "events_rolling_avg_time", events_rolling_avg_time, ROLLING_ORACLE
     )
+    registry.register("acf_daily_revenue", acf_daily_revenue, ACF_ORACLE)
     registry.register("events_outlier_mad", events_outlier_mad, MAD_ORACLE)
     registry.register(
         "seasonal_decompose_daily", seasonal_decompose_daily, SEASONAL_ORACLE

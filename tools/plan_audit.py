@@ -57,6 +57,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "dq_profile": {
         "BroadcastNestedLoopJoin": "1-row profile x 1-row orphan count",
     },
+    "pmi_collocations": {
+        "BroadcastNestedLoopJoin": "global bigram total N: 1-row broadcast",
+    },
     "interp_asof_rates": {
         "BroadcastNestedLoopJoin": "rate-curve synthesis: 84-month x "
         "4-currency range() cross join — calendar-bounded literals, not data",
