@@ -68,26 +68,39 @@ def asof_join_broadcast_array(
     left_time: str,
     right_time: str,
     right_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join, small-right fast path: pack each key's right rows
     into a date-sorted array, broadcast-join on the key, and pick the
-    last element with ``right_time <= left_time`` via array
-    expressions. ZERO exchanges on the left side (the generic
-    :func:`asof_join` needs a window shuffle to dedup range matches —
-    measured 2.8s -> this path avoids it entirely). Correct whenever
-    the per-key right side fits an array (rates: a handful of rows);
-    for huge right sides use :func:`asof_join`."""
+    last element with ``right_time <= left_time`` (backward) / first
+    with ``right_time >= left_time`` (forward) via array expressions.
+    ZERO exchanges on the left side (the generic :func:`asof_join`
+    needs a window shuffle to dedup range matches — measured 2.8s ->
+    this path avoids it entirely), and no per-left-row dedup at all,
+    so duplicated left rows keep their multiplicity (the round-6
+    oracle-bug class). Correct whenever the per-key right side fits
+    an array (rates: a handful of rows); for huge right sides use
+    :func:`asof_join` / the union-sortmerge forms."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
     packed = right.groupBy(on).agg(
         F.sort_array(
             F.collect_list(F.struct(right_time, *right_cols))
         ).alias("__rl")
     )
     joined = left.join(F.broadcast(packed), on=on, how="left")
-    eligible = F.filter(
-        F.col("__rl"), lambda r: r[right_time] <= F.col(left_time)
-    )
-    # guard: ANSI mode raises on element_at(-1) over an empty array
-    match = F.when(F.size(eligible) > 0, F.element_at(eligible, -1))
+    if direction == "backward":
+        eligible = F.filter(
+            F.col("__rl"), lambda r: r[right_time] <= F.col(left_time)
+        )
+        pick = -1
+    else:
+        eligible = F.filter(
+            F.col("__rl"), lambda r: r[right_time] >= F.col(left_time)
+        )
+        pick = 1
+    # guard: ANSI mode raises on element_at over an empty array
+    match = F.when(F.size(eligible) > 0, F.element_at(eligible, pick))
     out = joined
     for c in [right_time, *right_cols]:
         out = out.withColumn(c, match[c])
@@ -731,6 +744,76 @@ def interp_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4, FORWARD direction: each transaction gets the NEXT scheduled
+    rate change at-or-after its timestamp (the "what rate will apply"
+    planning query — the mirror of the backward 'what rate applied').
+    Transactions after the last scheduled change (and INR, which has
+    no curve) surface NULLs — both left-outer edges are live in this
+    corpus. Same zero-left-exchange broadcast-array plan as the
+    backward query; duplicated left rows keep their multiplicity."""
+    tx = synth_transactions(spark, sf_dir).select(
+        "transaction_id", "currency", "amount", "timestamp"
+    )
+    rates = _asof_rates(spark, sf_dir)
+    out = asof_join_broadcast_array(
+        tx,
+        rates,
+        "currency",
+        "timestamp",
+        "rate_date",
+        ["rate_to_usd"],
+        direction="forward",
+    )
+    return out.select(
+        "transaction_id",
+        "currency",
+        "amount",
+        F.col("rate_date").alias("next_rate_date"),
+        F.col("rate_to_usd").alias("next_rate"),
+    )
+
+
+ASOF_FORWARD_ORACLE = """
+WITH currencies(slot, currency) AS (
+    VALUES (0,'USD'),(1,'EUR'),(2,'GBP'),(3,'JPY'),(4,'INR')
+),
+tx AS (
+    SELECT ((l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey) * 1000
+             + l_suppkey AS transaction_id,
+           c.currency AS currency,
+           l_extendedprice AS amount,
+           l_shipdate AS ts
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN currencies c ON c.slot = l_orderkey % 5
+),
+txg AS (
+    SELECT transaction_id, currency, amount, ts, count(*) AS m
+    FROM tx GROUP BY 1, 2, 3, 4
+),
+rates AS (
+    SELECT c.currency AS currency,
+           0.5::DOUBLE + (n_nationkey % 10) * 0.1::DOUBLE AS rate_to_usd,
+           TIMESTAMP '1995-06-01' + (n_nationkey * 90) * INTERVAL 1 DAY AS rate_date
+    FROM nation JOIN currencies c ON c.slot = n_nationkey % 5
+    WHERE n_nationkey < 20 AND n_nationkey % 5 < 4
+),
+matched AS (
+    SELECT t.transaction_id, t.currency, t.amount, t.m,
+           r.rate_to_usd, r.rate_date,
+           row_number() OVER (PARTITION BY t.transaction_id, t.currency,
+                                           t.amount, t.ts
+                              ORDER BY r.rate_date ASC NULLS LAST) AS rn
+    FROM txg t
+    LEFT JOIN rates r ON t.currency = r.currency AND r.rate_date >= t.ts
+)
+SELECT transaction_id, currency, amount,
+       rate_date AS next_rate_date,
+       rate_to_usd AS next_rate
+FROM (SELECT *, unnest(generate_series(1, m)) FROM matched WHERE rn = 1)
+"""
+
+
 INTERP_ASOF_ORACLE = """
 WITH tx AS (
     SELECT ((l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey) * 1000
@@ -769,6 +852,7 @@ def _register() -> None:
         "full_outer_reconciliation", full_outer_reconciliation, FULL_OUTER_ORACLE
     )
     registry.register("interp_asof_rates", interp_asof_rates, INTERP_ASOF_ORACLE)
+    registry.register("asof_join_forward", asof_join_forward, ASOF_FORWARD_ORACLE)
     registry.register("asof_join_rates", asof_join_rates, ASOF_ORACLE)
     registry.register(
         "asof_join_sortmerge", asof_join_sortmerge_rates, ASOF_ORACLE

@@ -114,5 +114,111 @@ ORDER BY level
 """
 
 
+L_DIV = 3
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the screen
+    k-anonymity misses: a class can hold k rows yet leak the sensitive
+    attribute if they all SHARE it. QI = (source, n_chars/256 bucket),
+    sensitive = ``lang``. Per QI class: distinct-l (count of distinct
+    sensitive values) and entropy-l (exp of the Shannon entropy of the
+    sensitive distribution — the stricter criterion); the summary
+    counts classes/rows failing distinct-l >= 3 and reports the
+    corpus-wide minima a release decision reads.
+
+    One corpus scan feeds a (QI, lang)-keyed count whose cardinality
+    is bounded by |sources| x |length buckets| x |langs| — everything
+    after the first aggregate is vocab-sized. Entropy's n*ln(n)
+    addends are 1e-9-quantized to ints per CELL before summing
+    (order-independent; libm-safety precedent), all else exact
+    integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = (
+        docs.select(
+            "source",
+            F.floor(F.col("n_chars") / F.lit(256)).alias("nb"),
+            "lang",
+        )
+        .groupBy("source", "nb", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cls = cell.groupBy("source", "nb").agg(
+        F.sum("n").alias("rows"),
+        F.count(F.lit(1)).alias("distinct_l"),
+        # entropy = ln(rows) - (1/rows) * sum(n * ln(n)). The n*ln(n)
+        # addends are 1e-9-quantized to ints BEFORE the sum (double
+        # addition is order-dependent across engines — the
+        # quantized_sum discipline), so the sum is exact.
+        F.sum(
+            F.floor(
+                F.col("n").cast("double")
+                * F.log(F.col("n").cast("double"))
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("sum_nlnn_q"),
+    )
+    entropy = F.log(F.col("rows").cast("double")) - (
+        F.col("sum_nlnn_q").cast("double") / F.lit(1000000000.0)
+    ) / F.col("rows").cast("double")
+    per_class = cls.select(
+        "source",
+        "nb",
+        "rows",
+        "distinct_l",
+        (F.floor(entropy * F.lit(1000000000.0) + F.lit(0.5))
+         / F.lit(1000000000.0)).alias("entropy_q"),
+    )
+    return per_class.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("rows").cast("long").alias("n_rows"),
+        F.min("distinct_l").cast("long").alias("min_distinct_l"),
+        F.sum((F.col("distinct_l") < L_DIV).cast("long")).alias(
+            "classes_below_l"
+        ),
+        F.sum(
+            F.when(F.col("distinct_l") < L_DIV, F.col("rows")).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("rows_below_l"),
+        F.min("entropy_q").alias("min_entropy_q"),
+    )
+
+
+L_DIVERSITY_ORACLE = f"""
+WITH cell AS (
+    SELECT source,
+           CAST(floor(CAST(n_chars AS DOUBLE) / 256.0) AS BIGINT) AS nb,
+           lang, count(*) AS n
+    FROM documents GROUP BY 1, 2, 3
+),
+cls AS (
+    SELECT source, nb, sum(n) AS rows, count(*) AS distinct_l,
+           sum(CAST(floor(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                          * 1000000000.0 + 0.5) AS BIGINT)) AS sum_nlnn_q
+    FROM cell GROUP BY source, nb
+),
+per_class AS (
+    SELECT rows, distinct_l,
+           floor((ln(CAST(rows AS DOUBLE))
+                  - (CAST(sum_nlnn_q AS DOUBLE) / 1000000000.0)
+                    / CAST(rows AS DOUBLE))
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS entropy_q
+    FROM cls
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(rows) AS BIGINT) AS n_rows,
+       CAST(min(distinct_l) AS BIGINT) AS min_distinct_l,
+       CAST(sum(CASE WHEN distinct_l < {L_DIV} THEN 1 ELSE 0 END) AS BIGINT)
+           AS classes_below_l,
+       CAST(sum(CASE WHEN distinct_l < {L_DIV} THEN rows ELSE 0 END) AS BIGINT)
+           AS rows_below_l,
+       min(entropy_q) AS min_entropy_q
+FROM per_class
+"""
+
+
 def _register() -> None:
     registry.register("k_anonymity_audit", k_anonymity_audit, K_ANONYMITY_ORACLE)
+    registry.register("l_diversity_audit", l_diversity_audit, L_DIVERSITY_ORACLE)

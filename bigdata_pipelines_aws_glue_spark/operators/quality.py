@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
 from bigdata_pipelines_aws_glue_spark.hints import maybe_broadcast
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
@@ -271,7 +272,85 @@ FROM region
 """
 
 
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the classic fabricated-
+    numbers screen (Benford 1938; Nigrini's forensic-accounting
+    standard): the leading digit of naturally-occurring amounts
+    follows P(d) = log10(1 + 1/d), and a chi-square distance from
+    that curve flags synthetic or manipulated figures. (This corpus's
+    totals are uniform-ish synthetics, so the audit correctly reports
+    a LARGE chi-square — the detector detecting.)
+
+    Determinism: leading digit via STRING head of exact integer cents
+    (no log10 on data values); expected shares are 1e-12-quantized
+    constants; each chi-square term is fixed-order double arithmetic
+    on (exact count, quantized constant). One map-side-combinable
+    9-group aggregate + a 9-row digit spine, joined to the 1-row
+    total (whitelisted scalar broadcast)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    obs = (
+        orders.select(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    p = F.floor(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+        / F.log(F.lit(10.0))
+        * F.lit(1000000000000.0)
+        + F.lit(0.5)
+    ) / F.lit(1000000000000.0)
+    joined = (
+        spine.join(obs, "digit", "left")
+        .select("digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs"))
+        .crossJoin(tot)
+        .withColumn("p_expected", p)
+    )
+    exp_n = F.col("n_total").cast("double") * F.col("p_expected")
+    dev = F.col("n_obs").cast("double") - exp_n
+    return joined.select(
+        "digit",
+        "n_obs",
+        stable_round(exp_n, 4).alias("expected_n"),
+        stable_round(dev * dev / exp_n, 6).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+BENFORD_ORACLE = """
+WITH obs AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           count(*) AS n_obs
+    FROM orders GROUP BY 1
+),
+spine AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs),
+j AS (
+    SELECT s.digit, coalesce(o.n_obs, 0) AS n_obs, t.n_total,
+           floor(ln(1.0::DOUBLE + 1.0::DOUBLE / CAST(s.digit AS DOUBLE))
+                 / ln(10.0::DOUBLE) * 1000000000000.0 + 0.5)
+             / 1000000000000.0 AS p_expected
+    FROM spine s LEFT JOIN obs o ON s.digit = o.digit CROSS JOIN tot t
+)
+SELECT digit,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       floor((CAST(n_total AS DOUBLE) * p_expected) * 10000.0 + 0.5) / 10000.0
+           AS expected_n,
+       floor(((CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p_expected)
+              * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p_expected)
+              / (CAST(n_total AS DOUBLE) * p_expected))
+             * 1000000.0 + 0.5) / 1000000.0 AS chi2_term
+FROM j
+ORDER BY digit
+"""
+
+
 def _register() -> None:
     registry.register("dq_profile", dq_profile, DQ_PROFILE_ORACLE)
+    registry.register("benford_first_digit", benford_first_digit, BENFORD_ORACLE)
     registry.register("zorder_layout_key", zorder_layout_key, ZORDER_ORACLE)
     registry.register("dq_expectations", dq_expectations, DQ_EXPECTATIONS_ORACLE)

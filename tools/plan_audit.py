@@ -57,6 +57,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "dq_profile": {
         "BroadcastNestedLoopJoin": "1-row profile x 1-row orphan count",
     },
+    "benford_first_digit": {
+        "BroadcastNestedLoopJoin": "digit spine x 1-row total: 1-row broadcast",
+    },
     "pmi_collocations": {
         "BroadcastNestedLoopJoin": "global bigram total N: 1-row broadcast",
     },
