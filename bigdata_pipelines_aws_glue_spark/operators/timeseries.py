@@ -346,11 +346,99 @@ FROM agg
 """
 
 
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the slope estimate is
+    the MEDIAN of all pairwise slopes (Theil 1950 / Sen 1968 —
+    breakdown point 29%, vs 0% for `sales_trend_slope`'s OLS, which
+    one fat-finger day can drag arbitrarily). Intercept = median of
+    the per-day residuals ``y - m*x`` at the chosen slope.
+
+    Honest O(days²): the pair set is quadratic BY DEFINITION of the
+    estimator, but in the number of CALENDAR DAYS, not rows — a 100 TB
+    corpus still spans ~2 500 days -> ~3.1M pairs after the daily
+    rollup, metadata-sized next to the scan (same bounded-quadratic
+    class as the whitelisted promo-window join). Determinism: slopes
+    are one division of exact ints; the median is Spark ``percentile``
+    = DuckDB ``quantile_cont`` (shared (n-1)*q linear interpolation,
+    the `percentile_by_status` pairing); residuals are fixed-order
+    double arithmetic on (exact cents, the shared median double)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("y")
+    )
+    dd = daily.select(
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).alias("x"),
+        "y",
+    )
+    a, b = dd.alias("a"), dd.alias("b")
+    pairs = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("m_slope"),
+    )
+    resid = dd.crossJoin(m).select(
+        "n_pairs",
+        "m_slope",
+        (
+            F.col("y").cast("double")
+            - F.col("m_slope") * F.col("x").cast("double")
+        ).alias("r"),
+    )
+    return resid.groupBy("n_pairs", "m_slope").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("percentile(r, 0.5)").alias("m_intercept"),
+    ).select(
+        "n_days",
+        "n_pairs",
+        stable_round(F.col("m_slope"), 6).alias("slope_cents_per_day"),
+        stable_round(F.col("m_intercept"), 2).alias("intercept_cents"),
+    )
+
+
+THEIL_SEN_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+    FROM orders GROUP BY 1
+),
+dd AS (
+    SELECT date_diff('day', DATE '1970-01-01', d) AS x, y FROM daily
+),
+pairs AS (
+    SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+    FROM dd a JOIN dd b ON a.x < b.x
+),
+m AS (
+    SELECT count(*) AS n_pairs, quantile_cont(slope, 0.5) AS m_slope
+    FROM pairs
+),
+resid AS (
+    SELECT m.n_pairs, m.m_slope,
+           CAST(y AS DOUBLE) - m.m_slope * CAST(x AS DOUBLE) AS r
+    FROM dd CROSS JOIN m
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       floor(m_slope * 1000000.0 + 0.5) / 1000000.0 AS slope_cents_per_day,
+       floor(quantile_cont(r, 0.5) * 100.0 + 0.5) / 100.0 AS intercept_cents
+FROM resid
+GROUP BY n_pairs, m_slope
+"""
+
+
 def _register() -> None:
     registry.register(
         "events_rolling_avg_time", events_rolling_avg_time, ROLLING_ORACLE
     )
     registry.register("acf_daily_revenue", acf_daily_revenue, ACF_ORACLE)
+    registry.register("theil_sen_trend", theil_sen_trend, THEIL_SEN_ORACLE)
     registry.register("events_outlier_mad", events_outlier_mad, MAD_ORACLE)
     registry.register(
         "seasonal_decompose_daily", seasonal_decompose_daily, SEASONAL_ORACLE

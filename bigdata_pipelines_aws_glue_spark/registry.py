@@ -53,17 +53,18 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: observed_metrics_q6, arrow_doc_stats, multimodal_gif_frames, plus
 #: the late additions cdc_apply_changes, trimmed_mean_price,
 #: allpairs_prefix_join, interp_asof_rates, acf_daily_revenue,
-#: pmi_collocations, l_diversity_audit, benford_first_digit and
-#: asof_join_forward (15 total) — each oracle-verified locally at
-#: sf0.01 AND sf0.1 on registration (the established precedent for
-#: mid-round additions). The r8 window therefore takes those 15
-#: never-attested rows FIRST, then 35 rows of the 36-row r4 block
+#: pmi_collocations, l_diversity_audit, benford_first_digit,
+#: asof_join_forward, theil_sen_trend and spatial_nearest_grid (17
+#: total) — each oracle-verified locally at sf0.01 AND sf0.1 on
+#: registration (the established precedent for mid-round additions).
+#: The r8 window therefore takes those 17 never-attested rows FIRST,
+#: then 33 rows of the 36-row r4 block
 #: (rollup_sales/q3_top_unshipped/percentile_by_status/
 #: q6_forecast_revenue/q2_top_supplier_per_nation/
 #: monthly_revenue_gapfill, the window/SCD2 suite, the roundtrip
 #: quartet, the PQ/IVF-PQ quartet, multimodal features/frames/audio/
-#: video, ...), filling 50 exactly; r9 leads with the one
-#: remaining r4 row, then
+#: video, ...), filling 50 exactly; r9 leads with the three
+#: remaining r4 rows, then
 #: takes the remaining r5 rows + oldest-r6; thereafter the rotation
 #: is purely age-driven two-round steady state.
 PRIORITY: tuple[str, ...] = (
@@ -194,6 +195,7 @@ def _load_all() -> None:
         "datasketches",
         "chunking",
         "setsim",
+        "spatial",
     ]
     for mod_name in operator_modules:
         mod = importlib.import_module(

@@ -57,6 +57,11 @@ WHITELIST: dict[str, dict[str, str]] = {
     "dq_profile": {
         "BroadcastNestedLoopJoin": "1-row profile x 1-row orphan count",
     },
+    "theil_sen_trend": {
+        "BroadcastNestedLoopJoin": "pairwise-slope x<x' join + 1-row median "
+        "broadcast: both bounded by the ~2500-day calendar, not row volume "
+        "(Theil-Sen is O(days^2) by definition)",
+    },
     "benford_first_digit": {
         "BroadcastNestedLoopJoin": "digit spine x 1-row total: 1-row broadcast",
     },
