@@ -492,9 +492,130 @@ FROM reach GROUP BY 1, 2
 """
 
 
+_BF_ROUNDS = 4
+
+
+def bellman_ford_trade_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford: cheapest trade-route cost from the seed
+    customers to every node reachable within ``_BF_ROUNDS`` edges.
+    Edge cost = the MINIMUM lineitem price (exact cents) ever traded
+    on that customer-supplier link — so the distance is "cheapest
+    chain of cheapest trades", all integer arithmetic. The hop bound
+    makes this the K-round relaxation (exact for every shortest path
+    using <= K edges; full BF needs |V|-1 rounds — at 4 rounds this
+    is the bounded-horizon variant, the honest trade documented for
+    ``recursive_trade_reach`` applied to WEIGHTED distance).
+
+    Spark: K driver-loop rounds of (edges JOIN dist ON src) -> min per
+    node — one keyed shuffle pair per round, lineage truncated with
+    eager localCheckpoint (the connected_components/frontier-BFS
+    machinery). The DuckDB twin unrolls the same K rounds as
+    MATERIALIZED CTEs, so a hash match replays every relaxation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    wts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_suppkey").alias("supp"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("cust", "supp")
+        .agg(F.min("cents").alias("cost"))
+    )
+    fwd = wts.select(
+        F.col("cust").cast("long").alias("src"),
+        (F.col("supp") + SUPPLIER_NODE_BASE).cast("long").alias("dst"),
+        "cost",
+    )
+    edges = fwd.union(
+        fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cost"
+        )
+    ).localCheckpoint(eager=True)
+
+    dist = (
+        cust.filter(F.col("c_custkey") < _REACH_SEED_MAX)
+        .select(F.col("c_custkey").cast("long").alias("node"))
+        .withColumn("d", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_BF_ROUNDS):
+        relaxed = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"), (F.col("d") + F.col("cost")).alias("d")
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    sup = F.col("node") >= SUPPLIER_NODE_BASE
+    return dist.select(
+        F.when(sup, F.lit("supplier")).otherwise(F.lit("customer")).alias(
+            "node_type"
+        ),
+        F.when(sup, F.col("node") - SUPPLIER_NODE_BASE)
+        .otherwise(F.col("node"))
+        .alias("node_id"),
+        F.col("d").alias("min_cost_cents"),
+    )
+
+
+def _bf_round_sql(i: int) -> str:
+    return f"""d{i} AS MATERIALIZED (
+    SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.d + e.cost AS d
+        FROM d{i - 1} p JOIN edges e ON e.src = p.node
+    ) GROUP BY node
+)"""
+
+
+_BF_ROUNDS_SQL = ",\n".join(
+    _bf_round_sql(i) for i in range(1, _BF_ROUNDS + 1)
+)
+
+BELLMAN_FORD_ORACLE = f"""
+WITH wts AS MATERIALIZED (
+    SELECT o_custkey AS cust, l_suppkey AS supp,
+           min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cost
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+    SELECT cust AS src, supp + {SUPPLIER_NODE_BASE} AS dst, cost FROM wts
+    UNION ALL
+    SELECT supp + {SUPPLIER_NODE_BASE} AS src, cust AS dst, cost FROM wts
+),
+d0 AS MATERIALIZED (
+    SELECT CAST(c_custkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+    FROM customer WHERE c_custkey < {_REACH_SEED_MAX}
+),
+{_BF_ROUNDS_SQL}
+SELECT CASE WHEN node >= {SUPPLIER_NODE_BASE} THEN 'supplier'
+            ELSE 'customer' END AS node_type,
+       CAST(CASE WHEN node >= {SUPPLIER_NODE_BASE}
+                 THEN node - {SUPPLIER_NODE_BASE} ELSE node END AS BIGINT)
+           AS node_id,
+       CAST(d AS BIGINT) AS min_cost_cents
+FROM d{_BF_ROUNDS}
+"""
+
+
 def _register() -> None:
     registry.register(
         "recursive_trade_reach", recursive_trade_reach, RECURSIVE_REACH_SQL
+    )
+    registry.register(
+        "bellman_ford_trade_cost", bellman_ford_trade_cost, BELLMAN_FORD_ORACLE
     )
     registry.register(
         "trade_reach_frontier", trade_reach_frontier, FRONTIER_REACH_ORACLE

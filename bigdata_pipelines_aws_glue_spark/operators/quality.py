@@ -349,8 +349,80 @@ ORDER BY digit
 """
 
 
+def key_continuity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit of ``o_orderkey`` (TPC-H keys are
+    sparse BY DESIGN — the audit should prove it, not assume it):
+    island/gap statistics computed WITHOUT a global sort. The classic
+    gaps-and-islands ``key - row_number()`` trick needs one globally
+    ordered window (a SinglePartition plan); neighbor anti-joins get
+    the same island census from keyed shuffles only: a key opens an
+    island iff ``key-1`` is absent, closes one iff ``key+1`` is
+    absent, and islands == opens (every island has exactly one).
+    Per-island LENGTHS would need the ordered pairing of opens with
+    closes — deliberately out of scope for the summary (that is the
+    one part which genuinely requires ordering)."""
+    keys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    prev = keys.select((F.col("k") + 1).alias("k"))
+    nxt = keys.select((F.col("k") - 1).alias("k"))
+    opens = keys.join(prev, "k", "left_anti")
+    closes = keys.join(nxt, "k", "left_anti")
+    singles = opens.join(closes.select("k"), "k", "left_semi")
+    stats = keys.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+    counts = (
+        opens.agg(F.count(F.lit(1)).alias("n_islands"))
+        .crossJoin(singles.agg(F.count(F.lit(1)).alias("n_singletons")))
+        .crossJoin(stats)
+    )
+    span = F.col("max_key") - F.col("min_key") + 1
+    return counts.select(
+        "n_keys",
+        "min_key",
+        "max_key",
+        "n_islands",
+        "n_singletons",
+        (F.col("n_keys") - F.col("n_islands")).alias("n_adjacent_pairs"),
+        stable_round(
+            F.col("n_keys").cast("double") / span.cast("double"), 9
+        ).alias("density"),
+    )
+
+
+KEY_CONTINUITY_ORACLE = """
+WITH keys AS (SELECT o_orderkey AS k FROM orders),
+opens AS (
+    SELECT k FROM keys
+    WHERE NOT EXISTS (SELECT 1 FROM keys p WHERE p.k = keys.k - 1)
+),
+closes AS (
+    SELECT k FROM keys
+    WHERE NOT EXISTS (SELECT 1 FROM keys n WHERE n.k = keys.k + 1)
+),
+singles AS (SELECT k FROM opens WHERE k IN (SELECT k FROM closes))
+SELECT (SELECT count(*) FROM keys) AS n_keys,
+       (SELECT min(k) FROM keys) AS min_key,
+       (SELECT max(k) FROM keys) AS max_key,
+       (SELECT count(*) FROM opens) AS n_islands,
+       (SELECT count(*) FROM singles) AS n_singletons,
+       (SELECT count(*) FROM keys) - (SELECT count(*) FROM opens)
+           AS n_adjacent_pairs,
+       floor((CAST((SELECT count(*) FROM keys) AS DOUBLE)
+              / CAST((SELECT max(k) FROM keys)
+                     - (SELECT min(k) FROM keys) + 1 AS DOUBLE))
+             * 1000000000.0 + 0.5) / 1000000000.0 AS density
+"""
+
+
 def _register() -> None:
     registry.register("dq_profile", dq_profile, DQ_PROFILE_ORACLE)
     registry.register("benford_first_digit", benford_first_digit, BENFORD_ORACLE)
+    registry.register(
+        "key_continuity_audit", key_continuity_audit, KEY_CONTINUITY_ORACLE
+    )
     registry.register("zorder_layout_key", zorder_layout_key, ZORDER_ORACLE)
     registry.register("dq_expectations", dq_expectations, DQ_EXPECTATIONS_ORACLE)

@@ -57,6 +57,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "dq_profile": {
         "BroadcastNestedLoopJoin": "1-row profile x 1-row orphan count",
     },
+    "key_continuity_audit": {
+        "BroadcastNestedLoopJoin": "three 1-row summary aggregates cross-"
+        "joined into the single output row",
+    },
     "theil_sen_trend": {
         "BroadcastNestedLoopJoin": "pairwise-slope x<x' join + 1-row median "
         "broadcast: both bounded by the ~2500-day calendar, not row volume "
