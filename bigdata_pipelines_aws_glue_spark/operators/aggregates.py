@@ -777,6 +777,80 @@ CROSS JOIN (SELECT CAST(unnest([{", ".join(str(q) for q in PCT_QUANTILES)}])
 """
 
 
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order totals — the companion to
+    ``histogram_order_totals``' equi-width binning and the actual
+    shape optimizers keep in column stats (DuckDB/Spark both store
+    equi-height histograms): 10 buckets bounded by the exact deciles,
+    so each holds ~n/10 rows with deviations only where tied values
+    straddle a boundary. Thresholds come from one exact-percentile
+    aggregate (the percentile<->quantile_cont pairing); bucket
+    assignment is then a pure projection against the broadcast 1-row
+    threshold vector — no sort, no second shuffle of the data.
+
+    Bucket rule: bucket b holds rows with t_{b-1} < x <= t_b (t_0 =
+    -inf), matching NTILE-free deterministic semantics: ties at a
+    threshold all land in the lower bucket, which is why counts can
+    deviate from n/10 — the deviation IS the tie diagnostic."""
+    orders = load_table(spark, sf_dir, "orders")
+    qs = [i / 10.0 for i in range(1, 10)]
+    th = orders.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {q})").alias(f"t{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    j = orders.select("o_totalprice").crossJoin(th)
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + (F.col("o_totalprice") > F.col(f"t{i}")).cast("int")
+    return (
+        j.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            stable_round(F.min("o_totalprice"), 2).alias("lo"),
+            stable_round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+EQUIDEPTH_ORACLE = """
+WITH th AS (
+    SELECT quantile_cont(o_totalprice, 0.1) AS t1,
+           quantile_cont(o_totalprice, 0.2) AS t2,
+           quantile_cont(o_totalprice, 0.3) AS t3,
+           quantile_cont(o_totalprice, 0.4) AS t4,
+           quantile_cont(o_totalprice, 0.5) AS t5,
+           quantile_cont(o_totalprice, 0.6) AS t6,
+           quantile_cont(o_totalprice, 0.7) AS t7,
+           quantile_cont(o_totalprice, 0.8) AS t8,
+           quantile_cont(o_totalprice, 0.9) AS t9
+    FROM orders
+)
+SELECT bucket,
+       count(*) AS n_rows,
+       floor(min(o_totalprice) * 100.0 + 0.5) / 100.0 AS lo,
+       floor(max(o_totalprice) * 100.0 + 0.5) / 100.0 AS hi
+FROM (
+    SELECT o_totalprice,
+           1 + CAST(o_totalprice > t1 AS INTEGER)
+             + CAST(o_totalprice > t2 AS INTEGER)
+             + CAST(o_totalprice > t3 AS INTEGER)
+             + CAST(o_totalprice > t4 AS INTEGER)
+             + CAST(o_totalprice > t5 AS INTEGER)
+             + CAST(o_totalprice > t6 AS INTEGER)
+             + CAST(o_totalprice > t7 AS INTEGER)
+             + CAST(o_totalprice > t8 AS INTEGER)
+             + CAST(o_totalprice > t9 AS INTEGER) AS bucket
+    FROM orders CROSS JOIN th
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 def make_trimmed_mean_cents():
     """GROUPED_AGG pandas UDF (Arrow-batched UDAF surface): 10%
     two-sided trimmed mean over exact integer cents. Deterministic
@@ -897,3 +971,4 @@ def _register() -> None:
         "monthly_revenue_gapfill", monthly_revenue_gapfill, GAPFILL_ORACLE
     )
     registry.register("trimmed_mean_price", trimmed_mean_price, TRIMMED_MEAN_ORACLE)
+    registry.register("equidepth_histogram", equidepth_histogram, EQUIDEPTH_ORACLE)

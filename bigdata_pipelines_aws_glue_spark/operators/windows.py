@@ -181,8 +181,113 @@ WINDOW w AS (PARTITION BY currency ORDER BY rate_date)
 """
 
 
+def inventory_balance_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running stock balance per part with a FLOOR AT ZERO — the
+    classic "you can't ship what you don't have" fold whose recurrence
+    ``b_t = max(0, b_{t-1} + x_t)`` looks like it needs per-row
+    iteration (a stateful kernel), but reflects into two plain
+    windows via the identity
+
+        b_t = cum_t - min(0, min_{s<=t} cum_s)
+
+    (the running minimum absorbs every would-be-negative excursion).
+    Staying in JVM window exec instead of a Python fold is the whole
+    point: one keyed shuffle on l_partkey, whole-stage codegen, exact
+    integer arithmetic end to end. Flows: +quantity on normal lines,
+    -quantity on returns (l_returnflag = 'R'), ordered by (shipdate,
+    orderkey, linenumber, suppkey) within part — the corpus's one
+    fully-duplicated lineitem makes any tiebreak-ambiguous pair
+    identical, so the emitted multiset is order-stable anyway."""
+    li = load_table(spark, sf_dir, "lineitem")
+    flow = F.when(
+        F.col("l_returnflag") == "R", -F.col("l_quantity")
+    ).otherwise(F.col("l_quantity")).cast("long")
+    base = li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_shipdate",
+        flow.alias("flow"),
+    )
+    order = [
+        F.col("l_shipdate").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+        F.col("l_suppkey").asc(),
+    ]
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("flow").over(w)
+    stepped = base.withColumn("cum", cum).withColumn(
+        "low", F.min(F.least(F.col("cum"), F.lit(0))).over(w)
+    )
+    out = stepped.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "flow",
+        (F.col("cum") - F.col("low")).alias("balance"),
+    )
+    # per-part summary keeps the output compact while still hashing
+    # every balance through the min/max/final aggregates
+    return (
+        out.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_moves"),
+            F.sum("flow").cast("long").alias("net_flow"),
+            F.max("balance").cast("long").alias("peak_balance"),
+            F.sum(
+                (F.col("balance") == 0).cast("long")
+            ).alias("n_stockouts"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+INVENTORY_ORACLE = """
+WITH base AS (
+    SELECT l_partkey, l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+           CAST(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                     ELSE l_quantity END AS BIGINT) AS flow
+    FROM lineitem
+),
+cums AS (
+    SELECT l_partkey, l_orderkey, l_linenumber, l_suppkey, l_shipdate, flow,
+           sum(flow) OVER w AS cum
+    FROM base
+    WINDOW w AS (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+stepped AS (
+    SELECT l_partkey, flow, cum,
+           min(least(cum, 0)) OVER w AS low
+    FROM cums
+    WINDOW w AS (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT l_partkey,
+       count(*) AS n_moves,
+       CAST(sum(flow) AS BIGINT) AS net_flow,
+       CAST(max(cum - low) AS BIGINT) AS peak_balance,
+       CAST(sum(CASE WHEN cum - low = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stockouts
+FROM stepped
+GROUP BY l_partkey
+ORDER BY l_partkey
+"""
+
+
 def _register() -> None:
     registry.register("window_rank_orders", window_rank_orders, RANK_ORACLE)
+    registry.register(
+        "inventory_balance_resets", inventory_balance_resets, INVENTORY_ORACLE
+    )
     registry.register(
         "window_distribution_ranks", window_distribution_ranks, DISTRIBUTION_ORACLE
     )

@@ -57,6 +57,9 @@ WHITELIST: dict[str, dict[str, str]] = {
     "dq_profile": {
         "BroadcastNestedLoopJoin": "1-row profile x 1-row orphan count",
     },
+    "equidepth_histogram": {
+        "BroadcastNestedLoopJoin": "decile-threshold vector: 1-row broadcast",
+    },
     "key_continuity_audit": {
         "BroadcastNestedLoopJoin": "three 1-row summary aggregates cross-"
         "joined into the single output row",
