@@ -1,0 +1,505 @@
+"""Statistical modeling and hypothesis-test operators.
+
+Three operators the reference's analysts would reach for right after
+the descriptive suite (`stats_moments`, `correlation_matrix`,
+`sales_trend_slope`) and that none of the existing registry rows
+cover as a class:
+
+- :func:`ols_revenue_model` — MULTI-feature linear regression by
+  closed-form normal equations (the single-feature OLS in
+  `sales_trend_slope` can't express "control for a second
+  variable"); one scan, all cross-product sums overflow-carried.
+- :func:`kaplan_meier_repeat` — right-censored survival analysis
+  (Kaplan & Meier 1958) of customer repeat purchase: the one
+  estimator class for "time-to-event with incomplete follow-up",
+  which no amount of plain aggregation reproduces.
+- :func:`ks_test_price` — exact two-sample Kolmogorov-Smirnov
+  distance between order-value distributions, computed entirely in
+  integer arithmetic via a DISTRIBUTED prefix sum (coarse-block
+  offsets + within-block window) — no single-partition global sort.
+
+Scale posture is in each docstring; all float emissions go through
+the repo's stable rounding, every count/cross-product sum that can
+pass int64 at 100 TB is carried decimal(38,0)/HUGEINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+    sql_round,
+    stable_round,
+)
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+
+def _dec(c):
+    return c.cast("decimal(38,0)")
+
+
+# ---------------------------------------------------------------------------
+# OLS multi-feature regression (normal equations, closed form)
+# ---------------------------------------------------------------------------
+
+
+def ols_revenue_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS with intercept: discounted revenue (exact
+    cents) regressed on quantity and discount-cents, solved in
+    closed form from the 3x3 normal equations (Cramer's rule).
+
+    Distribution shape: ONE scan of lineitem with a map-side partial
+    aggregate producing the nine sufficient statistics (n, Sx1, Sx2,
+    Sx1x1, Sx1x2, Sx2x2, Sy, Sx1y, Sx2y); the solve is scalar math
+    on a single row. No shuffle beyond the 1-row aggregate — the
+    same plan at sf0.001 and at 100 TB.
+
+    Numerics: y = floor(extendedprice*(1-discount)*100 + 0.5) exact
+    cents; every sufficient statistic is summed in decimal(38,0)
+    (HUGEINT on the oracle side) — Sy² terms reach ~6e25 at the
+    100 TB row count, far past int64. The sums convert to double
+    once (correctly rounded identically by both engines, the
+    `quantized_sum` precedent) and the Cramer determinants are
+    written in one fixed operation order on BOTH sides, so the
+    emitted coefficients are bit-stable cross-engine before the
+    final quantization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    x1 = F.col("l_quantity").cast("long")
+    x2 = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    base = li.select(x1.alias("x1"), x2.alias("x2"), y.alias("y"))
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("x1"))).alias("s1"),
+        F.sum(_dec(F.col("x2"))).alias("s2"),
+        F.sum(_dec(F.col("x1")) * F.col("x1")).alias("s11"),
+        F.sum(_dec(F.col("x1")) * F.col("x2")).alias("s12"),
+        F.sum(_dec(F.col("x2")) * F.col("x2")).alias("s22"),
+        F.sum(_dec(F.col("y"))).alias("sy"),
+        F.sum(_dec(F.col("x1")) * F.col("y")).alias("s1y"),
+        F.sum(_dec(F.col("x2")) * F.col("y")).alias("s2y"),
+        F.sum(_dec(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    d = {
+        k: F.col(k).cast("double")
+        for k in ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
+    }
+    # det([[a,b,c],[d,e,f],[g,h,i]]) expanded along the first row, in
+    # this exact order on both engines.
+    det = (
+        d["n"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
+        - d["s1"] * (d["s1"] * d["s22"] - d["s12"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["s12"] - d["s11"] * d["s2"])
+    )
+    det0 = (
+        d["sy"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
+        - d["s1"] * (d["s1y"] * d["s22"] - d["s12"] * d["s2y"])
+        + d["s2"] * (d["s1y"] * d["s12"] - d["s11"] * d["s2y"])
+    )
+    det1 = (
+        d["n"] * (d["s1y"] * d["s22"] - d["s12"] * d["s2y"])
+        - d["sy"] * (d["s1"] * d["s22"] - d["s12"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["s2y"] - d["s1y"] * d["s2"])
+    )
+    det2 = (
+        d["n"] * (d["s11"] * d["s2y"] - d["s1y"] * d["s12"])
+        - d["s1"] * (d["s1"] * d["s2y"] - d["s1y"] * d["s2"])
+        + d["sy"] * (d["s1"] * d["s12"] - d["s11"] * d["s2"])
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = d["syy"] - b0 * d["sy"] - b1 * d["s1y"] - b2 * d["s2y"]
+    sst = d["syy"] - d["sy"] * d["sy"] / d["n"]
+    return agg.select(
+        F.col("n").cast("long").alias("n_rows"),
+        stable_round(b0, 4).alias("beta0_cents"),
+        stable_round(b1, 6).alias("beta1_per_qty"),
+        stable_round(b2, 6).alias("beta2_per_disc_cent"),
+        stable_round(F.lit(1.0) - sse / sst, 9).alias("r2"),
+    )
+
+
+_OLS_D = {
+    k: f"CAST({k} AS DOUBLE)"
+    for k in ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y", "syy")
+}
+_OLS_DET = (
+    "({n} * ({s11} * {s22} - {s12} * {s12}) "
+    "- {s1} * ({s1} * {s22} - {s12} * {s2}) "
+    "+ {s2} * ({s1} * {s12} - {s11} * {s2}))".format(**_OLS_D)
+)
+_OLS_DET0 = (
+    "({sy} * ({s11} * {s22} - {s12} * {s12}) "
+    "- {s1} * ({s1y} * {s22} - {s12} * {s2y}) "
+    "+ {s2} * ({s1y} * {s12} - {s11} * {s2y}))".format(**_OLS_D)
+)
+_OLS_DET1 = (
+    "({n} * ({s1y} * {s22} - {s12} * {s2y}) "
+    "- {sy} * ({s1} * {s22} - {s12} * {s2}) "
+    "+ {s2} * ({s1} * {s2y} - {s1y} * {s2}))".format(**_OLS_D)
+)
+_OLS_DET2 = (
+    "({n} * ({s11} * {s2y} - {s1y} * {s12}) "
+    "- {s1} * ({s1} * {s2y} - {s1y} * {s2}) "
+    "+ {sy} * ({s1} * {s12} - {s11} * {s2}))".format(**_OLS_D)
+)
+
+OLS_ORACLE = f"""
+WITH base AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x1,
+           CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+           CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                AS BIGINT) AS y
+    FROM lineitem
+),
+agg AS (
+    SELECT count(*) AS n,
+           sum(CAST(x1 AS HUGEINT)) AS s1,
+           sum(CAST(x2 AS HUGEINT)) AS s2,
+           sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+           sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+           sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+           sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+           sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+           sum(CAST(y AS HUGEINT) * y) AS syy
+    FROM base
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       {sql_round(f'{_OLS_DET0} / {_OLS_DET}', 4)} AS beta0_cents,
+       {sql_round(f'{_OLS_DET1} / {_OLS_DET}', 6)} AS beta1_per_qty,
+       {sql_round(f'{_OLS_DET2} / {_OLS_DET}', 6)} AS beta2_per_disc_cent,
+       {sql_round(
+           '1.0 - ({syy} - ({d0} / {det}) * {sy} - ({d1} / {det}) * {s1y}'
+           ' - ({d2} / {det}) * {s2y})'
+           ' / ({syy} - {sy} * {sy} / {n})'.format(
+               det=_OLS_DET, d0=_OLS_DET0, d1=_OLS_DET1, d2=_OLS_DET2,
+               **_OLS_D),
+           9,
+       )} AS r2
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier right-censored survival (customer repeat purchase)
+# ---------------------------------------------------------------------------
+
+
+def kaplan_meier_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimate of "time to SECOND order" per customer,
+    right-censored at the corpus horizon (Kaplan & Meier, JASA 1958).
+
+    Subject = each customer with >=1 order. Event time t = days from
+    the first order to the second (window `row_number` over
+    (custkey; orderdate, orderkey) — fully distributed). Customers
+    with a single order are CENSORED at `max(o_orderdate) -
+    first_order` — the incomplete-follow-up case the estimator
+    exists for (a plain average of observed gaps would be biased
+    low: the long-gap customers are exactly the ones still open).
+
+    Scale: the per-customer reduction is one shuffle on custkey; the
+    life table then lives on the DISTINCT event-time spine, bounded
+    by the calendar span (~2 500 rows at ANY corpus size, the
+    `theil_sen_trend` bounded class). n-at-risk and the cumulative
+    log-survival both come from one inequality self-join on that
+    bounded spine (whitelisted BroadcastNestedLoopJoin, never
+    row-volume-bounded).
+
+    Numerics: survival S(t) = prod_{u<=t}(1 - d_u/n_u) is computed
+    as exp of the SUM of per-factor logs, each log quantized to
+    1e-9 BEFORE summing (exact integer sum; the BM25/zipf libm
+    discipline), so the product's value hash is stable cross-engine;
+    `log_survival_q9` carries the exact quantized sum. If some event
+    time exhausts the risk set (d_u = n_u), survival is exactly 0
+    from there on and the log is NULL."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 2)
+    per_cust = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+    )
+    horizon = orders.agg(F.max(F.to_date("o_orderdate")).alias("mx"))
+    subj = per_cust.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+        )
+        .otherwise(F.datediff(F.col("mx"), F.col("d1")))
+        .cast("long")
+        .alias("t"),
+        F.col("d2").isNotNull().cast("int").alias("event"),
+    )
+    spine = subj.groupBy("t").agg(
+        F.sum("event").cast("long").alias("d_t"),
+        F.sum(F.lit(1) - F.col("event")).cast("long").alias("c_t"),
+    )
+    a, b = spine.alias("a"), F.broadcast(spine.alias("b"))
+    # n at risk just before t = all subjects with observed time >= t.
+    # The spine is calendar-bounded (~2 500 rows at ANY corpus size),
+    # so broadcasting it is the permanent plan, not a size accident.
+    risk = a.join(b, F.col("b.t") >= F.col("a.t")).groupBy("a.t").agg(
+        F.sum(F.col("b.d_t") + F.col("b.c_t")).cast("long").alias("n_risk")
+    )
+    ev = spine.filter(F.col("d_t") > 0).join(risk, "t")
+    factor = ev.select(
+        "t",
+        "d_t",
+        "c_t",
+        "n_risk",
+        F.when(F.col("d_t") < F.col("n_risk"),
+               F.floor(
+                   F.log(
+                       F.lit(1.0)
+                       - F.col("d_t").cast("double")
+                       / F.col("n_risk").cast("double")
+                   )
+                   * 1e9
+                   + F.lit(0.5)
+               ).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("lq"),
+    )
+    fa, fb = factor.alias("fa"), F.broadcast(factor.alias("fb"))
+    cum = fa.join(fb, F.col("fb.t") <= F.col("fa.t")).groupBy(
+        "fa.t", "fa.d_t", "fa.c_t", "fa.n_risk"
+    ).agg(
+        F.sum("fb.lq").alias("lsum"),
+        F.max((F.col("fb.lq").isNull()).cast("int")).alias("zeroed"),
+    )
+    return cum.select(
+        F.col("t"),
+        F.col("n_risk"),
+        F.col("d_t").alias("n_events"),
+        F.col("c_t").alias("n_censored_at_t"),
+        F.when(F.col("zeroed") == 1, F.lit(0.0))
+        .otherwise(
+            stable_round(F.exp(F.col("lsum").cast("double") / 1e9), 6)
+        )
+        .alias("survival"),
+        F.when(F.col("zeroed") == 1, F.lit(None).cast("double"))
+        .otherwise(F.col("lsum").cast("double") / 1e9)
+        .alias("log_survival_q9"),
+    )
+
+
+KM_ORACLE = f"""
+WITH ranked AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+),
+per_cust AS (
+    SELECT o_custkey,
+           min(CASE WHEN rn = 1 THEN d END) AS d1,
+           min(CASE WHEN rn = 2 THEN d END) AS d2
+    FROM ranked WHERE rn <= 2 GROUP BY 1
+),
+horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+subj AS (
+    SELECT CASE WHEN d2 IS NOT NULL
+                THEN date_diff('day', d1, d2)
+                ELSE date_diff('day', d1, mx) END AS t,
+           CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS event
+    FROM per_cust CROSS JOIN horizon
+),
+spine AS (
+    SELECT t, CAST(sum(event) AS BIGINT) AS d_t,
+           CAST(sum(1 - event) AS BIGINT) AS c_t
+    FROM subj GROUP BY 1
+),
+risk AS (
+    SELECT a.t, CAST(sum(b.d_t + b.c_t) AS BIGINT) AS n_risk
+    FROM spine a JOIN spine b ON b.t >= a.t GROUP BY 1
+),
+factor AS (
+    SELECT s.t, s.d_t, s.c_t, r.n_risk,
+           CASE WHEN s.d_t < r.n_risk THEN
+             CAST(floor(ln(1.0 - CAST(s.d_t AS DOUBLE)
+                                 / CAST(r.n_risk AS DOUBLE)) * 1e9 + 0.5)
+                  AS BIGINT)
+           END AS lq
+    FROM spine s JOIN risk r USING (t)
+    WHERE s.d_t > 0
+),
+cum AS (
+    SELECT fa.t, fa.d_t, fa.c_t, fa.n_risk,
+           sum(fb.lq) AS lsum,
+           max(CASE WHEN fb.lq IS NULL THEN 1 ELSE 0 END) AS zeroed
+    FROM factor fa JOIN factor fb ON fb.t <= fa.t
+    GROUP BY 1, 2, 3, 4
+)
+SELECT t, n_risk, d_t AS n_events, c_t AS n_censored_at_t,
+       CASE WHEN zeroed = 1 THEN 0.0
+            ELSE {sql_round('exp(CAST(lsum AS DOUBLE) / 1e9)', 6)}
+       END AS survival,
+       CASE WHEN zeroed = 1 THEN NULL
+            ELSE CAST(lsum AS DOUBLE) / 1e9 END AS log_survival_q9
+FROM cum
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov (exact, integer arithmetic)
+# ---------------------------------------------------------------------------
+
+#: $1000 blocks over the order-value domain: the coarse level of the
+#: distributed prefix sum. Block count is bounded by the PRICE DOMAIN
+#: (~600 blocks for TPC-H-shaped totals), not by row volume.
+_KS_BLOCK = 100_000
+
+#: c(alpha=0.05) for the two-sample KS rejection threshold
+#: c * sqrt((n1+n2)/(n1*n2)) — standard asymptotic constant
+#: (Smirnov 1948): sqrt(-ln(alpha/2)/2) ~= 1.3581.
+_KS_C05 = 1.3581015157406195
+
+
+def ks_test_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the
+    order-value (exact cents) distributions of '1-URGENT' and
+    '5-LOW' orders, with the alpha=0.05 asymptotic decision.
+
+    The KS statistic needs both empirical CDFs at every pooled
+    observation — a global cumulative. The naive form is a window
+    over a SinglePartition sort (serializes the corpus through one
+    task); this operator computes the SAME cumulative as a
+    DISTRIBUTED two-level prefix sum instead:
+
+    1. per-cents counts (one shuffle on the value — the domain is
+       integer cents, so the spine is VALUE-DOMAIN bounded: ~6e7
+       distinct cents max regardless of row count),
+    2. coarse $1000-block subtotals (~600 rows at any scale) with
+       exclusive block offsets from an inequality self-join on the
+       bounded block spine (whitelisted BNLJ),
+    3. within-block running sums via a window PARTITIONED BY block —
+       every partition bounded by the block width, fully parallel.
+
+    cum_g(v) = block_offset_g + within_block_cum_g. The distance is
+    then computed EXACTLY: |F1 - F2| maximized as the integer
+    |cum1*n2 - cum2*n1| carried in decimal(38,0)/HUGEINT (the
+    cross-products pass int64 at ~sf300), divided by n1*n2 once at
+    the end — zero float accumulation anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    g1, g2 = "1-URGENT", "5-LOW"
+    both = orders.filter(F.col("o_orderpriority").isin(g1, g2)).select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        (F.col("o_orderpriority") == g1).cast("long").alias("is1"),
+    )
+    pc = both.groupBy("v").agg(
+        F.sum("is1").alias("c1"),
+        F.sum(F.lit(1) - F.col("is1")).alias("c2"),
+    ).withColumn("blk", F.floor(F.col("v") / F.lit(_KS_BLOCK)).cast("long"))
+    bt = pc.groupBy("blk").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    ba, bb = bt.alias("ba"), F.broadcast(bt.alias("bb"))
+    off = ba.join(bb, F.col("bb.blk") < F.col("ba.blk"), "left").groupBy(
+        "ba.blk"
+    ).agg(
+        F.coalesce(F.sum("bb.b1"), F.lit(0)).cast("long").alias("off1"),
+        F.coalesce(F.sum("bb.b2"), F.lit(0)).cast("long").alias("off2"),
+    )
+    wb = Window.partitionBy("blk").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pc.join(off, "blk").select(
+        "v",
+        (F.col("off1") + F.sum("c1").over(wb)).cast("long").alias("cum1"),
+        (F.col("off2") + F.sum("c2").over(wb)).cast("long").alias("cum2"),
+    )
+    totals = both.agg(
+        F.sum("is1").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("is1")).cast("long").alias("n2"),
+    )
+    diff = cum.crossJoin(F.broadcast(totals)).select(
+        "n1",
+        "n2",
+        F.abs(
+            _dec(F.col("cum1")) * F.col("n2")
+            - _dec(F.col("cum2")) * F.col("n1")
+        ).alias("num"),
+    )
+    top = diff.groupBy("n1", "n2").agg(F.max("num").alias("num_max"))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    d_stat = F.col("num_max").cast("double") / (n1d * n2d)
+    crit = F.lit(_KS_C05) * F.sqrt((n1d + n2d) / (n1d * n2d))
+    return top.select(
+        "n1",
+        "n2",
+        stable_round(d_stat, 9).alias("d_stat"),
+        stable_round(crit, 9).alias("crit_05"),
+        (stable_round(d_stat, 9) > stable_round(crit, 9)).alias("reject_05"),
+    )
+
+
+KS_ORACLE = f"""
+WITH both_g AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is1
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+pc AS (
+    SELECT v, CAST(sum(is1) AS BIGINT) AS c1,
+           CAST(sum(1 - is1) AS BIGINT) AS c2,
+           CAST(floor(v / {_KS_BLOCK}.0) AS BIGINT) AS blk
+    FROM both_g GROUP BY 1
+),
+bt AS (SELECT blk, sum(c1) AS b1, sum(c2) AS b2 FROM pc GROUP BY 1),
+off AS (
+    SELECT ba.blk,
+           CAST(coalesce(sum(bb.b1), 0) AS BIGINT) AS off1,
+           CAST(coalesce(sum(bb.b2), 0) AS BIGINT) AS off2
+    FROM bt ba LEFT JOIN bt bb ON bb.blk < ba.blk GROUP BY 1
+),
+cum AS (
+    SELECT pc.v,
+           off.off1 + sum(pc.c1) OVER (PARTITION BY pc.blk ORDER BY pc.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+           off.off2 + sum(pc.c2) OVER (PARTITION BY pc.blk ORDER BY pc.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+    FROM pc JOIN off USING (blk)
+),
+totals AS (
+    SELECT CAST(sum(is1) AS BIGINT) AS n1,
+           CAST(sum(1 - is1) AS BIGINT) AS n2
+    FROM both_g
+),
+top AS (
+    SELECT n1, n2,
+           max(abs(CAST(cum1 AS HUGEINT) * n2
+                   - CAST(cum2 AS HUGEINT) * n1)) AS num_max
+    FROM cum CROSS JOIN totals GROUP BY 1, 2
+)
+SELECT n1, n2,
+       {sql_round(
+           'CAST(num_max AS DOUBLE)'
+           ' / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))', 9)} AS d_stat,
+       {sql_round(
+           f'{_KS_C05} * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))'
+           ' / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))', 9)} AS crit_05,
+       {sql_round(
+           'CAST(num_max AS DOUBLE)'
+           ' / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))', 9)}
+         > {sql_round(
+           f'{_KS_C05} * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))'
+           ' / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))', 9)} AS reject_05
+FROM top
+"""
+
+
+def _register() -> None:
+    registry.register("ols_revenue_model", ols_revenue_model, OLS_ORACLE)
+    registry.register("kaplan_meier_repeat", kaplan_meier_repeat, KM_ORACLE)
+    registry.register("ks_test_price", ks_test_price, KS_ORACLE)

@@ -126,6 +126,22 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoined into the single output row; all data joins are "
         "equi (order-key pair explosion, degree joins, wedge closure)",
     },
+    "kaplan_meier_repeat": {
+        "BroadcastNestedLoopJoin": "life-table inequality self-joins on the distinct event-time "
+        "spine — calendar-bounded (~2 500 rows at ANY corpus size) and "
+        "explicitly broadcast; plus the 1-row horizon broadcast",
+        "ForcedBroadcastUnbounded": "the broadcast side is the distinct event-time spine (groupBy t "
+        "of day gaps): bounded by the calendar span (~2 500 rows at any "
+        "corpus size), same class as monthly_revenue_gapfill",
+    },
+    "ks_test_price": {
+        "BroadcastNestedLoopJoin": "exclusive block-offset inequality self-join on the coarse "
+        "$1000-block spine — value-domain-bounded (~600 rows at any "
+        "scale), explicitly broadcast; plus the 1-row totals broadcast",
+        "ForcedBroadcastUnbounded": "the broadcast side is the $1000-block subtotal spine (groupBy "
+        "blk of integer cents / 1e5): bounded by the PRICE DOMAIN "
+        "(~600 rows), independent of row volume",
+    },
     "hll_vocab_rollup": {
         "BroadcastNestedLoopJoin": "1-row global-exact x 1-row union-estimate crossJoin for the ALL "
         "row — scalar join",
