@@ -15,10 +15,16 @@ deduplicated corpus and an actual training shard.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.operators.dedup import (
+    _shingles,
+    _tokens,
+)
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 SEQ_LEN = 512
@@ -350,6 +356,277 @@ GROUP BY stage
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al., NeurIPS 2023) — data selection
+# via importance resampling over hashed n-gram features
+# ---------------------------------------------------------------------------
+
+#: hashed-feature bucket count. The log-ratio table is bounded by this
+#: LITERAL at any corpus size — it is the hash modulus, not a data
+#: cardinality.
+_DSIR_B = 4096
+
+#: target domain for the importance model: English documents (the
+#: "high-quality target distribution" stand-in this corpus offers).
+_DSIR_TARGET_LANG = "en"
+
+
+def dsir_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: log p_target(x)/p_raw(x) under hashed
+    unigram bag-of-words models (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023 — the
+    public method; no proprietary system involved).
+
+    Model: every token hashes into one of ``_DSIR_B`` buckets (the
+    repo's md5-prefix mixing hash, bit-identical in both engines);
+    p_target / p_raw are Laplace-smoothed bucket frequencies over the
+    target slice (lang = 'en') and the whole corpus. A document's
+    importance weight is the sum over its TOKEN INSTANCES of the
+    per-bucket log ratio.
+
+    Distribution shape: pass 1 explodes tokens and aggregates the
+    (bucket -> target count, raw count) table — bounded by the LITERAL
+    B = 4096 whatever the corpus size, so it broadcasts; pass 2 joins
+    token instances to that broadcast table and sums per document; the
+    top-20 is a TakeOrdered, never a global sort.
+
+    Numerics: each bucket's log ratio is one ``ln`` of a
+    pinned-operation-order double expression, quantized to 1e-9
+    integer BEFORE the per-document sum (the BM25/zipf libm
+    discipline) — so per-doc weights are exact integer sums of shared
+    addends, bit-stable cross-engine. Per-doc sums stay in long: |lq|
+    <= ~35e9 and token counts are document-bounded, far from 2^63."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(_tokens(F.col("text"))).alias("t"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+        % _DSIR_B,
+    )
+    buckets = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.sum(
+            (F.col("lang") == _DSIR_TARGET_LANG).cast("long")
+        ).alias("cnt_t"),
+    )
+    totals = buckets.agg(
+        F.sum("cnt_r").cast("double").alias("tr"),
+        F.sum("cnt_t").cast("double").alias("tt"),
+    )
+    bd = F.lit(float(_DSIR_B))
+    ratio = (
+        (F.col("cnt_t").cast("double") + F.lit(1.0))
+        * (F.col("tr") + bd)
+    ) / (
+        (F.col("cnt_r").cast("double") + F.lit(1.0))
+        * (F.col("tt") + bd)
+    )
+    lr = F.broadcast(
+        buckets.crossJoin(F.broadcast(totals)).select(
+            "b",
+            F.floor(F.log(ratio) * 1e9 + F.lit(0.5))
+            .cast("long")
+            .alias("lq"),
+        )
+    )
+    per_doc = (
+        toks.join(lr, "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("lq").alias("wq"),
+        )
+    )
+    return (
+        per_doc.orderBy(F.col("wq").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            (F.col("wq").cast("double") / 1e9).alias("log_weight_q9"),
+        )
+    )
+
+
+DSIR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang, source, unnest(string_split(trim(text), ' ')) AS t
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, lang, source,
+           ('0x' || substring(md5(t), 1, 15))::BIGINT % {_DSIR_B} AS b
+    FROM toks
+),
+buckets AS (
+    SELECT b, count(*) AS cnt_r,
+           sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+               AS cnt_t
+    FROM hashed GROUP BY 1
+),
+totals AS (
+    SELECT CAST(sum(cnt_r) AS DOUBLE) AS tr,
+           CAST(sum(cnt_t) AS DOUBLE) AS tt
+    FROM buckets
+),
+lr AS (
+    SELECT b,
+           CAST(floor(ln(
+               ((CAST(cnt_t AS DOUBLE) + 1.0) * (tr + {float(_DSIR_B)}))
+               / ((CAST(cnt_r AS DOUBLE) + 1.0) * (tt + {float(_DSIR_B)}))
+           ) * 1e9 + 0.5) AS BIGINT) AS lq
+    FROM buckets CROSS JOIN totals
+),
+per_doc AS (
+    SELECT h.doc_id, h.lang, h.source,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(sum(lr.lq) AS BIGINT) AS wq
+    FROM hashed h JOIN lr USING (b)
+    GROUP BY 1, 2, 3
+)
+SELECT doc_id, lang, source, n_toks,
+       CAST(wq AS DOUBLE) / 1e9 AS log_weight_q9
+FROM per_doc
+ORDER BY wq DESC, doc_id
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage selection (submodular corpus subset selection)
+# ---------------------------------------------------------------------------
+
+#: greedy rounds — the selection budget. The driver loop runs this
+#: many metadata-sized (1-row) collects; everything volume-shaped
+#: stays distributed.
+_COVER_K = 8
+
+
+def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage subset selection: pick ``_COVER_K``
+    documents that together cover the most distinct word trigrams —
+    the classic (1 - 1/e)-approximate greedy for submodular coverage
+    (Nemhauser, Wolsey & Fisher 1978), the shape behind
+    facility-location data-subset selection.
+
+    Iterative-by-nature (each pick changes every remaining gain), so
+    the round loop lives on the driver — k metadata-sized collects of
+    ONE (doc_id, gain) row each; the per-round gain computation is a
+    distributed anti-join + groupBy over the (doc, shingle) pair set,
+    which is localCheckpoint-materialized ONCE and re-scanned per
+    round (the `allpairs_prefix_join` postings precedent). The covered
+    set is bounded by the union of <= k selected documents' shingles —
+    k-bounded, never corpus-bounded.
+
+    Rounds stop early when no remaining document covers anything new
+    (gain >= 1 is required to emit); the DuckDB twin unrolls the same
+    eight rounds as MATERIALIZED CTEs with the identical
+    (gain DESC, doc_id) tie-break, so saturated rounds are empty in
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(_shingles(_tokens(F.col("text")), 3)).alias("sh"),
+    ).localCheckpoint()
+    total = pairs.select("sh").distinct().count()
+    selected: list[int] = []
+    rows: list[tuple[int, int, int, int, float]] = []
+    cum = 0
+    for rnd in range(1, _COVER_K + 1):
+        if selected:
+            covered = (
+                pairs.filter(F.col("doc_id").isin(selected))
+                .select("sh")
+                .distinct()
+            )
+            rem = pairs.join(covered, "sh", "left_anti")
+        else:
+            rem = pairs
+        best = (
+            rem.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        cum += b["gain"]
+        # IEEE double ops in one pinned order — matches the twin's
+        # floor(x * 1e6 + 0.5) / 1e6 exactly.
+        frac = math.floor(cum / total * 1e6 + 0.5) / 1e6
+        rows.append((rnd, b["doc_id"], b["gain"], cum, frac))
+        selected.append(b["doc_id"])
+    return spark.createDataFrame(
+        rows,
+        "sel_round int, doc_id long, gain long, cum_covered long, "
+        "coverage_frac double",
+    )
+
+
+def _cover_oracle() -> str:
+    nl = "\n"
+    rounds = []
+    for r in range(1, _COVER_K + 1):
+        if r == 1:
+            gain_src = "SELECT doc_id, count(*) AS gain FROM pairs GROUP BY 1"
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT doc_id FROM s{i}" for i in range(1, r)
+            )
+            rounds.append(
+                f"c{r} AS MATERIALIZED ({nl}"
+                f"    SELECT DISTINCT sh FROM pairs{nl}"
+                f"    WHERE doc_id IN ({prev}){nl})"
+            )
+            gain_src = (
+                f"SELECT p.doc_id, count(*) AS gain{nl}"
+                f"    FROM pairs p LEFT JOIN c{r} ON p.sh = c{r}.sh{nl}"
+                f"    WHERE c{r}.sh IS NULL GROUP BY 1"
+            )
+        rounds.append(
+            f"s{r} AS MATERIALIZED ({nl}    {gain_src}{nl}"
+            f"    ORDER BY gain DESC, doc_id LIMIT 1{nl})"
+        )
+    sel = f"{nl}    UNION ALL ".join(
+        f"SELECT {r} AS sel_round, doc_id, gain FROM s{r}"
+        for r in range(1, _COVER_K + 1)
+    )
+    cte_block = ("," + nl).join(rounds)
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+pairs AS MATERIALIZED (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(toks)-1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+    FROM t WHERE len(toks) >= 3
+),
+tot AS (SELECT count(DISTINCT sh) AS n FROM pairs),
+{cte_block},
+sel AS (
+    {sel}
+)
+SELECT CAST(sel_round AS INTEGER) AS sel_round,
+       doc_id,
+       CAST(gain AS BIGINT) AS gain,
+       CAST(sum(gain) OVER (ORDER BY sel_round) AS BIGINT) AS cum_covered,
+       floor(CAST(sum(gain) OVER (ORDER BY sel_round) AS DOUBLE)
+             / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS coverage_frac
+FROM sel CROSS JOIN tot
+"""
+
+
 def _register() -> None:
     registry.register(
         "sequence_pack_chunks", sequence_pack_chunks, SEQUENCE_PACK_ORACLE
@@ -362,4 +639,10 @@ def _register() -> None:
     registry.register("chunk_fill_report", chunk_fill_report, CHUNK_FILL_ORACLE)
     registry.register(
         "embedding_quantize_int8", embedding_quantize_int8, EMBEDDING_QUANTIZE_ORACLE
+    )
+    registry.register(
+        "dsir_domain_weights", dsir_domain_weights, DSIR_ORACLE
+    )
+    registry.register(
+        "greedy_coverage_select", greedy_coverage_select, _cover_oracle()
     )

@@ -8,6 +8,7 @@ from bigdata_pipelines_aws_glue_spark.operators.curation import (
     pack_sequences,
     quantize_embeddings_int8,
 )
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 
 def test_pack_sequences_offsets_contiguous_per_shard(spark):
@@ -118,3 +119,108 @@ def test_run_curation_materializes_manifest_exactly(spark, sf_dir, tmp_path):
         spark.read.parquet(out)
         .groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
     )
+
+
+def test_dsir_weights_match_python_replay(spark, sf_dir):
+    """Independent replay: hashlib md5 + collections.Counter vs the
+    Spark/DuckDB md5-prefix hash and quantized-log pipeline."""
+    import hashlib
+    import math as m
+    from collections import Counter
+
+    from bigdata_pipelines_aws_glue_spark.operators.curation import (
+        _DSIR_B,
+        _DSIR_TARGET_LANG,
+        dsir_domain_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    ).toPandas()
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % _DSIR_B
+
+    cnt_r: Counter = Counter()
+    cnt_t: Counter = Counter()
+    doc_buckets = {}
+    for _, row in docs.iterrows():
+        bs = [bucket(t) for t in row["text"].strip().split(" ")]
+        doc_buckets[row["doc_id"]] = bs
+        cnt_r.update(bs)
+        if row["lang"] == _DSIR_TARGET_LANG:
+            cnt_t.update(bs)
+    tr, tt = float(sum(cnt_r.values())), float(sum(cnt_t.values()))
+    lq = {
+        b: m.floor(
+            m.log(
+                ((cnt_t.get(b, 0) + 1.0) * (tr + _DSIR_B))
+                / ((cnt_r[b] + 1.0) * (tt + _DSIR_B))
+            )
+            * 1e9
+            + 0.5
+        )
+        for b in cnt_r
+    }
+    weights = {
+        d: sum(lq[b] for b in bs) for d, bs in doc_buckets.items() if bs
+    }
+    expect = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = dsir_domain_weights(spark, sf_dir).collect()
+    assert len(got) == 20
+    assert [(r["doc_id"], round(r["log_weight_q9"] * 1e9)) for r in got] == [
+        (d, w) for d, w in expect
+    ]
+    # importance resampling should upweight the target domain well
+    # past its ~20% base rate (the synthetic corpus shares vocabulary
+    # across langs, so 100% purity is not expected)
+    langs = [r["lang"] for r in got]
+    base_rate = (docs["lang"] == _DSIR_TARGET_LANG).mean()
+    assert langs.count(_DSIR_TARGET_LANG) / 20 > base_rate
+
+
+def test_greedy_coverage_matches_python_replay(spark, sf_dir):
+    from bigdata_pipelines_aws_glue_spark.operators.curation import (
+        _COVER_K,
+        greedy_coverage_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).toPandas()
+    shingles = {}
+    for _, row in docs.iterrows():
+        toks = row["text"].strip().split(" ")
+        if len(toks) >= 3:
+            shingles[row["doc_id"]] = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+    covered: set = set()
+    expect = []
+    for rnd in range(1, _COVER_K + 1):
+        gains = {
+            d: len(s - covered) for d, s in shingles.items() if s - covered
+        }
+        if not gains:
+            break
+        best = min(gains, key=lambda d: (-gains[d], d))
+        covered |= shingles[best]
+        expect.append((rnd, best, gains[best], len(covered)))
+
+    got = sorted(
+        greedy_coverage_select(spark, sf_dir).collect(),
+        key=lambda r: r["sel_round"],
+    )
+    assert [
+        (r["sel_round"], r["doc_id"], r["gain"], r["cum_covered"])
+        for r in got
+    ] == expect
+    # submodularity: marginal gains are nonincreasing
+    gains = [r["gain"] for r in got]
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+    # coverage fraction is consistent and within (0, 1]
+    total = len(set().union(*shingles.values()))
+    for r in got:
+        assert abs(r["coverage_frac"] - r["cum_covered"] / total) < 2e-6
+        assert 0.0 < r["coverage_frac"] <= 1.0

@@ -126,6 +126,13 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoined into the single output row; all data joins are "
         "equi (order-key pair explosion, degree joins, wedge closure)",
     },
+    "dsir_domain_weights": {
+        "BroadcastNestedLoopJoin": "1-row corpus-totals scalar broadcast onto the bucket table",
+        "ForcedBroadcastUnbounded": "the broadcast side is the hashed-feature log-ratio table, "
+        "bounded by the LITERAL hash modulus B = 4096 at any corpus "
+        "size (groupBy b of token-hash % B — grouped-aggregate "
+        "blindness, same class as corpus_mix_weights)",
+    },
     "kaplan_meier_repeat": {
         "BroadcastNestedLoopJoin": "life-table inequality self-joins on the distinct event-time "
         "spine — calendar-bounded (~2 500 rows at ANY corpus size) and "
