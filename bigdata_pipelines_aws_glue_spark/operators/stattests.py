@@ -357,6 +357,45 @@ FROM cum
 #: (~600 blocks for TPC-H-shaped totals), not by row volume.
 _KS_BLOCK = 100_000
 
+
+def _blocked_cums(pc: DataFrame, count_cols: list[str]) -> DataFrame:
+    """INCLUSIVE running sums of ``count_cols`` over ``v`` ascending,
+    as a distributed two-level prefix sum: coarse $1000-block offsets
+    from an inequality self-join on the bounded block spine
+    (explicitly broadcast — ~600 rows at any scale), then a window
+    PARTITIONED BY block. No SinglePartition sort anywhere; the same
+    plan at sf0.001 and at 100 TB."""
+    pc = pc.withColumn(
+        "blk", F.floor(F.col("v") / F.lit(_KS_BLOCK)).cast("long")
+    )
+    bt = pc.groupBy("blk").agg(
+        *[F.sum(c).alias(f"b_{c}") for c in count_cols]
+    )
+    ba, bb = bt.alias("ba"), F.broadcast(bt.alias("bb"))
+    off = ba.join(bb, F.col("bb.blk") < F.col("ba.blk"), "left").groupBy(
+        "ba.blk"
+    ).agg(
+        *[
+            F.coalesce(F.sum(f"bb.b_{c}"), F.lit(0))
+            .cast("long")
+            .alias(f"off_{c}")
+            for c in count_cols
+        ]
+    )
+    wb = Window.partitionBy("blk").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return pc.join(off, "blk").select(
+        "v",
+        *[F.col(c) for c in count_cols],
+        *[
+            (F.col(f"off_{c}") + F.sum(c).over(wb))
+            .cast("long")
+            .alias(f"cum_{c}")
+            for c in count_cols
+        ],
+    )
+
 #: c(alpha=0.05) for the two-sample KS rejection threshold
 #: c * sqrt((n1+n2)/(n1*n2)) — standard asymptotic constant
 #: (Smirnov 1948): sqrt(-ln(alpha/2)/2) ~= 1.3581.
@@ -399,24 +438,11 @@ def ks_test_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = both.groupBy("v").agg(
         F.sum("is1").alias("c1"),
         F.sum(F.lit(1) - F.col("is1")).alias("c2"),
-    ).withColumn("blk", F.floor(F.col("v") / F.lit(_KS_BLOCK)).cast("long"))
-    bt = pc.groupBy("blk").agg(
-        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
     )
-    ba, bb = bt.alias("ba"), F.broadcast(bt.alias("bb"))
-    off = ba.join(bb, F.col("bb.blk") < F.col("ba.blk"), "left").groupBy(
-        "ba.blk"
-    ).agg(
-        F.coalesce(F.sum("bb.b1"), F.lit(0)).cast("long").alias("off1"),
-        F.coalesce(F.sum("bb.b2"), F.lit(0)).cast("long").alias("off2"),
-    )
-    wb = Window.partitionBy("blk").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = pc.join(off, "blk").select(
+    cum = _blocked_cums(pc, ["c1", "c2"]).select(
         "v",
-        (F.col("off1") + F.sum("c1").over(wb)).cast("long").alias("cum1"),
-        (F.col("off2") + F.sum("c2").over(wb)).cast("long").alias("cum2"),
+        F.col("cum_c1").alias("cum1"),
+        F.col("cum_c2").alias("cum2"),
     )
     totals = both.agg(
         F.sum("is1").cast("long").alias("n1"),
@@ -499,7 +525,347 @@ FROM top
 """
 
 
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-based two-sample, tie-corrected, exact ranks)
+# ---------------------------------------------------------------------------
+
+#: two-sided z critical at alpha=0.05.
+_Z_975 = 1.959963984540054
+
+
+def mann_whitney_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U (Wilcoxon rank-sum) between the
+    same two order-value samples as :func:`ks_test_price` — the
+    nonparametric location test that complements KS's shape test.
+
+    Ranks over the pooled sample are EXACT and fully distributed: the
+    average rank of the tied group at value v is
+    ``cum_before(v) + (t_v + 1)/2`` where ``cum_before`` comes from
+    the same two-level blocked prefix sum (:func:`_blocked_cums`) —
+    value-domain-bounded, no global sort. Everything is carried as
+    2x-scaled INTEGERS so tied average ranks (.5) stay exact:
+    ``2*R1 = sum_v c1_v * (2*cum_before_v + t_v + 1)`` in
+    decimal(38,0)/HUGEINT (rank sums reach ~n² ≈ 1e22 at 100 TB).
+    The normal approximation uses the standard tie-corrected variance
+    ``Var = n1*n2/12 * ((n+1) - sum(t³-t)/(n(n-1)))`` (Lehmann,
+    Nonparametrics 1975), with the tie cubes summed exactly in
+    decimal before ONE conversion to double."""
+    orders = load_table(spark, sf_dir, "orders")
+    g1, g2 = "1-URGENT", "5-LOW"
+    both = orders.filter(F.col("o_orderpriority").isin(g1, g2)).select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        (F.col("o_orderpriority") == g1).cast("long").alias("is1"),
+    )
+    pc = both.groupBy("v").agg(
+        F.sum("is1").alias("c1"),
+        F.sum(F.lit(1) - F.col("is1")).alias("c2"),
+    )
+    cum = _blocked_cums(pc, ["c1", "c2"])
+    t_v = F.col("c1") + F.col("c2")
+    before = F.col("cum_c1") + F.col("cum_c2") - t_v
+    stats = cum.agg(
+        F.sum(
+            _dec(F.col("c1")) * (F.lit(2) * before + t_v + F.lit(1))
+        ).alias("two_r1"),
+        F.sum(_dec(t_v) * t_v * t_v - _dec(t_v)).alias("tie_cubes"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = n1d + n2d
+    # 2*U1 = 2*R1 - n1*(n1+1); exact integers until the one cast.
+    two_u1 = F.col("two_r1") - _dec(F.col("n1")) * (F.col("n1") + F.lit(1))
+    u1 = two_u1.cast("double") / F.lit(2.0)
+    mu = n1d * n2d / F.lit(2.0)
+    var = (
+        n1d
+        * n2d
+        / F.lit(12.0)
+        * ((nd + F.lit(1.0)) - F.col("tie_cubes").cast("double") / (nd * (nd - F.lit(1.0))))
+    )
+    z = (u1 - mu) / F.sqrt(var)
+    return stats.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        stable_round(z, 9).alias("z_stat"),
+        (F.abs(stable_round(z, 9)) > F.lit(_Z_975)).alias("reject_05"),
+    )
+
+
+MW_ORACLE = f"""
+WITH both_g AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is1
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+pc AS (
+    SELECT v, CAST(sum(is1) AS BIGINT) AS c1,
+           CAST(sum(1 - is1) AS BIGINT) AS c2
+    FROM both_g GROUP BY 1
+),
+cum AS (
+    SELECT v, c1, c2,
+           sum(c1) OVER (ORDER BY v) AS cum_c1,
+           sum(c2) OVER (ORDER BY v) AS cum_c2
+    FROM pc
+),
+stats AS (
+    SELECT sum(CAST(c1 AS HUGEINT)
+               * (2 * (cum_c1 + cum_c2 - c1 - c2) + c1 + c2 + 1)) AS two_r1,
+           sum(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+               - CAST(c1 + c2 AS HUGEINT)) AS tie_cubes,
+           CAST(sum(c1) AS BIGINT) AS n1,
+           CAST(sum(c2) AS BIGINT) AS n2
+    FROM cum
+)
+SELECT n1, n2,
+       CAST(two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+       {sql_round(
+           '(CAST(two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0'
+           ' - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)'
+           ' / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0'
+           ' * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)'
+           ' - CAST(tie_cubes AS DOUBLE)'
+           ' / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))'
+           ' * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))))', 9)}
+           AS z_stat,
+       abs({sql_round(
+           '(CAST(two_r1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) / 2.0'
+           ' - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)'
+           ' / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0'
+           ' * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)'
+           ' - CAST(tie_cubes AS DOUBLE)'
+           ' / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))'
+           ' * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))))', 9)})
+           > {_Z_975} AS reject_05
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test
+# ---------------------------------------------------------------------------
+
+
+def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t (unequal variances) on the same pair of
+    order-value samples, with the Welch-Satterthwaite degrees of
+    freedom — the parametric companion to the KS (shape) and
+    Mann-Whitney (rank) tests.
+
+    One scan, one 1-row aggregate: per-group n, sum(cents) and
+    sum(cents²) carried in decimal(38,0)/HUGEINT (the squared-cents
+    sum passes int64 near sf3), then means/variances/t/df computed in
+    one pinned double operation order on both engines. Sample
+    variance uses the numerically-exact integer identity
+    ``(n*Σx² - (Σx)²) / (n*(n-1))`` — the subtraction happens in
+    EXACT decimal, so no catastrophic cancellation ever occurs."""
+    orders = load_table(spark, sf_dir, "orders")
+    g1, g2 = "1-URGENT", "5-LOW"
+    both = orders.filter(F.col("o_orderpriority").isin(g1, g2)).select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+        (F.col("o_orderpriority") == g1).cast("long").alias("is1"),
+    )
+    agg = both.agg(
+        F.sum("is1").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("is1")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("is1") == 1, _dec(F.col("v")))).alias("s1"),
+        F.sum(F.when(F.col("is1") == 0, _dec(F.col("v")))).alias("s2"),
+        F.sum(
+            F.when(F.col("is1") == 1, _dec(F.col("v")) * F.col("v"))
+        ).alias("q1"),
+        F.sum(
+            F.when(F.col("is1") == 0, _dec(F.col("v")) * F.col("v"))
+        ).alias("q2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n1d, n2d = n1.cast("double"), n2.cast("double")
+    mean1 = F.col("s1").cast("double") / n1d
+    mean2 = F.col("s2").cast("double") / n2d
+    # exact-decimal numerators, ONE cast to double each
+    var1 = (_dec(n1) * F.col("q1") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (n1d * (n1d - F.lit(1.0)))
+    var2 = (_dec(n2) * F.col("q2") - F.col("s2") * F.col("s2")).cast(
+        "double"
+    ) / (n2d * (n2d - F.lit(1.0)))
+    se1, se2 = var1 / n1d, var2 / n2d
+    t = (mean1 - mean2) / F.sqrt(se1 + se2)
+    df = (se1 + se2) * (se1 + se2) / (
+        se1 * se1 / (n1d - F.lit(1.0)) + se2 * se2 / (n2d - F.lit(1.0))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        stable_round(mean1 / 100, 4).alias("mean1_dollars"),
+        stable_round(mean2 / 100, 4).alias("mean2_dollars"),
+        stable_round(t, 9).alias("t_stat"),
+        stable_round(df, 4).alias("df_welch"),
+        (F.abs(stable_round(t, 9)) > F.lit(_Z_975)).alias(
+            "reject_05_asymptotic"
+        ),
+    )
+
+
+def _welch_oracle() -> str:
+    n1d, n2d = "CAST(n1 AS DOUBLE)", "CAST(n2 AS DOUBLE)"
+    mean1 = f"(CAST(s1 AS DOUBLE) / {n1d})"
+    mean2 = f"(CAST(s2 AS DOUBLE) / {n2d})"
+    var1 = (
+        f"(CAST(CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS DOUBLE)"
+        f" / ({n1d} * ({n1d} - 1.0)))"
+    )
+    var2 = (
+        f"(CAST(CAST(n2 AS HUGEINT) * q2 - s2 * s2 AS DOUBLE)"
+        f" / ({n2d} * ({n2d} - 1.0)))"
+    )
+    se1 = f"({var1} / {n1d})"
+    se2 = f"({var2} / {n2d})"
+    t = f"(({mean1} - {mean2}) / sqrt({se1} + {se2}))"
+    df = (
+        f"(({se1} + {se2}) * ({se1} + {se2})"
+        f" / ({se1} * {se1} / ({n1d} - 1.0)"
+        f" + {se2} * {se2} / ({n2d} - 1.0)))"
+    )
+    return f"""
+WITH both_g AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is1
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+agg AS (
+    SELECT CAST(sum(is1) AS BIGINT) AS n1,
+           CAST(sum(1 - is1) AS BIGINT) AS n2,
+           sum(CASE WHEN is1 = 1 THEN CAST(v AS HUGEINT) END) AS s1,
+           sum(CASE WHEN is1 = 0 THEN CAST(v AS HUGEINT) END) AS s2,
+           sum(CASE WHEN is1 = 1 THEN CAST(v AS HUGEINT) * v END) AS q1,
+           sum(CASE WHEN is1 = 0 THEN CAST(v AS HUGEINT) * v END) AS q2
+    FROM both_g
+)
+SELECT n1, n2,
+       {sql_round(f"{mean1} / 100", 4)} AS mean1_dollars,
+       {sql_round(f"{mean2} / 100", 4)} AS mean2_dollars,
+       {sql_round(t, 9)} AS t_stat,
+       {sql_round(df, 4)} AS df_welch,
+       abs({sql_round(t, 9)}) > {_Z_975} AS reject_05_asymptotic
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence (lang x source contingency) + Cramér's V
+# ---------------------------------------------------------------------------
+
+
+def chi2_independence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between document
+    ``lang`` and ``source``, with Cramér's V effect size.
+
+    The contingency table is VOCAB-bounded (|langs| x |sources| ~ 100
+    cells at any corpus size) — one shuffle to count cells, then
+    bounded-table arithmetic. Expected counts E = row_tot*col_tot/N
+    are exact integer ratios; each cell's (O-E)²/E term is computed
+    in doubles with a pinned order and quantized to 1e-9 BEFORE the
+    exact integer sum (the KM/BM25 libm discipline), so the statistic
+    hashes identically cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rowt = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rt"))
+    colt = cells.groupBy("source").agg(F.sum("o").cast("long").alias("ct"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    # NULL cells (unobserved pairs) still contribute E to the
+    # statistic: their term is (0-E)²/E = E, so build the full grid.
+    grid = rowt.crossJoin(F.broadcast(colt)).crossJoin(F.broadcast(tot))
+    full = grid.join(cells, ["lang", "source"], "left").select(
+        "lang",
+        "source",
+        F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        "rt",
+        "ct",
+        "n",
+    )
+    e = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    od = F.col("o").cast("double")
+    term_q = F.floor(
+        (od - e) * (od - e) / e * 1e9 + F.lit(0.5)
+    ).cast("long")
+    stats = full.groupBy("n").agg(
+        F.sum(term_q).alias("chi2_q"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    chi2 = F.col("chi2_q").cast("double") / 1e9
+    dof = (F.col("n_langs") - 1) * (F.col("n_sources") - 1)
+    kmin = F.least(F.col("n_langs") - 1, F.col("n_sources") - 1)
+    v = F.sqrt(chi2 / (F.col("n").cast("double") * kmin.cast("double")))
+    return stats.select(
+        F.col("n").alias("n_docs"),
+        "n_langs",
+        "n_sources",
+        dof.cast("long").alias("dof"),
+        stable_round(chi2, 6).alias("chi2"),
+        stable_round(v, 9).alias("cramers_v"),
+    )
+
+
+CHI2_ORACLE = f"""
+WITH cells AS (
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+    FROM documents GROUP BY 1, 2
+),
+rowt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+colt AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+full_grid AS (
+    SELECT r.lang, c.source, coalesce(cl.o, 0) AS o, r.rt, c.ct, t.n
+    FROM rowt r CROSS JOIN colt c CROSS JOIN tot t
+    LEFT JOIN cells cl ON cl.lang = r.lang AND cl.source = c.source
+),
+stats AS (
+    SELECT n,
+           sum(CAST(floor(
+               (CAST(o AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1e9 + 0.5) AS BIGINT)) AS chi2_q,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM full_grid GROUP BY 1
+)
+SELECT n AS n_docs, n_langs, n_sources,
+       CAST((n_langs - 1) * (n_sources - 1) AS BIGINT) AS dof,
+       {sql_round('CAST(chi2_q AS DOUBLE) / 1e9', 6)} AS chi2,
+       {sql_round(
+           'sqrt(CAST(chi2_q AS DOUBLE) / 1e9 / (CAST(n AS DOUBLE)'
+           ' * CAST(least(n_langs - 1, n_sources - 1) AS DOUBLE)))', 9)}
+           AS cramers_v
+FROM stats
+"""
+
+
 def _register() -> None:
     registry.register("ols_revenue_model", ols_revenue_model, OLS_ORACLE)
     registry.register("kaplan_meier_repeat", kaplan_meier_repeat, KM_ORACLE)
     registry.register("ks_test_price", ks_test_price, KS_ORACLE)
+    registry.register(
+        "mann_whitney_orders", mann_whitney_orders, MW_ORACLE
+    )
+    registry.register("welch_t_test", welch_t_test, _welch_oracle())
+    registry.register(
+        "chi2_independence_docs", chi2_independence_docs, CHI2_ORACLE
+    )

@@ -15,9 +15,12 @@ import math
 import numpy as np
 
 from bigdata_pipelines_aws_glue_spark.operators.stattests import (
+    chi2_independence_docs,
     kaplan_meier_repeat,
     ks_test_price,
+    mann_whitney_orders,
     ols_revenue_model,
+    welch_t_test,
 )
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
@@ -100,3 +103,84 @@ def test_ks_matches_bruteforce(spark, sf_dir):
     assert got["reject_05"] == (
         round(d, 9) > round(crit, 9)
     ) or abs(d - crit) < 1e-9
+
+
+def _two_samples(spark, sf_dir):
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    v = np.floor(od["o_totalprice"].to_numpy(float) * 100 + 0.5).astype(
+        np.int64
+    )
+    return (
+        v[(od["o_orderpriority"] == "1-URGENT").to_numpy()],
+        v[(od["o_orderpriority"] == "5-LOW").to_numpy()],
+    )
+
+
+def test_mann_whitney_matches_bruteforce(spark, sf_dir):
+    got = mann_whitney_orders(spark, sf_dir).collect()[0]
+    s1, s2 = _two_samples(spark, sf_dir)
+    n1, n2 = len(s1), len(s2)
+    pooled = np.concatenate([s1, s2])
+    order = np.argsort(pooled, kind="stable")
+    ranks = np.empty(len(pooled), dtype=float)
+    # average ranks for ties
+    sorted_v = pooled[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # 1-based average rank
+        i = j
+    r1 = float(ranks[:n1].sum())
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    _, tie_counts = np.unique(pooled, return_counts=True)
+    tie_term = float((tie_counts.astype(np.float64) ** 3 - tie_counts).sum())
+    n = n1 + n2
+    var = n1 * n2 / 12.0 * ((n + 1) - tie_term / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert abs(got["u1"] - u1) < 1e-6
+    assert abs(got["z_stat"] - z) < 1e-8
+
+
+def test_welch_matches_numpy(spark, sf_dir):
+    got = welch_t_test(spark, sf_dir).collect()[0]
+    s1, s2 = _two_samples(spark, sf_dir)
+    m1, m2 = s1.mean(), s2.mean()
+    v1, v2 = s1.var(ddof=1), s2.var(ddof=1)
+    se1, se2 = v1 / len(s1), v2 / len(s2)
+    t = (m1 - m2) / math.sqrt(se1 + se2)
+    df = (se1 + se2) ** 2 / (
+        se1**2 / (len(s1) - 1) + se2**2 / (len(s2) - 1)
+    )
+    assert abs(got["mean1_dollars"] - m1 / 100) < 1e-3
+    assert abs(got["mean2_dollars"] - m2 / 100) < 1e-3
+    assert abs(got["t_stat"] - t) < 1e-8
+    assert abs(got["df_welch"] - df) < 0.01
+
+
+def test_chi2_independence_matches_pandas(spark, sf_dir):
+    import pandas as pd
+
+    got = chi2_independence_docs(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "source"
+    ).toPandas()
+    ct = pd.crosstab(docs["lang"], docs["source"])
+    obs = ct.to_numpy(float)
+    rt = obs.sum(axis=1, keepdims=True)
+    colt = obs.sum(axis=0, keepdims=True)
+    n = obs.sum()
+    e = rt @ colt / n
+    chi2 = float(((obs - e) ** 2 / e).sum())
+    r, c = obs.shape
+    assert got["n_docs"] == int(n)
+    assert (got["n_langs"], got["n_sources"]) == (r, c)
+    assert got["dof"] == (r - 1) * (c - 1)
+    assert abs(got["chi2"] - chi2) < 1e-4
+    v = math.sqrt(chi2 / (n * min(r - 1, c - 1)))
+    assert abs(got["cramers_v"] - v) < 1e-8
+    assert 0.0 <= got["cramers_v"] <= 1.0

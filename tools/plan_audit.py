@@ -126,6 +126,21 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoined into the single output row; all data joins are "
         "equi (order-key pair explosion, degree joins, wedge closure)",
     },
+    "mann_whitney_orders": {
+        "BroadcastNestedLoopJoin": "exclusive block-offset inequality self-join on the coarse "
+        "$1000-block spine (shared _blocked_cums helper) — "
+        "value-domain-bounded ~600 rows, explicitly broadcast",
+        "ForcedBroadcastUnbounded": "the broadcast side is the $1000-block subtotal spine (groupBy "
+        "blk of integer cents / 1e5): bounded by the PRICE DOMAIN, "
+        "independent of row volume (same class as ks_test_price)",
+    },
+    "chi2_independence_docs": {
+        "BroadcastNestedLoopJoin": "full-grid construction: |langs|-row x |sources|-row x 1-row "
+        "total crossJoins — vocab-bounded contingency axes",
+        "ForcedBroadcastUnbounded": "the broadcast sides are the per-source column totals "
+        "(|sources|-bounded groupBy) and the 1-row grand total — "
+        "vocab-sized at any corpus scale",
+    },
     "dsir_domain_weights": {
         "BroadcastNestedLoopJoin": "1-row corpus-totals scalar broadcast onto the bucket table",
         "ForcedBroadcastUnbounded": "the broadcast side is the hashed-feature log-ratio table, "
