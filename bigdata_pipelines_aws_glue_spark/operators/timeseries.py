@@ -433,9 +433,126 @@ GROUP BY n_pairs, m_slope
 """
 
 
+def isotonic_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone nondecreasing) L2 regression of the
+    zero-filled daily revenue series — the constrained-regression
+    class behind probability calibration (the standard post-hoc
+    calibrator for scores like ``quality_classifier_score``) and
+    monotone trend extraction, which no amount of ordinary
+    aggregation or OLS expresses.
+
+    Computed by the CLOSED-FORM max-min characterization of the PAV
+    solution (Robertson, Wright & Dykstra, "Order Restricted
+    Statistical Inference", 1988):
+
+        fit[i] = max_{j<=i} min_{k>=i} mean(y[j..k])
+
+    evaluated distributed: interval means A(j,k) come from prefix
+    sums (one inequality self-join on the CALENDAR-BOUNDED day spine,
+    explicitly broadcast); ``min_{k>=i}`` is a reverse running min
+    per j (window PARTITIONED BY j — ~|days| bounded partitions,
+    fully parallel, never SinglePartition); ``max_{j<=i}`` is a plain
+    groupBy max. The pair table is O(|days|²) ≈ 3M rows at ANY
+    corpus size — the `theil_sen_trend` calendar-bounded class; the
+    only volume-scaling stage is the initial per-day revenue groupBy.
+
+    Numerics: prefix sums carried in decimal(38,0)/HUGEINT (a 100 TB
+    corpus's cumulative cents pass int64 around year two); every
+    interval mean is ONE exact-decimal subtraction cast to double and
+    divided by an integer length — bit-identical cross-engine, so the
+    min/max lattice selects identical values in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("c")
+    )
+    bounds = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("d"))
+    rev = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0).cast("long")).alias("x")
+    )
+    a, b = rev.alias("a"), F.broadcast(rev.alias("b"))
+    s = a.join(b, F.col("b.d") <= F.col("a.d")).groupBy("a.d", "a.x").agg(
+        F.sum(F.col("b.x").cast("decimal(38,0)")).alias("s_incl")
+    ).select(
+        F.col("d"),
+        F.col("x"),
+        F.col("s_incl"),
+        (F.col("s_incl") - F.col("x")).alias("s_excl"),
+    )
+    sj, sk = s.alias("sj"), F.broadcast(s.alias("sk"))
+    pairs = sj.join(sk, F.col("sj.d") <= F.col("sk.d")).select(
+        F.col("sj.d").alias("jd"),
+        F.col("sk.d").alias("kd"),
+        (
+            (F.col("sk.s_incl") - F.col("sj.s_excl")).cast("double")
+            / (F.datediff(F.col("sk.d"), F.col("sj.d")) + F.lit(1)).cast(
+                "double"
+            )
+        ).alias("m"),
+    )
+    w = Window.partitionBy("jd").orderBy(F.col("kd").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rm = pairs.select("jd", "kd", F.min("m").over(w).alias("rm"))
+    fit = rm.groupBy("kd").agg(F.max("rm").alias("f"))
+    return (
+        rev.join(fit, rev["d"] == fit["kd"])
+        .select(
+            "d",
+            F.col("x").alias("revenue_cents"),
+            stable_round(F.col("f") / 100.0, 6).alias("iso_fit_dollars"),
+        )
+    )
+
+
+ISOTONIC_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+    FROM orders GROUP BY 1
+),
+b AS (SELECT min(d) AS mn, max(d) AS mx FROM daily),
+spine AS (
+    SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM b
+),
+rev AS (
+    SELECT s.d, CAST(coalesce(dl.c, 0) AS BIGINT) AS x
+    FROM spine s LEFT JOIN daily dl USING (d)
+),
+s AS (
+    SELECT d, x,
+           sum(CAST(x AS HUGEINT)) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_incl
+    FROM rev
+),
+pairs AS (
+    SELECT sj.d AS jd, sk.d AS kd,
+           CAST(sk.s_incl - (sj.s_incl - sj.x) AS DOUBLE)
+           / CAST(date_diff('day', sj.d, sk.d) + 1 AS DOUBLE) AS m
+    FROM s sj JOIN s sk ON sj.d <= sk.d
+),
+rm AS (
+    SELECT jd, kd,
+           min(m) OVER (PARTITION BY jd ORDER BY kd DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+    FROM pairs
+),
+fit AS (SELECT kd, max(rm) AS f FROM rm GROUP BY 1)
+SELECT r.d, r.x AS revenue_cents,
+       floor(f.f / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS iso_fit_dollars
+FROM rev r JOIN fit f ON r.d = f.kd
+"""
+
+
 def _register() -> None:
     registry.register(
         "events_rolling_avg_time", events_rolling_avg_time, ROLLING_ORACLE
+    )
+    registry.register(
+        "isotonic_daily_revenue", isotonic_daily_revenue, ISOTONIC_ORACLE
     )
     registry.register("acf_daily_revenue", acf_daily_revenue, ACF_ORACLE)
     registry.register("theil_sen_trend", theil_sen_trend, THEIL_SEN_ORACLE)

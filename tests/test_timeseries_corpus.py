@@ -109,3 +109,41 @@ def test_token_budget_allocation_sums_exactly(spark, sf_dir):
             assert quota_share >= share - 1e-6
         elif share > 1 / len(rows):
             assert quota_share <= share + 1e-6
+
+
+def test_isotonic_matches_pav_replay(spark, sf_dir):
+    """Independent algorithm: sequential pool-adjacent-violators vs
+    the distributed max-min characterization."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.timeseries import (
+        isotonic_daily_revenue,
+    )
+
+    got = sorted(
+        isotonic_daily_revenue(spark, sf_dir).collect(), key=lambda r: r["d"]
+    )
+    y = np.array([r["revenue_cents"] for r in got], dtype=np.float64)
+
+    # classic PAV: merge adjacent blocks while means decrease
+    blocks = [[v, 1] for v in y]  # [sum, count]
+    merged = []
+    for b in blocks:
+        merged.append(b)
+        while (
+            len(merged) > 1
+            and merged[-2][0] / merged[-2][1] >= merged[-1][0] / merged[-1][1]
+        ):
+            s, c = merged.pop()
+            merged[-1][0] += s
+            merged[-1][1] += c
+    fit = np.concatenate(
+        [np.full(c, s / c) for s, c in merged]
+    )
+
+    got_fit = np.array([r["iso_fit_dollars"] for r in got]) * 100.0
+    assert np.allclose(got_fit, fit, atol=1e-3)
+    # monotone nondecreasing
+    assert np.all(np.diff(got_fit) >= -1e-9)
+    # an L2 projection preserves the mean
+    assert abs(got_fit.mean() - y.mean()) < 1e-3

@@ -126,6 +126,15 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoined into the single output row; all data joins are "
         "equi (order-key pair explosion, degree joins, wedge closure)",
     },
+    "isotonic_daily_revenue": {
+        "BroadcastNestedLoopJoin": "prefix-sum and interval-pair inequality self-joins on the "
+        "zero-filled day spine — calendar-bounded (~2 400 rows at ANY "
+        "corpus size), explicitly broadcast",
+        "ForcedBroadcastUnbounded": "both broadcast sides are the calendar day spine / its prefix-"
+        "sum table (groupBy day of orders then join to the bounded "
+        "sequence(min,max) spine) — bounded by the calendar span, "
+        "same class as kaplan_meier_repeat",
+    },
     "mann_whitney_orders": {
         "BroadcastNestedLoopJoin": "exclusive block-offset inequality self-join on the coarse "
         "$1000-block spine (shared _blocked_cums helper) — "
