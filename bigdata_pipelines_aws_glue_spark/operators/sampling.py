@@ -24,10 +24,16 @@ structure and both engines agree on it bit-for-bit.)
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+    sql_round,
+    stable_round,
+)
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 #: modulus mapping the 60-bit md5 prefix onto [0, M) uniforms
@@ -373,6 +379,201 @@ FROM per_content GROUP BY splits
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI (Chamandy, Muralidharan, Najmi & Naidu 2012)
+# ---------------------------------------------------------------------------
+
+#: bootstrap replicates.
+_BOOT_B = 100
+
+#: Poisson(1) CDF thresholds scaled to the 60-bit hash domain:
+#: a replicate multiplicity of k is assigned when the row's 60-bit
+#: uniform falls in [T[k-1], T[k]) — pure INTEGER comparisons, no
+#: float division anywhere, so assignment is exact cross-engine.
+#: Multiplicity is truncated at 8 (P(X > 8) ~ 1.1e-6, consistent in
+#: both engines by construction).
+_POIS_T = tuple(
+    _math.floor(
+        sum(_math.exp(-1) / _math.factorial(j) for j in range(k + 1))
+        * (1 << 60)
+    )
+    for k in range(8)
+)
+
+#: order-statistic ranks for the 95% percentile CI over B=100
+#: replicate means (discrete percentile-method bootstrap).
+_BOOT_LO_RANK = 3
+_BOOT_HI_RANK = 98
+
+
+def _pois_mult(u: Column) -> Column:
+    """Inverse Poisson(1) CDF over the 60-bit hash integer."""
+    expr = F.lit(8)
+    for k in reversed(range(8)):
+        expr = F.when(u < F.lit(_POIS_T[k]), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% percentile-bootstrap CI for the mean order value via the
+    POISSON bootstrap (Chamandy, Muralidharan, Najmi & Naidu,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012 —
+    the public method): classical resampling needs n known up front
+    and a shared index space; the Poisson bootstrap instead gives
+    every row an independent Poisson(1) multiplicity per replicate,
+    which is exactly what a streaming/sharded 100 TB corpus allows.
+
+    Determinism: the multiplicity of row r in replicate b is the
+    inverse Poisson(1) CDF of the 60-bit md5 hash of (orderkey, b) —
+    compared against PRECOMPUTED INTEGER thresholds (no float
+    division), so both engines assign identical multiplicities.
+
+    Distribution shape: the B-fold fan-out is a map-side explode
+    whose output is immediately partially aggregated (B partial sums
+    per task reach the shuffle — B x #partitions rows, NOT B x n);
+    the replicate table is then B = 100 rows, and the order-statistic
+    CI comes from a B² = 10k-row inequality self-join on it — never a
+    SinglePartition sort. Replicate sums are decimal(38,0)/HUGEINT
+    (cents x multiplicity x 1e12 rows passes int64)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    point = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+    )
+    rep = base.select(
+        "k",
+        "v",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_BOOT_B)])
+        ).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("k").cast("string"),
+                    F.lit("#"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    weighted = rep.select("b", "v", _pois_mult(u).alias("m")).filter(
+        F.col("m") > 0
+    )
+    means = weighted.groupBy("b").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("m")).cast(
+                "double"
+            )
+            / F.sum(F.col("m").cast("decimal(38,0)")).cast("double")
+        ).alias("mean_b")
+    )
+    ma, mb = means.alias("ma"), F.broadcast(means.alias("mb"))
+    ranked = ma.join(
+        mb,
+        (F.col("mb.mean_b") < F.col("ma.mean_b"))
+        | (
+            (F.col("mb.mean_b") == F.col("ma.mean_b"))
+            & (F.col("mb.b") <= F.col("ma.b"))
+        ),
+    ).groupBy("ma.b", "ma.mean_b").agg(
+        F.count(F.lit(1)).cast("long").alias("rk")
+    )
+    ci = ranked.agg(
+        F.max(
+            F.when(F.col("rk") == _BOOT_LO_RANK, F.col("mean_b"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rk") == _BOOT_HI_RANK, F.col("mean_b"))
+        ).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_rows",
+        "n_replicates",
+        stable_round(
+            F.col("sv").cast("double") / F.col("n_rows").cast("double") / 100,
+            6,
+        ).alias("mean_dollars"),
+        stable_round(F.col("lo") / 100, 6).alias("ci_lo_dollars"),
+        stable_round(F.col("hi") / 100, 6).alias("ci_hi_dollars"),
+        stable_round((F.col("hi") - F.col("lo")) / 100, 6).alias(
+            "ci_width_dollars"
+        ),
+    )
+
+
+def _boot_oracle() -> str:
+    mult_case = "CASE " + " ".join(
+        f"WHEN u < {_POIS_T[k]} THEN {k}" for k in range(8)
+    ) + " ELSE 8 END"
+    return f"""
+WITH base AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+    FROM orders
+),
+point AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           sum(CAST(v AS HUGEINT)) AS sv
+    FROM base
+),
+rep AS (
+    SELECT k, v, CAST(unnest(range(0, {_BOOT_B})) AS INTEGER) AS b
+    FROM base
+),
+hashed AS (
+    SELECT b, v,
+           ('0x' || substring(md5(CAST(k AS VARCHAR) || '#'
+               || CAST(b AS VARCHAR)), 1, 15))::BIGINT AS u
+    FROM rep
+),
+weighted AS (
+    SELECT b, v, {mult_case} AS m FROM hashed
+    WHERE {mult_case} > 0
+),
+means AS (
+    SELECT b,
+           CAST(sum(CAST(v AS HUGEINT) * m) AS DOUBLE)
+           / CAST(sum(CAST(m AS HUGEINT)) AS DOUBLE) AS mean_b
+    FROM weighted GROUP BY 1
+),
+ranked AS (
+    SELECT ma.b, ma.mean_b, CAST(count(*) AS BIGINT) AS rk
+    FROM means ma JOIN means mb
+      ON mb.mean_b < ma.mean_b
+      OR (mb.mean_b = ma.mean_b AND mb.b <= ma.b)
+    GROUP BY 1, 2
+),
+ci AS (
+    SELECT max(CASE WHEN rk = {_BOOT_LO_RANK} THEN mean_b END) AS lo,
+           max(CASE WHEN rk = {_BOOT_HI_RANK} THEN mean_b END) AS hi,
+           CAST(count(*) AS BIGINT) AS n_replicates
+    FROM ranked
+)
+SELECT n_rows, n_replicates,
+       {sql_round('CAST(sv AS DOUBLE) / CAST(n_rows AS DOUBLE) / 100', 6)}
+           AS mean_dollars,
+       {sql_round('lo / 100', 6)} AS ci_lo_dollars,
+       {sql_round('hi / 100', 6)} AS ci_hi_dollars,
+       {sql_round('(hi - lo) / 100', 6)} AS ci_width_dollars
+FROM point CROSS JOIN ci
+"""
+
+
 def _register() -> None:
     registry.register(
         "split_contamination_matrix",
@@ -390,3 +591,6 @@ def _register() -> None:
     )
     registry.register("weighted_sample_topk", weighted_sample_topk, WEIGHTED_ORACLE)
     registry.register("source_cap_sample", source_cap_sample, SOURCE_CAP_ORACLE)
+    registry.register(
+        "poisson_bootstrap_ci", poisson_bootstrap_ci, _boot_oracle()
+    )

@@ -143,3 +143,58 @@ def test_source_cap_keeps_best_per_source(spark, sf_dir):
             for _, negid in sorted(rows, reverse=True)[:SOURCE_CAP]
         }
         assert kept_by_source[src] == want, f"wrong retention for {src}"
+
+
+def test_poisson_bootstrap_ci_python_replay(spark, sf_dir):
+    """Full independent replay with hashlib: identical multiplicities,
+    replicate means, and order-statistic CI."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.sampling import (
+        _BOOT_B,
+        _BOOT_HI_RANK,
+        _BOOT_LO_RANK,
+        _POIS_T,
+        poisson_bootstrap_ci,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    got = poisson_bootstrap_ci(spark, sf_dir).collect()[0]
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).toPandas()
+    keys = od["o_orderkey"].to_numpy(np.int64)
+    v = np.floor(od["o_totalprice"].to_numpy(float) * 100 + 0.5).astype(
+        np.int64
+    )
+
+    def mult(k: int, b: int) -> int:
+        u = int(
+            hashlib.md5(f"{k}#{b}".encode()).hexdigest()[:15], 16
+        )
+        for m, t in enumerate(_POIS_T):
+            if u < t:
+                return m
+        return 8
+
+    means = []
+    for b in range(_BOOT_B):
+        ms = np.array([mult(int(k), b) for k in keys], dtype=np.int64)
+        means.append((b, float((ms * v).sum()) / float(ms.sum())))
+    ordered = sorted(means, key=lambda t: (t[1], t[0]))
+    lo = ordered[_BOOT_LO_RANK - 1][1]
+    hi = ordered[_BOOT_HI_RANK - 1][1]
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert got["n_rows"] == len(od)
+    assert got["n_replicates"] == _BOOT_B
+    assert got["ci_lo_dollars"] == q6(lo / 100)
+    assert got["ci_hi_dollars"] == q6(hi / 100)
+    # the percentile CI brackets the point estimate
+    assert got["ci_lo_dollars"] < got["mean_dollars"] < got["ci_hi_dollars"]
+    assert got["ci_width_dollars"] > 0

@@ -126,6 +126,14 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoined into the single output row; all data joins are "
         "equi (order-key pair explosion, degree joins, wedge closure)",
     },
+    "poisson_bootstrap_ci": {
+        "BroadcastNestedLoopJoin": "order-statistic rank self-join on the B = 100-row replicate "
+        "means table (B² = 10k pairs, bounded by the LITERAL replicate "
+        "count) + the 1-row CI crossJoin",
+        "ForcedBroadcastUnbounded": "broadcast sides are the replicate means (groupBy b of a "
+        "LITERAL 0..99 explode — exactly B rows at any corpus size) "
+        "and the 1-row CI aggregate",
+    },
     "isotonic_daily_revenue": {
         "BroadcastNestedLoopJoin": "prefix-sum and interval-pair inequality self-joins on the "
         "zero-filled day spine — calendar-bounded (~2 400 rows at ANY "
