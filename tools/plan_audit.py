@@ -126,6 +126,15 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoined into the single output row; all data joins are "
         "equi (order-key pair explosion, degree joins, wedge closure)",
     },
+    "cohort_retention": {
+        "ForcedBroadcastUnbounded": "the broadcast side is the per-cohort-month size table (groupBy "
+        "of month-truncated first-order dates) — calendar-bounded "
+        "(~84 rows at any corpus size)",
+    },
+    "rfm_segments": {
+        "BroadcastNestedLoopJoin": "1-row horizon and 1-row quintile-threshold vector broadcast "
+        "onto the customer table — scalar crossJoins",
+    },
     "poisson_bootstrap_ci": {
         "BroadcastNestedLoopJoin": "order-statistic rank self-join on the B = 100-row replicate "
         "means table (B² = 10k pairs, bounded by the LITERAL replicate "
