@@ -149,7 +149,136 @@ FROM cust c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (c_custkey)
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon census (ray casting, exactness by lattice separation)
+# ---------------------------------------------------------------------------
+
+#: Literal polygons over the synthesized coordinate domain
+#: (lat in [-85, 85), lon in [-180, 180)): a triangle, a convex quad,
+#: and a CONCAVE pentagon (the concavity is what makes crossing
+#: parity a real test — a bounding-box check would miss it).
+#:
+#: Exactness: point coordinates live on the 0.01-degree lattice
+#: (exact int/100 doubles); every polygon vertex is offset to a
+#: .005 half-cell, so (a) no point ever lies ON an edge and (b) no
+#: point's latitude ever EQUALS a vertex latitude — the two classic
+#: ray-casting degeneracies are structurally impossible, and the one
+#: division per crossing test compares values separated by >> 1 ulp,
+#: so both engines' IEEE doubles decide identically.
+_POLYGONS: dict[int, list[tuple[float, float]]] = {
+    # (lat, lon) vertices, counter-clockwise
+    1: [(-20.005, -60.005), (30.005, -100.005), (60.005, -20.005)],
+    2: [(-60.005, 20.005), (-60.005, 120.005), (10.005, 120.005),
+        (10.005, 20.005)],
+    3: [(-80.005, -170.005), (-10.005, -160.005), (-70.005, -120.005),
+        (-10.005, -80.005), (-80.005, -70.005)],
+}
+
+
+def _polygon_edges() -> list[tuple[int, float, float, float, float]]:
+    out = []
+    for pid, verts in _POLYGONS.items():
+        for i, (y1, x1) in enumerate(verts):
+            y2, x2 = verts[(i + 1) % len(verts)]
+            out.append((pid, y1, x1, y2, x2))
+    return out
+
+
+def spatial_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon containment census: how many customer locations fall
+    inside each literal polygon, by RAY CASTING (the even-odd rule —
+    Shimrat, CACM 1962; Franklin's PNPOLY formulation): a point is
+    inside iff a horizontal ray eastward crosses the boundary an odd
+    number of times.
+
+    Distribution shape: the edge table is a LITERAL (12 edges) —
+    broadcast; the crossing test is one non-equi broadcast join
+    (points x edges, bounded fan-out x12), a per-(point, polygon)
+    parity count, and a polygon-bounded final aggregate. At 100 TB
+    this is map-dominated work against a dozen broadcast rows.
+
+    The crossing predicate is PNPOLY's half-open rule
+    ``(y1 > py) != (y2 > py) AND px < x1 + (py-y1)(x2-x1)/(y2-y1)``
+    — exact here by the lattice/half-cell separation documented on
+    ``_POLYGONS``."""
+    cust = _synth_points(load_table(spark, sf_dir, "customer"), "c_custkey")
+    edges = F.broadcast(
+        spark.createDataFrame(
+            _polygon_edges(),
+            "pid int, y1 double, x1 double, y2 double, x2 double",
+        )
+    )
+    py, px = F.col("lat"), F.col("lon")
+    crossing = (
+        ((F.col("y1") > py) != (F.col("y2") > py))
+        & (
+            px
+            < F.col("x1")
+            + (py - F.col("y1"))
+            * (F.col("x2") - F.col("x1"))
+            / (F.col("y2") - F.col("y1"))
+        )
+    )
+    hits = cust.join(edges, crossing).groupBy("c_custkey", "pid").agg(
+        F.count(F.lit(1)).alias("n_cross")
+    )
+    inside = hits.filter(F.col("n_cross") % 2 == 1)
+    totals = cust.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    return (
+        inside.groupBy("pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inside"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("pid").alias("polygon_id"),
+            "n_inside",
+            "n_points",
+            stable_round(
+                F.col("n_inside").cast("double")
+                / F.col("n_points").cast("double"),
+                6,
+            ).alias("share_inside"),
+        )
+    )
+
+
+def _pip_oracle() -> str:
+    rows = ", ".join(
+        f"({pid}, {y1}, {x1}, {y2}, {x2})"
+        for pid, y1, x1, y2, x2 in _polygon_edges()
+    )
+    return f"""
+WITH cust AS (
+    SELECT c_custkey,
+           CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat,
+           CAST((c_custkey * 73) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+    FROM customer
+),
+edges(pid, y1, x1, y2, x2) AS (VALUES {rows}),
+hits AS (
+    SELECT c.c_custkey, e.pid, count(*) AS n_cross
+    FROM cust c JOIN edges e
+      ON ((e.y1 > c.lat) <> (e.y2 > c.lat))
+     AND c.lon < e.x1 + (c.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+    GROUP BY 1, 2
+),
+inside AS (SELECT pid, count(*) AS n_inside FROM hits
+           WHERE n_cross % 2 = 1 GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM cust)
+SELECT CAST(i.pid AS INTEGER) AS polygon_id,
+       CAST(i.n_inside AS BIGINT) AS n_inside,
+       t.n_points,
+       floor(CAST(i.n_inside AS DOUBLE) / CAST(t.n_points AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS share_inside
+FROM inside i CROSS JOIN tot t
+"""
+
+
 def _register() -> None:
     registry.register(
         "spatial_nearest_grid", spatial_nearest_grid, SPATIAL_ORACLE
+    )
+    registry.register(
+        "spatial_point_in_polygon", spatial_point_in_polygon, _pip_oracle()
     )

@@ -74,3 +74,53 @@ def test_grid_no_candidate_is_null(spark):
     )
     out = grid_nearest_join(probes, pts, "pk", "sk").collect()
     assert out[0]["sk"] is None and out[0]["d2"] is None
+
+
+def test_point_in_polygon_python_replay(spark, sf_dir):
+    """Independent pure-Python PNPOLY replay over the same lattice
+    points, plus a hand-built certainty check on the concave
+    pentagon (a point in its notch must be OUTSIDE)."""
+    from bigdata_pipelines_aws_glue_spark.operators.spatial import (
+        _POLYGONS,
+        spatial_point_in_polygon,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    def pnpoly(verts, py, px):
+        inside = False
+        n = len(verts)
+        for i in range(n):
+            y1, x1 = verts[i]
+            y2, x2 = verts[(i + 1) % n]
+            if (y1 > py) != (y2 > py) and px < x1 + (py - y1) * (x2 - x1) / (
+                y2 - y1
+            ):
+                inside = not inside
+        return inside
+
+    keys = [
+        r["c_custkey"]
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    expect = {pid: 0 for pid in _POLYGONS}
+    for k in keys:
+        lat = ((k * 37) % 17000) / 100.0 - 85.0
+        lon = ((k * 73) % 36000) / 100.0 - 180.0
+        for pid, verts in _POLYGONS.items():
+            if pnpoly(verts, lat, lon):
+                expect[pid] += 1
+
+    got = {
+        r["polygon_id"]: r["n_inside"]
+        for r in spatial_point_in_polygon(spark, sf_dir).collect()
+    }
+    assert got == {p: n for p, n in expect.items() if n > 0}
+
+    # concavity sanity: the pentagon's notch point is outside, its
+    # lobe points are inside
+    pent = _POLYGONS[3]
+    assert not pnpoly(pent, -40.0, -120.0)  # inside the notch
+    assert pnpoly(pent, -60.0, -150.0)  # left lobe
+    assert pnpoly(pent, -60.0, -90.0)  # right lobe

@@ -126,6 +126,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoined into the single output row; all data joins are "
         "equi (order-key pair explosion, degree joins, wedge closure)",
     },
+    "spatial_point_in_polygon": {
+        "BroadcastNestedLoopJoin": "ray-casting crossing test: points x LITERAL 12-row edge table "
+        "(broadcast) — bounded x12 fan-out by construction; plus the "
+        "1-row totals crossJoin",
+    },
     "cohort_retention": {
         "ForcedBroadcastUnbounded": "the broadcast side is the per-cohort-month size table (groupBy "
         "of month-truncated first-order dates) — calendar-bounded "
