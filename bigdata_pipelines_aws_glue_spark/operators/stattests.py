@@ -858,6 +858,279 @@ FROM stats
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals (distribution-free coverage)
+# ---------------------------------------------------------------------------
+
+#: split thresholds on the md5-permutation domain: 60% train /
+#: 20% calibration / 20% test.
+_CONF_MOD = 1_000_000_007
+_CONF_TRAIN_HI = int(0.6 * _CONF_MOD)
+_CONF_CAL_HI = int(0.8 * _CONF_MOD)
+_CONF_SEED = 11
+_CONF_ALPHA = 0.05
+
+
+def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals for the two-feature OLS
+    revenue model (Vovk et al., "Algorithmic Learning in a Random
+    World" 2005; Lei et al., JASA 2018): fit on a 60% hash-split,
+    take the ceil((n_cal+1)(1-alpha))-th smallest absolute residual
+    on a disjoint 20% calibration split as the interval half-width q,
+    and report the empirical coverage of ``yhat ± q`` on the held-out
+    20% test split. The conformal guarantee — coverage >= 1 - alpha
+    REGARDLESS of the model being right — is distribution-free, which
+    is why this is the standard uncertainty wrapper in modern ML
+    pipelines.
+
+    Everything is one fixed split of one lineitem scan (md5-hash
+    split, the repo's train/val/test convention):
+
+    - the OLS fit reuses the decimal(38,0) sufficient-statistic
+      aggregate restricted to the train split (same pinned Cramer
+      order as :func:`ols_revenue_model`);
+    - the calibration quantile is an EXACT ORDER STATISTIC computed
+      with NO global sort: residuals quantize to integer cents
+      (identical doubles -> identical ints cross-engine), per-value
+      counts shuffle once, and the rank scan reuses the
+      :func:`_blocked_cums` two-level prefix sum — the KS/MW pattern;
+    - coverage on test is a plain conditional aggregate against the
+      broadcast 1-row (betas, q) tuple.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("|"),
+                    F.col("l_linenumber").cast("string"),
+                    F.lit(f":{_CONF_SEED}"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % F.lit(_CONF_MOD)
+    y = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    x1 = F.col("l_quantity").cast("long")
+    x2 = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    base = li.select(
+        x1.alias("x1"),
+        x2.alias("x2"),
+        y.alias("y"),
+        F.when(u < _CONF_TRAIN_HI, F.lit("train"))
+        .when(u < _CONF_CAL_HI, F.lit("cal"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    tr = base.filter(F.col("split") == "train")
+    fit = tr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("x1"))).alias("s1"),
+        F.sum(_dec(F.col("x2"))).alias("s2"),
+        F.sum(_dec(F.col("x1")) * F.col("x1")).alias("s11"),
+        F.sum(_dec(F.col("x1")) * F.col("x2")).alias("s12"),
+        F.sum(_dec(F.col("x2")) * F.col("x2")).alias("s22"),
+        F.sum(_dec(F.col("y"))).alias("sy"),
+        F.sum(_dec(F.col("x1")) * F.col("y")).alias("s1y"),
+        F.sum(_dec(F.col("x2")) * F.col("y")).alias("s2y"),
+        F.sum(_dec(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    d = {
+        k: F.col(k).cast("double")
+        for k in ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+    }
+    det = (
+        d["n"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
+        - d["s1"] * (d["s1"] * d["s22"] - d["s12"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["s12"] - d["s11"] * d["s2"])
+    )
+    det0 = (
+        d["sy"] * (d["s11"] * d["s22"] - d["s12"] * d["s12"])
+        - d["s1"] * (d["s1y"] * d["s22"] - d["s12"] * d["s2y"])
+        + d["s2"] * (d["s1y"] * d["s12"] - d["s11"] * d["s2y"])
+    )
+    det1 = (
+        d["n"] * (d["s1y"] * d["s22"] - d["s12"] * d["s2y"])
+        - d["sy"] * (d["s1"] * d["s22"] - d["s12"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["s2y"] - d["s1y"] * d["s2"])
+    )
+    det2 = (
+        d["n"] * (d["s11"] * d["s2y"] - d["s1y"] * d["s12"])
+        - d["s1"] * (d["s1"] * d["s2y"] - d["s1y"] * d["s2"])
+        + d["sy"] * (d["s1"] * d["s12"] - d["s11"] * d["s2"])
+    )
+    betas = F.broadcast(
+        fit.select(
+            (det0 / det).alias("b0"),
+            (det1 / det).alias("b1"),
+            (det2 / det).alias("b2"),
+            F.col("n").cast("long").alias("n_train"),
+        )
+    )
+    scored = base.filter(F.col("split") != "train").crossJoin(betas).select(
+        "split",
+        "n_train",
+        F.abs(
+            F.floor(
+                F.col("y").cast("double")
+                - (
+                    F.col("b0")
+                    + F.col("b1") * F.col("x1").cast("double")
+                    + F.col("b2") * F.col("x2").cast("double")
+                )
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("s"),
+    )
+    cal = scored.filter(F.col("split") == "cal")
+    n_cal = cal.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal")
+    )
+    counts = cal.groupBy(F.col("s").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = _blocked_cums(counts, ["c"]).select("v", "cum_c")
+    # k = ceil((n_cal + 1) * (1 - alpha)); q = min{v : cum(v) >= k}
+    k = F.ceil(
+        (F.col("n_cal") + F.lit(1)) * F.lit(1.0 - _CONF_ALPHA)
+    ).cast("long")
+    q_row = F.broadcast(
+        cum.crossJoin(F.broadcast(n_cal))
+        .filter(F.col("cum_c") >= k)
+        .agg(F.min("v").alias("q_cents"))
+    )
+    test = scored.filter(F.col("split") == "test")
+    out = test.crossJoin(q_row).agg(
+        F.max("n_train").alias("n_train"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.max("q_cents").alias("q_cents"),
+        F.sum(
+            (F.col("s") <= F.col("q_cents")).cast("long")
+        ).alias("n_covered"),
+    )
+    return out.crossJoin(F.broadcast(n_cal)).select(
+        "n_train",
+        "n_cal",
+        "n_test",
+        stable_round(F.col("q_cents").cast("double") / 100, 2).alias(
+            "q_dollars"
+        ),
+        stable_round(
+            F.col("n_covered").cast("double")
+            / F.col("n_test").cast("double"),
+            6,
+        ).alias("coverage"),
+        F.lit(1.0 - _CONF_ALPHA).alias("target_coverage"),
+    )
+
+
+def _conformal_oracle() -> str:
+    hash_u = (
+        "(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '|'"
+        " || CAST(l_linenumber AS VARCHAR) || ':"
+        f"{_CONF_SEED}'), 1, 15))::BIGINT % {_CONF_MOD})"
+    )
+    d = {
+        k: f"CAST({k} AS DOUBLE)"
+        for k in ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+    }
+    det = (
+        "({n} * ({s11} * {s22} - {s12} * {s12}) "
+        "- {s1} * ({s1} * {s22} - {s12} * {s2}) "
+        "+ {s2} * ({s1} * {s12} - {s11} * {s2}))".format(**d)
+    )
+    det0 = (
+        "({sy} * ({s11} * {s22} - {s12} * {s12}) "
+        "- {s1} * ({s1y} * {s22} - {s12} * {s2y}) "
+        "+ {s2} * ({s1y} * {s12} - {s11} * {s2y}))".format(**d)
+    )
+    det1 = (
+        "({n} * ({s1y} * {s22} - {s12} * {s2y}) "
+        "- {sy} * ({s1} * {s22} - {s12} * {s2}) "
+        "+ {s2} * ({s1} * {s2y} - {s1y} * {s2}))".format(**d)
+    )
+    det2 = (
+        "({n} * ({s11} * {s2y} - {s1y} * {s12}) "
+        "- {s1} * ({s1} * {s2y} - {s1y} * {s2}) "
+        "+ {sy} * ({s1} * {s12} - {s11} * {s2}))".format(**d)
+    )
+    return f"""
+WITH base AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x1,
+           CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+           CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5)
+                AS BIGINT) AS y,
+           CASE WHEN {hash_u} < {_CONF_TRAIN_HI} THEN 'train'
+                WHEN {hash_u} < {_CONF_CAL_HI} THEN 'cal'
+                ELSE 'test' END AS split
+    FROM lineitem
+),
+fit AS (
+    SELECT count(*) AS n,
+           sum(CAST(x1 AS HUGEINT)) AS s1,
+           sum(CAST(x2 AS HUGEINT)) AS s2,
+           sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+           sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+           sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+           sum(CAST(y AS HUGEINT)) AS sy,
+           sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+           sum(CAST(x2 AS HUGEINT) * y) AS s2y
+    FROM base WHERE split = 'train'
+),
+betas AS (
+    SELECT {det0} / {det} AS b0,
+           {det1} / {det} AS b1,
+           {det2} / {det} AS b2,
+           CAST(n AS BIGINT) AS n_train
+    FROM fit
+),
+scored AS (
+    SELECT b.split, bb.n_train,
+           abs(CAST(floor(CAST(b.y AS DOUBLE)
+               - (bb.b0 + bb.b1 * CAST(b.x1 AS DOUBLE)
+                  + bb.b2 * CAST(b.x2 AS DOUBLE)) + 0.5) AS BIGINT)) AS s
+    FROM base b CROSS JOIN betas bb
+    WHERE b.split <> 'train'
+),
+n_cal AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_cal FROM scored
+    WHERE split = 'cal'
+),
+cum AS (
+    SELECT s AS v,
+           sum(count(*)) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+    FROM scored WHERE split = 'cal' GROUP BY s
+),
+q AS (
+    SELECT min(v) AS q_cents
+    FROM cum CROSS JOIN n_cal
+    WHERE cum_c >= CAST(ceil((n_cal + 1) * {1.0 - _CONF_ALPHA}) AS BIGINT)
+)
+SELECT bb.n_train,
+       nc.n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       {sql_round('CAST(q.q_cents AS DOUBLE) / 100', 2)} AS q_dollars,
+       {sql_round(
+           'CAST(sum(CASE WHEN t.s <= q.q_cents THEN 1 ELSE 0 END)'
+           ' AS DOUBLE) / CAST(count(*) AS DOUBLE)', 6)} AS coverage,
+       CAST({1.0 - _CONF_ALPHA} AS DOUBLE) AS target_coverage
+FROM scored t
+CROSS JOIN q CROSS JOIN n_cal nc CROSS JOIN (SELECT n_train FROM betas) bb
+WHERE t.split = 'test'
+GROUP BY bb.n_train, nc.n_cal, q.q_cents
+"""
+
+
 def _register() -> None:
     registry.register("ols_revenue_model", ols_revenue_model, OLS_ORACLE)
     registry.register("kaplan_meier_repeat", kaplan_meier_repeat, KM_ORACLE)
@@ -868,4 +1141,9 @@ def _register() -> None:
     registry.register("welch_t_test", welch_t_test, _welch_oracle())
     registry.register(
         "chi2_independence_docs", chi2_independence_docs, CHI2_ORACLE
+    )
+    registry.register(
+        "conformal_interval_orders",
+        conformal_interval_orders,
+        _conformal_oracle(),
     )

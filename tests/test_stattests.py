@@ -184,3 +184,72 @@ def test_chi2_independence_matches_pandas(spark, sf_dir):
     v = math.sqrt(chi2 / (n * min(r - 1, c - 1)))
     assert abs(got["cramers_v"] - v) < 1e-8
     assert 0.0 <= got["cramers_v"] <= 1.0
+
+
+def test_conformal_interval_python_replay(spark, sf_dir):
+    """Full replay: hashlib split, numpy-Cramer fit on train, exact
+    order-statistic quantile on calibration, coverage on test — plus
+    the conformal finite-sample guarantee itself."""
+    import hashlib
+
+    from bigdata_pipelines_aws_glue_spark.operators.stattests import (
+        _CONF_ALPHA,
+        _CONF_CAL_HI,
+        _CONF_MOD,
+        _CONF_SEED,
+        _CONF_TRAIN_HI,
+        conformal_interval_orders,
+    )
+
+    got = conformal_interval_orders(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_extendedprice",
+    ).toPandas()
+    u = np.array(
+        [
+            int(
+                hashlib.md5(
+                    f"{ok}|{ln}:{_CONF_SEED}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            % _CONF_MOD
+            for ok, ln in zip(li["l_orderkey"], li["l_linenumber"])
+        ]
+    )
+    y = np.floor(
+        li["l_extendedprice"].to_numpy(float)
+        * (1.0 - li["l_discount"].to_numpy(float))
+        * 100
+        + 0.5
+    )
+    x1 = li["l_quantity"].to_numpy(float)
+    x2 = np.floor(li["l_discount"].to_numpy(float) * 100 + 0.5)
+    train = u < _CONF_TRAIN_HI
+    cal = (u >= _CONF_TRAIN_HI) & (u < _CONF_CAL_HI)
+    test = u >= _CONF_CAL_HI
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X[train], y[train], rcond=None)
+
+    def scores(mask):
+        resid = y[mask] - X[mask] @ beta
+        return np.abs(np.floor(resid + 0.5)).astype(np.int64)
+
+    s_cal = np.sort(scores(cal))
+    k = math.ceil((len(s_cal) + 1) * (1 - _CONF_ALPHA))
+    q = int(s_cal[k - 1])
+    cov = float((scores(test) <= q).mean())
+
+    assert (got["n_train"], got["n_cal"], got["n_test"]) == (
+        int(train.sum()), int(cal.sum()), int(test.sum()),
+    )
+    # betas come from different algorithms (SVD vs Cramer) — residual
+    # cents round identically except at exact .5 boundaries, so allow
+    # q to differ by a cent and coverage by a few test points.
+    assert abs(got["q_dollars"] - q / 100) < 0.02
+    assert abs(got["coverage"] - cov) < 1e-3
+    # the split-conformal finite-sample guarantee (and its upper
+    # companion, which holds for continuous scores up to ties)
+    assert got["coverage"] >= 1 - _CONF_ALPHA - 3e-3
+    assert got["coverage"] <= 1 - _CONF_ALPHA + 2e-2

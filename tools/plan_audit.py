@@ -126,6 +126,13 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoined into the single output row; all data joins are "
         "equi (order-key pair explosion, degree joins, wedge closure)",
     },
+    "conformal_interval_orders": {
+        "BroadcastNestedLoopJoin": "1-row beta vector, 1-row n_cal, and 1-row conformal-quantile "
+        "scalars broadcast onto the scored splits — scalar crossJoins",
+        "ForcedBroadcastUnbounded": "broadcast sides are all 1-row: the train-split OLS fit (global "
+        "aggregate the detector sees through only for unsplit scans), "
+        "the calibration count, and the min-rank quantile aggregate",
+    },
     "spatial_point_in_polygon": {
         "BroadcastNestedLoopJoin": "ray-casting crossing test: points x LITERAL 12-row edge table "
         "(broadcast) — bounded x12 fan-out by construction; plus the "
