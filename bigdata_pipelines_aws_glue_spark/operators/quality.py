@@ -418,6 +418,132 @@ SELECT (SELECT count(*) FROM keys) AS n_keys,
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksums (migration validation)
+# ---------------------------------------------------------------------------
+
+#: Mersenne prime 2^61 - 1: the checksum emits the exact decimal sum
+#: reduced mod this, so the output is a plain BIGINT (the registry's
+#: no-raw-DECIMAL rule) while the accumulation stays overflow-exact.
+_CKSUM_MOD = (1 << 61) - 1
+
+
+def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksums for the three volume
+    tables — THE migration-validation primitive: after replatforming
+    a pipeline (the reference's own story is a warehouse migration),
+    "same row count AND same content checksum on both systems" is
+    the cheapest end-to-end equality proof that needs no row-level
+    diff and no common sort order.
+
+    Each row canonicalizes to a '|'-joined string of its key columns
+    and exact-cents measures (dates as ISO strings — identical casts
+    both engines), hashes through the repo's 60-bit md5 prefix, and
+    the hashes SUM (commutative -> partition-order independent) in
+    decimal(38,0)/HUGEINT — exact up to ~1e38, i.e. ~1e19 rows —
+    then reduce mod 2^61-1 to a plain BIGINT. One scan per table,
+    map-side partial sums, a 3-row union output."""
+    h60 = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c), 1, 15), 16, 10
+    ).cast("long")
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+
+    def summary(df, name, canon):
+        return df.select(
+            h60(canon).cast("decimal(38,0)").alias("h")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.sum("h") % F.lit(_CKSUM_MOD)).cast("long").alias("checksum"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "checksum")
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    o = summary(
+        orders,
+        "orders",
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            cents("o_totalprice").cast("string"),
+            F.to_date("o_orderdate").cast("string"),
+            F.col("o_orderpriority"),
+        ),
+    )
+    li = summary(
+        lineitem,
+        "lineitem",
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_quantity").cast("long").cast("string"),
+            cents("l_extendedprice").cast("string"),
+            F.to_date("l_shipdate").cast("string"),
+        ),
+    )
+    c = summary(
+        customer,
+        "customer",
+        F.concat_ws(
+            "|",
+            F.col("c_custkey").cast("string"),
+            F.col("c_mktsegment"),
+            F.col("c_nationkey").cast("string"),
+            cents("c_acctbal").cast("string"),
+        ),
+    )
+    return o.unionAll(li).unionAll(c)
+
+
+CKSUM_ORACLE = f"""
+WITH o AS (
+    SELECT 'orders' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|'
+               || CAST(o_custkey AS VARCHAR) || '|'
+               || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS VARCHAR) || '|'
+               || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|'
+               || o_orderpriority), 1, 15))::BIGINT::HUGEINT)
+               % {_CKSUM_MOD} AS BIGINT) AS checksum
+    FROM orders
+),
+li AS (
+    SELECT 'lineitem',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(('0x' || substring(md5(
+               CAST(l_orderkey AS VARCHAR) || '|'
+               || CAST(l_linenumber AS VARCHAR) || '|'
+               || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|'
+               || CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS VARCHAR) || '|'
+               || CAST(CAST(l_shipdate AS DATE) AS VARCHAR)), 1, 15)
+               )::BIGINT::HUGEINT) % {_CKSUM_MOD} AS BIGINT)
+    FROM lineitem
+),
+c AS (
+    SELECT 'customer',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(('0x' || substring(md5(
+               CAST(c_custkey AS VARCHAR) || '|'
+               || c_mktsegment || '|'
+               || CAST(c_nationkey AS VARCHAR) || '|'
+               || CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                       AS VARCHAR)), 1, 15))::BIGINT::HUGEINT)
+               % {_CKSUM_MOD} AS BIGINT)
+    FROM customer
+)
+SELECT * FROM o UNION ALL SELECT * FROM li UNION ALL SELECT * FROM c
+"""
+
+
 def _register() -> None:
     registry.register("dq_profile", dq_profile, DQ_PROFILE_ORACLE)
     registry.register("benford_first_digit", benford_first_digit, BENFORD_ORACLE)
@@ -426,3 +552,6 @@ def _register() -> None:
     )
     registry.register("zorder_layout_key", zorder_layout_key, ZORDER_ORACLE)
     registry.register("dq_expectations", dq_expectations, DQ_EXPECTATIONS_ORACLE)
+    registry.register(
+        "table_checksum_audit", table_checksum_audit, CKSUM_ORACLE
+    )

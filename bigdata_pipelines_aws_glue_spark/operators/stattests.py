@@ -1131,6 +1131,191 @@ GROUP BY bb.n_train, nc.n_cal, q.q_cents
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test (two-group survival comparison)
+# ---------------------------------------------------------------------------
+
+_LOGRANK_G1 = "AUTOMOBILE"
+_LOGRANK_G2 = "BUILDING"
+
+
+def logrank_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox 1966) test comparing the
+    time-to-second-order survival curves of two customer market
+    segments — the standard two-group companion to
+    :func:`kaplan_meier_repeat` (a t-test on observed gaps would be
+    biased by censoring; the log-rank compares the full curves).
+
+    Same subject construction as the KM operator, restricted to two
+    ``c_mktsegment`` groups (one custkey-keyed join to customer —
+    the only volume-scaling join). The hypergeometric O-E and
+    variance terms live on the pooled distinct-event-time spine
+    (calendar-bounded, inequality self-join explicitly broadcast);
+    per-time expected counts and variances are doubles in one pinned
+    operation order, quantized to 1e-9 integers BEFORE the exact
+    sums (the KM/BM25 libm discipline). Statistic:
+    z = (O1 - E1)/sqrt(V), chi2 = z² (1 dof)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("seg")
+    ).filter(F.col("c_mktsegment").isin(_LOGRANK_G1, _LOGRANK_G2))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 2)
+    per_cust = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+    ).join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    horizon = orders.agg(F.max(F.to_date("o_orderdate")).alias("mx"))
+    subj = per_cust.crossJoin(F.broadcast(horizon)).select(
+        (F.col("seg") == _LOGRANK_G1).cast("int").alias("g1"),
+        F.when(
+            F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+        )
+        .otherwise(F.datediff(F.col("mx"), F.col("d1")))
+        .cast("long")
+        .alias("t"),
+        F.col("d2").isNotNull().cast("int").alias("event"),
+    )
+    spine = subj.groupBy("t").agg(
+        F.sum(F.col("event") * F.col("g1")).cast("long").alias("d1t"),
+        F.sum(F.col("event") * (1 - F.col("g1"))).cast("long").alias("d2t"),
+        F.sum(F.col("g1")).cast("long").alias("a1t"),
+        F.sum(F.lit(1) - F.col("g1")).cast("long").alias("a2t"),
+    )
+    a, b = spine.alias("a"), F.broadcast(spine.alias("b"))
+    risk = a.join(b, F.col("b.t") >= F.col("a.t")).groupBy(
+        "a.t", "a.d1t", "a.d2t"
+    ).agg(
+        F.sum("b.a1t").cast("long").alias("n1t"),
+        F.sum("b.a2t").cast("long").alias("n2t"),
+    ).filter(F.col("d1t") + F.col("d2t") > 0)
+    dt = (F.col("d1t") + F.col("d2t")).cast("double")
+    nt = (F.col("n1t") + F.col("n2t")).cast("double")
+    n1d = F.col("n1t").cast("double")
+    e1 = dt * n1d / nt
+    v = F.when(
+        nt > 1.0,
+        dt
+        * (n1d / nt)
+        * (F.lit(1.0) - n1d / nt)
+        * (nt - dt)
+        / (nt - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    q9 = lambda c: F.floor(c * 1e9 + F.lit(0.5)).cast("long")  # noqa: E731
+    stats = risk.agg(
+        F.sum("d1t").cast("long").alias("o1"),
+        F.sum(q9(e1)).alias("e1_q"),
+        F.sum(q9(v)).alias("v_q"),
+        F.max("n1t").alias("n1"),
+        F.max("n2t").alias("n2"),
+    )
+    # n at the earliest event time is the full group size only if the
+    # minimum observed time is an event time; emit the risk-set maxima
+    # as the group-size proxy both engines share.
+    z = (
+        F.col("o1").cast("double") - F.col("e1_q").cast("double") / 1e9
+    ) / F.sqrt(F.col("v_q").cast("double") / 1e9)
+    return stats.select(
+        F.col("n1").alias("max_risk_g1"),
+        F.col("n2").alias("max_risk_g2"),
+        "o1",
+        stable_round(F.col("e1_q").cast("double") / 1e9, 6).alias("e1"),
+        stable_round(z, 9).alias("z_stat"),
+        stable_round(z * z, 6).alias("chi2_1dof"),
+        (F.abs(stable_round(z, 9)) > F.lit(_Z_975)).alias("reject_05"),
+    )
+
+
+LOGRANK_ORACLE = f"""
+WITH cust AS (
+    SELECT c_custkey, c_mktsegment AS seg FROM customer
+    WHERE c_mktsegment IN ('{_LOGRANK_G1}', '{_LOGRANK_G2}')
+),
+ranked AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+),
+per_cust AS (
+    SELECT r.o_custkey,
+           min(CASE WHEN rn = 1 THEN d END) AS d1,
+           min(CASE WHEN rn = 2 THEN d END) AS d2,
+           any_value(c.seg) AS seg
+    FROM ranked r JOIN cust c ON r.o_custkey = c.c_custkey
+    WHERE rn <= 2 GROUP BY 1
+),
+horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+subj AS (
+    SELECT CASE WHEN seg = '{_LOGRANK_G1}' THEN 1 ELSE 0 END AS g1,
+           CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+                ELSE date_diff('day', d1, mx) END AS t,
+           CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS event
+    FROM per_cust CROSS JOIN horizon
+),
+spine AS (
+    SELECT t,
+           CAST(sum(event * g1) AS BIGINT) AS d1t,
+           CAST(sum(event * (1 - g1)) AS BIGINT) AS d2t,
+           CAST(sum(g1) AS BIGINT) AS a1t,
+           CAST(sum(1 - g1) AS BIGINT) AS a2t
+    FROM subj GROUP BY 1
+),
+risk AS (
+    SELECT a.t, a.d1t, a.d2t,
+           CAST(sum(b.a1t) AS BIGINT) AS n1t,
+           CAST(sum(b.a2t) AS BIGINT) AS n2t
+    FROM spine a JOIN spine b ON b.t >= a.t
+    GROUP BY 1, 2, 3
+    HAVING a.d1t + a.d2t > 0
+),
+terms AS (
+    SELECT d1t,
+           CAST(floor(CAST(d1t + d2t AS DOUBLE) * CAST(n1t AS DOUBLE)
+               / CAST(n1t + n2t AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS e1_q,
+           CASE WHEN n1t + n2t > 1 THEN
+               CAST(floor(CAST(d1t + d2t AS DOUBLE)
+                   * (CAST(n1t AS DOUBLE) / CAST(n1t + n2t AS DOUBLE))
+                   * (1.0 - CAST(n1t AS DOUBLE) / CAST(n1t + n2t AS DOUBLE))
+                   * (CAST(n1t + n2t AS DOUBLE) - CAST(d1t + d2t AS DOUBLE))
+                   / (CAST(n1t + n2t AS DOUBLE) - 1.0) * 1e9 + 0.5)
+                   AS BIGINT)
+           ELSE 0 END AS v_q,
+           n1t, n2t
+    FROM risk
+),
+stats AS (
+    SELECT CAST(sum(d1t) AS BIGINT) AS o1,
+           CAST(sum(e1_q) AS BIGINT) AS e1_q,
+           CAST(sum(v_q) AS BIGINT) AS v_q,
+           CAST(max(n1t) AS BIGINT) AS n1,
+           CAST(max(n2t) AS BIGINT) AS n2
+    FROM terms
+)
+SELECT n1 AS max_risk_g1, n2 AS max_risk_g2, o1,
+       {sql_round('CAST(e1_q AS DOUBLE) / 1e9', 6)} AS e1,
+       {sql_round(
+           '(CAST(o1 AS DOUBLE) - CAST(e1_q AS DOUBLE) / 1e9)'
+           ' / sqrt(CAST(v_q AS DOUBLE) / 1e9)', 9)} AS z_stat,
+       {sql_round(
+           '((CAST(o1 AS DOUBLE) - CAST(e1_q AS DOUBLE) / 1e9)'
+           ' / sqrt(CAST(v_q AS DOUBLE) / 1e9))'
+           ' * ((CAST(o1 AS DOUBLE) - CAST(e1_q AS DOUBLE) / 1e9)'
+           ' / sqrt(CAST(v_q AS DOUBLE) / 1e9))', 6)} AS chi2_1dof,
+       abs({sql_round(
+           '(CAST(o1 AS DOUBLE) - CAST(e1_q AS DOUBLE) / 1e9)'
+           ' / sqrt(CAST(v_q AS DOUBLE) / 1e9)', 9)}) > {_Z_975}
+           AS reject_05
+FROM stats
+"""
+
+
 def _register() -> None:
     registry.register("ols_revenue_model", ols_revenue_model, OLS_ORACLE)
     registry.register("kaplan_meier_repeat", kaplan_meier_repeat, KM_ORACLE)
@@ -1146,4 +1331,7 @@ def _register() -> None:
         "conformal_interval_orders",
         conformal_interval_orders,
         _conformal_oracle(),
+    )
+    registry.register(
+        "logrank_segments", logrank_segments, LOGRANK_ORACLE
     )

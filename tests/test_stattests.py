@@ -253,3 +253,102 @@ def test_conformal_interval_python_replay(spark, sf_dir):
     # companion, which holds for continuous scores up to ties)
     assert got["coverage"] >= 1 - _CONF_ALPHA - 3e-3
     assert got["coverage"] <= 1 - _CONF_ALPHA + 2e-2
+
+
+def test_logrank_python_replay(spark, sf_dir):
+    """Independent sequential replay of the Mantel-Cox O-E/variance
+    accumulation over the pooled life table."""
+    from collections import defaultdict
+
+    from bigdata_pipelines_aws_glue_spark.operators.stattests import (
+        _LOGRANK_G1,
+        _LOGRANK_G2,
+        logrank_segments,
+    )
+
+    got = logrank_segments(spark, sf_dir).collect()[0]
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    ).toPandas()
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).toPandas()
+    seg = dict(zip(cu["c_custkey"], cu["c_mktsegment"]))
+    od = od.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    horizon = od["o_orderdate"].max()
+    subj = []
+    for ck, grp in od.groupby("o_custkey"):
+        s = seg.get(ck)
+        if s not in (_LOGRANK_G1, _LOGRANK_G2):
+            continue
+        ds = grp["o_orderdate"].tolist()
+        if len(ds) >= 2:
+            subj.append((s == _LOGRANK_G1, (ds[1] - ds[0]).days, 1))
+        else:
+            subj.append((s == _LOGRANK_G1, (horizon - ds[0]).days, 0))
+    spine = defaultdict(lambda: [0, 0, 0, 0])  # d1,d2,a1,a2
+    for g1, t, ev in subj:
+        row = spine[t]
+        row[0] += ev and g1
+        row[1] += ev and not g1
+        row[2] += g1
+        row[3] += not g1
+    o1 = e1q = vq = 0
+    times = sorted(spine)
+    for i, t in enumerate(times):
+        d1 = spine[t][0]
+        d2 = spine[t][1]
+        if d1 + d2 == 0:
+            continue
+        n1 = sum(spine[u][2] for u in times[i:])
+        n2 = sum(spine[u][3] for u in times[i:])
+        dt, nt = d1 + d2, n1 + n2
+        o1 += d1
+        e1q += math.floor(dt * n1 / nt * 1e9 + 0.5)
+        if nt > 1:
+            vq += math.floor(
+                dt * (n1 / nt) * (1 - n1 / nt) * (nt - dt) / (nt - 1) * 1e9
+                + 0.5
+            )
+    z = (o1 - e1q / 1e9) / math.sqrt(vq / 1e9)
+    assert got["o1"] == o1
+    assert abs(got["e1"] - e1q / 1e9) < 2e-6
+    assert abs(got["z_stat"] - z) < 1e-8
+    assert abs(got["chi2_1dof"] - z * z) < 1e-5
+
+
+def test_table_checksum_detects_any_change(spark, sf_dir):
+    """The checksum must move under a 1-cent change to one row and be
+    invariant to row order (it is a commutative sum)."""
+    from bigdata_pipelines_aws_glue_spark.operators.quality import (
+        _CKSUM_MOD,
+        table_checksum_audit,
+    )
+
+    rows = {r["table_name"]: r for r in
+            table_checksum_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"orders", "lineitem", "customer"}
+    for r in rows.values():
+        assert 0 <= r["checksum"] < _CKSUM_MOD
+        assert r["n_rows"] > 0
+
+    # independent replay for customer + tamper sensitivity
+    import hashlib
+
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal"
+    ).toPandas()
+
+    def h(row, tamper=0):
+        cents = math.floor(row.c_acctbal * 100 + 0.5) + tamper
+        s = f"{row.c_custkey}|{row.c_mktsegment}|{row.c_nationkey}|{cents}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    total = sum(h(r) for r in cu.itertuples()) % _CKSUM_MOD
+    assert rows["customer"]["checksum"] == total
+    assert rows["customer"]["n_rows"] == len(cu)
+    tampered = (
+        sum(h(r) for r in list(cu.itertuples())[1:])
+        + h(next(cu.itertuples()), tamper=1)
+    ) % _CKSUM_MOD
+    assert tampered != total

@@ -126,6 +126,14 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoined into the single output row; all data joins are "
         "equi (order-key pair explosion, degree joins, wedge closure)",
     },
+    "logrank_segments": {
+        "BroadcastNestedLoopJoin": "hypergeometric life-table inequality self-join on the pooled "
+        "event-time spine — calendar-bounded, explicitly broadcast; "
+        "plus the 1-row horizon broadcast",
+        "ForcedBroadcastUnbounded": "broadcast sides are the distinct event-time spine (groupBy t, "
+        "calendar-bounded ~2 500 rows, kaplan_meier_repeat class) and "
+        "the 1-row horizon",
+    },
     "conformal_interval_orders": {
         "BroadcastNestedLoopJoin": "1-row beta vector, 1-row n_cal, and 1-row conformal-quantile "
         "scalars broadcast onto the scored splits — scalar crossJoins",
