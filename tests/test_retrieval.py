@@ -55,3 +55,50 @@ def test_bm25_topk_contract(spark, sf_dir):
         scores = [r.bm25_score for r in rs]
         assert scores == sorted(scores, reverse=True)
         assert all(s > 0 for s in scores)
+
+
+def test_textrank_python_replay(spark, sf_dir):
+    """Pure-Python synchronous PageRank over the same co-occurrence
+    graph with the same 1e-9 contribution quantization — top-20 must
+    agree exactly."""
+    from collections import defaultdict
+
+    from bigdata_pipelines_aws_glue_spark.operators.text import (
+        TEXTRANK_DAMP,
+        TEXTRANK_ITERS,
+        TEXTRANK_TOPN,
+        textrank_keywords,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("text").toPandas()
+    w = defaultdict(int)
+    for text in docs["text"]:
+        toks = text.strip().split(" ")
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                w[(a, b)] += 1
+                w[(b, a)] += 1
+    outw = defaultdict(int)
+    for (a, _), c in w.items():
+        outw[a] += c
+    nodes = sorted(outw)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    tele = (1.0 - TEXTRANK_DAMP) / n
+    for _ in range(TEXTRANK_ITERS):
+        acc = defaultdict(int)
+        for (a, b), c in w.items():
+            acc[b] += math.floor(r[a] * (c / outw[a]) * 1e9 + 0.5)
+        r = {v: tele + TEXTRANK_DAMP * (acc[v] / 1e9) for v in nodes}
+    expect = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:TEXTRANK_TOPN]
+
+    got = sorted(textrank_keywords(spark, sf_dir).collect(),
+                 key=lambda x: x["pos"])
+    assert [(g["term"],) for g in got] == [(t,) for t, _ in expect]
+    for g, (_, score) in zip(got, expect):
+        assert abs(g["textrank"] - score) < 2e-9
+    # ranks are 1..TOPN and scores nonincreasing
+    assert [g["pos"] for g in got] == list(range(1, TEXTRANK_TOPN + 1))
+    scores = [g["textrank"] for g in got]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
