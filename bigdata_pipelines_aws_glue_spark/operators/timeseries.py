@@ -547,6 +547,298 @@ FROM rev r JOIN fit f ON r.d = f.kd
 """
 
 
+
+
+def max_concurrent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency of order ACTIVITY SPANS — the classic
+    sweep-line ("maximum interval overlap") analytic: each order is
+    open from least(orderdate, first shipdate) to
+    greatest(orderdate, last shipdate) (this synthetic corpus ships
+    some lines before the order date, so the span takes min/max of
+    both); the answer is the running sum of +1/-1 boundary events.
+
+    Scale shape: the per-order interval reduction is one keyed
+    shuffle; boundary deltas then aggregate onto the CALENDAR-BOUNDED
+    day spine, and the running sum is an inequality self-join on
+    that broadcast spine (the kaplan_meier class) — never a
+    SinglePartition window over row-volume data. Everything is exact
+    integers; the single output row carries the peak, the EARLIEST
+    peak day (deterministic argmax), and the span-weighted mean
+    concurrency."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min(F.to_date("l_shipdate")).alias("smin"),
+            F.max(F.to_date("l_shipdate")).alias("smax"),
+        )
+        .join(
+            orders.select(
+                "o_orderkey", F.to_date("o_orderdate").alias("od")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.least("od", "smin").alias("s"),
+            F.greatest("od", "smax").alias("e"),
+        )
+    )
+    deltas = (
+        spans.select(F.col("s").alias("d"), F.lit(1).alias("x"))
+        .unionAll(
+            spans.select(
+                F.date_add(F.col("e"), 1).alias("d"), F.lit(-1).alias("x")
+            )
+        )
+        .groupBy("d")
+        .agg(F.sum("x").cast("long").alias("dx"))
+    )
+    a, b = deltas.alias("a"), F.broadcast(deltas.alias("b"))
+    conc = a.join(b, F.col("b.d") <= F.col("a.d")).groupBy("a.d").agg(
+        F.sum("b.dx").cast("long").alias("c")
+    )
+    n_tot = spans.agg(F.count(F.lit(1)).cast("long").alias("n_intervals"))
+    peak = conc.agg(F.max("c").alias("peak"))
+    peak_day = (
+        conc.crossJoin(F.broadcast(peak))
+        .filter(F.col("c") == F.col("peak"))
+        .agg(F.min("d").alias("peak_date"), F.max("peak").alias("pk"))
+    )
+    # span-weighted mean concurrency: sum over boundary-days of
+    # c * days-until-next-boundary, / total covered days. Next
+    # boundary via the same broadcast spine (min d' > d).
+    nxt = a.join(b, F.col("b.d") > F.col("a.d"), "left").groupBy(
+        "a.d"
+    ).agg(F.min("b.d").alias("dn"))
+    seg = conc.join(nxt, "d").filter(F.col("dn").isNotNull()).select(
+        (F.col("c").cast("decimal(38,0)")
+         * F.datediff("dn", "d")).alias("cd"),
+        F.datediff("dn", "d").cast("long").alias("len"),
+    )
+    mean_c = seg.agg(
+        (
+            F.sum("cd").cast("double")
+            / F.sum("len").cast("double")
+        ).alias("m")
+    )
+    return (
+        n_tot.crossJoin(F.broadcast(peak_day))
+        .crossJoin(F.broadcast(mean_c))
+        .select(
+            "n_intervals",
+            F.col("pk").alias("peak_concurrency"),
+            "peak_date",
+            stable_round(F.col("m"), 6).alias("mean_concurrency"),
+        )
+    )
+
+
+CONCURRENCY_ORACLE = """
+WITH spans AS (
+    SELECT least(CAST(o.o_orderdate AS DATE), g.smin) AS s,
+           greatest(CAST(o.o_orderdate AS DATE), g.smax) AS e
+    FROM (
+        SELECT l_orderkey,
+               min(CAST(l_shipdate AS DATE)) AS smin,
+               max(CAST(l_shipdate AS DATE)) AS smax
+        FROM lineitem GROUP BY 1
+    ) g JOIN orders o ON g.l_orderkey = o.o_orderkey
+),
+deltas AS (
+    SELECT d, CAST(sum(x) AS BIGINT) AS dx FROM (
+        SELECT s AS d, 1 AS x FROM spans
+        UNION ALL
+        SELECT e + INTERVAL 1 DAY, -1 FROM spans
+    ) GROUP BY 1
+),
+conc AS (
+    SELECT a.d, CAST(sum(b.dx) AS BIGINT) AS c
+    FROM deltas a JOIN deltas b ON b.d <= a.d GROUP BY 1
+),
+peak AS (SELECT max(c) AS pk FROM conc),
+peak_day AS (
+    SELECT min(d) AS peak_date, max(pk) AS pk
+    FROM conc CROSS JOIN peak WHERE c = pk
+),
+nxt AS (
+    SELECT a.d, min(b.d) AS dn
+    FROM deltas a LEFT JOIN deltas b ON b.d > a.d GROUP BY 1
+),
+seg AS (
+    SELECT CAST(c AS HUGEINT) * date_diff('day', conc.d, nxt.dn) AS cd,
+           CAST(date_diff('day', conc.d, nxt.dn) AS BIGINT) AS len
+    FROM conc JOIN nxt ON conc.d = nxt.d
+    WHERE nxt.dn IS NOT NULL
+),
+mean_c AS (
+    SELECT CAST(sum(cd) AS DOUBLE) / CAST(sum(len) AS DOUBLE) AS m FROM seg
+),
+n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n_intervals FROM spans)
+SELECT n_tot.n_intervals,
+       peak_day.pk AS peak_concurrency,
+       CAST(peak_day.peak_date AS DATE) AS peak_date,
+       floor(mean_c.m * 1000000.0 + 0.5) / 1000000.0 AS mean_concurrency
+FROM n_tot CROSS JOIN peak_day CROSS JOIN mean_c
+"""
+
+
+def changepoint_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection in the zero-filled daily revenue
+    series by BINARY SEGMENTATION (Scott & Knott 1974; the first
+    split of the standard recursive scheme): the boundary k that
+    minimizes SSE(left) + SSE(right), where each segment's SSE uses
+    the exact identity SSE = Q − S²/len over prefix sums S (Σy) and
+    Q (Σy²) — the retrospective companion to the online CUSUM drift
+    detector (`events_cusum_drift`).
+
+    Scale shape: the daily reduction is the only volume stage;
+    prefix sums come from one broadcast inequality self-join on the
+    calendar-bounded spine; every candidate boundary is one row of
+    that spine (~2 500 candidates at ANY corpus size). Numerics: S
+    and Q in decimal(38,0)/HUGEINT (Q passes int64 near sf30); each
+    candidate's SSE is computed in doubles in ONE pinned order, so
+    the argmin picks identical values cross-engine (ties broken by
+    earliest date)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("c")
+    )
+    bounds = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("d"))
+    rev = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("c", F.lit(0).cast("long")).alias("x")
+    )
+    a, b = rev.alias("a"), F.broadcast(rev.alias("b"))
+    pre = a.join(b, F.col("b.d") <= F.col("a.d")).groupBy(
+        "a.d"
+    ).agg(
+        F.sum(F.col("b.x").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("b.x").cast("decimal(38,0)") * F.col("b.x")
+        ).alias("q"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    tot = F.broadcast(
+        rev.agg(
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("st"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("x")
+            ).alias("qt"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    cand = pre.crossJoin(tot).filter(F.col("k") < F.col("n"))
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    std = F.col("st").cast("double")
+    qtd = F.col("qt").cast("double")
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    sse_l = qd - sd * sd / kd
+    # k < n is already filtered, but ANSI mode evaluates the
+    # projection eagerly per row — guard the (n - k) divisions so the
+    # boundary row can never raise DIVIDE_BY_ZERO.
+    guard = F.col("k") < F.col("n")
+    sse_r = F.when(
+        guard,
+        (qtd - qd) - (std - sd) * (std - sd) / (nd - kd),
+    )
+    scored = cand.select(
+        "d",
+        "k",
+        "n",
+        (sse_l + sse_r).alias("sse_split"),
+        (qtd - std * std / nd).alias("sse_total"),
+        (sd / kd).alias("ml"),
+        F.when(guard, (std - sd) / (nd - kd)).alias("mr"),
+    )
+    best_val = scored.agg(F.min("sse_split").alias("best"))
+    best = (
+        scored.crossJoin(F.broadcast(best_val))
+        .filter(F.col("sse_split") == F.col("best"))
+        .agg(
+            F.min("d").alias("split_date"),
+            F.min("k").alias("n_left"),
+            F.max("n").alias("n_days"),
+            F.min("ml").alias("ml"),
+            F.min("mr").alias("mr"),
+            F.min("sse_split").alias("sse_split"),
+            F.min("sse_total").alias("sse_total"),
+        )
+    )
+    return best.select(
+        "split_date",
+        "n_left",
+        (F.col("n_days") - F.col("n_left")).alias("n_right"),
+        stable_round(F.col("ml") / 100, 2).alias("mean_left_dollars"),
+        stable_round(F.col("mr") / 100, 2).alias("mean_right_dollars"),
+        stable_round(
+            F.lit(1.0) - F.col("sse_split") / F.col("sse_total"), 9
+        ).alias("sse_reduction"),
+    )
+
+
+CHANGEPOINT_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS c
+    FROM orders GROUP BY 1
+),
+b AS (SELECT min(d) AS mn, max(d) AS mx FROM daily),
+spine AS (
+    SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM b
+),
+rev AS (
+    SELECT s.d, CAST(coalesce(dl.c, 0) AS BIGINT) AS x
+    FROM spine s LEFT JOIN daily dl USING (d)
+),
+pre AS (
+    SELECT a.d,
+           sum(CAST(b.x AS HUGEINT)) AS s,
+           sum(CAST(b.x AS HUGEINT) * b.x) AS q,
+           CAST(count(*) AS BIGINT) AS k
+    FROM rev a JOIN rev b ON b.d <= a.d GROUP BY 1
+),
+tot AS (
+    SELECT sum(CAST(x AS HUGEINT)) AS st,
+           sum(CAST(x AS HUGEINT) * x) AS qt,
+           CAST(count(*) AS BIGINT) AS n
+    FROM rev
+),
+scored AS (
+    SELECT d, k, n,
+           (CAST(q AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+           + ((CAST(qt AS DOUBLE) - CAST(q AS DOUBLE))
+              - (CAST(st AS DOUBLE) - CAST(s AS DOUBLE))
+                * (CAST(st AS DOUBLE) - CAST(s AS DOUBLE))
+                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS sse_split,
+           CAST(qt AS DOUBLE)
+             - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+               / CAST(n AS DOUBLE) AS sse_total,
+           CAST(s AS DOUBLE) / CAST(k AS DOUBLE) AS ml,
+           (CAST(st AS DOUBLE) - CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS mr
+    FROM pre CROSS JOIN tot
+    WHERE k < n
+),
+best_val AS (SELECT min(sse_split) AS best FROM scored)
+SELECT min(d) AS split_date,
+       min(k) AS n_left,
+       max(n) - min(k) AS n_right,
+       floor(min(ml) / 100 * 100.0 + 0.5) / 100.0 AS mean_left_dollars,
+       floor(min(mr) / 100 * 100.0 + 0.5) / 100.0 AS mean_right_dollars,
+       floor((1.0 - min(sse_split) / min(sse_total)) * 1000000000.0 + 0.5)
+         / 1000000000.0 AS sse_reduction
+FROM scored CROSS JOIN best_val
+WHERE sse_split = best
+"""
+
+
 def _register() -> None:
     registry.register(
         "events_rolling_avg_time", events_rolling_avg_time, ROLLING_ORACLE
@@ -559,4 +851,12 @@ def _register() -> None:
     registry.register("events_outlier_mad", events_outlier_mad, MAD_ORACLE)
     registry.register(
         "seasonal_decompose_daily", seasonal_decompose_daily, SEASONAL_ORACLE
+    )
+    registry.register(
+        "max_concurrent_orders", max_concurrent_orders, CONCURRENCY_ORACLE
+    )
+    registry.register(
+        "changepoint_daily_revenue",
+        changepoint_daily_revenue,
+        CHANGEPOINT_ORACLE,
     )

@@ -147,3 +147,97 @@ def test_isotonic_matches_pav_replay(spark, sf_dir):
     assert np.all(np.diff(got_fit) >= -1e-9)
     # an L2 projection preserves the mean
     assert abs(got_fit.mean() - y.mean()) < 1e-3
+
+
+def test_max_concurrent_python_replay(spark, sf_dir):
+    """Sequential sweep-line replay over collected spans."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from bigdata_pipelines_aws_glue_spark.operators.timeseries import (
+        max_concurrent_orders,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    got = max_concurrent_orders(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).toPandas()
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    ).toPandas()
+    li["l_shipdate"] = pd.to_datetime(li["l_shipdate"]).dt.date
+    od["o_orderdate"] = pd.to_datetime(od["o_orderdate"]).dt.date
+    g = li.groupby("l_orderkey")["l_shipdate"].agg(["min", "max"])
+    j = od.join(g, on="o_orderkey", how="inner")
+    deltas = defaultdict(int)
+    import datetime as dt
+
+    n = 0
+    for r in j.itertuples():
+        s = min(r.o_orderdate, r.min)
+        e = max(r.o_orderdate, r.max)
+        deltas[s] += 1
+        deltas[e + dt.timedelta(days=1)] -= 1
+        n += 1
+    days = sorted(deltas)
+    c = 0
+    peak, peak_day = -1, None
+    weighted = tot_len = 0
+    for i, d in enumerate(days):
+        c += deltas[d]
+        if c > peak:
+            peak, peak_day = c, d
+        if i + 1 < len(days):
+            span = (days[i + 1] - d).days
+            weighted += c * span
+            tot_len += span
+    assert got["n_intervals"] == n
+    assert got["peak_concurrency"] == peak
+    assert got["peak_date"] == peak_day
+    assert abs(got["mean_concurrency"] - weighted / tot_len) < 2e-6
+    assert 0 < got["peak_concurrency"] <= n
+
+
+def test_changepoint_python_replay(spark, sf_dir):
+    """Exhaustive numpy scan over every candidate boundary."""
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_pipelines_aws_glue_spark.operators.timeseries import (
+        changepoint_daily_revenue,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    got = changepoint_daily_revenue(spark, sf_dir).collect()[0]
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice"
+    ).toPandas()
+    od["d"] = pd.to_datetime(od["o_orderdate"]).dt.date
+    od["c"] = np.floor(
+        od["o_totalprice"].to_numpy(float) * 100 + 0.5
+    ).astype(np.int64)
+    daily = od.groupby("d")["c"].sum()
+    full = pd.date_range(min(daily.index), max(daily.index), freq="D").date
+    y = np.array([daily.get(d, 0) for d in full], dtype=np.float64)
+    n = len(y)
+    S = np.cumsum(y)
+    Q = np.cumsum(y * y)
+    k = np.arange(1, n)  # boundary after k days
+    sse_l = Q[:-1] - S[:-1] ** 2 / k
+    sse_r = (Q[-1] - Q[:-1]) - (S[-1] - S[:-1]) ** 2 / (n - k)
+    tot = sse_l + sse_r
+    i = int(np.argmin(tot))  # numpy takes FIRST minimum = earliest date
+    sse_total = Q[-1] - S[-1] ** 2 / n
+    assert got["split_date"] == full[i]
+    assert got["n_left"] == i + 1
+    assert got["n_right"] == n - i - 1
+    assert abs(
+        got["sse_reduction"] - (1.0 - tot[i] / sse_total)
+    ) < 1e-9
+    ml = S[i] / (i + 1) / 100
+    mr = (S[-1] - S[i]) / (n - i - 1) / 100
+    assert abs(got["mean_left_dollars"] - ml) < 0.01
+    assert abs(got["mean_right_dollars"] - mr) < 0.01
+    assert 0.0 <= got["sse_reduction"] < 1.0

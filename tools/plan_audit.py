@@ -126,6 +126,19 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoined into the single output row; all data joins are "
         "equi (order-key pair explosion, degree joins, wedge closure)",
     },
+    "max_concurrent_orders": {
+        "BroadcastNestedLoopJoin": "sweep-line running-sum and next-boundary inequality self-joins "
+        "on the boundary-day spine — calendar-bounded, explicitly "
+        "broadcast; plus 1-row peak/mean scalar crossJoins",
+        "ForcedBroadcastUnbounded": "broadcast sides are the boundary-delta day spine (groupBy day, "
+        "calendar-bounded) and 1-row scalars",
+    },
+    "changepoint_daily_revenue": {
+        "BroadcastNestedLoopJoin": "prefix-sum inequality self-join on the zero-filled day spine "
+        "(calendar-bounded, broadcast) + 1-row totals/argmin scalars",
+        "ForcedBroadcastUnbounded": "broadcast sides are the calendar day spine (isotonic class) and "
+        "two 1-row aggregates",
+    },
     "logrank_segments": {
         "BroadcastNestedLoopJoin": "hypergeometric life-table inequality self-join on the pooled "
         "event-time spine — calendar-bounded, explicitly broadcast; "
