@@ -126,6 +126,19 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoined into the single output row; all data joins are "
         "equi (order-key pair explosion, degree joins, wedge closure)",
     },
+    "gini_customer_revenue": {
+        "BroadcastNestedLoopJoin": "block-offset inequality self-join on the $1000-block spine of "
+        "the lifetime-cents value domain — value-domain bounded, "
+        "explicitly broadcast",
+        "ForcedBroadcastUnbounded": "the broadcast side is the per-block subtotal spine (groupBy "
+        "blk of cents / 1e5 — ks_test_price class)",
+    },
+    "abc_classification_parts": {
+        "BroadcastNestedLoopJoin": "same value-domain block-offset join + the 1-row revenue-total "
+        "crossJoin",
+        "ForcedBroadcastUnbounded": "broadcast sides are the block subtotal spine and the 1-row "
+        "total aggregate",
+    },
     "max_concurrent_orders": {
         "BroadcastNestedLoopJoin": "sweep-line running-sum and next-boundary inequality self-joins "
         "on the boundary-day spine — calendar-bounded, explicitly "
