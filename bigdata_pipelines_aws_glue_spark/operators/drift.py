@@ -31,6 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+    stable_round,
+)
 from bigdata_pipelines_aws_glue_spark.operators.sampling import (
     _SPLIT_SEED,
     _TRAIN_HI,
@@ -196,5 +199,154 @@ ORDER BY split
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (distribution drift across time periods)
+# ---------------------------------------------------------------------------
+
+#: period boundary: orders before this date are the baseline
+#: population, the rest the current one.
+_PSI_SPLIT_DATE = "1998-01-01"
+
+#: decile bins of the POOLED distribution (the standard PSI binning).
+_PSI_BINS = 10
+
+
+def psi_order_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    baseline (orders before {split}) vs current — THE standard model-
+    monitoring drift metric (credit-scoring practice; PSI < 0.1
+    stable, 0.1-0.25 moderate shift, > 0.25 action):
+
+        PSI = sum_bins (p_i - q_i) * ln(p_i / q_i)
+
+    over decile bins of the POOLED distribution (one exact-percentile
+    1-row aggregate, the ``equidepth_histogram`` pairing), with +1
+    Laplace smoothing on the bin counts so an empty bin cannot produce
+    ln(0) (documented deviation shared by both engines). Each term is
+    computed in one pinned double order and 1e-9-quantized before the
+    exact sum; the output carries the per-bin decomposition AND the
+    total on every row (bin-bounded output)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_totalprice").alias("v"),
+        (F.to_date("o_orderdate") < F.lit(_PSI_SPLIT_DATE).cast("date"))
+        .cast("int")
+        .alias("is_base"),
+    )
+    qs = [i / _PSI_BINS for i in range(1, _PSI_BINS)]
+    th = base.agg(
+        *[
+            F.expr(f"percentile(v, {q})").alias(f"t{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    j = base.crossJoin(F.broadcast(th))
+    bucket = F.lit(1)
+    for i in range(1, _PSI_BINS):
+        bucket = bucket + (F.col("v") > F.col(f"t{i}")).cast("int")
+    binned = j.select(bucket.alias("bin"), "is_base").groupBy("bin").agg(
+        F.sum("is_base").cast("long").alias("nb"),
+        F.sum(F.lit(1) - F.col("is_base")).cast("long").alias("nc"),
+    )
+    tot = F.broadcast(
+        binned.agg(
+            F.sum("nb").cast("long").alias("tb"),
+            F.sum("nc").cast("long").alias("tc"),
+        )
+    )
+    g = binned.crossJoin(tot)
+    p = (F.col("nb").cast("double") + F.lit(1.0)) / (
+        F.col("tb").cast("double") + F.lit(float(_PSI_BINS))
+    )
+    q = (F.col("nc").cast("double") + F.lit(1.0)) / (
+        F.col("tc").cast("double") + F.lit(float(_PSI_BINS))
+    )
+    term_q = F.floor((p - q) * F.log(p / q) * 1e9 + F.lit(0.5)).cast("long")
+    per_bin = g.select(
+        "bin",
+        "nb",
+        "nc",
+        stable_round(p, 9).alias("p_base"),
+        stable_round(q, 9).alias("q_current"),
+        (term_q.cast("double") / 1e9).alias("psi_term"),
+        term_q.alias("_tq"),
+    )
+    total = F.broadcast(
+        per_bin.agg((F.sum("_tq").cast("double") / 1e9).alias("psi_total"))
+    )
+    return per_bin.crossJoin(total).select(
+        "bin",
+        F.col("nb").alias("n_baseline"),
+        F.col("nc").alias("n_current"),
+        "p_base",
+        "q_current",
+        "psi_term",
+        stable_round(F.col("psi_total"), 9).alias("psi_total"),
+    )
+
+
+def _psi_oracle() -> str:
+    qs = [i / _PSI_BINS for i in range(1, _PSI_BINS)]
+    th_sql = ",\n           ".join(
+        f"quantile_cont(v, {q}) AS t{i}" for i, q in enumerate(qs, start=1)
+    )
+    bucket = "1 + " + " + ".join(
+        f"CASE WHEN v > t{i} THEN 1 ELSE 0 END" for i in range(1, _PSI_BINS)
+    )
+    p = (
+        f"((CAST(nb AS DOUBLE) + 1.0)"
+        f" / (CAST(tb AS DOUBLE) + {float(_PSI_BINS)}))"
+    )
+    q = (
+        f"((CAST(nc AS DOUBLE) + 1.0)"
+        f" / (CAST(tc AS DOUBLE) + {float(_PSI_BINS)}))"
+    )
+    term_q = (
+        f"CAST(floor(({p} - {q}) * ln({p} / {q}) * 1e9 + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH base AS (
+    SELECT o_totalprice AS v,
+           CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_PSI_SPLIT_DATE}'
+                THEN 1 ELSE 0 END AS is_base
+    FROM orders
+),
+th AS (
+    SELECT {th_sql}
+    FROM base
+),
+binned AS (
+    SELECT ({bucket}) AS bin,
+           CAST(sum(is_base) AS BIGINT) AS nb,
+           CAST(sum(1 - is_base) AS BIGINT) AS nc
+    FROM base CROSS JOIN th
+    GROUP BY 1
+),
+tot AS (
+    SELECT CAST(sum(nb) AS BIGINT) AS tb, CAST(sum(nc) AS BIGINT) AS tc
+    FROM binned
+),
+per_bin AS (
+    SELECT bin, nb, nc,
+           floor({p} * 1e9 + 0.5) / 1e9 AS p_base,
+           floor({q} * 1e9 + 0.5) / 1e9 AS q_current,
+           {term_q} AS tq
+    FROM binned CROSS JOIN tot
+),
+total AS (SELECT CAST(sum(tq) AS BIGINT) AS psi_q FROM per_bin)
+SELECT CAST(bin AS INTEGER) AS bin,
+       nb AS n_baseline, nc AS n_current,
+       p_base, q_current,
+       CAST(tq AS DOUBLE) / 1e9 AS psi_term,
+       floor(CAST(psi_q AS DOUBLE) / 1e9 * 1e9 + 0.5) / 1e9 AS psi_total
+FROM per_bin CROSS JOIN total
+"""
+
+
 def _register() -> None:
     registry.register("split_token_drift", split_token_drift, SPLIT_DRIFT_ORACLE)
+    registry.register(
+        "psi_order_value_drift", psi_order_value_drift, _psi_oracle()
+    )

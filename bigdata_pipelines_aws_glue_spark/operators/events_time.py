@@ -16,6 +16,8 @@ key; skewed users are the hazard, AQE skew-split handles it.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -523,6 +525,125 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Markov transition analysis of per-user event sequences
+# ---------------------------------------------------------------------------
+
+_MARKOV_ITERS = 8
+
+
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain over per-user event-type sequences:
+    the row-stochastic transition matrix P(to | from) estimated from
+    consecutive event pairs, plus the chain's STATIONARY distribution
+    by ``_MARKOV_ITERS`` synchronous power-iteration rounds — the
+    behavioral-model summary ("where does a user session settle")
+    that plain aggregation can't produce.
+
+    Scale shape: sequencing is a per-user keyed window (row_number —
+    never SinglePartition); consecutive pairs come from an equi
+    self-join on (user, rn+1); the transition matrix is then bounded
+    by |event types|² (~25 cells at ANY corpus size) — METADATA, so
+    the power iteration runs on the driver over the collected matrix
+    (the kmeans/eigvec metadata-collect convention), with every
+    contribution floored to a 1e-9 integer before summing so the
+    DuckDB twin's unrolled CTE rounds replay it bit-for-bit."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", F.col("event_type").alias("t"),
+        F.row_number().over(w).alias("rn"),
+    )
+    a = seq.alias("a")
+    b = seq.select(
+        F.col("user_id").alias("u2"),
+        (F.col("rn") - 1).alias("rn2"),
+        F.col("t").alias("t2"),
+    )
+    trans = a.join(
+        b, (F.col("a.user_id") == F.col("u2")) & (F.col("a.rn") == F.col("rn2"))
+    ).groupBy(
+        F.col("a.t").alias("from_type"), F.col("t2").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rows = trans.collect()  # |types|² cells — metadata-sized
+    from_tot = {}
+    for r in rows:
+        from_tot[r["from_type"]] = from_tot.get(r["from_type"], 0) + r["n"]
+    p = {
+        (r["from_type"], r["to_type"]): r["n"] / from_tot[r["from_type"]]
+        for r in rows
+    }
+    types = sorted(from_tot)
+    n_types = len(types)
+    x = {t: 1.0 / n_types for t in types}
+    for _ in range(_MARKOV_ITERS):
+        acc = {t: 0 for t in types}
+        for (f, t), pv in p.items():
+            acc[t] += math.floor(x[f] * pv * 1e9 + 0.5)
+        x = {t: acc[t] / 1e9 for t in types}
+    out = [
+        (
+            f,
+            t,
+            int(r_n),
+            math.floor(p[(f, t)] * 1e9 + 0.5) / 1e9,
+            math.floor(x[f] * 1e9 + 0.5) / 1e9,
+        )
+        for (f, t), r_n in (
+            ((rr["from_type"], rr["to_type"]), rr["n"]) for rr in rows
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "from_type string, to_type string, n_transitions long, "
+        "p_transition double, stationary_from double",
+    )
+
+
+def _markov_round(i: int) -> str:
+    return f"""x{i} AS (
+    SELECT p.to_type AS t,
+           sum(CAST(floor(x.v * p.pv * 1000000000.0 + 0.5) AS BIGINT))
+             / 1000000000.0 AS v
+    FROM p JOIN x{i - 1} x ON x.t = p.from_type
+    GROUP BY 1
+)"""
+
+
+MARKOV_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_type AS t,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+),
+trans AS (
+    SELECT a.t AS from_type, b.t AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq a JOIN seq b
+      ON a.user_id = b.user_id AND b.rn = a.rn + 1
+    GROUP BY 1, 2
+),
+ft AS (SELECT from_type, sum(n) AS tot FROM trans GROUP BY 1),
+p AS (
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(t.n AS DOUBLE) / CAST(f.tot AS DOUBLE) AS pv
+    FROM trans t JOIN ft f USING (from_type)
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ft),
+x0 AS (SELECT from_type AS t, 1.0 / (SELECT n FROM nn) AS v FROM ft),
+{",".join(_markov_round(i) for i in range(1, _MARKOV_ITERS + 1))}
+SELECT p.from_type, p.to_type, p.n AS n_transitions,
+       floor(p.pv * 1000000000.0 + 0.5) / 1000000000.0 AS p_transition,
+       floor(x.v * 1000000000.0 + 0.5) / 1000000000.0 AS stationary_from
+FROM p JOIN x{_MARKOV_ITERS} x ON x.t = p.from_type
+"""
+
+
 def _register() -> None:
     registry.register("events_window_10min", events_window_10min, WINDOW_ORACLE)
     registry.register("events_sessionize", events_sessionize, SESSION_ORACLE)
@@ -548,4 +669,9 @@ def _register() -> None:
         "events_click_to_purchase",
         events_click_to_purchase,
         CLICK_PURCHASE_ORACLE,
+    )
+    registry.register(
+        "markov_event_transitions",
+        markov_event_transitions,
+        MARKOV_ORACLE,
     )

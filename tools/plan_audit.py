@@ -126,6 +126,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoined into the single output row; all data joins are "
         "equi (order-key pair explosion, degree joins, wedge closure)",
     },
+    "psi_order_value_drift": {
+        "BroadcastNestedLoopJoin": "1-row decile-threshold vector, 1-row totals, and 1-row PSI "
+        "scalar crossJoins onto the bin-bounded table",
+    },
     "gini_customer_revenue": {
         "BroadcastNestedLoopJoin": "block-offset inequality self-join on the $1000-block spine of "
         "the lifetime-cents value domain — value-domain bounded, "
