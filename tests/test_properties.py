@@ -299,3 +299,101 @@ def test_degree_ordered_wedges_count_triangles(raw_edges):
         adj.setdefault(v, set()).add(u)
     brute = sum(len(adj[u] & adj[v]) for u, v in edges) // 3
     assert tri == brute
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60)
+)
+@settings(max_examples=200, deadline=None)
+def test_gini_tie_block_identity(values):
+    """The tie-block formula gini_customer_revenue sums distributed —
+    2*sum_i i*x_(i) == sum over distinct v of v*c*(2*cum_before+c+1)
+    — equals the sorted definition for ANY multiset."""
+    from collections import Counter
+
+    xs = sorted(values)
+    lhs = 2 * sum((i + 1) * x for i, x in enumerate(xs))
+    cnt = Counter(values)
+    rhs = 0
+    cb = 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        rhs += v * c * (2 * cb + c + 1)
+        cb += c
+    assert lhs == rhs
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=100), min_size=1,
+             max_size=80),
+    st.integers(min_value=1, max_value=80),
+)
+@settings(max_examples=200, deadline=None)
+def test_counting_rank_quantile_identity(values, k):
+    """conformal_interval_orders' sort-free order statistic —
+    min{v : cum_count(<=v) >= k} — equals the k-th smallest for ANY
+    multiset and any in-range rank."""
+    from collections import Counter
+
+    if k > len(values):
+        k = len(values)
+    cnt = Counter(values)
+    cum = 0
+    got = None
+    for v in sorted(cnt):
+        cum += cnt[v]
+        if cum >= k:
+            got = v
+            break
+    assert got == sorted(values)[k - 1]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_sweepline_peak_equals_bruteforce(iv):
+    """max_concurrent_orders' boundary-delta running sum: the peak
+    equals the brute-force per-day overlap count for ANY intervals
+    [s, s+len]."""
+    from collections import defaultdict
+
+    spans = [(s, s + ln) for s, ln in iv]
+    deltas = defaultdict(int)
+    for s, e in spans:
+        deltas[s] += 1
+        deltas[e + 1] -= 1
+    c = peak = 0
+    for d in sorted(deltas):
+        c += deltas[d]
+        peak = max(peak, c)
+    brute = max(
+        sum(1 for s, e in spans if s <= d <= e)
+        for d in range(0, max(e for _, e in spans) + 1)
+    )
+    assert peak == brute
+
+
+@given(st.integers(min_value=1, max_value=10_000_000))
+@settings(max_examples=300, deadline=None)
+def test_pnpoly_lattice_separation(k):
+    """spatial_point_in_polygon's exactness precondition: every
+    synthesized lattice point is >= ~0.005 away (in latitude) from
+    every polygon vertex latitude and never lies on a vertical edge
+    x-coordinate — so the ray-casting comparisons are never within
+    float noise of a tie."""
+    from bigdata_pipelines_aws_glue_spark.operators.spatial import _POLYGONS
+
+    lat = ((k * 37) % 17000) / 100.0 - 85.0
+    lon = ((k * 73) % 36000) / 100.0 - 180.0
+    for verts in _POLYGONS.values():
+        for vy, vx in verts:
+            assert abs(lat - vy) > 0.004
+            assert abs(lon - vx) > 0.004
