@@ -799,9 +799,11 @@ def chi2_independence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n").cast("double")
     )
     od = F.col("o").cast("double")
+    # decimal, not long: a cell's (O-E)²/E is bounded by N (~1e12 at
+    # 100 TB), so the 1e9-scaled integer passes int64.
     term_q = F.floor(
         (od - e) * (od - e) / e * 1e9 + F.lit(0.5)
-    ).cast("long")
+    ).cast("decimal(38,0)")
     stats = full.groupBy("n").agg(
         F.sum(term_q).alias("chi2_q"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
@@ -842,7 +844,7 @@ stats AS (
                * (CAST(o AS DOUBLE)
                 - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
                / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
-               * 1e9 + 0.5) AS BIGINT)) AS chi2_q,
+               * 1e9 + 0.5) AS HUGEINT)) AS chi2_q,
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources
     FROM full_grid GROUP BY 1
@@ -1207,7 +1209,13 @@ def logrank_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (nt - dt)
         / (nt - F.lit(1.0)),
     ).otherwise(F.lit(0.0))
-    q9 = lambda c: F.floor(c * 1e9 + F.lit(0.5)).cast("long")  # noqa: E731
+    # quantized terms are decimal(38,0), NOT long: dt*n1/nt reaches
+    # ~1e12 at the 100 TB customer count, so the 1e9-scaled integer
+    # is ~1e21 — past int64 (the r5/r6 CMS-bound lesson, caught in
+    # this round's self-review before it could bite).
+    q9 = lambda c: F.floor(c * 1e9 + F.lit(0.5)).cast(  # noqa: E731
+        "decimal(38,0)"
+    )
     stats = risk.agg(
         F.sum("d1t").cast("long").alias("o1"),
         F.sum(q9(e1)).alias("e1_q"),
@@ -1278,22 +1286,22 @@ risk AS (
 terms AS (
     SELECT d1t,
            CAST(floor(CAST(d1t + d2t AS DOUBLE) * CAST(n1t AS DOUBLE)
-               / CAST(n1t + n2t AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS e1_q,
+               / CAST(n1t + n2t AS DOUBLE) * 1e9 + 0.5) AS HUGEINT) AS e1_q,
            CASE WHEN n1t + n2t > 1 THEN
                CAST(floor(CAST(d1t + d2t AS DOUBLE)
                    * (CAST(n1t AS DOUBLE) / CAST(n1t + n2t AS DOUBLE))
                    * (1.0 - CAST(n1t AS DOUBLE) / CAST(n1t + n2t AS DOUBLE))
                    * (CAST(n1t + n2t AS DOUBLE) - CAST(d1t + d2t AS DOUBLE))
                    / (CAST(n1t + n2t AS DOUBLE) - 1.0) * 1e9 + 0.5)
-                   AS BIGINT)
+                   AS HUGEINT)
            ELSE 0 END AS v_q,
            n1t, n2t
     FROM risk
 ),
 stats AS (
     SELECT CAST(sum(d1t) AS BIGINT) AS o1,
-           CAST(sum(e1_q) AS BIGINT) AS e1_q,
-           CAST(sum(v_q) AS BIGINT) AS v_q,
+           sum(e1_q) AS e1_q,
+           sum(v_q) AS v_q,
            CAST(max(n1t) AS BIGINT) AS n1,
            CAST(max(n2t) AS BIGINT) AS n2
     FROM terms
