@@ -29,7 +29,7 @@ aggregates map-side to 7 longs per partition. Scoring
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
@@ -330,6 +330,181 @@ FROM f CROSS JOIN r{GD_ROUNDS} w
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Calibration: reliability diagram + ECE + isotonic recalibration
+# ---------------------------------------------------------------------------
+
+#: reliability-diagram bins over [0, 1].
+_CAL_BINS = 20
+
+
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the distilled quality classifier — the
+    step between "a score" and "a probability you can threshold":
+    the reliability diagram (per-bin confidence vs empirical
+    accuracy), the Expected Calibration Error
+    ``ECE = sum_b n_b/N * |acc_b - conf_b|`` (Naeini et al., AAAI
+    2015), and the ISOTONIC-recalibrated probability per bin
+    (Zadrozny & Elkan, KDD 2002) via the same weighted max-min PAV
+    characterization as ``isotonic_daily_revenue``:
+
+        cal[i] = max_{j<=i} min_{k>=i}  (sum pos in bins j..k)
+                                      / (sum n   in bins j..k)
+
+    Distribution shape: scoring is the proven map-only literal-weight
+    expression; binning is one shuffle onto the LITERAL ``_CAL_BINS``
+    bins; everything after (prefix sums, the max-min lattice, ECE) is
+    arithmetic on a 20-row broadcast table. Per-bin confidence sums
+    are 1e-9-quantized integers in decimal (corpus-sized count times
+    1e9 passes int64); the isotonic interval means are single
+    exact-int divisions — identical doubles, identical lattice, both
+    engines."""
+    w, _ = _train(spark, sf_dir)
+    f = _feature_frame(spark, sf_dir)
+    margin = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+        + F.lit(w[4]) * F.col("x4")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    scored = f.select(
+        p.alias("p"), (F.col("y") >= 0.5).cast("long").alias("pos")
+    )
+    b = F.least(
+        F.floor(F.col("p") * _CAL_BINS).cast("long"),
+        F.lit(_CAL_BINS - 1),
+    )
+    bins = scored.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        dec_qsum(F.col("p"), 1e9).alias("conf_q"),
+    )
+    ba, bb = bins.alias("ba"), F.broadcast(bins.alias("bb"))
+    # inclusive prefix sums over the 20-row bin spine
+    pre = ba.join(bb, F.col("bb.bin") <= F.col("ba.bin")).groupBy(
+        "ba.bin", "ba.n", "ba.n_pos", "ba.conf_q"
+    ).agg(
+        F.sum("bb.n").cast("long").alias("cn"),
+        F.sum("bb.n_pos").cast("long").alias("cp"),
+    )
+    pj, pk = pre.alias("pj"), F.broadcast(pre.alias("pk"))
+    pairs = pj.join(pk, F.col("pj.bin") <= F.col("pk.bin")).select(
+        F.col("pj.bin").alias("jb"),
+        F.col("pk.bin").alias("kb"),
+        (
+            (F.col("pk.cp") - F.col("pj.cp") + F.col("pj.n_pos")).cast(
+                "double"
+            )
+            / (F.col("pk.cn") - F.col("pj.cn") + F.col("pj.n")).cast(
+                "double"
+            )
+        ).alias("m"),
+    )
+    wmin = Window.partitionBy("jb").orderBy(F.col("kb").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rm = pairs.select("jb", "kb", F.min("m").over(wmin).alias("rm"))
+    iso = rm.groupBy(F.col("kb").alias("bin")).agg(
+        F.max("rm").alias("iso_p")
+    )
+    tot = F.broadcast(bins.agg(F.sum("n").cast("long").alias("nt")))
+    conf = F.col("conf_q").cast("double") / 1e9 / F.col("n").cast("double")
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    gap_q = F.floor(
+        F.abs(acc - conf)
+        * F.col("n").cast("double")
+        * 1e9
+        / F.col("nt").cast("double")
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    per_bin = bins.crossJoin(tot).select(
+        "bin",
+        "n",
+        "n_pos",
+        stable_round(conf, 6).alias("confidence"),
+        stable_round(acc, 6).alias("accuracy"),
+        gap_q.alias("_gq"),
+    )
+    ece = F.broadcast(
+        per_bin.agg(
+            (F.sum("_gq").cast("double") / 1e9).alias("ece")
+        )
+    )
+    return (
+        per_bin.join(F.broadcast(iso), "bin")
+        .crossJoin(ece)
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            "confidence",
+            "accuracy",
+            stable_round(F.col("iso_p"), 6).alias("isotonic_calibrated"),
+            stable_round(F.col("ece"), 9).alias("ece_total"),
+        )
+    )
+
+
+CALIBRATION_ORACLE = f"""WITH {{gd}},
+scored AS (
+    SELECT {_SCORE_P.replace("w.w", "w.w").replace("f.x", "f.x")} AS p,
+           CASE WHEN f.y >= 0.5 THEN 1 ELSE 0 END AS pos
+    FROM f CROSS JOIN r{{rounds}} w
+),
+bins AS (
+    SELECT least(CAST(floor(p * {_CAL_BINS}) AS BIGINT), {_CAL_BINS - 1})
+             AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           sum(CAST(floor(p * 1000000000.0 + 0.5) AS HUGEINT)) AS conf_q
+    FROM scored GROUP BY 1
+),
+pre AS (
+    SELECT a.bin, a.n, a.n_pos, a.conf_q,
+           CAST(sum(b.n) AS BIGINT) AS cn,
+           CAST(sum(b.n_pos) AS BIGINT) AS cp
+    FROM bins a JOIN bins b ON b.bin <= a.bin
+    GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+    SELECT pj.bin AS jb, pk.bin AS kb,
+           CAST(pk.cp - pj.cp + pj.n_pos AS DOUBLE)
+             / CAST(pk.cn - pj.cn + pj.n AS DOUBLE) AS m
+    FROM pre pj JOIN pre pk ON pj.bin <= pk.bin
+),
+rm AS (
+    SELECT jb, kb,
+           min(m) OVER (PARTITION BY jb ORDER BY kb DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+    FROM pairs
+),
+iso AS (SELECT kb AS bin, max(rm) AS iso_p FROM rm GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM bins),
+per_bin AS (
+    SELECT bin, n, n_pos,
+           CAST(conf_q AS DOUBLE) / 1e9 / CAST(n AS DOUBLE) AS conf,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+           CAST(floor(abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(conf_q AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+               * CAST(n AS DOUBLE) * 1e9 / CAST(nt AS DOUBLE) + 0.5)
+               AS HUGEINT) AS gq
+    FROM bins CROSS JOIN tot
+),
+ece AS (SELECT CAST(sum(gq) AS DOUBLE) / 1e9 AS ece FROM per_bin)
+SELECT p.bin, p.n, p.n_pos,
+       floor(p.conf * 1000000.0 + 0.5) / 1000000.0 AS confidence,
+       floor(p.acc * 1000000.0 + 0.5) / 1000000.0 AS accuracy,
+       floor(i.iso_p * 1000000.0 + 0.5) / 1000000.0
+           AS isotonic_calibrated,
+       floor(e.ece * 1000000000.0 + 0.5) / 1000000000.0 AS ece_total
+FROM per_bin p JOIN iso i USING (bin) CROSS JOIN ece e
+"""
+
+
 def _register() -> None:
     registry.register(
         "quality_classifier_train",
@@ -346,4 +521,8 @@ def _register() -> None:
         quality_classifier_score,
         CLASSIFIER_SCORE_ORACLE,
     )
-
+    registry.register(
+        "classifier_calibration",
+        classifier_calibration,
+        CALIBRATION_ORACLE.format(gd=_gd_ctes(), rounds=GD_ROUNDS),
+    )

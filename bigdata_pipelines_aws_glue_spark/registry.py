@@ -67,16 +67,17 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: logrank_segments / table_checksum_audit / textrank_keywords /
 #: max_concurrent_orders / changepoint_daily_revenue /
 #: gini_customer_revenue / abc_classification_parts /
-#: markov_event_transitions / psi_order_value_drift (46
+#: markov_event_transitions / psi_order_value_drift /
+#: classifier_calibration (47
 #: total) — each oracle-verified locally at sf0.01 AND sf0.1 on
 #: registration (the established precedent for mid-round
-#: additions). The r8 window therefore takes those 46 never-attested
-#: rows FIRST, then 4 rows of the 36-row r4 block
+#: additions). The r8 window therefore takes those 47 never-attested
+#: rows FIRST, then 3 rows of the 36-row r4 block
 #: (rollup_sales/q3_top_unshipped/percentile_by_status/
 #: q6_forecast_revenue/q2_top_supplier_per_nation/
 #: monthly_revenue_gapfill, the window/SCD2 suite, the roundtrip
 #: quartet, the PQ/IVF-PQ quartet, multimodal features/frames/audio/
-#: video, ...), filling 50 exactly; r9 leads with the thirty-two
+#: video, ...), filling 50 exactly; r9 leads with the thirty-three
 #: remaining r4 rows, then
 #: takes the remaining r5 rows + oldest-r6; thereafter the rotation
 #: is purely age-driven two-round steady state.

@@ -126,6 +126,14 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoined into the single output row; all data joins are "
         "equi (order-key pair explosion, degree joins, wedge closure)",
     },
+    "classifier_calibration": {
+        "BroadcastNestedLoopJoin": "prefix-sum and max-min lattice inequality self-joins on the "
+        "LITERAL 20-row reliability-bin spine, plus 1-row total/ECE "
+        "scalar crossJoins",
+        "ForcedBroadcastUnbounded": "broadcast sides are the 20-row bin table (groupBy of "
+        "floor(p*20) — bounded by the LITERAL bin count) and 1-row "
+        "scalars",
+    },
     "psi_order_value_drift": {
         "BroadcastNestedLoopJoin": "1-row decile-threshold vector, 1-row totals, and 1-row PSI "
         "scalar crossJoins onto the bin-bounded table",
