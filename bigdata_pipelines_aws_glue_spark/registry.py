@@ -179,6 +179,7 @@ def _load_all() -> None:
         "datasketches",
         "chunking",
         "setsim",
+        "spandedup",
         "spatial",
         "stattests",
         "cohorts",
