@@ -509,8 +509,20 @@ LIMIT 20
 #: stays distributed.
 _COVER_K = 8
 
+#: Hard ceiling on greedy rounds. Wall-clock is LINEAR in k — each
+#: round is one serialized driver job (anti-join + groupBy + 1-row
+#: collect over the materialized postings), so k=500 means 500
+#: back-to-back Spark jobs no matter how many executors exist. The
+#: guard turns a misconfigured k into a loud error instead of an
+#: hours-long serialized driver loop; callers needing k > 64 should
+#: switch to a batched-pick variant (pick the top-m per round and
+#: accept the weaker approximation bound) rather than raise the cap.
+_COVER_K_MAX = 64
 
-def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def greedy_coverage_select(
+    spark: SparkSession, sf_dir: str, k: int = _COVER_K
+) -> DataFrame:
     """Greedy maximum-coverage subset selection: pick ``_COVER_K``
     documents that together cover the most distinct word trigrams —
     the classic (1 - 1/e)-approximate greedy for submodular coverage
@@ -530,7 +542,17 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gain >= 1 is required to emit); the DuckDB twin unrolls the same
     eight rounds as MATERIALIZED CTEs with the identical
     (gain DESC, doc_id) tie-break, so saturated rounds are empty in
-    both engines."""
+    both engines.
+
+    ``k`` is guarded by ``_COVER_K_MAX``: each round is a serialized
+    driver job, so wall-clock grows linearly in k and no cluster size
+    can parallelize it away (see the constant's note)."""
+    if not 1 <= k <= _COVER_K_MAX:
+        raise ValueError(
+            f"greedy_coverage_select k={k} outside [1, {_COVER_K_MAX}]: "
+            "each round is one serialized driver job (wall-clock is "
+            "linear in k); use a batched-pick variant for larger budgets"
+        )
     docs = load_table(spark, sf_dir, "documents")
     pairs = docs.select(
         "doc_id",
@@ -540,7 +562,7 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected: list[int] = []
     rows: list[tuple[int, int, int, int, float]] = []
     cum = 0
-    for rnd in range(1, _COVER_K + 1):
+    for rnd in range(1, k + 1):
         if selected:
             covered = (
                 pairs.filter(F.col("doc_id").isin(selected))

@@ -224,3 +224,22 @@ def test_greedy_coverage_matches_python_replay(spark, sf_dir):
     for r in got:
         assert abs(r["coverage_frac"] - r["cum_covered"] / total) < 2e-6
         assert 0.0 < r["coverage_frac"] <= 1.0
+
+
+def test_greedy_coverage_k_guard(spark, sf_dir):
+    import pytest
+
+    from bigdata_pipelines_aws_glue_spark.operators.curation import (
+        _COVER_K_MAX,
+        greedy_coverage_select,
+    )
+
+    # k beyond the cap must fail LOUDLY before any Spark job runs —
+    # each round is a serialized driver job, so a misconfigured k
+    # would otherwise queue hundreds of back-to-back jobs.
+    with pytest.raises(ValueError, match="serialized driver job"):
+        greedy_coverage_select(spark, sf_dir, k=_COVER_K_MAX + 1)
+    with pytest.raises(ValueError):
+        greedy_coverage_select(spark, sf_dir, k=0)
+    # a small custom budget still works and stops at k rows
+    assert greedy_coverage_select(spark, sf_dir, k=2).count() == 2
