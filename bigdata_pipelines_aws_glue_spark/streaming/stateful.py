@@ -351,14 +351,31 @@ def session_update(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """applyInPandasWithState update with EVENT-TIME TIMEOUT (the
-    GroupStateTimeout surface the EWMA/CUSUM operators don't use):
-    events extend the user's open session; when a gap appears inside
-    a batch the finished session EMITS immediately, and the still-open
-    session emits when the WATERMARK passes last_event + gap — the
-    timeout callback arrives with no data and ``state.hasTimedOut``
-    set. State is four integers per user; eviction is driven by the
-    watermark, so state size is bounded by the number of users active
-    inside the lateness horizon, not by stream length."""
+    GroupStateTimeout surface the EWMA/CUSUM operators don't use).
+
+    Each batch SESSIONIZES THE UNION of the open state session and the
+    batch's in-watermark events with one gap sweep (the same grouping
+    ``session_batch`` applies to full history), then emits every
+    non-final session immediately — a gap inside the batch closes a
+    session, and a late-but-within-watermark event more than one gap
+    OLDER than the open session now forms its own earlier session and
+    emits, exactly as the built-in ``session_window`` would group it
+    (r7 seam, closed in r9: the old kernel min-merged such an event
+    into the open session, fabricating a span ``session_window`` never
+    produces). Only the final (newest) session can still be extended
+    by future in-watermark events, so state stays FOUR integers per
+    user and checkpoints remain bit-exact; it emits when the WATERMARK
+    passes last_event + gap — the timeout callback arrives with no
+    data and ``state.hasTimedOut`` set. Eviction is watermark-driven,
+    so state size is bounded by users active inside the lateness
+    horizon, not by stream length.
+
+    Residual approximation (inherent to append-mode early emission,
+    shared with the old kernel): a non-final session emitted on an
+    in-batch gap cannot merge with a still-later event that arrives
+    before the watermark passes; the built-in ``session_window`` holds
+    every session until the watermark instead. tests/test_stateful.py
+    pins both the fixed seam and this boundary."""
     (user_id,) = key
     if state.hasTimedOut:
         start_us, last_us, n, sum_q = state.get
@@ -371,52 +388,48 @@ def session_update(
     import math
 
     rows.sort(key=lambda tv: tv[0])
-    cur = state.get if state.exists else None
-    out: list[dict] = []
     # Spark does NOT pre-filter late rows for arbitrary stateful ops
     # (unlike windowed aggregations, late filtering is the kernel's
     # contract here): drop past-watermark events ourselves, or a
     # too-late merge regresses the session and setTimeoutTimestamp
     # throws INVALID_TIMEOUT_TIMESTAMP (< watermark).
     wm_us = state.getCurrentWatermarkMs() * 1_000
+    gap_us = SESSION_GAP_S * 1_000_000
+    items: list[list[int]] = []  # [start_us, last_us, n, sum_q]
+    if state.exists:
+        items.append(list(state.get))
     for ts, v in rows:
         t_us = int(pd.Timestamp(ts).value // 1_000)
         if t_us < wm_us:
             continue
-        vq = int(math.floor(v * 1e6 + 0.5))
-        if cur is None:
-            cur = (t_us, t_us, 1, vq)
-        elif t_us - cur[1] > SESSION_GAP_S * 1_000_000:
-            out.append(_emit_session(user_id, cur[0], cur[2], cur[3]))
-            cur = (t_us, t_us, 1, vq)
+        items.append([t_us, t_us, 1, int(math.floor(v * 1e6 + 0.5))])
+    # gap sweep over start-sorted items; envelope max() because the
+    # state session can span later than a late event's singleton
+    items.sort(key=lambda it: (it[0], it[1]))
+    merged: list[list[int]] = []
+    for it in items:
+        if merged and it[0] - merged[-1][1] <= gap_us:
+            cur = merged[-1]
+            cur[1] = max(cur[1], it[1])
+            cur[2] += it[2]
+            cur[3] += it[3]
         else:
-            # Cross-batch out-of-order (late but within-watermark):
-            # merge must EXTEND the session envelope, never shrink it —
-            # min/max keep start_us monotone-down and last_us
-            # monotone-up, so a late event can't regress the timeout
-            # or the emitted session_start. Remaining seam (documented,
-            # matches the single-open-session state shape): an
-            # in-watermark event more than one gap OLDER than start_us
-            # merges here, where the built-in session_window would
-            # open a separate earlier session; full parity needs a
-            # multi-session state list.
-            cur = (
-                min(cur[0], t_us),
-                max(cur[1], t_us),
-                cur[2] + 1,
-                cur[3] + vq,
-            )
-    if cur is not None:
+            merged.append(it)
+    out: list[dict] = []
+    for s in merged[:-1]:
+        out.append(_emit_session(user_id, s[0], s[2], s[3]))
+    if merged:
+        cur = merged[-1]
         timeout_ms = cur[1] // 1_000 + SESSION_GAP_S * 1_000
         if timeout_ms <= wm_us // 1_000:
-            # Every row this batch was late-dropped and the watermark
-            # already passed the open session's end+gap (the timeout
-            # callback can't fire for a key that received data): the
-            # session is closed — emit it now.
+            # The watermark already passed the final session's
+            # end+gap (every row late-dropped, or state alone): the
+            # timeout callback can't fire for a key that received
+            # data — emit it now.
             out.append(_emit_session(user_id, cur[0], cur[2], cur[3]))
             state.remove()
         else:
-            state.update(cur)
+            state.update(tuple(cur))
             state.setTimeoutTimestamp(timeout_ms)
     for o in out:
         yield pd.DataFrame(o)

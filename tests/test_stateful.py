@@ -360,3 +360,94 @@ def test_session_stream_out_of_order_across_batches(spark, tmp_path):
         # regression), start lowered to 10:00:05, sum 1+2+8
         (2, "2024-01-01 10:00:05", 3, 11.0),
     ]
+
+
+def test_session_stream_pre_gap_late_event_opens_separate_session(
+    spark, tmp_path
+):
+    """r9 seam fix: a late-but-within-watermark event more than one
+    gap OLDER than the open session's start must form its own earlier
+    session (the built-in session_window grouping), not min-merge into
+    the open one. Cross-batch, this is only reachable when the
+    watermark DELAY exceeds the gap (otherwise the watermark — global
+    max event time minus delay — has already passed start-gap by the
+    time the open session exists), so the fixture uses a 6 h delay
+    against the 4 h gap: batch 3 delivers u1's 05:00 event against the
+    open 10:00 session while the watermark is 04:00."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import (
+        SESSION_GAP_S,
+        session_stream,
+    )
+
+    T = pd.Timestamp
+    assert SESSION_GAP_S == 4 * 3600  # fixture timestamps assume 4 h gap
+    batches = [
+        # batch 1: u9 seeds the stream (wm after: 05:20 - 6 h < 0)
+        [(9, T("2024-01-01 05:20:00"), 0.5)],
+        # batch 2: u1 opens its session at 10:00 (wm after: 04:00)
+        [(1, T("2024-01-01 10:00:00"), 2.0)],
+        # batch 3: u1's 05:00 event is within-watermark (>= 04:00) but
+        # 5 h before the open session start — more than one gap older.
+        # It must become a separate session [05:00] emitted on the
+        # in-batch gap and must NOT lower the open session's start.
+        # u9's 19:00 advances the watermark to 13:00.
+        [(1, T("2024-01-01 05:00:00"), 1.0), (9, T("2024-01-01 19:00:00"), 0.5)],
+        # batches 4-5: u9 keeps ticking so the watermark (21:00-6h =
+        # 15:00) passes u1's 14:00 timeout and the callback fires in a
+        # later batch.
+        [(9, T("2024-01-01 21:00:00"), 0.5)],
+        [(9, T("2024-01-01 22:00:00"), 0.5)],
+    ]
+    events_dir = tmp_path / "pregap_events"
+    events_dir.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [
+                Row(
+                    event_id=j,
+                    ts=ts.to_pydatetime(),
+                    user_id=u,
+                    event_type="x",
+                    value=v,
+                    props="{}",
+                )
+                for j, (u, ts, v) in enumerate(rows)
+            ],
+            schema=(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            ),
+        )
+        path = str(events_dir / f"{i:03d}.parquet")
+        df.toPandas().to_parquet(path, index=False, coerce_timestamps="us")
+        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = read_event_stream(
+        spark, str(events_dir), watermark="6 hours",
+        max_files_per_trigger=1,
+    )
+    q = (
+        session_stream(stream)
+        .writeStream.format("memory")
+        .queryName("session_stream_pregap")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"], r["sum_value"])
+        for r in spark.table("session_stream_pregap").collect()
+        if r["user_id"] == 1
+    )
+    # Two distinct u1 sessions — the old kernel emitted ONE merged
+    # session (05:00, n=2, 3.0).
+    assert got == [
+        (1, "2024-01-01 05:00:00", 1, 1.0),
+        (1, "2024-01-01 10:00:00", 1, 2.0),
+    ]
