@@ -10,11 +10,14 @@ the discipline that kept arithmetic JPEG an honest seam.
 Covered: GIF87a/89a headers, global and local color tables,
 variable-width LZW (code widths 3–12, clear/EOI, deferred-clear
 full-table behavior, KwKwK case), interlaced images, multi-frame
-animations with graphic-control extensions (disposal none/keep/
-restore-background, transparency), arbitrary extension skipping.
-Not covered (loud seam): disposal method 3 (restore-previous) —
-javax.imageio's writer never emits it and it needs a frame-history
-stack; ``decode_gif`` raises ``NotImplementedError`` on it.
+animations with graphic-control extensions (all four disposal
+methods: none/keep/restore-background/restore-previous,
+transparency), arbitrary extension skipping. Disposal 3
+(restore-previous, closed r9) keeps one pre-render canvas copy —
+the spec's "previous" is the canvas before the current graphic, not
+a deeper history; javax.imageio's writer never emits it, so the
+fixture is hand-assembled and its GCE is cross-checked against
+javax.imageio's metadata parser (tests/test_gif.py).
 
 The LZW stream here is the GIF flavor: LSB-first bit packing inside
 255-byte sub-blocks, initial code size from the palette depth, table
@@ -218,7 +221,8 @@ def _read_sub_blocks(buf: bytes, pos: int) -> tuple[bytes, int]:
 
 def decode_gif(payload: bytes) -> list[np.ndarray]:
     """Full-canvas RGB frames (h, w, 3) uint8, composited per the
-    GIF disposal model (none / keep / restore-background)."""
+    GIF disposal model (none / keep / restore-background /
+    restore-previous)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
@@ -274,12 +278,12 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
         idx = idx[: w * h].reshape(h, w)
         if ipacked & 0x40:
             idx = _deinterlace(idx)
-        if disposal == 3:
-            raise NotImplementedError(
-                "GIF disposal 3 (restore-previous) — needs a frame "
-                "history stack; javax.imageio's writer never emits it"
-            )
-        before = canvas.copy() if disposal == 2 else None
+        # disposal 2 restores the frame rectangle to background after
+        # display; disposal 3 (restore-previous) restores the whole
+        # canvas to its pre-render state — one saved copy suffices
+        # (the spec's "previous" is the canvas before THIS graphic,
+        # not a deeper history), so no frame stack is needed.
+        before = canvas.copy() if disposal in (2, 3) else None
         region = canvas[top : top + h, left : left + w]
         rgb = pal[idx.clip(max=len(pal) - 1)]
         if transparent is not None:
@@ -292,7 +296,8 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
             canvas = before
             bgc = gct[bg] if (gct is not None and bg < len(gct)) else 0
             canvas[top : top + h, left : left + w] = bgc
-        disposal = 0
+        elif disposal == 3:
+            canvas = before
         transparent = None
     if not frames:
         raise ValueError("GIF: no image blocks")

@@ -10,7 +10,6 @@ from __future__ import annotations
 import struct
 
 import numpy as np
-import pytest
 
 from bigdata_pipelines_aws_glue_spark.operators.gif import (
     _sub_blocks,
@@ -79,8 +78,9 @@ def test_gif_interlaced_image_deinterlaces():
 
 def test_gif_subregion_transparency_composites_onto_previous():
     """Frame 2 is a 4x4 patch at (2,3) with a transparent index:
-    transparent pixels must show frame 1 underneath; disposal 3
-    raises the documented seam."""
+    transparent pixels must show frame 1 underneath; with disposal 3
+    the DISPLAYED composite is identical (disposal acts after
+    display)."""
     pal = grayscale_palette()
     base = np.full((8, 8), 10, np.uint8)
     patch = np.array(
@@ -107,11 +107,90 @@ def test_gif_subregion_transparency_composites_onto_previous():
                 want[2 + y, 3 + x] = pal[patch[y, x]]
     assert (dec[1] == want).all()
 
-    bad = bytes(g).replace(
+    d3 = bytes(g).replace(
         b"\x21\xf9" + bytes([4, 0b101]), b"\x21\xf9" + bytes([4, 0b1101])
     )
-    with pytest.raises(NotImplementedError):
-        decode_gif(bad)
+    dec3 = decode_gif(d3)
+    assert len(dec3) == 2 and (dec3[1] == want).all()
+
+
+def _disposal3_fixture():
+    """3-frame hand-assembled GIF (javax.imageio's writer never emits
+    disposal 3): base canvas, a disposal-3 patch at (2,3), then a
+    fully-transparent patch over the same rectangle. Frame 3 shows the
+    BASE through the transparency iff the canvas was restored to its
+    pre-frame-2 state."""
+    pal = grayscale_palette()
+    base = np.full((8, 8), 10, np.uint8)
+    patch = np.full((4, 4), 200, np.uint8)
+    clear = np.zeros((4, 4), np.uint8)  # index 0 = transparent below
+    g = bytearray(b"GIF89a")
+    g += struct.pack("<HHBBB", 8, 8, 0xF7, 0, 0)
+    g += pal.tobytes()
+    g += b"\x2c" + struct.pack("<HHHHB", 0, 0, 8, 8, 0)
+    g.append(8)
+    g += _sub_blocks(lzw_encode(base.tobytes(), 8))
+    # GCE: disposal=3 restore-previous, no transparency
+    g += b"\x21\xf9" + bytes([4, 0b1100, 0, 0, 0, 0])
+    g += b"\x2c" + struct.pack("<HHHHB", 3, 2, 4, 4, 0)
+    g.append(8)
+    g += _sub_blocks(lzw_encode(patch.tobytes(), 8))
+    # GCE: disposal=1 keep, transparency on, transparent index 0
+    g += b"\x21\xf9" + bytes([4, 0b101, 0, 0, 0, 0])
+    g += b"\x2c" + struct.pack("<HHHHB", 3, 2, 4, 4, 0)
+    g.append(8)
+    g += _sub_blocks(lzw_encode(clear.tobytes(), 8))
+    g.append(0x3B)
+    return bytes(g), pal, base, patch
+
+
+def test_gif_disposal3_restores_previous_canvas():
+    gif, pal, base, patch = _disposal3_fixture()
+    dec = decode_gif(gif)
+    assert len(dec) == 3
+    want_base = pal[base]
+    want_f2 = want_base.copy()
+    want_f2[2:6, 3:7] = pal[patch]
+    assert (dec[0] == want_base).all()
+    assert (dec[1] == want_f2).all()
+    # the all-transparent frame 3 displays the RESTORED canvas: the
+    # disposal-3 patch must be gone (a keep-disposal decoder would
+    # still show it)
+    assert (dec[2] == want_base).all()
+
+
+def test_gif_disposal3_fixture_parses_as_restore_previous(spark):
+    """Third-party confirmation that the fixture bytes mean what the
+    decoder claims: javax.imageio's GIF metadata parser must report
+    disposalMethod=restorePrevious for frame 2 (its READER exposes the
+    GCE even though its writer never emits disposal 3)."""
+    gif, _, _, _ = _disposal3_fixture()
+    jvm = spark._jvm
+    stream = jvm.java.io.ByteArrayInputStream(bytearray(gif))
+    iis = jvm.javax.imageio.ImageIO.createImageInputStream(stream)
+    reader = jvm.javax.imageio.ImageIO.getImageReadersByFormatName(
+        "gif"
+    ).next()
+    reader.setInput(iis)
+    assert reader.getNumImages(True) == 3
+
+    def disposal_of(i):
+        tree = reader.getImageMetadata(i).getAsTree(
+            "javax_imageio_gif_image_1.0"
+        )
+        node = tree.getFirstChild()
+        while node is not None:
+            if node.getNodeName() == "GraphicControlExtension":
+                return (
+                    node.getAttributes()
+                    .getNamedItem("disposalMethod")
+                    .getNodeValue()
+                )
+            node = node.getNextSibling()
+        return None
+
+    assert disposal_of(1) == "restoreToPrevious"
+    assert disposal_of(2) == "doNotDispose"
 
 
 def _java_read_frames(spark, gif_bytes):
