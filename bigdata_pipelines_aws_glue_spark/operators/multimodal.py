@@ -1141,18 +1141,31 @@ def encode_mp4_mjpeg(frames: list[np.ndarray], fps: int = 10) -> bytes:
 
 def _walk_boxes(buf: bytes, start: int, end: int):
     """Yield (tag, body_start, body_end) for the sibling boxes in
-    ``buf[start:end]`` (32-bit sizes; size==1/0 extensions raise —
-    they never occur in files this encoder or any small MJPEG
-    producer writes)."""
+    ``buf[start:end]``, including the ISO 14496-12 §4.2 size
+    extensions (r7 seam, closed r9): size==1 means a 64-bit
+    ``largesize`` follows the tag (the >4 GiB form — only the DECLARED
+    size field is 64-bit, so a small fixture exercises it), and
+    size==0 means the box runs to the end of the enclosing container
+    (legal only for the last box; the loop ends either way)."""
     pos = start
     while pos + 8 <= end:
         (size,) = struct.unpack(">I", buf[pos : pos + 4])
         tag = buf[pos + 4 : pos + 8]
-        if size in (0, 1):
-            raise NotImplementedError("64-bit/to-EOF box sizes (ffmpeg seam)")
-        if size < 8 or pos + size > end:
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize")
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            body = pos + 16
+            if size < 16:
+                raise ValueError("MP4 largesize smaller than its header")
+        elif size == 0:
+            size = end - pos
+        elif size < 8:
             raise ValueError("truncated MP4 box")
-        yield tag, pos + 8, pos + size
+        if pos + size > end:
+            raise ValueError("truncated MP4 box")
+        yield tag, body, pos + size
         pos += size
 
 
@@ -1188,9 +1201,11 @@ def decode_mp4_mjpeg(payload: bytes) -> list[np.ndarray]:
         payload, moov[0], moov[1], [b"trak", b"mdia", b"minf", b"stbl"]
     )
     boxes = {t: (s, e) for t, s, e in _walk_boxes(payload, stbl_s, stbl_e)}
-    for need in (b"stsd", b"stsc", b"stsz", b"stco"):
+    for need in (b"stsd", b"stsc", b"stsz"):
         if need not in boxes:
             raise ValueError(f"MP4 stbl missing {need!r}")
+    if b"stco" not in boxes and b"co64" not in boxes:
+        raise ValueError("MP4 stbl missing b'stco' (or co64)")
 
     s, e = boxes[b"stsd"]
     entry_tag = next(_walk_boxes(payload, s + 8, e))[0]
@@ -1209,11 +1224,20 @@ def decode_mp4_mjpeg(payload: bytes) -> list[np.ndarray]:
         )
     )
 
-    s, e = boxes[b"stco"]
-    (n_chunks,) = struct.unpack(">I", payload[s + 4 : s + 8])
-    offsets = struct.unpack(
-        f">{n_chunks}I", payload[s + 8 : s + 8 + 4 * n_chunks]
-    )
+    # chunk offsets: 32-bit stco or the 64-bit co64 form a >4 GiB
+    # file requires (same layout, 8-byte entries)
+    if b"stco" in boxes:
+        s, e = boxes[b"stco"]
+        (n_chunks,) = struct.unpack(">I", payload[s + 4 : s + 8])
+        offsets = struct.unpack(
+            f">{n_chunks}I", payload[s + 8 : s + 8 + 4 * n_chunks]
+        )
+    else:
+        s, e = boxes[b"co64"]
+        (n_chunks,) = struct.unpack(">I", payload[s + 4 : s + 8])
+        offsets = struct.unpack(
+            f">{n_chunks}Q", payload[s + 8 : s + 8 + 8 * n_chunks]
+        )
 
     s, e = boxes[b"stsc"]
     (n_runs,) = struct.unpack(">I", payload[s + 4 : s + 8])

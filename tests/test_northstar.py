@@ -1003,3 +1003,76 @@ def test_jpeg_progressive_decode_interop_and_fuzz():
                 assert out.shape[0] > 0
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_mp4_size_extensions_largesize_toeof_co64():
+    """r7 MP4 seam, closed r9: ISO 14496-12 64-bit (size==1 +
+    largesize) and to-EOF (size==0) box sizes, plus the co64 64-bit
+    chunk-offset table — the DECLARED size fields are the seam, so a
+    small fixture rewritten into each form exercises them without a
+    4 GiB payload. All three variants must decode bit-identically to
+    the plain file."""
+    import struct as _s
+
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        decode_mp4_mjpeg,
+        encode_mp4_mjpeg,
+    )
+
+    yy, xx = np.mgrid[0:12, 0:16]
+    frames = [
+        np.stack(
+            [(yy * 7 + i * 9) % 256, (xx * 5) % 256, ((xx * yy) + i) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        for i in range(3)
+    ]
+    mp4 = encode_mp4_mjpeg(frames)
+    want = decode_mp4_mjpeg(mp4)
+
+    # --- variant 1: mdat declared via 64-bit largesize (header grows
+    # by 8, so the absolute stco offset shifts by 8 too)
+    ftyp_size = _s.unpack(">I", mp4[:4])[0]
+    mdat_pos = ftyp_size
+    assert mp4[mdat_pos + 4 : mdat_pos + 8] == b"mdat"
+    mdat_size = _s.unpack(">I", mp4[mdat_pos : mdat_pos + 4])[0]
+    big = (
+        mp4[:mdat_pos]
+        + _s.pack(">I", 1)
+        + b"mdat"
+        + _s.pack(">Q", mdat_size + 8)
+        + mp4[mdat_pos + 8 : ]
+    )
+    pos = big.rindex(b"stco")
+    off = _s.unpack(">I", big[pos + 12 : pos + 16])[0]
+    big = big[: pos + 12] + _s.pack(">I", off + 8) + big[pos + 16 :]
+    got = decode_mp4_mjpeg(big)
+    assert len(got) == len(want)
+    assert all(np.array_equal(a, b) for a, b in zip(got, want))
+
+    # --- variant 2: moov (the last top-level box) declared size==0
+    # (runs to end of file)
+    moov_pos = mp4.rindex(b"moov") - 4
+    toeof = mp4[:moov_pos] + _s.pack(">I", 0) + mp4[moov_pos + 4 :]
+    got = decode_mp4_mjpeg(toeof)
+    assert all(np.array_equal(a, b) for a, b in zip(got, want))
+
+    # --- variant 3: stco (20 bytes, 1 chunk) replaced by co64 (24
+    # bytes, 8-byte offset); every ancestor box grows by 4
+    stco_start = mp4.rindex(b"stco") - 4
+    off = _s.unpack(">I", mp4[stco_start + 16 : stco_start + 20])[0]
+    co64 = (
+        _s.pack(">I", 24) + b"co64"
+        + mp4[stco_start + 8 : stco_start + 16]  # ver/flags + count
+        + _s.pack(">Q", off)
+    )
+    grown = bytearray(mp4[:stco_start] + co64 + mp4[stco_start + 20 :])
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        p = bytes(grown).rindex(tag) - 4
+        grown[p : p + 4] = _s.pack(
+            ">I", _s.unpack(">I", bytes(grown[p : p + 4]))[0] + 4
+        )
+    got = decode_mp4_mjpeg(bytes(grown))
+    assert all(np.array_equal(a, b) for a, b in zip(got, want))
