@@ -65,6 +65,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
 from bigdata_pipelines_aws_glue_spark.operators.dedup import _tokens
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
@@ -202,6 +203,86 @@ def shared_span_pairs(
     )
 
 
+def span_dropstats(docs: DataFrame, k: int = K) -> DataFrame:
+    """Per-document duplicated-token budget: every doc with its token
+    count, the union size of its duplicated spans, and the fraction —
+    the curation signal ("how much of this document is boilerplate
+    shared with the rest of the corpus") that decides whether a doc is
+    cleaned or dropped wholesale. Docs with no duplicated span (or
+    shorter than k tokens) report 0."""
+    spans = duplicated_spans(docs, k)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_len").alias("dup_tokens")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long")).alias(
+                "dup_tokens"
+            ),
+            stable_round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def span_removal_stats(docs: DataFrame, k: int = K) -> DataFrame:
+    """Keep-first removal budget (the actual Lee et al. OUTPUT shape:
+    all-but-one occurrence of each duplicated substring is cut).
+    Token-level rule, deterministic across engines: token t of doc d
+    is removed iff it is covered by a k-gram occurring in >= 2 docs
+    AND d is not that gram's canonical owner (min doc_id containing
+    it). The canonical copy survives in full; every other doc loses
+    the merged union of its non-owned duplicated positions. Returns
+    every doc with (n_tokens, removed_tokens, kept_tokens)."""
+    grams = positional_grams(docs, k)
+    owners = grams.groupBy("gram").agg(
+        F.min("doc_id").alias("own_id"),
+        F.countDistinct("doc_id").alias("dc"),
+    )
+    rem = (
+        grams.join(owners, "gram")
+        .filter((F.col("dc") >= 2) & (F.col("doc_id") != F.col("own_id")))
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + (k - 1)).alias("e"),
+        )
+    )
+    removed = (
+        _merge_islands(rem, ["doc_id"])
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").alias("removed_tokens"))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("removed_tokens"), F.lit(0).cast("long")).alias(
+                "removed_tokens"
+            ),
+            (
+                F.col("n_tokens")
+                - F.coalesce(F.col("removed_tokens"), F.lit(0))
+            ).alias("kept_tokens"),
+        )
+    )
+
+
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: per-document maximal duplicated spans over the
     documents table (k=8 token windows, min_df=2)."""
@@ -211,6 +292,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: per-pair merged shared spans (k=8, df_cap=64)."""
     return shared_span_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_span_dropstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: per-doc duplicated-token budget (k=8)."""
+    return span_dropstats(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: keep-first removal budget (k=8)."""
+    return span_removal_stats(load_table(spark, sf_dir, "documents"))
 
 
 #: Shared oracle prelude: positional 8-gram postings. DuckDB's
@@ -295,10 +386,90 @@ GROUP BY doc_a, doc_b
 """
 
 
+DROPSTATS_ORACLE = f"""
+WITH {_GRAMS_CTE},
+d AS (SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2),
+iv AS (SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
+       FROM g JOIN d USING (gram)),
+fl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    >= s - 1
+                THEN 0 ELSE 1 END AS flag
+    FROM iv
+),
+isl AS (
+    SELECT doc_id, s, e,
+           sum(flag) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS UNBOUNDED PRECEDING) AS island
+    FROM fl
+),
+per_doc AS (
+    SELECT doc_id, CAST(sum(sl) AS BIGINT) AS dup_tokens
+    FROM (SELECT doc_id, island, max(e) - min(s) + 1 AS sl
+          FROM isl GROUP BY doc_id, island)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_tokens,
+       coalesce(p.dup_tokens, 0) AS dup_tokens,
+       floor(coalesce(p.dup_tokens, 0)::DOUBLE
+             / len(string_split(trim(d.text), ' '))
+             * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+REMOVAL_ORACLE = f"""
+WITH {_GRAMS_CTE},
+own AS (SELECT gram, min(doc_id) AS own_id,
+               count(DISTINCT doc_id) AS dc
+        FROM g GROUP BY gram),
+rem AS (
+    SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
+    FROM g JOIN own USING (gram)
+    WHERE own.dc >= 2 AND g.doc_id != own.own_id
+),
+fl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    >= s - 1
+                THEN 0 ELSE 1 END AS flag
+    FROM rem
+),
+isl AS (
+    SELECT doc_id, s, e,
+           sum(flag) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS UNBOUNDED PRECEDING) AS island
+    FROM fl
+),
+per_doc AS (
+    SELECT doc_id, CAST(sum(sl) AS BIGINT) AS removed_tokens
+    FROM (SELECT doc_id, island, max(e) - min(s) + 1 AS sl
+          FROM isl GROUP BY doc_id, island)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(trim(d.text), ' ')) AS BIGINT) AS n_tokens,
+       coalesce(p.removed_tokens, 0) AS removed_tokens,
+       CAST(len(string_split(trim(d.text), ' ')) AS BIGINT)
+           - coalesce(p.removed_tokens, 0) AS kept_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def _register() -> None:
     registry.register(
         "dedup_substring_spans", dedup_substring_spans, SPANS_ORACLE
     )
     registry.register(
         "dedup_substring_pairs", dedup_substring_pairs, PAIRS_ORACLE
+    )
+    registry.register(
+        "dedup_span_dropstats", dedup_span_dropstats, DROPSTATS_ORACLE
+    )
+    registry.register(
+        "dedup_span_removal", dedup_span_removal, REMOVAL_ORACLE
     )

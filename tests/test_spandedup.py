@@ -87,3 +87,35 @@ def test_pair_df_cap_drops_hot_gram(spark):
     assert shared_span_pairs(docs, k=8, df_cap=3).count() == 0
     assert shared_span_pairs(docs, k=8, df_cap=4).count() == 6
     assert duplicated_spans(docs, k=8).count() == 4
+
+
+def test_dropstats_and_keep_first_removal(spark):
+    block = "the quick brown fox jumps over the lazy dog again"  # 10 tokens
+    d1 = f"alpha beta {block} gamma delta epsilon zeta eta theta iota"  # 19
+    d2 = f"one two three four {block} five six seven eight nine ten"  # 20
+    d3 = "totally unique words with no shared eight gram run here now"  # 11
+    docs = _docs(spark, [d1, d2, d3])
+
+    from bigdata_pipelines_aws_glue_spark.operators.spandedup import (
+        span_dropstats,
+        span_removal_stats,
+    )
+
+    drops = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_frac)
+        for r in span_dropstats(docs, k=8).collect()
+    }
+    # BOTH sharers carry the dup span in dropstats; the unique doc is 0
+    assert drops[1] == (19, 10, 0.526316)  # floor(10/19*1e6+0.5)/1e6
+    assert drops[2] == (20, 10, 0.5)
+    assert drops[3] == (11, 0, 0.0)
+
+    rm = {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.kept_tokens)
+        for r in span_removal_stats(docs, k=8).collect()
+    }
+    # keep-first: doc 1 (min doc_id) is the canonical owner and loses
+    # nothing; doc 2 loses exactly the 10-token block
+    assert rm[1] == (19, 0, 19)
+    assert rm[2] == (20, 10, 10)
+    assert rm[3] == (11, 0, 11)
