@@ -174,6 +174,7 @@ def _load_all() -> None:
         "chunking",
         "setsim",
         "spandedup",
+        "cdc",
         "spatial",
         "stattests",
         "cohorts",
