@@ -119,3 +119,24 @@ def test_dropstats_and_keep_first_removal(spark):
     assert rm[1] == (19, 0, 19)
     assert rm[2] == (20, 10, 10)
     assert rm[3] == (11, 0, 11)
+
+
+def test_clean_text_materialization(spark):
+    block = "the quick brown fox jumps over the lazy dog again"
+    d1 = f"alpha beta {block} gamma delta"
+    d2 = f"one two {block} three four"
+    d3 = block  # fully duplicated, non-owner -> dropped entirely
+    docs = _docs(spark, [d1, d2, d3])
+
+    from bigdata_pipelines_aws_glue_spark.operators.spandedup import (
+        span_clean_text,
+    )
+
+    got = {r.doc_id: (r.clean_text, r.kept_tokens)
+           for r in span_clean_text(docs, k=8).collect()}
+    # owner (doc 1) keeps everything verbatim
+    assert got[1] == (d1, 14)
+    # doc 2 loses exactly the block, order and spacing preserved
+    assert got[2] == ("one two three four", 4)
+    # doc 3 is 100% duplicated and vanishes from the cleaned corpus
+    assert 3 not in got
