@@ -515,8 +515,8 @@ _COVER_K = 8
 #: back-to-back Spark jobs no matter how many executors exist. The
 #: guard turns a misconfigured k into a loud error instead of an
 #: hours-long serialized driver loop; callers needing k > 64 should
-#: switch to a batched-pick variant (pick the top-m per round and
-#: accept the weaker approximation bound) rather than raise the cap.
+#: switch to ``greedy_coverage_batched`` (top-m picks per round,
+#: weaker approximation bound) rather than raise the cap.
 _COVER_K_MAX = 64
 
 
@@ -551,7 +551,7 @@ def greedy_coverage_select(
         raise ValueError(
             f"greedy_coverage_select k={k} outside [1, {_COVER_K_MAX}]: "
             "each round is one serialized driver job (wall-clock is "
-            "linear in k); use a batched-pick variant for larger budgets"
+            "linear in k); use greedy_coverage_batched for larger budgets"
         )
     docs = load_table(spark, sf_dir, "documents")
     pairs = docs.select(
@@ -593,6 +593,155 @@ def greedy_coverage_select(
         "sel_round int, doc_id long, gain long, cum_covered long, "
         "coverage_frac double",
     )
+
+
+#: batched greedy shape: rounds x picks-per-round. Total budget
+#: K = _BATCH_R * _BATCH_M documents at _BATCH_R serialized driver
+#: jobs — the escape hatch the k-guard on ``greedy_coverage_select``
+#: points large budgets at.
+_BATCH_R, _BATCH_M = 4, 4
+
+
+def greedy_coverage_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = _BATCH_R,
+    m: int = _BATCH_M,
+) -> DataFrame:
+    """Batched-pick greedy max-coverage: each round selects the TOP-m
+    documents by marginal gain against the coverage frozen at the
+    round start (the distributed-greedy relaxation — Mirzasoleiman et
+    al., "Distributed Submodular Maximization", NeurIPS'13 class).
+    Wall-clock is linear in ``rounds``, NOT in the total budget
+    rounds*m, because the serialized driver loop runs once per ROUND
+    — this is how budgets past ``greedy_coverage_select``'s k-guard
+    scale: grow m at fixed rounds and accept the weaker approximation
+    (in-batch picks can overlap each other, so a round's coverage
+    advance is <= the sum of its reported pre-round gains; the
+    ``cum_covered`` column reports the ACTUAL covered count after
+    each round, making the overlap loss measurable).
+
+    Determinism: per-round pick set and order are (gain DESC, doc_id)
+    — the DuckDB twin unrolls the same rounds with the same LIMIT m
+    and tie-break."""
+    if not 1 <= rounds <= _COVER_K_MAX:
+        raise ValueError(
+            f"greedy_coverage_batched rounds={rounds} outside "
+            f"[1, {_COVER_K_MAX}]: each round is one serialized driver "
+            "job; scale the budget via m, not rounds"
+        )
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(_shingles(_tokens(F.col("text")), 3)).alias("sh"),
+    ).localCheckpoint()
+    total = pairs.select("sh").distinct().count()
+    selected: list[int] = []
+    rows: list[tuple[int, int, int, int, int, float]] = []
+    for rnd in range(1, rounds + 1):
+        if selected:
+            covered = (
+                pairs.filter(F.col("doc_id").isin(selected))
+                .select("sh")
+                .distinct()
+            )
+            rem = pairs.join(covered, "sh", "left_anti")
+        else:
+            rem = pairs
+        best = (
+            rem.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(m)
+            .collect()
+        )
+        if not best:
+            break
+        selected.extend(b["doc_id"] for b in best)
+        cum = (
+            pairs.filter(F.col("doc_id").isin(selected))
+            .select("sh")
+            .distinct()
+            .count()
+        )
+        frac = math.floor(cum / total * 1e6 + 0.5) / 1e6
+        for rank, b in enumerate(best, 1):
+            rows.append((rnd, rank, b["doc_id"], b["gain"], cum, frac))
+    return spark.createDataFrame(
+        rows,
+        "sel_round int, pick_rank int, doc_id long, gain long, "
+        "cum_covered long, coverage_frac double",
+    )
+
+
+def _batched_oracle() -> str:
+    nl = "\n"
+    parts = []
+    for r in range(1, _BATCH_R + 1):
+        if r == 1:
+            gain_src = (
+                "SELECT doc_id, count(*) AS gain FROM pairs GROUP BY 1"
+            )
+        else:
+            prev = " UNION ALL ".join(
+                f"SELECT doc_id FROM b{i}" for i in range(1, r)
+            )
+            parts.append(
+                f"bc{r} AS MATERIALIZED ({nl}"
+                f"    SELECT DISTINCT sh FROM pairs{nl}"
+                f"    WHERE doc_id IN ({prev}){nl})"
+            )
+            gain_src = (
+                f"SELECT p.doc_id, count(*) AS gain{nl}"
+                f"    FROM pairs p LEFT JOIN bc{r} ON p.sh = bc{r}.sh{nl}"
+                f"    WHERE bc{r}.sh IS NULL GROUP BY 1"
+            )
+        parts.append(
+            f"b{r} AS MATERIALIZED ({nl}"
+            f"    SELECT doc_id, gain,{nl}"
+            f"           row_number() OVER (ORDER BY gain DESC, doc_id){nl}"
+            f"               AS pick_rank{nl}"
+            f"    FROM ({gain_src}){nl}"
+            f"    ORDER BY gain DESC, doc_id LIMIT {_BATCH_M}{nl})"
+        )
+        sofar = " UNION ALL ".join(
+            f"SELECT doc_id FROM b{i}" for i in range(1, r + 1)
+        )
+        parts.append(
+            f"cum{r} AS MATERIALIZED ({nl}"
+            f"    SELECT count(DISTINCT sh) AS c FROM pairs{nl}"
+            f"    WHERE doc_id IN ({sofar}){nl})"
+        )
+    sel = f"{nl}    UNION ALL ".join(
+        f"SELECT {r} AS sel_round, pick_rank, doc_id, gain,"
+        f" (SELECT c FROM cum{r}) AS cum FROM b{r}"
+        for r in range(1, _BATCH_R + 1)
+    )
+    cte_block = ("," + nl).join(parts)
+    return f"""
+WITH t AS (
+    SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+),
+pairs AS MATERIALIZED (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(toks)-1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+    FROM t WHERE len(toks) >= 3
+),
+tot AS (SELECT count(DISTINCT sh) AS n FROM pairs),
+{cte_block},
+sel AS (
+    {sel}
+)
+SELECT CAST(sel_round AS INTEGER) AS sel_round,
+       CAST(pick_rank AS INTEGER) AS pick_rank,
+       doc_id,
+       CAST(gain AS BIGINT) AS gain,
+       CAST(cum AS BIGINT) AS cum_covered,
+       floor(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS coverage_frac
+FROM sel CROSS JOIN tot
+"""
 
 
 def _cover_oracle() -> str:
@@ -667,4 +816,7 @@ def _register() -> None:
     )
     registry.register(
         "greedy_coverage_select", greedy_coverage_select, _cover_oracle()
+    )
+    registry.register(
+        "greedy_coverage_batched", greedy_coverage_batched, _batched_oracle()
     )

@@ -243,3 +243,45 @@ def test_greedy_coverage_k_guard(spark, sf_dir):
         greedy_coverage_select(spark, sf_dir, k=0)
     # a small custom budget still works and stops at k rows
     assert greedy_coverage_select(spark, sf_dir, k=2).count() == 2
+
+
+def test_greedy_batched_vs_sequential(spark, sf_dir):
+    from bigdata_pipelines_aws_glue_spark.operators.curation import (
+        greedy_coverage_batched,
+        greedy_coverage_select,
+    )
+
+    batched = sorted(
+        greedy_coverage_batched(spark, sf_dir).collect(),
+        key=lambda r: (r["sel_round"], r["pick_rank"]),
+    )
+    assert len(batched) == 16
+    # round 1's first pick is exactly the sequential greedy's first
+    # pick (identical pre-round coverage and tie-break)
+    seq = sorted(
+        greedy_coverage_select(spark, sf_dir, k=2).collect(),
+        key=lambda r: r["sel_round"],
+    )
+    assert batched[0]["doc_id"] == seq[0]["doc_id"]
+    assert batched[0]["gain"] == seq[0]["gain"]
+    # within a round, reported gains are the frozen pre-round
+    # marginals: nonincreasing by pick_rank
+    for rnd in (1, 2, 3, 4):
+        gains = [r["gain"] for r in batched if r["sel_round"] == rnd]
+        assert gains == sorted(gains, reverse=True)
+    # cum_covered is ACTUAL coverage: monotone and never exceeding
+    # the sum of frozen gains (in-batch overlap only loses coverage)
+    cums = [r["cum_covered"] for r in batched]
+    assert cums == sorted(cums)
+    running = 0
+    by_round = {}
+    for r in batched:
+        by_round.setdefault(r["sel_round"], []).append(r)
+    for rnd in sorted(by_round):
+        running += sum(x["gain"] for x in by_round[rnd])
+        assert by_round[rnd][0]["cum_covered"] <= running
+    # rounds guard
+    import pytest
+
+    with pytest.raises(ValueError, match="serialized driver job"):
+        greedy_coverage_batched(spark, sf_dir, rounds=65)
