@@ -435,9 +435,106 @@ def session_update(
         yield pd.DataFrame(o)
 
 
+#: strict-mode state: EVERY open session per key (parallel arrays),
+#: not just the newest — integer state, checkpoint-bit-exact.
+SESSION_STRICT_STATE_SCHEMA = (
+    "starts array<long>, lasts array<long>, ns array<long>,"
+    " sums array<long>"
+)
+
+
+def session_update_strict(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Watermark-driven sessionization with MULTI-SESSION state: the
+    exact streaming twin of the built-in ``session_window`` (and of
+    ``session_batch`` over any in-watermark arrival order).
+
+    ``session_update`` (the eager kernel) emits non-final sessions on
+    an in-batch gap — cheap state (4 ints), but an emitted session can
+    no longer merge with a yet-later in-watermark event (documented
+    boundary). This kernel instead HOLDS every open session until the
+    watermark passes its end + gap, the same closure rule
+    ``session_window`` applies: a session emits iff no admissible
+    future event (t >= watermark) could extend or bridge it, because
+    extending needs t <= last + gap < watermark. State is all open
+    sessions inside the lateness horizon — bounded by gap/watermark
+    geometry (at most ceil((wm_delay - gap)/gap) + 1 disjoint open
+    sessions per key can coexist, since open sessions are > gap apart
+    and all end within the horizon), not by stream length."""
+    (user_id,) = key
+    gap_us = SESSION_GAP_S * 1_000_000
+    wm_us = state.getCurrentWatermarkMs() * 1_000
+    sessions: list[list[int]] = []
+    if state.exists:
+        starts, lasts, ns, sums = state.get
+        sessions = [list(t) for t in zip(starts, lasts, ns, sums)]
+    if not state.hasTimedOut:
+        import math
+
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["ts"], pdf["value"]))
+        for ts, v in rows:
+            t_us = int(pd.Timestamp(ts).value // 1_000)
+            if t_us < wm_us:
+                continue
+            sessions.append(
+                [t_us, t_us, 1, int(math.floor(v * 1e6 + 0.5))]
+            )
+        sessions.sort(key=lambda it: (it[0], it[1]))
+        merged: list[list[int]] = []
+        for it in sessions:
+            if merged and it[0] - merged[-1][1] <= gap_us:
+                cur = merged[-1]
+                cur[1] = max(cur[1], it[1])
+                cur[2] += it[2]
+                cur[3] += it[3]
+            else:
+                merged.append(it)
+        sessions = merged
+    out: list[dict] = []
+    keep: list[list[int]] = []
+    for s in sessions:
+        if s[1] // 1_000 + SESSION_GAP_S * 1_000 <= wm_us // 1_000:
+            out.append(_emit_session(user_id, s[0], s[2], s[3]))
+        else:
+            keep.append(s)
+    if keep:
+        state.update(tuple(list(col) for col in zip(*keep)))
+        state.setTimeoutTimestamp(
+            min(s[1] for s in keep) // 1_000 + SESSION_GAP_S * 1_000
+        )
+    elif state.exists:
+        state.remove()
+    for o in out:
+        yield pd.DataFrame(o)
+
+
+def session_stream_strict(events: DataFrame) -> DataFrame:
+    """Exact-parity streaming sessionization: emits each session once,
+    only when the watermark closes it (built-in session_window
+    semantics under any in-watermark arrival order)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            session_update_strict,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STRICT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def session_stream(events: DataFrame) -> DataFrame:
     """Stateful streaming sessionization — closed sessions only, each
-    emitted exactly once (in-batch gap or watermark timeout)."""
+    emitted exactly once (in-batch gap or watermark timeout). For
+    exact session_window parity under late merges, use
+    ``session_stream_strict``."""
     return (
         events.select("user_id", "ts", "value")
         .groupBy("user_id")

@@ -451,3 +451,107 @@ def test_session_stream_pre_gap_late_event_opens_separate_session(
         (1, "2024-01-01 05:00:00", 1, 1.0),
         (1, "2024-01-01 10:00:00", 1, 2.0),
     ]
+
+
+def test_session_stream_strict_exact_parity_under_late_merge(
+    spark, tmp_path
+):
+    """The strict kernel holds sessions until the watermark closes
+    them, so a late-but-within-watermark event can still merge into a
+    session the EAGER kernel would already have emitted on the
+    in-batch gap. Fixture (gap 4 h, watermark delay 6 h > gap):
+    batch 2 gives u1 10:00 and 18:30 (one gap apart in-batch); batch 3
+    delivers 13:00 — in-watermark (wm 12:30) and within gap of the
+    10:00 session. Ground truth (session_batch on the full history):
+    [10:00..13:00 n=2] and [18:30 n=1]. The strict stream must emit
+    exactly that; the eager kernel's documented boundary would have
+    split off [10:00 n=1] already."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import (
+        SESSION_GAP_S,
+        session_batch,
+        session_stream_strict,
+    )
+
+    T = pd.Timestamp
+    assert SESSION_GAP_S == 4 * 3600
+    batches = [
+        [(9, T("2024-01-01 05:00:00"), 0.5)],
+        [(1, T("2024-01-01 10:00:00"), 2.0),
+         (1, T("2024-01-01 18:30:00"), 8.0)],
+        # wm now 12:30; 13:00 merges into the still-open 10:00 session
+        [(1, T("2024-01-01 13:00:00"), 4.0)],
+        # advance the watermark past 22:30 so everything closes
+        [(9, T("2024-01-02 06:00:00"), 0.5)],
+        [(9, T("2024-01-02 07:00:00"), 0.5)],
+    ]
+    events_dir = tmp_path / "strict_events"
+    events_dir.mkdir()
+    all_rows = []
+    for i, rows in enumerate(batches):
+        all_rows.extend(rows)
+        df = spark.createDataFrame(
+            [
+                Row(event_id=j, ts=ts.to_pydatetime(), user_id=u,
+                    event_type="x", value=v, props="{}")
+                for j, (u, ts, v) in enumerate(rows)
+            ],
+            schema=(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            ),
+        )
+        path = str(events_dir / f"{i:03d}.parquet")
+        df.toPandas().to_parquet(path, index=False, coerce_timestamps="us")
+        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = read_event_stream(
+        spark, str(events_dir), watermark="6 hours",
+        max_files_per_trigger=1,
+    )
+    q = (
+        session_stream_strict(stream)
+        .writeStream.format("memory")
+        .queryName("session_stream_strict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], str(r["session_start"]), r["n_events"],
+         r["sum_value"])
+        for r in spark.table("session_stream_strict").collect()
+    )
+    # ground truth: batch sessionization of the full history, minus
+    # open tails (sessions whose end + gap the final watermark never
+    # passed). Session end = start of the NEXT member gap-run; derive
+    # it per session from the raw rows.
+    hist = spark.createDataFrame(
+        [
+            Row(user_id=u, ts=ts.to_pydatetime(), value=v)
+            for (u, ts, v) in all_rows
+        ],
+        schema="user_id long, ts timestamp, value double",
+    )
+    final_wm = max(ts for _, ts, _ in all_rows) - pd.Timedelta(hours=6)
+    closed_want = []
+    for r in session_batch(hist).collect():
+        u, start, n = r["user_id"], r["session_start"], r["n_events"]
+        member_ts = sorted(
+            ts for (uu, ts, _) in all_rows
+            if uu == u and ts >= pd.Timestamp(start)
+        )[:n]
+        if member_ts[-1] + pd.Timedelta(seconds=SESSION_GAP_S) <= final_wm:
+            closed_want.append((u, str(start), n, r["sum_value"]))
+    assert got == sorted(closed_want)
+    # and the u1 sessions specifically are the merged pair
+    u1 = [g for g in got if g[0] == 1]
+    assert u1 == [
+        (1, "2024-01-01 10:00:00", 2, 6.0),
+        (1, "2024-01-01 18:30:00", 1, 8.0),
+    ]
