@@ -52,14 +52,18 @@ FEATURE_SCHEMA = (
 
 
 def encode_ppm(pixels: np.ndarray) -> bytes:
-    """Binary PPM (P6, RGB (H,W,3)) / PGM (P5, gray (H,W)) encoder."""
+    """Binary PPM (P6, RGB (H,W,3)) / PGM (P5, gray (H,W)) encoder.
+    uint16 input emits the 16-bit form (maxval 65535, big-endian
+    samples per the PNM spec); everything else is 8-bit."""
+    wide = pixels.dtype == np.uint16
     if pixels.ndim == 3:
-        magic, arr = b"P6", pixels.astype(np.uint8)
+        magic, arr = b"P6", pixels.astype(">u2" if wide else np.uint8)
         h, w = arr.shape[:2]
     else:
-        magic, arr = b"P5", pixels.astype(np.uint8)
+        magic, arr = b"P5", pixels.astype(">u2" if wide else np.uint8)
         h, w = arr.shape
-    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+    maxval = 65535 if wide else 255
+    return magic + f"\n{w} {h}\n{maxval}\n".encode() + arr.tobytes()
 
 
 def _decode_ppm(payload: bytes) -> np.ndarray:
@@ -82,9 +86,17 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
         i = j
     i += 1  # exactly one whitespace separates maxval from the raster
     w, h, maxval = vals
+    if maxval > 65535:
+        raise ValueError(f"PNM maxval {maxval} out of spec")
     if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
-    raster = np.frombuffer(payload, np.uint8, count=w * h * depth, offset=i)
+        # 16-bit form (r9): two-byte big-endian samples per the spec
+        raster = np.frombuffer(
+            payload, ">u2", count=w * h * depth, offset=i
+        ).astype(np.uint16)
+    else:
+        raster = np.frombuffer(
+            payload, np.uint8, count=w * h * depth, offset=i
+        )
     return raster.reshape((h, w, 3)) if depth == 3 else raster.reshape((h, w))
 
 
@@ -107,17 +119,44 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit BI_RGB plus, since r9, the two other uncompressed forms
+    in the wild: 32-bit BGRX/BGRA (BI_RGB, or BI_BITFIELDS with the
+    standard 888 masks — alpha is dropped, BMP has no compositing
+    semantics) and 8-bit palette (BGRX color table after the 40-byte
+    info header). RLE and non-standard bitfields still raise."""
     off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
     w = int.from_bytes(payload[18:22], "little", signed=True)
     h = int.from_bytes(payload[22:26], "little", signed=True)
     bpp = int.from_bytes(payload[28:30], "little")
     comp = int.from_bytes(payload[30:34], "little")
-    if bpp != 24 or comp != 0:
-        raise NotImplementedError(f"BMP variant bpp={bpp} comp={comp}")
     bottom_up, h = h > 0, abs(h)
-    row_size = (w * 3 + 3) & ~3
-    arr = np.frombuffer(payload, np.uint8, count=row_size * h, offset=off)
-    px = arr.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    if bpp == 24 and comp == 0:
+        row_size = (w * 3 + 3) & ~3
+        arr = np.frombuffer(payload, np.uint8, count=row_size * h, offset=off)
+        px = arr.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    elif bpp == 32 and comp in (0, 3):
+        if comp == 3:
+            masks = struct.unpack(
+                "<III", payload[14 + hdr_size : 26 + hdr_size]
+            ) if hdr_size == 40 else struct.unpack("<III", payload[54:66])
+            if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+                raise NotImplementedError(
+                    f"BMP non-standard bitfields {masks}"
+                )
+        arr = np.frombuffer(payload, np.uint8, count=w * 4 * h, offset=off)
+        px = arr.reshape(h, w, 4)[:, :, 2::-1]  # BGRA -> RGB
+    elif bpp == 8 and comp == 0:
+        n_colors = int.from_bytes(payload[46:50], "little") or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload, np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)[:, 2::-1]  # BGRX -> RGB
+        row_size = (w + 3) & ~3
+        arr = np.frombuffer(payload, np.uint8, count=row_size * h, offset=off)
+        px = pal[arr.reshape(h, row_size)[:, :w]]
+    else:
+        raise NotImplementedError(f"BMP variant bpp={bpp} comp={comp}")
     return (px[::-1] if bottom_up else px).copy()
 
 

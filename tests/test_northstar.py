@@ -1076,3 +1076,124 @@ def test_mp4_size_extensions_largesize_toeof_co64():
         )
     got = decode_mp4_mjpeg(bytes(grown))
     assert all(np.array_equal(a, b) for a, b in zip(got, want))
+
+
+def test_pnm_16bit_roundtrip_and_literal():
+    """r9 seam: 16-bit PNM (maxval 65535, big-endian samples)."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        _decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(21)
+    rgb16 = rng.integers(0, 65536, (5, 7, 3)).astype(np.uint16)
+    out = _decode_ppm(encode_ppm(rgb16))
+    assert out.dtype == np.uint16 and np.array_equal(out, rgb16)
+    gray16 = rng.integers(0, 65536, (4, 6)).astype(np.uint16)
+    assert np.array_equal(_decode_ppm(encode_ppm(gray16)), gray16)
+    # literal spec fixture: one pixel (0x1234, 0x0000, 0xFFFF)
+    lit = b"P6\n1 1\n65535\n" + bytes([0x12, 0x34, 0, 0, 0xFF, 0xFF])
+    assert _decode_ppm(lit).tolist() == [[[0x1234, 0x0000, 0xFFFF]]]
+    # 8-bit path unchanged
+    rgb8 = rng.integers(0, 256, (3, 3, 3)).astype(np.uint8)
+    assert np.array_equal(_decode_ppm(encode_ppm(rgb8)), rgb8)
+
+
+def _bmp32(pixels, comp):
+    """Hand-assemble a 32-bpp bottom-up BMP (BI_RGB or BI_BITFIELDS
+    with the standard 888 masks)."""
+    import struct as _s
+
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    masks = (
+        _s.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+        if comp == 3
+        else b""
+    )
+    off = 54 + len(masks)
+    img = b"".join(
+        bytes(
+            np.stack(
+                [
+                    pixels[y, :, 2],
+                    pixels[y, :, 1],
+                    pixels[y, :, 0],
+                    np.full(w, 0xAA, np.uint8),
+                ],
+                axis=-1,
+            )
+            .astype(np.uint8)
+            .tobytes()
+        )
+        for y in range(h - 1, -1, -1)
+    )
+    header = _s.pack("<2sIHHI", b"BM", off + len(img), 0, 0, off)
+    info = _s.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 32, comp, len(img), 2835, 2835, 0, 0
+    )
+    return header + info + masks + img
+
+
+def test_bmp_32bpp_and_palette_variants(spark):
+    """r9 seam: 32-bit BGRX/BGRA (BI_RGB and standard-mask
+    BI_BITFIELDS) and 8-bit palette BMPs. The 32-bit forms are also
+    cross-validated against javax.imageio's BMP reader on the same
+    bytes."""
+    import struct as _s
+
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        _decode_bmp,
+    )
+
+    rng = np.random.default_rng(33)
+    px = rng.integers(0, 256, (6, 5, 3)).astype(np.uint8)
+    for comp in (0, 3):
+        raw = _bmp32(px, comp)
+        assert np.array_equal(_decode_bmp(raw), px)
+        # third-party agreement on the same bytes
+        jvm = spark._jvm
+        stream = jvm.java.io.ByteArrayInputStream(bytearray(raw))
+        img = jvm.javax.imageio.ImageIO.read(stream)
+        assert img is not None
+        for y in range(6):
+            for x in range(5):
+                rgb = img.getRGB(x, y)
+                assert (
+                    (rgb >> 16) & 255,
+                    (rgb >> 8) & 255,
+                    rgb & 255,
+                ) == tuple(int(v) for v in px[y, x])
+
+    # 8-bit palette: 3-wide rows pad to 4. Palette entries are BGRX:
+    # index i -> B=i, G=255-i, R=i^0x5A
+    pal = bytes(b for i in range(256) for b in (i, 255 - i, i ^ 0x5A, 0))
+    idx = np.array([[0, 7, 255], [1, 128, 3]], np.uint8)
+    rows = b"".join(
+        idx[y].tobytes() + b"\x00" for y in range(1, -1, -1)
+    )
+    off = 54 + 1024
+    raw8 = (
+        _s.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+        + _s.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 0, len(rows), 0, 0, 0, 0)
+        + pal
+        + rows
+    )
+    got = _decode_bmp(raw8)
+    want = np.array(
+        [[(i ^ 0x5A, 255 - i, i) for i in row] for row in idx], np.uint8
+    )
+    assert np.array_equal(got, want)
+
+    # non-standard bitfields still raise loudly
+    import pytest as _pytest
+
+    bad = bytearray(_bmp32(px, 3))
+    bad[54:58] = _s.pack("<I", 0x0000F800)  # 565-style mask
+    with _pytest.raises(NotImplementedError):
+        _decode_bmp(bytes(bad))
