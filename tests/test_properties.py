@@ -397,3 +397,106 @@ def test_pnpoly_lattice_separation(k):
         for vy, vx in verts:
             assert abs(lat - vy) > 0.004
             assert abs(lon - vx) > 0.004
+
+
+def _ref_spans(texts, k=8, min_df=2):
+    """Brute-force reference for SPANS_ORACLE semantics."""
+    toks = {i + 1: t.strip().split(" ") for i, t in enumerate(texts)}
+    docs_of = {}
+    for d, tk in toks.items():
+        if len(tk) < k:
+            continue
+        for i in range(len(tk) - k + 1):
+            docs_of.setdefault(" ".join(tk[i : i + k]), set()).add(d)
+    out = set()
+    for d, tk in toks.items():
+        if len(tk) < k:
+            continue
+        iv = [
+            (i + 1, i + k)
+            for i in range(len(tk) - k + 1)
+            if len(docs_of[" ".join(tk[i : i + k])]) >= min_df
+        ]
+        merged = []
+        for s, e in iv:
+            if merged and s <= merged[-1][1] + 1:
+                ps, pe, n = merged[-1]
+                merged[-1] = (ps, max(pe, e), n + 1)
+            else:
+                merged.append((s, e, 1))
+        for s, e, n in merged:
+            out.add((d, s, e, e - s + 1, n))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=24
+        ).map(" ".join),
+        min_size=0,
+        max_size=6,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_spans_oracle_matches_bruteforce(texts):
+    """The SPANS_ORACLE DuckDB SQL (the hash-attested twin of the
+    Spark operator at three SFs) must equal an independent brute-force
+    reference on random tiny-alphabet corpora — covering gram overlap,
+    adjacency merges, sub-k docs, and empty docs the fixed fixtures
+    never enumerate."""
+    import pandas as pd
+
+    from bigdata_pipelines_aws_glue_spark.operators.spandedup import (
+        SPANS_ORACLE,
+    )
+
+    con = duckdb.connect()
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(1, len(texts) + 1), dtype="int64"),
+            "text": pd.Series(texts, dtype="string"),
+        }
+    )
+    con.register("documents", df)
+    got = {
+        tuple(int(v) for v in row)
+        for row in con.execute(SPANS_ORACLE).fetchall()
+    }
+    assert got == _ref_spans(texts)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=1, max_size=120),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_cdc_chunks_tile_text_exactly(texts):
+    """CDC chunks (the shared _CUTS_CTE both registry oracles build
+    on) must tile every document exactly: concat in order == text, no
+    gaps or overlaps, any boundary rule outcome."""
+    import pandas as pd
+
+    from bigdata_pipelines_aws_glue_spark.operators.cdc import _CUTS_CTE
+
+    con = duckdb.connect()
+    df = pd.DataFrame(
+        {"doc_id": range(1, len(texts) + 1), "text": texts}
+    )
+    con.register("documents", df)
+    rows = con.execute(
+        f"WITH {_CUTS_CTE} SELECT doc_id, "
+        "string_agg(chunk, '' ORDER BY st) AS joined, "
+        "CAST(sum(en - st + 1) AS BIGINT) AS covered, "
+        "count(*) AS n_chunks FROM chunks GROUP BY doc_id"
+    ).fetchall()
+    by_doc = {r[0]: r for r in rows}
+    for i, t in enumerate(texts):
+        if len(t) == 0:
+            assert i + 1 not in by_doc
+            continue
+        _, joined, covered, n_chunks = by_doc[i + 1]
+        assert joined == t and covered == len(t) and n_chunks >= 1
