@@ -461,9 +461,10 @@ def session_update_strict(
     future event (t >= watermark) could extend or bridge it, because
     extending needs t <= last + gap < watermark. State is all open
     sessions inside the lateness horizon — bounded by gap/watermark
-    geometry (at most ceil((wm_delay - gap)/gap) + 1 disjoint open
-    sessions per key can coexist, since open sessions are > gap apart
-    and all end within the horizon), not by stream length."""
+    geometry, not stream length: every open session has
+    last in (wm - gap, wm + delay] and consecutive open sessions'
+    lasts are > gap apart, so at most floor((delay + gap)/gap) + 1
+    per key coexist (3 for the 4 h gap / 6 h delay fixture)."""
     (user_id,) = key
     gap_us = SESSION_GAP_S * 1_000_000
     wm_us = state.getCurrentWatermarkMs() * 1_000
