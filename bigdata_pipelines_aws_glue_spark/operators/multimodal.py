@@ -855,31 +855,52 @@ def encode_wav(samples: np.ndarray, sample_rate: int = AUDIO_SAMPLE_RATE) -> byt
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """(samples int16 array, sample_rate) from a RIFF/WAVE payload —
-    walks the chunk list (fmt may be followed by LIST/fact before
-    data), PCM 16-bit mono/stereo; anything else raises at the
-    ffmpeg/soundfile seam."""
+    """(samples array, sample_rate) from a RIFF/WAVE payload — walks
+    the chunk list (fmt may be followed by LIST/fact before data).
+    Since r9, all four uncompressed layouts in the wild decode, each
+    returned in its NATIVE representation (callers branch on dtype):
+    PCM 16-bit -> int16, PCM 8-bit (unsigned per spec) -> uint8,
+    PCM 24-bit -> sign-extended int32, IEEE float 32-bit -> float32;
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) unwraps to its SubFormat first
+    two GUID bytes. Compressed formats (ADPCM, mu-law, MP3) still
+    raise at the ffmpeg/soundfile seam."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt, fmt_body = struct.unpack("<HHIIHH", body[:16]), body
         elif tag == b"data":
             data = body
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, channels, rate, _, _, bits = fmt
-    if audio_fmt != 1 or bits != 16 or channels not in (1, 2):
+    if audio_fmt == 0xFFFE and len(fmt_body) >= 26:
+        # extensible: the real format is the SubFormat GUID's first
+        # two bytes (offset 24 of the fmt body)
+        (audio_fmt,) = struct.unpack("<H", fmt_body[24:26])
+    if channels not in (1, 2):
+        raise NotImplementedError(f"WAV with {channels} channels")
+    if audio_fmt == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    elif audio_fmt == 1 and bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8)
+    elif audio_fmt == 1 and bits == 24:
+        b3 = np.frombuffer(data, np.uint8)
+        b3 = b3[: len(b3) - len(b3) % 3].reshape(-1, 3).astype(np.int32)
+        i32 = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        samples = i32 - ((i32 & 0x800000) << 1)  # sign-extend
+    elif audio_fmt == 3 and bits == 32:
+        samples = np.frombuffer(data, dtype="<f4")
+    else:
         raise NotImplementedError(
             f"WAV variant fmt={audio_fmt} bits={bits} ch={channels} "
             "needs an external codec (ffmpeg/soundfile seam)"
         )
-    samples = np.frombuffer(data, dtype="<i2")
     if channels == 2:
         samples = samples.reshape(-1, 2)
     return samples, rate

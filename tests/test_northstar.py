@@ -1197,3 +1197,89 @@ def test_bmp_32bpp_and_palette_variants(spark):
     bad[54:58] = _s.pack("<I", 0x0000F800)  # 565-style mask
     with _pytest.raises(NotImplementedError):
         _decode_bmp(bytes(bad))
+
+
+def test_wav_variant_decodes(spark):
+    """r9 seam: 8-bit, 24-bit, float32, and EXTENSIBLE WAV layouts.
+    Each fixture is hand-assembled; the integer forms are additionally
+    header-validated by javax.sound.sampled on the same bytes."""
+    import struct as _s
+
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    def wav(fmt_code, bits, ch, rate, data, ext_sub=None):
+        if ext_sub is None:
+            fmt_body = _s.pack(
+                "<HHIIHH", fmt_code, ch, rate,
+                rate * ch * bits // 8, ch * bits // 8, bits,
+            )
+        else:
+            guid = _s.pack("<H", ext_sub) + bytes.fromhex(
+                "0000000010800080" + "00aa00389b71"
+            )
+            fmt_body = _s.pack(
+                "<HHIIHHHHI", 0xFFFE, ch, rate,
+                rate * ch * bits // 8, ch * bits // 8, bits,
+                22, bits, 0b11 if ch == 2 else 0b1,
+            ) + guid
+        chunks = (
+            b"fmt " + _s.pack("<I", len(fmt_body)) + fmt_body
+            + (b"\x00" * (len(fmt_body) & 1))
+            + b"data" + _s.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    rng = np.random.default_rng(55)
+
+    # 8-bit unsigned mono
+    u8 = rng.integers(0, 256, 40).astype(np.uint8)
+    s, r = decode_wav(wav(1, 8, 1, 8000, u8.tobytes()))
+    assert r == 8000 and s.dtype == np.uint8 and np.array_equal(s, u8)
+
+    # 24-bit mono incl. negative values
+    i24 = np.array([0, 1, -1, 8388607, -8388608, 123456, -123456], np.int32)
+    raw24 = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in i24
+    )
+    s, r = decode_wav(wav(1, 24, 1, 44100, raw24))
+    assert s.dtype == np.int32 and np.array_equal(s, i24)
+
+    # float32 stereo
+    f32 = rng.standard_normal((9, 2)).astype(np.float32)
+    s, r = decode_wav(wav(3, 32, 2, 16000, f32.tobytes()))
+    assert s.dtype == np.float32 and np.array_equal(s, f32)
+
+    # EXTENSIBLE wrapping PCM 24-bit
+    s, r = decode_wav(wav(None, 24, 1, 22050, raw24, ext_sub=1))
+    assert np.array_equal(s, i24)
+    # EXTENSIBLE wrapping float32
+    s, r = decode_wav(
+        wav(None, 32, 2, 22050, f32.tobytes(), ext_sub=3)
+    )
+    assert np.array_equal(s, f32)
+
+    # javax.sound.sampled agrees on the integer-form headers
+    jvm = spark._jvm
+    for raw, want_bits, want_ch, want_rate, n_frames in (
+        (wav(1, 8, 1, 8000, u8.tobytes()), 8, 1, 8000, len(u8)),
+        (wav(1, 24, 1, 44100, raw24), 24, 1, 44100, len(i24)),
+    ):
+        stream = jvm.java.io.ByteArrayInputStream(bytearray(raw))
+        ais = jvm.javax.sound.sampled.AudioSystem.getAudioInputStream(
+            stream
+        )
+        f = ais.getFormat()
+        assert f.getSampleSizeInBits() == want_bits
+        assert f.getChannels() == want_ch
+        assert int(f.getSampleRate()) == want_rate
+        assert ais.getFrameLength() == n_frames
+
+    # compressed formats still raise loudly
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_wav(wav(7, 8, 1, 8000, u8.tobytes()))  # mu-law
