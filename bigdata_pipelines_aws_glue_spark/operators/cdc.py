@@ -17,10 +17,11 @@ is bit-identical in Spark and DuckDB, and the first 8 hex chars fit a
 signed 64-bit int, so the modulus never sees a negative. DIVISOR=64
 targets ~64-byte expected chunks on this corpus (~300-char docs →
 ~4-5 chunks/doc). No min/max chunk clamps (FastCDC's normalization)
-— documented simplification; the clamp only narrows the chunk-size
-distribution and does not change the dedup semantics.
+— the base pair of queries stays unclamped; ``cdc_clamped_chunks``
+(r9, same round) adds exactly that normalization as a sequential
+per-doc fold — pure JVM ``F.aggregate``, recursive-CTE DuckDB twin.
 
-Two registry queries:
+Three registry queries:
 
 - ``cdc_chunk_dedup``: per-document chunk inventory — chunk count,
   byte totals, bytes in chunks whose content recurs in >= 2 distinct
@@ -28,6 +29,8 @@ Two registry queries:
 - ``cdc_store_savings``: the corpus-level storage answer — raw bytes
   vs the unique-chunk store a dedup filesystem would keep, and the
   savings ratio (one row).
+- ``cdc_clamped_chunks``: per-doc chunk-size profile under the
+  FastCDC min/max clamps (skip region + forced cuts).
 
 Scale notes (100 TB): the window-hash scan is map-side per document
 (documents are KB-sized, so the per-doc position transform is
@@ -50,6 +53,11 @@ from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 W = 8
 #: boundary divisor: P(boundary) = 1/DIVISOR per position.
 DIVISOR = 64
+#: FastCDC-style chunk-size clamps for the clamped variant: no cut
+#: closer than CDC_MIN to the previous cut (skip region), a forced
+#: cut at CDC_MAX when no content boundary arrives in time. Only the
+#: final tail chunk may be shorter than CDC_MIN.
+CDC_MIN, CDC_MAX = 32, 192
 
 
 def _window_hash(text, i):
@@ -96,6 +104,99 @@ def cdc_chunks(docs: DataFrame) -> DataFrame:
             F.col("cut").alias("e"),
             F.expr("substring(text, prev + 1, cut - prev)").alias("chunk"),
         )
+    )
+
+
+def cdc_clamped_cuts(docs: DataFrame) -> DataFrame:
+    """(doc_id, cut): FastCDC-normalized cut offsets — the min/max
+    clamps the unclamped ``cdc_chunks`` documents as a simplification.
+    Selection rule (identical in the DuckDB twin): from the previous
+    cut, take the FIRST content boundary in [cut+MIN, cut+MAX]; if
+    none, force a cut at cut+MAX; the document end always cuts (the
+    tail may be shorter than MIN).
+
+    The per-document scan is SEQUENTIAL (each cut depends on the
+    previous one), but documents are independent, so it runs as one
+    pure-JVM ``F.aggregate`` fold over the candidate array per row —
+    no Python worker, no window, map-side only; the twin replays the
+    same rule as a recursive CTE. This is the repo's pattern for
+    per-row sequential state without a UDF (`windows.py` reflection
+    fold precedent)."""
+    t = docs.select(
+        "doc_id", "text", F.length("text").cast("long").alias("n")
+    ).filter(F.col("n") > 0)
+    cand = F.when(
+        F.col("n") >= W,
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.col("n") - (W - 1)),
+                lambda i: _window_hash(F.col("text"), i) % DIVISOR == 0,
+            ),
+            lambda i: (i + (W - 1)).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    zero = F.lit(0).cast("long")
+    empty = F.array().cast("array<long>")
+
+    def forced_cuts(last, upto):
+        """Cuts at last+MAX, last+2*MAX, ... while upto - last' > MAX."""
+        nf = F.floor((upto - last - 1) / F.lit(CDC_MAX)).cast("long")
+        return F.when(
+            nf > 0,
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), nf),
+                lambda j: last + j * CDC_MAX,
+            ),
+        ).otherwise(empty)
+
+    def step(acc, c):
+        forced = forced_cuts(acc["last"], c)
+        last2 = acc["last"] + F.size(forced).cast("long") * CDC_MAX
+        accept = (c - last2) >= CDC_MIN
+        return F.struct(
+            F.concat(
+                acc["cuts"],
+                forced,
+                F.when(accept, F.array(c)).otherwise(empty),
+            ).alias("cuts"),
+            F.when(accept, c).otherwise(last2).alias("last"),
+        )
+
+    def finish(acc):
+        forced = forced_cuts(acc["last"], F.col("n"))
+        last2 = acc["last"] + F.size(forced).cast("long") * CDC_MAX
+        return F.concat(
+            acc["cuts"],
+            forced,
+            F.when(F.col("n") > last2, F.array(F.col("n"))).otherwise(
+                empty
+            ),
+        )
+
+    cuts = F.aggregate(
+        cand,
+        F.struct(empty.alias("cuts"), zero.alias("last")),
+        step,
+        finish,
+    )
+    return t.select("doc_id", "n", F.explode(cuts).alias("cut"))
+
+
+def cdc_clamped_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: per-doc chunk-size profile under the FastCDC
+    clamps — chunk count, bytes, and the min/max chunk lengths (max
+    is always <= CDC_MAX; min can undershoot CDC_MIN only via the
+    tail chunk)."""
+    cuts = cdc_clamped_cuts(load_table(spark, sf_dir, "documents"))
+    w_prev = Window.partitionBy("doc_id").orderBy("cut")
+    lens = cuts.withColumn(
+        "prev", F.coalesce(F.lag("cut").over(w_prev), F.lit(0))
+    ).select("doc_id", "n", (F.col("cut") - F.col("prev")).alias("clen"))
+    return lens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("clen").alias("n_bytes"),
+        F.min("clen").alias("min_chunk"),
+        F.max("clen").alias("max_chunk"),
     )
 
 
@@ -218,8 +319,51 @@ FROM per_chunk
 """
 
 
+#: Recursive-CTE replay of the clamped selection rule: each step's
+#: next cut is the first candidate in [cut+MIN, cut+MAX], else the
+#: forced cut+MAX, capped at the document end.
+CDC_CLAMPED_ORACLE = f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) > 0),
+cand AS (
+    SELECT doc_id, CAST(i + 7 AS BIGINT) AS c
+    FROM t, unnest(range(1, n - 6)) u(i)
+    WHERE n >= 8
+      AND ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT % 64 = 0
+),
+walk AS (
+    SELECT doc_id, CAST(0 AS BIGINT) AS cut, n FROM t
+    UNION ALL
+    SELECT w.doc_id,
+           least(coalesce(
+               (SELECT min(c) FROM cand
+                WHERE cand.doc_id = w.doc_id
+                  AND c >= w.cut + {CDC_MIN} AND c <= w.cut + {CDC_MAX}),
+               w.cut + {CDC_MAX}), w.n) AS cut,
+           w.n
+    FROM walk w WHERE w.cut < w.n
+),
+lens AS (
+    SELECT doc_id,
+           cut - lag(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS clen
+    FROM walk
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(clen) AS BIGINT) AS n_bytes,
+       CAST(min(clen) AS BIGINT) AS min_chunk,
+       CAST(max(clen) AS BIGINT) AS max_chunk
+FROM lens WHERE clen IS NOT NULL
+GROUP BY doc_id
+"""
+
+
 def _register() -> None:
     registry.register("cdc_chunk_dedup", cdc_chunk_dedup, CDC_DEDUP_ORACLE)
     registry.register(
         "cdc_store_savings", cdc_store_savings, CDC_SAVINGS_ORACLE
+    )
+    registry.register(
+        "cdc_clamped_chunks", cdc_clamped_chunks, CDC_CLAMPED_ORACLE
     )

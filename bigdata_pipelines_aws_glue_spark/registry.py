@@ -29,22 +29,23 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy in ``tools/rotate_priority.py``, which
 #: generated this window). Round-9 window (VERDICT_r8 item 2 plus the
-#: round's own additions): (a) FORCED by policy — all 8 round-9
+#: round's own additions): (a) FORCED by policy — all 9 round-9
 #: additions (the substring/span-dedup quintet incl. the materialized
-#: clean corpus, the CDC chunk-dedup pair, and the batched greedy
-#: coverage variant; each oracle-verified locally at sf0.01 AND sf0.1
-#: and in PLAIN_SESSION on registration); (b) the full 33-row r4
-#: block (judge-reverified 33/33 hash-green in the r8 session);
-#: (c) the 9 oldest-r5 rows, filling 50 exactly. The whole window was
-#: re-verified 50/50 green via ``PLAIN_SESSION=1 python
-#: tools/check_oracle.py /root/testdata/sf0.01 <window>`` before this
-#: rotation was committed.
+#: clean corpus, the CDC chunk-dedup trio incl. the FastCDC-clamped
+#: variant, and the batched greedy coverage variant; each
+#: oracle-verified locally at sf0.01 AND sf0.1 and in PLAIN_SESSION
+#: on registration); (b) the full 33-row r4 block (judge-reverified
+#: 33/33 hash-green in the r8 session); (c) the 8 oldest-r5 rows,
+#: filling 50 exactly. Every name in this window was verified green
+#: in PLAIN_SESSION at sf0.01 this round before the rotation was
+#: committed (49 in the full-window run, cdc_clamped_chunks on
+#: registration).
 #:
 #: Round-10 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 189 oracled
-#: rows — 41 last-green r5, 48 r6, 50 r7, 50 r8 — so the r10 window
+#: after this window attests, the deferred remainder is 190 oracled
+#: rows — 42 last-green r5, 48 r6, 50 r7, 50 r8 — so the r10 window
 #: takes any round-10 additions first (forced, locally verified at
-#: both SFs on registration), then the 41 remaining r5 rows, then
+#: both SFs on registration), then the 42 remaining r5 rows, then
 #: the oldest r6 rows to fill 50. Steady state from here is purely
 #: age-driven.
 PRIORITY: tuple[str, ...] = (
@@ -55,6 +56,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_span_clean_text",
     "cdc_chunk_dedup",
     "cdc_store_savings",
+    "cdc_clamped_chunks",
     "greedy_coverage_batched",
     "q6_forecast_revenue",
     "q2_top_supplier_per_nation",
@@ -97,7 +99,6 @@ PRIORITY: tuple[str, ...] = (
     "pivot_revenue",
     "q18_large_orders",
     "q10_returned_items",
-    "q16_supplier_diversity",
 )
 
 

@@ -68,3 +68,71 @@ def test_dedup_and_savings_math(spark, sf_dir):
     assert s.store_bytes <= s.raw_bytes
     assert s.raw_bytes == sum(r.n_bytes for r in per_doc)
     assert 0.0 <= s.savings_ratio < 1.0
+
+
+def test_clamped_cuts_invariants(spark):
+    """FastCDC clamps: every chunk <= CDC_MAX; every non-final chunk
+    >= CDC_MIN; chunks still tile the text; a doc with no content
+    boundary degrades to fixed CDC_MAX blocks."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.cdc import (
+        CDC_MAX,
+        CDC_MIN,
+        cdc_clamped_cuts,
+    )
+
+    rng = np.random.default_rng(77)
+    texts = [
+        "".join(chr(97 + c) for c in rng.integers(0, 26, n))
+        for n in (1, 7, 31, 32, 33, 191, 192, 193, 600, 2000)
+    ] + ["x" * 700]  # constant text: window hash never varies per doc
+    docs = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = cdc_clamped_cuts(docs).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.cut)
+    for i, t in enumerate(texts):
+        cuts = sorted(by_doc[i + 1])
+        assert cuts[-1] == len(t)
+        lens = [b - a for a, b in zip([0] + cuts, cuts)]
+        assert all(ln <= CDC_MAX for ln in lens)
+        assert all(ln >= CDC_MIN for ln in lens[:-1]), (i, lens)
+        assert sum(lens) == len(t)
+
+
+def test_clamped_min_skips_close_boundary(spark):
+    """A content boundary inside the skip region (< CDC_MIN from the
+    previous cut) must NOT cut — compare against the unclamped cuts
+    on the real corpus: every clamped cut is either an unclamped
+    content boundary, a forced multiple-of-MAX offset from the
+    previous cut, or the doc end."""
+    from bigdata_pipelines_aws_glue_spark.operators.cdc import (
+        CDC_MAX,
+        cdc_chunks,
+        cdc_clamped_cuts,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(
+        100
+    )
+    unclamped = {
+        (r.doc_id, r.e) for r in cdc_chunks(docs).collect()
+    }  # chunk ends = content boundaries + doc end
+    clamped: dict[int, list[int]] = {}
+    for r in cdc_clamped_cuts(docs).collect():
+        clamped.setdefault(r.doc_id, []).append(r.cut)
+    n_forced = n_content = 0
+    for d, cuts in clamped.items():
+        prev = 0
+        for c in sorted(cuts):
+            if (d, c) in unclamped:
+                n_content += 1
+            else:
+                assert (c - prev) % CDC_MAX == 0 or c == max(cuts), (d, c)
+                n_forced += 1
+            prev = c
+    assert n_content > 0  # the rule does use real content boundaries
