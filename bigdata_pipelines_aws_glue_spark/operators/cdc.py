@@ -3,20 +3,33 @@ no reference citation — the reference is a currency ETL with no dedup).
 
 The storage-system counterpart of the token-level span dedup in
 ``spandedup.py``: instead of token k-grams, documents are split at
-CONTENT-DEFINED byte positions (the Rabin/gear-hash family — LBFS
+CONTENT-DEFINED positions (the Rabin/gear-hash family — LBFS
 (Muthitacharoen et al., SOSP'01) through FastCDC (Xia et al., USENIX
 ATC'16)), so an insertion early in a document shifts chunk boundaries
 only locally and identical trailing content still produces identical
 chunks — the property fixed-size blocks lack. Shared chunks are then
 found by one hash aggregation, exactly like exact dedup.
 
-Boundary rule (cross-engine deterministic, no platform hash): byte
-position ``i`` (1-based) ends a chunk iff the 8-char window starting
-at ``i`` satisfies ``int(md5(window)[:8], 16) % DIVISOR == 0`` — md5
-is bit-identical in Spark and DuckDB, and the first 8 hex chars fit a
-signed 64-bit int, so the modulus never sees a negative. DIVISOR=64
-targets ~64-byte expected chunks on this corpus (~300-char docs →
-~4-5 chunks/doc). No min/max chunk clamps (FastCDC's normalization)
+Unit of position/length — CHARACTERS, not bytes: Spark's
+``length``/``substring`` (UTF8String code points) and DuckDB's
+``length``/``substr`` are both character-based, so the two engines
+agree bit-for-bit on any UTF-8 text (pinned on non-ASCII input by
+``tests/test_cdc.py``), and on the ASCII test corpus characters ==
+bytes. The ``*_bytes`` column names keep the storage-dedup
+convention; on non-ASCII corpora read them as character counts. A
+byte-exact variant is NOT cross-engine oracle-able here: DuckDB
+1.0.0 has no ``substr``/``md5`` over BLOB, so windowing
+``encode(text, 'UTF-8')`` cannot be replayed by the oracle
+(documented trade-off, advisor r9).
+
+Boundary rule (cross-engine deterministic, no platform hash):
+character position ``i`` (1-based) ends a chunk iff the 8-char window
+starting at ``i`` satisfies ``int(md5(window)[:8], 16) % DIVISOR ==
+0`` — md5 is bit-identical in Spark and DuckDB, and the first 8 hex
+chars fit a signed 64-bit int, so the modulus never sees a negative.
+DIVISOR=64 targets ~64-char expected chunks on this corpus
+(~300-char docs → ~4-5 chunks/doc). No min/max chunk clamps
+(FastCDC's normalization)
 — the base pair of queries stays unclamped; ``cdc_clamped_chunks``
 (r9, same round) adds exactly that normalization as a sequential
 per-doc fold — pure JVM ``F.aggregate``, recursive-CTE DuckDB twin.
@@ -24,9 +37,9 @@ per-doc fold — pure JVM ``F.aggregate``, recursive-CTE DuckDB twin.
 Three registry queries:
 
 - ``cdc_chunk_dedup``: per-document chunk inventory — chunk count,
-  byte totals, bytes in chunks whose content recurs in >= 2 distinct
-  documents, and the duplicated fraction.
-- ``cdc_store_savings``: the corpus-level storage answer — raw bytes
+  length totals, length in chunks whose content recurs in >= 2
+  distinct documents, and the duplicated fraction.
+- ``cdc_store_savings``: the corpus-level storage answer — raw size
   vs the unique-chunk store a dedup filesystem would keep, and the
   savings ratio (one row).
 - ``cdc_clamped_chunks``: per-doc chunk-size profile under the

@@ -298,6 +298,11 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
             canvas[top : top + h, left : left + w] = bgc
         elif disposal == 3:
             canvas = before
+        # A GCE scopes to only the FIRST following image block
+        # (GIF89a §23): both fields reset once consumed, so a
+        # GCE-less frame after a disposal-2/3 frame composites with
+        # disposal "none", not the stale method.
+        disposal = 0
         transparent = None
     if not frames:
         raise ValueError("GIF: no image blocks")

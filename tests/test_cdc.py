@@ -55,6 +55,53 @@ def test_boundary_shift_resistance(spark):
     assert len(shared) >= len(c1) - 2, (len(shared), len(c1))
 
 
+def test_nonascii_chunks_are_character_based_and_cross_engine(spark):
+    """Positions/lengths are CHARACTER counts (advisor r9): on
+    non-ASCII text Spark and DuckDB still agree chunk-for-chunk
+    (both engines' length/substr are code-point based), and the
+    chunk spans count characters, not UTF-8 bytes."""
+    import duckdb
+    import pandas as pd
+
+    from bigdata_pipelines_aws_glue_spark.operators.cdc import _CUTS_CTE
+
+    texts = [
+        "héllo wörld — " * 40,          # 2-byte chars + em dash
+        "naïve café 😀 résumé " * 30,   # astral emoji (4-byte)
+        "日本語のテキストです。" * 25,   # 3-byte CJK
+        "plain ascii text " * 40,
+    ]
+    docs = _docs(spark, texts)
+    spark_rows = {
+        (r.doc_id, r.s, r.e, r.chunk) for r in cdc_chunks(docs).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": range(1, len(texts) + 1), "text": texts}
+        ),
+    )
+    oracle_rows = {
+        tuple(t)
+        for t in con.execute(
+            f"WITH {_CUTS_CTE} SELECT doc_id, st, en, chunk FROM chunks"
+        ).fetchall()
+    }
+    assert spark_rows == oracle_rows
+    # spans are character counts: per doc they tile [1, len(text)]
+    # (Python len() is code points, matching both engines), which a
+    # byte-based rule would overshoot on these multi-byte texts
+    for i, t in enumerate(texts):
+        segs = sorted(
+            (r for r in spark_rows if r[0] == i + 1), key=lambda r: r[1]
+        )
+        assert segs[-1][2] == len(t)
+        if i < 3:  # the non-ASCII docs: char count < byte count
+            assert len(t) < len(t.encode("utf-8"))
+        assert "".join(r[3] for r in segs) == t
+
+
 def test_dedup_and_savings_math(spark, sf_dir):
     from bigdata_pipelines_aws_glue_spark.operators.cdc import (
         cdc_chunk_dedup,

@@ -144,6 +144,57 @@ def _disposal3_fixture():
     return bytes(g), pal, base, patch
 
 
+def test_gif_gceless_frame_after_disposal2_uses_disposal_none():
+    """A GCE scopes to only the first following image block: a
+    GCE-less frame 3 after a disposal-2 frame 2 must composite with
+    disposal 'none' — a decoder that lets the stale GCE persist would
+    clear frame 3's rectangle to background after display, so the
+    all-transparent frame 4 (which shows the raw canvas) is the
+    discriminator."""
+    pal = grayscale_palette()
+    base = np.full((8, 8), 10, np.uint8)
+    patch2 = np.full((4, 4), 200, np.uint8)
+    patch3 = np.full((4, 4), 50, np.uint8)
+    clear = np.zeros((4, 4), np.uint8)  # index 0 = transparent below
+    g = bytearray(b"GIF89a")
+    g += struct.pack("<HHBBB", 8, 8, 0xF7, 0, 0)
+    g += pal.tobytes()
+    g += b"\x2c" + struct.pack("<HHHHB", 0, 0, 8, 8, 0)
+    g.append(8)
+    g += _sub_blocks(lzw_encode(base.tobytes(), 8))
+    # GCE: disposal=2 restore-to-background, no transparency
+    g += b"\x21\xf9" + bytes([4, 0b1000, 0, 0, 0, 0])
+    g += b"\x2c" + struct.pack("<HHHHB", 3, 2, 4, 4, 0)
+    g.append(8)
+    g += _sub_blocks(lzw_encode(patch2.tobytes(), 8))
+    # frame 3: NO GCE of its own
+    g += b"\x2c" + struct.pack("<HHHHB", 3, 2, 4, 4, 0)
+    g.append(8)
+    g += _sub_blocks(lzw_encode(patch3.tobytes(), 8))
+    # GCE: disposal=1 keep, transparency on, transparent index 0
+    g += b"\x21\xf9" + bytes([4, 0b101, 0, 0, 0, 0])
+    g += b"\x2c" + struct.pack("<HHHHB", 3, 2, 4, 4, 0)
+    g.append(8)
+    g += _sub_blocks(lzw_encode(clear.tobytes(), 8))
+    g.append(0x3B)
+    dec = decode_gif(bytes(g))
+    assert len(dec) == 4
+    want1 = pal[base]
+    assert (dec[0] == want1).all()
+    want2 = want1.copy()
+    want2[2:6, 3:7] = pal[patch2]
+    assert (dec[1] == want2).all()
+    # frame 2's disposal-2 cleared its rect to background; frame 3
+    # paints fully-opaque patch3 over the same rect
+    want3 = want1.copy()
+    want3[2:6, 3:7] = pal[patch3]
+    assert (dec[2] == want3).all()
+    # frame 4 is all-transparent: it displays the canvas as frame 3
+    # left it. Correct (disposal reset) = patch3 still there; a
+    # stale-GCE decoder would have re-cleared the rect to background.
+    assert (dec[3] == want3).all()
+
+
 def test_gif_disposal3_restores_previous_canvas():
     gif, pal, base, patch = _disposal3_fixture()
     dec = decode_gif(gif)
