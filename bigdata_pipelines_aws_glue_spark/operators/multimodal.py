@@ -862,8 +862,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     PCM 16-bit -> int16, PCM 8-bit (unsigned per spec) -> uint8,
     PCM 24-bit -> sign-extended int32, IEEE float 32-bit -> float32;
     WAVE_FORMAT_EXTENSIBLE (0xFFFE) unwraps to its SubFormat first
-    two GUID bytes. Compressed formats (ADPCM, mu-law, MP3) still
-    raise at the ffmpeg/soundfile seam."""
+    two GUID bytes. Since r10, G.711 compressed formats also decode
+    (tag 7 mu-law / tag 6 A-law, javax-pinned expansion -> int16);
+    the remaining compressed formats (ADPCM, MP3) still raise at the
+    ffmpeg/soundfile seam."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos, fmt, fmt_body, data = 12, None, b"", None
@@ -896,6 +898,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         samples = i32 - ((i32 & 0x800000) << 1)  # sign-extend
     elif audio_fmt == 3 and bits == 32:
         samples = np.frombuffer(data, dtype="<f4")
+    elif audio_fmt == 7 and bits == 8:  # WAVE_FORMAT_MULAW
+        samples = ulaw_to_pcm16(np.frombuffer(data, dtype=np.uint8))
+    elif audio_fmt == 6 and bits == 8:  # WAVE_FORMAT_ALAW
+        samples = alaw_to_pcm16(np.frombuffer(data, dtype=np.uint8))
     else:
         raise NotImplementedError(
             f"WAV variant fmt={audio_fmt} bits={bits} ch={channels} "
@@ -1002,6 +1008,190 @@ SELECT doc_id,
             AS INT) AS duration_ms,
        TRUE AS stats_ok
 FROM documents
+"""
+
+
+# ------------------------------------------- G.711 (mu-law / A-law)
+
+WAVE_FMT_PCM, WAVE_FMT_ALAW, WAVE_FMT_MULAW = 1, 6, 7
+_G711_BIAS = 0x84  # CCITT G.711 mu-law bias
+
+
+def ulaw_to_pcm16(codes: np.ndarray) -> np.ndarray:
+    """CCITT G.711 mu-law expansion (the classic ``ulaw2linear``:
+    complement, then ``(((mant << 3) + 132) << exp) - 132`` with the
+    sign bit negating) — pinned code-for-code over all 256 codewords
+    against javax.sound.sampled's ULAW→PCM_SIGNED converter in
+    ``tests/test_g711.py``. [north-star] N4; no reference citation
+    (the reference has no audio)."""
+    u = (~codes.astype(np.int32)) & 0xFF
+    mag = (
+        (((u & 0x0F) << 3) + _G711_BIAS) << ((u >> 4) & 0x07)
+    ) - _G711_BIAS
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def alaw_to_pcm16(codes: np.ndarray) -> np.ndarray:
+    """CCITT G.711 A-law expansion (``alaw2linear``: XOR 0x55, then
+    segment 0 → ``(mant << 4) + 8``, segment s >= 1 →
+    ``((mant << 4) + 0x108) << (s - 1)``; set sign bit means
+    POSITIVE, the inverse of mu-law) — javax-pinned over all 256
+    codewords like the mu-law table."""
+    a = codes.astype(np.int32) ^ 0x55
+    seg = (a >> 4) & 0x07
+    mant = a & 0x0F
+    t = np.where(
+        seg == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(seg - 1, 0),
+    )
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+#: SubFormat GUID tail shared by all WAVE_FORMAT_EXTENSIBLE media
+#: types (the first two bytes carry the real format tag).
+_WAVE_EXT_GUID_TAIL = bytes.fromhex("000000001000800000aa00389b71")
+
+
+def encode_wav_g711(
+    codes: bytes | np.ndarray,
+    fmt_tag: int,
+    sample_rate: int = AUDIO_SAMPLE_RATE,
+    extensible: bool = False,
+) -> bytes:
+    """RIFF/WAVE container around raw G.711 codewords (format tag 6 =
+    A-law, 7 = mu-law; 8 bits/sample, mono, block align 1). Non-PCM
+    WAVs carry the spec-required ``fact`` chunk (sample count);
+    ``extensible=True`` wraps the tag as WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) with the real tag in the SubFormat GUID's first two
+    bytes — both layouts round-trip through ``decode_wav``."""
+    if fmt_tag not in (WAVE_FMT_ALAW, WAVE_FMT_MULAW):
+        raise ValueError(f"not a G.711 format tag: {fmt_tag}")
+    data = (
+        codes.astype(np.uint8).tobytes()
+        if isinstance(codes, np.ndarray)
+        else bytes(codes)
+    )
+    if extensible:
+        fmt_body = (
+            struct.pack(
+                "<HHIIHHHHI",
+                0xFFFE,
+                1,
+                sample_rate,
+                sample_rate,
+                1,
+                8,
+                22,  # cbSize
+                8,  # valid bits per sample
+                0x4,  # channel mask: front center
+            )
+            + struct.pack("<H", fmt_tag)
+            + _WAVE_EXT_GUID_TAIL
+        )
+    else:
+        fmt_body = struct.pack(
+            "<HHIIHH", fmt_tag, 1, sample_rate, sample_rate, 1, 8
+        )
+    chunks = (
+        b"fmt "
+        + struct.pack("<I", len(fmt_body))
+        + fmt_body
+        + b"fact"
+        + struct.pack("<II", 4, len(data))
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    if len(data) & 1:
+        chunks += b"\x00"  # word-align the final chunk
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+G711_SCHEMA = "doc_id long, n_samples int, ulaw_sum long, alaw_sum long"
+
+
+def g711_features_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: each document's text bytes ARE the 8-bit
+    G.711 codewords — one mu-law and one A-law RIFF container per doc
+    (the mu-law one EXTENSIBLE-wrapped for every third doc, the A-law
+    one for the rest, so BOTH header layouts sit on the attested
+    path), decoded back through ``decode_wav`` and summed."""
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            codes = np.frombuffer((text or "").encode(), dtype=np.uint8)
+            wrapped = int(doc_id) % 3 == 0
+            su, _ = decode_wav(
+                encode_wav_g711(codes, WAVE_FMT_MULAW, extensible=wrapped)
+            )
+            sa, _ = decode_wav(
+                encode_wav_g711(codes, WAVE_FMT_ALAW, extensible=not wrapped)
+            )
+            rows.append(
+                (
+                    doc_id,
+                    len(su),
+                    int(su.astype(np.int64).sum()),
+                    int(sa.astype(np.int64).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_samples", "ulaw_sum", "alaw_sum"]
+        )
+
+
+def multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: G.711 compressed-audio attestation. The kernel
+    builds REAL mu-law and A-law WAV containers (plain and
+    WAVE_FORMAT_EXTENSIBLE layouts both exercised), decodes them with
+    the repo's own G.711 expansion, and emits per-doc PCM sums; the
+    DuckDB twin replays the exact expansion arithmetic per text byte
+    — a hash match proves container walk + EXTENSIBLE unwrap + both
+    decode tables end to end. At 100 TB this is the same
+    Arrow-batched map-only pass as the other modality kernels."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        spread(docs.select("doc_id", "text"))
+        .mapInPandas(g711_features_batch, schema=G711_SCHEMA)
+        .select("doc_id", "n_samples", "ulaw_sum", "alaw_sum")
+    )
+
+
+#: The twin replays both G.711 expansions arithmetically per byte
+#: (corpus is ASCII, so ascii(substr) == the encoded byte; pinned by
+#: the cross-engine CDC test's charset note). (255 - b) == (~b & 255)
+#: for mu-law's complement; A-law's set sign bit means positive.
+AUDIO_G711_ORACLE = """
+WITH codes AS (
+    SELECT doc_id, ascii(substr(text, CAST(i AS INTEGER), 1)) AS b
+    FROM documents, unnest(range(1, length(text) + 1)) u(i)
+),
+dec AS (
+    SELECT doc_id,
+           (CASE WHEN ((255 - b) & 128) <> 0 THEN -1 ELSE 1 END)
+           * (((((255 - b) & 15) * 8 + 132)
+               * (1 << (((255 - b) >> 4) & 7))) - 132) AS ulaw,
+           (CASE WHEN (xor(b, 85) & 128) <> 0 THEN 1 ELSE -1 END)
+           * (CASE WHEN ((xor(b, 85) >> 4) & 7) = 0
+                   THEN (xor(b, 85) & 15) * 16 + 8
+                   ELSE ((xor(b, 85) & 15) * 16 + 264)
+                        * (1 << (((xor(b, 85) >> 4) & 7) - 1)) END) AS alaw
+    FROM codes
+),
+agg AS (
+    SELECT doc_id, count(*) AS n, sum(ulaw) AS us, sum(alaw) AS al
+    FROM dec GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n, 0) AS INT) AS n_samples,
+       CAST(coalesce(a.us, 0) AS BIGINT) AS ulaw_sum,
+       CAST(coalesce(a.al, 0) AS BIGINT) AS alaw_sum
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -1493,6 +1683,9 @@ def _register() -> None:
         "multimodal_audio_features",
         multimodal_audio_features,
         AUDIO_FEATURES_ORACLE,
+    )
+    registry.register(
+        "multimodal_audio_g711", multimodal_audio_g711, AUDIO_G711_ORACLE
     )
     registry.register(
         "multimodal_video_frames", multimodal_video_frames, VIDEO_FRAMES_ORACLE
