@@ -98,12 +98,19 @@ def positional_grams(docs: DataFrame, k: int = K) -> DataFrame:
     )
 
 
-def _merge_islands(iv: DataFrame, part_cols: list[str]) -> DataFrame:
+def _merge_islands(
+    iv: DataFrame,
+    part_cols: list[str],
+    extra_aggs: tuple = (),
+    extra_cols: tuple = (),
+) -> DataFrame:
     """Gaps-and-islands: merge overlapping-or-adjacent [s, e] token
     intervals within each ``part_cols`` group. Adjacency (prev_end ==
     next_start - 1) merges too: the tokens are contiguous duplicated
     text even when contributed by different grams. Returns one row per
-    maximal span with span_start/span_end/span_len/n_grams."""
+    maximal span with span_start/span_end/span_len/n_grams (plus any
+    ``extra_aggs`` aliased into ``extra_cols`` — the char-offset
+    variant rides along here without a second island pass)."""
     w_prev = (
         Window.partitionBy(*part_cols)
         .orderBy("s")
@@ -125,6 +132,7 @@ def _merge_islands(iv: DataFrame, part_cols: list[str]) -> DataFrame:
             F.min("s").alias("span_start"),
             F.max("e").alias("span_end"),
             F.count(F.lit(1)).alias("n_grams"),
+            *extra_aggs,
         )
         .select(
             *part_cols,
@@ -134,7 +142,114 @@ def _merge_islands(iv: DataFrame, part_cols: list[str]) -> DataFrame:
                 "span_len"
             ),
             "n_grams",
+            *extra_cols,
         )
+    )
+
+
+def _char_offsets(tk) -> "F.Column":
+    """1-based char START offset of every token inside the TRIMMED
+    text: one O(tokens) fold (start_i = chars consumed so far + 1;
+    consume len(tok) + 1 per token for the following space). Single-
+    space split/join is lossless, so the offsets are exact even when
+    repeated spaces produce empty tokens (an empty token consumes 0
+    chars + its delimiter). Pure-JVM ``F.aggregate`` — no UDF."""
+    return F.aggregate(
+        tk,
+        F.struct(
+            F.array().cast("array<long>").alias("offs"),
+            F.lit(0).cast("long").alias("cum"),
+        ),
+        lambda acc, x: F.struct(
+            F.concat(acc["offs"], F.array(acc["cum"] + 1)).alias("offs"),
+            (acc["cum"] + F.length(x) + 1).alias("cum"),
+        ),
+        lambda acc: acc["offs"],
+    )
+
+
+def positional_grams_chars(docs: DataFrame, k: int = K) -> DataFrame:
+    """(doc_id, pos, gram, cs, ce): ``positional_grams`` plus the
+    char span [cs, ce] the k-token window occupies in the trimmed
+    text — the byte/char-offset provenance a Lee et al. pipeline cuts
+    at (VERDICT_r9 item 3). One more column in the posting build, no
+    new shuffle; the fold is per-doc map-side."""
+    win = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - (k - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.array_join(F.slice(F.col("tk"), i, k), " ").alias("gram"),
+            F.element_at(F.col("offs"), i).alias("cs"),
+            (
+                F.element_at(F.col("offs"), i + (k - 1))
+                + F.length(F.element_at(F.col("tk"), i + (k - 1)))
+                - 1
+            ).alias("ce"),
+        ),
+    )
+    return (
+        docs.select("doc_id", _tokens(F.col("text")).alias("tk"))
+        .withColumn("offs", _char_offsets(F.col("tk")))
+        .filter(F.size("tk") >= k)
+        .select("doc_id", F.explode(win).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.pos").alias("pos"),
+            F.col("g.gram").alias("gram"),
+            F.col("g.cs").alias("cs"),
+            F.col("g.ce").alias("ce"),
+        )
+    )
+
+
+def duplicated_spans_chars(
+    docs: DataFrame, k: int = K, min_df: int = 2
+) -> DataFrame:
+    """``duplicated_spans`` with char-offset provenance: each maximal
+    duplicated span also carries its 1-based [span_char_start,
+    span_char_end] in the trimmed text plus the extracted
+    ``span_text`` itself (the substring cut proves the offsets point
+    at the real duplicated characters — hash-checked against the
+    twin's independent substr). The char bounds merge through the
+    SAME island pass as the token bounds (min start / max end of the
+    contributing windows), so the plan shape is identical to the base
+    query plus one doc_id-keyed join back to the text."""
+    grams = positional_grams_chars(docs, k)
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("dc"))
+        .filter(F.col("dc") >= min_df)
+        .select("gram")
+    )
+    iv = grams.join(dup_grams, "gram").select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + (k - 1)).alias("e"),
+        "cs",
+        "ce",
+    )
+    spans = _merge_islands(
+        iv,
+        ["doc_id"],
+        extra_aggs=(
+            F.min("cs").alias("span_char_start"),
+            F.max("ce").alias("span_char_end"),
+        ),
+        extra_cols=("span_char_start", "span_char_end"),
+    )
+    return spans.join(
+        docs.select("doc_id", F.trim(F.col("text")).alias("txt")), "doc_id"
+    ).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        "span_len",
+        "span_char_start",
+        "span_char_end",
+        F.expr(
+            "substring(txt, CAST(span_char_start AS INT),"
+            " CAST(span_char_end - span_char_start + 1 AS INT))"
+        ).alias("span_text"),
     )
 
 
@@ -341,6 +456,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(load_table(spark, sf_dir, "documents"))
 
 
+def dedup_span_char_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: maximal duplicated spans with char-offset
+    provenance and the extracted span text (k=8, min_df=2)."""
+    return duplicated_spans_chars(load_table(spark, sf_dir, "documents"))
+
+
 def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: per-pair merged shared spans (k=8, df_cap=64)."""
     return shared_span_pairs(load_table(spark, sf_dir, "documents"))
@@ -402,6 +523,63 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_grams
 FROM isl
 GROUP BY doc_id, island
+"""
+
+#: Char-offset twin. The oracle derives offsets via prefix-join
+#: lengths — cs(i) = len(join(tk[1:i])) - len(tk[i]) + 1 and
+#: ce(j) = len(join(tk[1:j])) — an O(doc²)-char formula that is fine
+#: for an oracle but deliberately NOT the Spark path (the engine uses
+#: the O(tokens) fold in ``_char_offsets``); single-space split/join
+#: losslessness makes the two exactly equal. ``span_text`` is cut
+#: independently by each engine, so a hash match proves the offsets
+#: address the same characters.
+CHAR_SPANS_ORACLE = """
+WITH
+t AS (SELECT doc_id, trim(text) AS txt,
+             string_split(trim(text), ' ') AS tk FROM documents),
+g AS MATERIALIZED (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           array_to_string(tk[i:i+7], ' ') AS gram,
+           CAST(length(array_to_string(tk[1:i], ' '))
+                - length(tk[i]) + 1 AS BIGINT) AS cs,
+           CAST(length(array_to_string(tk[1:i+7], ' ')) AS BIGINT) AS ce
+    FROM t, unnest(range(1, len(tk) - 6)) AS u(i)
+    WHERE len(tk) >= 8
+),
+d AS (SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2),
+iv AS (SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e, g.cs, g.ce
+       FROM g JOIN d USING (gram)),
+fl AS (
+    SELECT doc_id, s, e, cs, ce,
+           CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    >= s - 1
+                THEN 0 ELSE 1 END AS flag
+    FROM iv
+),
+isl AS (
+    SELECT doc_id, s, e, cs, ce,
+           sum(flag) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS UNBOUNDED PRECEDING) AS island
+    FROM fl
+),
+sp AS (
+    SELECT doc_id,
+           min(s) AS span_start,
+           max(e) AS span_end,
+           max(e) - min(s) + 1 AS span_len,
+           min(cs) AS span_char_start,
+           max(ce) AS span_char_end
+    FROM isl
+    GROUP BY doc_id, island
+)
+SELECT sp.doc_id, sp.span_start, sp.span_end, sp.span_len,
+       sp.span_char_start, sp.span_char_end,
+       substr(t.txt, CAST(sp.span_char_start AS INTEGER),
+              CAST(sp.span_char_end - sp.span_char_start + 1
+                   AS INTEGER)) AS span_text
+FROM sp JOIN t USING (doc_id)
 """
 
 PAIRS_ORACLE = f"""
@@ -549,6 +727,9 @@ GROUP BY doc_id
 def _register() -> None:
     registry.register(
         "dedup_substring_spans", dedup_substring_spans, SPANS_ORACLE
+    )
+    registry.register(
+        "dedup_span_char_offsets", dedup_span_char_offsets, CHAR_SPANS_ORACLE
     )
     registry.register(
         "dedup_substring_pairs", dedup_substring_pairs, PAIRS_ORACLE

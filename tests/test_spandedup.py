@@ -31,6 +31,36 @@ def test_exact_duplicate_block(spark):
     assert got == {(1, 3, 12, 10), (2, 5, 14, 10)}
 
 
+def test_char_offsets_address_the_real_text(spark):
+    """The char-offset variant's [span_char_start, span_char_end]
+    must cut exactly the duplicated tokens out of the trimmed text —
+    verified against Python slicing, independent of both engines.
+    Doc 3 leads with spaces so the trim convention is exercised."""
+    from bigdata_pipelines_aws_glue_spark.operators.spandedup import (
+        duplicated_spans_chars,
+    )
+
+    block = "the quick brown fox jumps over the lazy dog again"
+    d1 = f"alpha beta {block} gamma delta epsilon zeta eta theta iota"
+    d2 = f"one two three four {block} five six seven eight nine ten"
+    d3 = f"   {block} pad1 pad2 pad3 pad4 pad5 pad6 pad7 pad8"
+    docs = _docs(spark, [d1, d2, d3])
+    rows = duplicated_spans_chars(docs, k=8).collect()
+    assert {r.doc_id for r in rows} == {1, 2, 3}
+    texts = {1: d1, 2: d2, 3: d3}
+    for r in rows:
+        trimmed = texts[r.doc_id].strip()
+        toks = trimmed.split(" ")
+        # char slice == the span text == the token slice re-joined
+        assert (
+            trimmed[r.span_char_start - 1 : r.span_char_end]
+            == r.span_text
+            == " ".join(toks[r.span_start - 1 : r.span_end])
+            == block
+        )
+        assert r.span_len == r.span_end - r.span_start + 1 == 10
+
+
 def test_below_k_not_reported(spark):
     # A shared run of only k-1=7 tokens contains no shared 8-gram.
     shared7 = "a b c d e f g"
