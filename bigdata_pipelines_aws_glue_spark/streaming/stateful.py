@@ -535,7 +535,26 @@ def session_stream(events: DataFrame) -> DataFrame:
     """Stateful streaming sessionization — closed sessions only, each
     emitted exactly once (in-batch gap or watermark timeout). For
     exact session_window parity under late merges, use
-    ``session_stream_strict``."""
+    ``session_stream_strict``.
+
+    DEFAULT-CHOICE RATIONALE (decided r10, VERDICT_r9 item 6): the
+    EAGER kernel stays the default. Its state is a fixed 4-int tuple
+    per user — at 100 TB (hundreds of millions of keys) that bound is
+    what keeps the state store flat — and it emits a session as soon
+    as an in-batch gap proves it closed, which is the latency profile
+    monitoring consumers want. The cost is a documented divergence:
+    an event that is still inside the watermark but arrives in a
+    LATER micro-batch cannot merge into a session the eager kernel
+    already emitted (it opens a new one), so counts can split where
+    ``session_window`` would merge. Opt into ``session_stream_strict``
+    when exact session_window parity under cross-batch late merges is
+    required (billing/attribution): it holds every open session in
+    parallel-array state until the watermark passes end+gap — state
+    grows with the number of concurrently-open sessions per user
+    (bounded by gap/watermark geometry, not fixed) and emission waits
+    for the watermark. Both kernels share the batch twin's oracle;
+    the late-merge fixture in tests/test_stateful.py pins the exact
+    divergence case."""
     return (
         events.select("user_id", "ts", "value")
         .groupBy("user_id")

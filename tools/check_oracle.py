@@ -7,6 +7,12 @@ normalized values (floats rounded to 6 decimals — the driver hashes
 values, so we keep all emitted floats stable well past that).
 
 Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+        python tools/check_oracle.py [sf_dir] --stalest N
+
+``--stalest N`` (VERDICT_r9 item 7, age-sweep insurance): reads every
+CORRECTNESS_r*.json, computes each registered query's latest GREEN
+driver attestation round, and checks the N oldest-attested queries
+(never-attested first) — one command to re-verify the stale tail.
 """
 
 from __future__ import annotations
@@ -144,9 +150,44 @@ def norm_duck_type(t: str) -> str:
     return aliases.get(t, t)
 
 
+def stalest_names(queries: dict, n: int) -> list[str]:
+    """The n registered queries whose latest GREEN driver attestation
+    (hash_match, or rows_match for rows-only) is oldest; queries never
+    attested sort first. Ties break by name for determinism."""
+    import glob
+    import json
+    import re
+
+    latest: dict[str, int] = {}
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            for name, res in json.load(f).items():
+                if res.get("hash_match") or (
+                    res.get("hash_match") is None and res.get("rows_match")
+                ):
+                    latest[name] = max(latest.get(name, 0), rnd)
+    names = sorted(queries, key=lambda q: (latest.get(q, 0), q))
+    picked = names[:n]
+    for q in picked:
+        r = latest.get(q)
+        print(f"  [stalest] {q}: last green "
+              f"{'r' + str(r) if r else 'NEVER'}")
+    return picked
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    stalest_n = 0
+    if "--stalest" in argv:
+        i = argv.index("--stalest")
+        stalest_n = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
 
@@ -172,6 +213,8 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if stalest_n:
+        only = set(stalest_names(queries, stalest_n))
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
