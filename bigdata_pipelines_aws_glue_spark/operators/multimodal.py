@@ -862,13 +862,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     PCM 16-bit -> int16, PCM 8-bit (unsigned per spec) -> uint8,
     PCM 24-bit -> sign-extended int32, IEEE float 32-bit -> float32;
     WAVE_FORMAT_EXTENSIBLE (0xFFFE) unwraps to its SubFormat first
-    two GUID bytes. Since r10, G.711 compressed formats also decode
-    (tag 7 mu-law / tag 6 A-law, javax-pinned expansion -> int16);
-    the remaining compressed formats (ADPCM, MP3) still raise at the
+    two GUID bytes. Since r10, compressed formats decode too: G.711
+    (tag 7 mu-law / tag 6 A-law, javax-pinned expansion -> int16) and
+    IMA ADPCM (tag 0x11, audioop-pinned, block-framed, mono ->
+    int16); MS ADPCM (tag 2) and MP3 still raise at the
     ffmpeg/soundfile seam."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV")
-    pos, fmt, fmt_body, data = 12, None, b"", None
+    pos, fmt, fmt_body, data, fact = 12, None, b"", None, None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -877,10 +878,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             fmt, fmt_body = struct.unpack("<HHIIHH", body[:16]), body
         elif tag == b"data":
             data = body
+        elif tag == b"fact" and ln >= 4:
+            (fact,) = struct.unpack("<I", body[:4])
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_fmt, channels, rate, _, _, bits = fmt
+    audio_fmt, channels, rate, _, block_align, bits = fmt
     if audio_fmt == 0xFFFE and len(fmt_body) >= 26:
         # extensible: the real format is the SubFormat GUID's first
         # two bytes (offset 24 of the fmt body)
@@ -902,7 +905,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         samples = ulaw_to_pcm16(np.frombuffer(data, dtype=np.uint8))
     elif audio_fmt == 6 and bits == 8:  # WAVE_FORMAT_ALAW
         samples = alaw_to_pcm16(np.frombuffer(data, dtype=np.uint8))
-    else:
+    elif audio_fmt == 0x11 and bits == 4:  # IMA ADPCM (r10)
+        from bigdata_pipelines_aws_glue_spark.operators.adpcm import (
+            ima_decode,
+        )
+
+        if channels != 1:
+            raise NotImplementedError("IMA ADPCM: mono only")
+        spb = (block_align - 4) * 2 + 1
+        n = fact if fact is not None else (len(data) // block_align) * spb
+        return ima_decode(data, block_align, n), rate
         raise NotImplementedError(
             f"WAV variant fmt={audio_fmt} bits={bits} ch={channels} "
             "needs an external codec (ffmpeg/soundfile seam)"

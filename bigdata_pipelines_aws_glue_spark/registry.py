@@ -178,6 +178,7 @@ def _load_all() -> None:
         "setsim",
         "spandedup",
         "cdc",
+        "adpcm",
         "spatial",
         "stattests",
         "cohorts",
