@@ -28,77 +28,73 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy in ``tools/rotate_priority.py``, which
-#: generated this window). Round-9 window (VERDICT_r8 item 2 plus the
-#: round's own additions): (a) FORCED by policy — all 9 round-9
-#: additions (the substring/span-dedup quintet incl. the materialized
-#: clean corpus, the CDC chunk-dedup trio incl. the FastCDC-clamped
-#: variant, and the batched greedy coverage variant; each
-#: oracle-verified locally at sf0.01 AND sf0.1 and in PLAIN_SESSION
-#: on registration); (b) the full 33-row r4 block (judge-reverified
-#: 33/33 hash-green in the r8 session); (c) the 8 oldest-r5 rows,
+#: generated this window). Round-10 window (VERDICT_r9 item 1,
+#: executed exactly as planned): (a) FORCED by policy — the 3
+#: round-10 additions (G.711 mu-law/A-law audio, IMA ADPCM audio,
+#: char-offset span provenance; each oracle-verified locally at
+#: sf0.01 AND sf0.1 and in PLAIN_SESSION on registration); (b) all
+#: 42 remaining r5-last-green rows; (c) the 5 oldest-r6 rows,
 #: filling 50 exactly. Every name in this window was verified green
 #: in PLAIN_SESSION at sf0.01 this round before the rotation was
-#: committed (49 in the full-window run, cdc_clamped_chunks on
-#: registration).
+#: committed.
 #:
-#: Round-10 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 190 oracled
-#: rows — 42 last-green r5, 48 r6, 50 r7, 50 r8 — so the r10 window
-#: takes any round-10 additions first (forced, locally verified at
-#: both SFs on registration), then the 42 remaining r5 rows, then
-#: the oldest r6 rows to fill 50. Steady state from here is purely
-#: age-driven.
+#: Round-11 arithmetic (from tools/rotate_priority.py this round):
+#: after this window attests, the deferred remainder is 193 oracled
+#: rows — 43 last-green r6, 50 r7, 50 r8, 50 r9 — so the r11 window
+#: takes any round-11 additions first (forced, locally verified at
+#: both SFs on registration), then the 43 remaining r6 rows, then
+#: the oldest r7 rows to fill 50. Steady state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
-    "dedup_substring_spans",
-    "dedup_substring_pairs",
-    "dedup_span_dropstats",
-    "dedup_span_removal",
-    "dedup_span_clean_text",
-    "cdc_chunk_dedup",
-    "cdc_store_savings",
-    "cdc_clamped_chunks",
-    "greedy_coverage_batched",
-    "q6_forecast_revenue",
-    "q2_top_supplier_per_nation",
-    "monthly_revenue_gapfill",
-    "topk_orders",
-    "global_sorted_sample",
-    "window_rank_orders",
-    "window_distribution_ranks",
-    "scd2_rate_history",
-    "window_running_total",
-    "window_lead_lag",
-    "full_outer_reconciliation",
-    "incremental_monthly_revenue",
-    "doc_readability",
-    "doc_compression_ratio",
-    "kmeans_convergence",
-    "pq_topk",
-    "ivfpq_topk",
-    "pq_recall_at10",
-    "ivfpq_recall_at10",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_audio_features",
-    "multimodal_video_frames",
-    "catalog_roundtrip_orders",
-    "jsonl_roundtrip_events",
-    "orc_roundtrip_lineitem",
-    "csv_roundtrip_customer",
-    "lm_perplexity_filter",
-    "bpe_train_merges",
-    "semdedup_prune",
-    "correlation_matrix",
-    "pca_power_iteration",
-    "events_cusum_drift",
-    "flagship_pipeline",
-    "distinct_agg",
-    "approx_distinct",
-    "cube_status",
-    "q5_local_revenue",
-    "pivot_revenue",
-    "q18_large_orders",
-    "q10_returned_items",
+    "multimodal_audio_g711",
+    "multimodal_audio_adpcm",
+    "dedup_span_char_offsets",
+    "q16_supplier_diversity",
+    "histogram_order_totals",
+    "unpivot_measures",
+    "semi_join_customers",
+    "anti_join_customers",
+    "range_join_promo_windows",
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "union_all_by_name",
+    "set_intersect_all",
+    "set_except_all",
+    "staged_merge_orders",
+    "events_window_10min",
+    "events_sessionize",
+    "events_json_props",
+    "events_sliding_window",
+    "events_json_typed",
+    "events_grouping_sets",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_attribution",
+    "dedup_exact",
+    "decontaminate_against_eval",
+    "ivf_topk",
+    "ivf_recall_at10",
+    "embedding_centroids",
+    "regex_functions",
+    "q17_small_quantity_revenue",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "q15_top_supplier",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q8_market_share",
+    "q20_bulk_suppliers",
+    "q21_waiting_suppliers",
+    "dq_profile",
+    "dq_expectations",
+    "heavy_hitters_mg",
+    "bm25_search",
+    "pagerank_trade_graph",
+    "stats_moments",
+    "asof_join_rates",
+    "asof_join_sortmerge",
+    "asof_join_skewproof",
+    "events_click_to_purchase",
 )
 
 
