@@ -1060,6 +1060,45 @@ def alaw_to_pcm16(codes: np.ndarray) -> np.ndarray:
     return np.where(a & 0x80, t, -t).astype(np.int16)
 
 
+def pcm16_to_ulaw(samples: np.ndarray) -> np.ndarray:
+    """G.711 mu-law COMPRESSION on the ITU-faithful 14-bit domain
+    (arithmetic ``>> 2``, 14-bit clip 8159, bias 33) — bit-identical
+    to CPython audioop's ``lin2ulaw`` over the full int16 range
+    (pinned in ``tests/test_g711.py``). Note mu-law's two zeros:
+    code 0x7F decodes to -0 and re-encodes as 0xFF (+0); every other
+    code is encode∘decode-stable."""
+    x = np.asarray(samples, dtype=np.int64) >> 2
+    mask = np.where(x < 0, 0x7F, 0xFF)
+    m = np.minimum(np.where(x < 0, -x, x), 8159) + 33
+    seg = np.zeros_like(m)
+    for hi in (0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF):
+        seg = seg + (m > hi)
+    s7 = np.minimum(seg, 7)
+    uval = np.where(seg >= 8, 0x7F, (s7 << 4) | ((m >> (s7 + 1)) & 15))
+    return ((uval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def pcm16_to_alaw(samples: np.ndarray) -> np.ndarray:
+    """G.711 A-law COMPRESSION on the 13-bit domain (classic g711.c:
+    arithmetic ``>> 3``; negatives take ``-m - 1``) — bit-identical
+    to audioop's ``lin2alaw`` over the full int16 range, and
+    encode∘decode-stable for all 256 codewords."""
+    x = np.asarray(samples, dtype=np.int64)
+    m = np.where(x >= 0, x >> 3, -(x >> 3) - 1)
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    seg = np.zeros_like(m)
+    for hi in (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF):
+        seg = seg + (m > hi)
+    s7 = np.minimum(seg, 7)
+    aval = np.where(
+        seg >= 8,
+        0x7F,
+        (s7 << 4)
+        | np.where(seg < 2, (m >> 1) & 15, (m >> s7) & 15),
+    )
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
 #: SubFormat GUID tail shared by all WAVE_FORMAT_EXTENSIBLE media
 #: types (the first two bytes carry the real format tag).
 _WAVE_EXT_GUID_TAIL = bytes.fromhex("000000001000800000aa00389b71")

@@ -97,6 +97,54 @@ def test_extensible_wrap_decodes_identically():
         assert (plain == wrapped).all()
 
 
+def test_g711_encoders_match_audioop_full_range():
+    """COMPRESSION side (r10, same round as decode): both encoders
+    bit-identical to CPython audioop over every int16 value. javax is
+    NOT the encode pin because its codecs overflow short arithmetic
+    instead of clipping beyond |x| > 32635 (measured: its mu-law
+    emits near-zero codes for full-scale inputs) — audioop implements
+    the ITU-faithful clipped domains."""
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        pcm16_to_alaw,
+        pcm16_to_ulaw,
+    )
+
+    vals = np.arange(-32768, 32768, dtype=np.int64)
+    pcm = vals.astype("<i2").tobytes()
+    au = np.frombuffer(audioop.lin2ulaw(pcm, 2), np.uint8)
+    aa = np.frombuffer(audioop.lin2alaw(pcm, 2), np.uint8)
+    assert (pcm16_to_ulaw(vals) == au).all()
+    assert (pcm16_to_alaw(vals) == aa).all()
+
+
+def test_g711_roundtrip_error_and_code_stability():
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        pcm16_to_alaw,
+        pcm16_to_ulaw,
+    )
+
+    vals = np.arange(-32768, 32768, dtype=np.int64)
+    err_u = np.abs(
+        ulaw_to_pcm16(pcm16_to_ulaw(vals)).astype(np.int64) - vals
+    )
+    err_a = np.abs(
+        alaw_to_pcm16(pcm16_to_alaw(vals)).astype(np.int64) - vals
+    )
+    # quantization error bounded by the top segment's half-step
+    assert int(err_u.max()) <= 644 and float(err_u.mean()) < 200
+    assert int(err_a.max()) <= 512 and float(err_a.mean()) < 200
+    # encode(decode(code)) stability: exact for all A-law codes; for
+    # mu-law all but 0x7F (its -0 re-encodes as the +0 code 0xFF)
+    codes = np.arange(256, dtype=np.uint8)
+    assert (pcm16_to_alaw(alaw_to_pcm16(codes).astype(np.int64)) == codes).all()
+    ru = pcm16_to_ulaw(ulaw_to_pcm16(codes).astype(np.int64))
+    assert (ru[codes != 0x7F] == codes[codes != 0x7F]).all()
+    assert ru[0x7F] == 0xFF
+
+
 def test_g711_decode_bounds_and_signs():
     u = ulaw_to_pcm16(ALL_CODES)
     a = alaw_to_pcm16(ALL_CODES)
