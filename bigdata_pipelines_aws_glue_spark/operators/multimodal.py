@@ -915,6 +915,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         spb = (block_align - 4) * 2 + 1
         n = fact if fact is not None else (len(data) // block_align) * spb
         return ima_decode(data, block_align, n), rate
+    else:
         raise NotImplementedError(
             f"WAV variant fmt={audio_fmt} bits={bits} ch={channels} "
             "needs an external codec (ffmpeg/soundfile seam)"
