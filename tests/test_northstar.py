@@ -1278,8 +1278,18 @@ def test_wav_variant_decodes(spark):
         assert int(f.getSampleRate()) == want_rate
         assert ais.getFrameLength() == n_frames
 
-    # compressed formats still raise loudly
+    # mu-law decodes since r10 (javax-pinned G.711 expansion)
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        ulaw_to_pcm16,
+    )
+
+    s, r = decode_wav(wav(7, 8, 1, 8000, u8.tobytes()))
+    assert np.array_equal(s, ulaw_to_pcm16(u8))
+
+    # remaining compressed formats (MS ADPCM, MP3) still raise loudly
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        decode_wav(wav(7, 8, 1, 8000, u8.tobytes()))  # mu-law
+        decode_wav(wav(2, 4, 1, 8000, u8.tobytes()))  # MS ADPCM
+    with _pytest.raises(NotImplementedError):
+        decode_wav(wav(0x55, 0, 1, 8000, u8.tobytes()))  # MP3
