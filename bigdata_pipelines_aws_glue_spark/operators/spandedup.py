@@ -39,6 +39,13 @@ be chained), so the merged island set equals the union of repeated
 substrings of length >= k — the same spans Lee et al.'s
 ExactSubstr marks, quantized to token (not byte) granularity.
 
+Char-offset provenance (r10, ``dedup_span_char_offsets``): the same
+maximal spans carry their 1-based char interval in the trimmed text
+plus the extracted substring — the offsets a Lee et al. pipeline cuts
+at. Token→char mapping is an O(tokens) ``F.aggregate`` prefix-sum
+fold in the posting build (no new shuffle); the char bounds ride the
+island merge as min/max aggregates.
+
 The pair-level form (``dedup_substring_pairs``) reports merged shared
 spans per document pair for provenance-style "who copied whom"
 queries. Pair generation joins postings on the gram and is the one
