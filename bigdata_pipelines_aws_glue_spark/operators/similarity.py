@@ -1742,6 +1742,113 @@ ann_scored AS (
 """
 
 
+# ------------------------------- binary (sign-bit) quantization ANN
+
+
+def _sign_sig(col_name: str) -> Column:
+    """64-dim embedding → ONE 64-bit signature: bit d set iff
+    dimension d is strictly positive. Pure-JVM fold (shiftleft + OR
+    inside whole-stage codegen); bit 63 lands on the sign bit, which
+    is fine — all downstream math is XOR/POPCNT."""
+    return F.expr(
+        f"""aggregate(
+              zip_with({col_name}, sequence(0, size({col_name}) - 1),
+                       (x, i) -> IF(x > 0, shiftleft(1L, i), 0L)),
+              0L, (acc, b) -> acc | b)"""
+    )
+
+
+def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (r10): sign-bit signatures compress each
+    64-dim float vector 32× into one BIGINT; neighbor ranking is
+    ``bit_count(xor(sig_q, sig_b))`` — integer-only end to end, so
+    the oracle is EXACT (no float rounding anywhere). This is the
+    memory-bound regime binary embeddings target at 100 TB: the
+    signature build is a map-side 32× shrink BEFORE anything moves,
+    the bounded query side broadcasts, the corpus never shuffles, and
+    each candidate costs one XOR + POPCNT. Ties (Hamming is coarse:
+    0..64) break on neighbor_id — deterministic cross-engine."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    sigs = emb.select("vec_id", _sign_sig("embedding").alias("sig"))
+    queries = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+    )
+    scored = sigs.join(
+        F.broadcast(queries), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.bit_count(F.col("qsig").bitwiseXOR(F.col("sig")))
+        .cast("int")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )
+
+
+def binary_hamming_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of sign-bit Hamming ANN vs exact cosine — how much
+    quality the 32× compression costs on this corpus, same sampled-
+    recall contract as the other ANN audits."""
+    return _recall_vs_exact(
+        cosine_topk(spark, sf_dir), binary_hamming_topk(spark, sf_dir)
+    )
+
+
+#: DuckDB cannot shift 1::BIGINT by 63 (overflow check), so bit 63
+#: packs as the min-long literal; disjoint bits make arithmetic sum
+#: equal bitwise OR, sign bit included.
+_SQL_SIGN_SIGS = f"""
+sigs AS (
+    SELECT vec_id,
+           CAST(list_aggregate(list_transform(range(1, 65),
+               i -> CASE WHEN embedding[i] > 0 THEN
+                           CASE WHEN i = 64
+                                THEN (-9223372036854775807)::BIGINT - 1
+                                ELSE 1::BIGINT << (i - 1) END
+                         ELSE 0::BIGINT END), 'sum') AS BIGINT) AS sig
+    FROM embeddings
+),
+hscored AS (
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+           bit_count(xor(q.sig, b.sig)) AS hamming
+    FROM sigs q JOIN sigs b
+      ON q.vec_id < {N_QUERIES} AND q.vec_id <> b.vec_id
+)"""
+
+BINARY_HAMMING_TOPK_ORACLE = f"""
+WITH {_SQL_SIGN_SIGS.strip()}
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       CAST(hamming AS INT) AS hamming
+FROM (SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rank
+      FROM hscored)
+WHERE rank <= {TOP_K}
+"""
+
+BINARY_HAMMING_RECALL_ORACLE = f"""
+WITH {_SQL_VN.strip()},
+{_SQL_SIGN_SIGS.strip()},
+ann_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS rank
+        FROM hscored)
+    WHERE rank <= {TOP_K}
+),
+{_SQL_EXACT_TOPK.strip()}
+{_SQL_RECALL_SELECT}
+"""
+
+
 def _register() -> None:
     registry.register("cosine_topk", cosine_topk, COSINE_TOPK_ORACLE)
     registry.register("ann_lsh_topk", ann_lsh_topk, LSH_TOPK_ORACLE)
@@ -1784,4 +1891,12 @@ def _register() -> None:
     registry.register("pq_recall_at10", pq_recall_at10, PQ_RECALL_ORACLE)
     registry.register(
         "ivfpq_recall_at10", ivfpq_recall_at10, IVFPQ_RECALL_ORACLE
+    )
+    registry.register(
+        "binary_hamming_topk", binary_hamming_topk, BINARY_HAMMING_TOPK_ORACLE
+    )
+    registry.register(
+        "binary_hamming_recall_at10",
+        binary_hamming_recall_at10,
+        BINARY_HAMMING_RECALL_ORACLE,
     )

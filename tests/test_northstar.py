@@ -161,6 +161,52 @@ def test_multiprobe_beats_single_probe_recall(spark, sf_dir):
     assert sum(multi.values()) > sum(single.values())
 
 
+def test_binary_hamming_signature_and_topk(spark, sf_dir):
+    """Sign-bit quantization: the packed BIGINT's bit d must equal
+    (embedding[d] > 0) — verified against numpy on real vectors —
+    and the Hamming top-k must equal a numpy brute-force replay."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _sign_sig,
+        binary_hamming_topk,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "vec_id", "embedding", _sign_sig("embedding").alias("sig")
+    ).collect()
+    sigs = {}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float32)
+        want = 0
+        for d in range(len(v)):
+            if v[d] > 0:
+                want |= 1 << d
+        if want >= 1 << 63:
+            want -= 1 << 64  # two's complement (bit 63 = sign)
+        assert r["sig"] == want, r["vec_id"]
+        sigs[r["vec_id"]] = want & ((1 << 64) - 1)
+    got = binary_hamming_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in range(min(N_QUERIES, 5)):  # numpy replay for 5 queries
+        ref = sorted(
+            (bin(sigs[q] ^ s).count("1"), n)
+            for n, s in sigs.items()
+            if n != q
+        )[:TOP_K]
+        ours = [
+            (r["hamming"], r["neighbor_id"])
+            for r in sorted(by_q[q], key=lambda r: r["rank"])
+        ]
+        assert ours == ref, q
+
+
 def test_cosine_topk_shape(spark, sf_dir):
     out = cosine_topk(spark, sf_dir).collect()
     by_q = {}

@@ -258,6 +258,20 @@ WHITELIST: dict[str, dict[str, str]] = {
         "ForcedBroadcastUnbounded": "query side is the fixed N_QUERIES (vec_id < 50) sample — "
         "documented recall baseline",
     },
+    "binary_hamming_topk": {
+        "BroadcastNestedLoopJoin": "query side is a bounded broadcast (N_QUERIES 64-bit "
+        "signatures) against the corpus signatures — the cosine_topk "
+        "shape, but each probe is one XOR+POPCNT on a 32x-compressed "
+        "signature instead of a 64-dim float fold",
+        "ForcedBroadcastUnbounded": "query side is the fixed N_QUERIES (vec_id < 50) sample of "
+        "8-byte signatures — bounded by the query set, not the corpus",
+    },
+    "binary_hamming_recall_at10": {
+        "BroadcastNestedLoopJoin": "the exact-baseline side is cosine_topk over the bounded "
+        "N_QUERIES audit sample; the Hamming side is the bounded "
+        "signature broadcast above",
+        "ForcedBroadcastUnbounded": "N_QUERIES samples on both sides",
+    },
     "hybrid_search_rrf": {
         "BroadcastNestedLoopJoin": "the two bounded retrieval shapes it fuses: BM25's (n_docs, "
         "avgdl) 1-row scalar + query-term broadcasts, and the dense "
