@@ -1801,11 +1801,88 @@ def binary_hamming_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Multi-index Hamming bands: the 64-bit signature splits into
+#: MIH_BANDS 8-bit substrings; by pigeonhole, any neighbor within
+#: Hamming distance MIH_BANDS-1 (= 7) shares at least one band
+#: EXACTLY, so band equality is a lossless candidate filter for
+#: radius-7 search (Norouzi et al., multi-index hashing). 8×8 (not
+#: 4×16) because random sign bits collide on a 16-bit band with
+#: p=2^-16 — measured 0 candidates at sf0.01 — while 8-bit bands
+#: give each query ~|corpus|×8/256 candidates and a wider radius
+#: guarantee.
+MIH_BANDS = 8
+MIH_BITS = 8
+
+
+def binary_mih_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for the binary family (r10): multi-index
+    Hamming. Candidates come from a (band, 8-bit key) EQUI-join —
+    bucketed, shuffle-partitionable, no broadcast nested loop at any
+    size — then exact Hamming re-ranks candidates only. By pigeonhole
+    the candidate set provably contains every neighbor at Hamming
+    distance <= MIH_BANDS-1 = 7 (property pinned by pytest on
+    constructed close pairs — the corpus' random signs sit at
+    expected distance 32 — plus a full numpy candidate/rank replay);
+    farther neighbors appear only if they share a band, the standard
+    MIH recall trade-off the recall audit below measures. Queries
+    with fewer candidates than TOP_K return fewer rows (both engines
+    replay identically)."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    sigs = emb.select("vec_id", _sign_sig("embedding").alias("sig"))
+    # band keys via shiftright + 16-bit mask (arithmetic vs logical
+    # shift is irrelevant under the mask, so both engines agree)
+    bands = sigs.select(
+        "vec_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(MIH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "bkey",
+        F.expr(f"shiftright(sig, band * {MIH_BITS}) & {(1 << MIH_BITS) - 1}"),
+    )
+    qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig").alias("qsig"),
+        "band",
+        "bkey",
+    )
+    cand = (
+        qb.join(bands, ["band", "bkey"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "qsig", F.col("vec_id").alias("neighbor_id"), "sig"
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.bit_count(F.col("qsig").bitwiseXOR(F.col("sig")))
+        .cast("int")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )
+
+
+def binary_mih_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of multi-index Hamming vs exact cosine — the
+    end-to-end quality of the fully-bucketed binary path (binary
+    quantization loss + band-candidate loss together)."""
+    return _recall_vs_exact(
+        cosine_topk(spark, sf_dir), binary_mih_topk(spark, sf_dir)
+    )
+
+
 #: DuckDB cannot shift 1::BIGINT by 63 (overflow check), so bit 63
 #: packs as the min-long literal; disjoint bits make arithmetic sum
 #: equal bitwise OR, sign bit included.
-_SQL_SIGN_SIGS = f"""
-sigs AS (
+_SQL_SIGS_CTE = """sigs AS (
     SELECT vec_id,
            CAST(list_aggregate(list_transform(range(1, 65),
                i -> CASE WHEN embedding[i] > 0 THEN
@@ -1814,7 +1891,10 @@ sigs AS (
                                 ELSE 1::BIGINT << (i - 1) END
                          ELSE 0::BIGINT END), 'sum') AS BIGINT) AS sig
     FROM embeddings
-),
+)"""
+
+_SQL_SIGN_SIGS = f"""
+{_SQL_SIGS_CTE},
 hscored AS (
     SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
            bit_count(xor(q.sig, b.sig)) AS hamming
@@ -1842,6 +1922,56 @@ ann_topk AS (
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY hamming, neighbor_id) AS rank
         FROM hscored)
+    WHERE rank <= {TOP_K}
+),
+{_SQL_EXACT_TOPK.strip()}
+{_SQL_RECALL_SELECT}
+"""
+
+#: MIH candidate generation + re-rank, replayed exactly: band keys by
+#: shiftright+mask (convention-proof under the 16-bit mask), equality
+#: join on (band, bkey), distinct pairs, exact-Hamming rank.
+_SQL_MIH = f"""
+bands AS (
+    SELECT vec_id, sig, b.band,
+           (sig >> (b.band * {MIH_BITS})) & {(1 << MIH_BITS) - 1} AS bkey
+    FROM sigs CROSS JOIN
+         (SELECT unnest(generate_series(0, {MIH_BANDS - 1})) AS band) b
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, q.sig AS qsig,
+                    n.vec_id AS neighbor_id, n.sig AS nsig
+    FROM bands q JOIN bands n ON q.band = n.band AND q.bkey = n.bkey
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+),
+mscored AS (
+    SELECT query_id, neighbor_id,
+           bit_count(xor(qsig, nsig)) AS hamming
+    FROM cand
+)"""
+
+BINARY_MIH_TOPK_ORACLE = f"""
+WITH {_SQL_SIGS_CTE},
+{_SQL_MIH.strip()}
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       CAST(hamming AS INT) AS hamming
+FROM (SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rank
+      FROM mscored)
+WHERE rank <= {TOP_K}
+"""
+
+BINARY_MIH_RECALL_ORACLE = f"""
+WITH {_SQL_VN.strip()},
+{_SQL_SIGS_CTE},
+{_SQL_MIH.strip()},
+ann_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS rank
+        FROM mscored)
     WHERE rank <= {TOP_K}
 ),
 {_SQL_EXACT_TOPK.strip()}
@@ -1899,4 +2029,12 @@ def _register() -> None:
         "binary_hamming_recall_at10",
         binary_hamming_recall_at10,
         BINARY_HAMMING_RECALL_ORACLE,
+    )
+    registry.register(
+        "binary_mih_topk", binary_mih_topk, BINARY_MIH_TOPK_ORACLE
+    )
+    registry.register(
+        "binary_mih_recall_at10",
+        binary_mih_recall_at10,
+        BINARY_MIH_RECALL_ORACLE,
     )

@@ -207,6 +207,74 @@ def test_binary_hamming_signature_and_topk(spark, sf_dir):
         assert ours == ref, q
 
 
+def test_binary_mih_pigeonhole_guarantee(spark, sf_dir):
+    """Multi-index Hamming's lossless-radius property: with 8 bands,
+    ANY pair at Hamming distance <= 7 must share a band exactly, so
+    every such neighbor MUST appear in the candidate-derived top-k
+    whenever its distance beats the query's rank-10 cutoff. Verified
+    against a numpy replay of signatures and band keys."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.similarity import (
+        MIH_BANDS,
+        MIH_BITS,
+        N_QUERIES,
+        _sign_sig,
+        binary_mih_topk,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = {
+        r["vec_id"]: r["sig"] & ((1 << 64) - 1)
+        for r in emb.select(
+            "vec_id", _sign_sig("embedding").alias("sig")
+        ).collect()
+    }
+    def shares_band(a, b):
+        mask = (1 << MIH_BITS) - 1
+        return any(
+            ((a >> (MIH_BITS * i)) & mask) == ((b >> (MIH_BITS * i)) & mask)
+            for i in range(MIH_BANDS)
+        )
+
+    # 1. the pigeonhole property itself, on constructed close pairs
+    # (the real corpus has random signs — expected distance 32 — so
+    # radius-7 pairs must be synthesized to exercise the guarantee)
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        a = int(rng.integers(0, 1 << 63)) | (int(rng.integers(0, 2)) << 63)
+        flips = rng.choice(64, size=int(rng.integers(0, MIH_BANDS)), replace=False)
+        b = a
+        for f in flips:
+            b ^= 1 << int(f)
+        d = bin(a ^ b).count("1")
+        assert d <= MIH_BANDS - 1 and shares_band(a, b), (d, flips)
+
+    # 2. full numpy replay of the Spark pipeline: same candidates
+    # (band equality), same exact-Hamming rank, same emitted rows
+    got = {}
+    for r in binary_mih_topk(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["hamming"])
+        )
+    for q in list(sigs)[:]:
+        if q >= N_QUERIES:
+            continue
+        cands = [
+            n
+            for n, s in sigs.items()
+            if n != q and shares_band(sigs[q], s)
+        ]
+        ref = sorted(
+            (bin(sigs[q] ^ sigs[n]).count("1"), n) for n in cands
+        )[:10]
+        ours = [
+            (h, n) for _, n, h in sorted(got.get(q, []))
+        ]
+        assert ours == ref, (q, ours, ref)
+
+
 def test_cosine_topk_shape(spark, sf_dir):
     out = cosine_topk(spark, sf_dir).collect()
     by_q = {}

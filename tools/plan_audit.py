@@ -272,6 +272,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "signature broadcast above",
         "ForcedBroadcastUnbounded": "N_QUERIES samples on both sides",
     },
+    "binary_mih_recall_at10": {
+        "BroadcastNestedLoopJoin": "the exact-baseline side is cosine_topk over the bounded "
+        "N_QUERIES audit sample; the MIH side itself is a (band, "
+        "8-bit key) equi-join — its standalone plan audits clean",
+        "ForcedBroadcastUnbounded": "N_QUERIES exact-baseline sample",
+    },
     "hybrid_search_rrf": {
         "BroadcastNestedLoopJoin": "the two bounded retrieval shapes it fuses: BM25's (n_docs, "
         "avgdl) 1-row scalar + query-term broadcasts, and the dense "
