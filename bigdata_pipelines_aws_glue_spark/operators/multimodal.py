@@ -908,10 +908,17 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     elif audio_fmt == 0x11 and bits == 4:  # IMA ADPCM (r10)
         from bigdata_pipelines_aws_glue_spark.operators.adpcm import (
             ima_decode,
+            ima_decode_stereo,
         )
 
-        if channels != 1:
-            raise NotImplementedError("IMA ADPCM: mono only")
+        if channels == 2:
+            spb = block_align - 7
+            n = (
+                fact
+                if fact is not None
+                else (len(data) // block_align) * spb
+            )
+            return ima_decode_stereo(data, block_align, n), rate
         spb = (block_align - 4) * 2 + 1
         n = fact if fact is not None else (len(data) // block_align) * spb
         return ima_decode(data, block_align, n), rate

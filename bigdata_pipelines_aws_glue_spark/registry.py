@@ -39,16 +39,17 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: committed.
 #:
 #: Round-11 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 197 oracled
-#: rows — the 4 late-r10 registrations (the binary-quantization ANN
+#: after this window attests, the deferred remainder is 198 oracled
+#: rows — the 5 late-r10 registrations (the binary-quantization ANN
 #: family: `binary_hamming_topk` / `binary_hamming_recall_at10` /
-#: `binary_mih_topk` / `binary_mih_recall_at10`, registered AFTER
+#: `binary_mih_topk` / `binary_mih_recall_at10`, plus
+#: `multimodal_audio_adpcm_stereo`, registered AFTER
 #: this window was committed; each locally verified at sf0.01 +
 #: sf0.1 + PLAIN_SESSION + plan audit on registration, and
 #: never-attested rows sort first under the rotation policy, so they
 #: LEAD the r11 window automatically) — then 43 last-green r6,
 #: 50 r7, 50 r8, 50 r9. So the r11 window = any r11 additions + the
-#: 4 above + the 43 remaining r6 rows + oldest-r7 to fill 50.
+#: 5 above + the 43 remaining r6 rows + oldest-r7 to fill 50.
 #: Steady state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
     "multimodal_audio_g711",

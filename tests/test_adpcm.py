@@ -119,6 +119,75 @@ def test_container_roundtrip_and_fact_trim():
         )
 
 
+def test_stereo_channels_match_audioop_and_mono_state_machine():
+    """Stereo framing (two channel headers + interleaved 4-byte code
+    groups): each de-interleaved channel must decode exactly as the
+    mono state machine — pinned per channel against audioop with
+    threaded block state, across block boundaries."""
+    from bigdata_pipelines_aws_glue_spark.operators.adpcm import (
+        BLOCK_ALIGN_STEREO,
+        ima_decode_stereo,
+        ima_encode_stereo,
+    )
+
+    n = 333
+    rng = np.random.default_rng(17)
+    left = rng.integers(-32768, 32768, n).astype(np.int64)
+    right = rng.integers(-32768, 32768, n).astype(np.int64)
+    data = ima_encode_stereo(left, right)
+    dec = ima_decode_stereo(data, BLOCK_ALIGN_STEREO, n)
+    spb = BLOCK_ALIGN_STEREO - 7
+    pos, k = 0, 0
+    ref = {0: [], 1: []}
+    while k < n:
+        heads = [
+            struct.unpack("<hBB", data[pos + 4 * c : pos + 4 * c + 4])
+            for c in (0, 1)
+        ]
+        body = data[pos + 8 : pos + BLOCK_ALIGN_STEREO]
+        pos += BLOCK_ALIGN_STEREO
+        groups = [body[i : i + 4] for i in range(0, len(body), 4)]
+        nibs = {0: b"".join(groups[0::2]), 1: b"".join(groups[1::2])}
+        take = min(spb, n - k)
+        for c in (0, 1):
+            pred, bidx, _ = heads[c]
+            ref[c].append(pred)
+            m = take - 1
+            swapped = bytes(
+                ((b & 0xF) << 4) | (b >> 4) for b in nibs[c]
+            )
+            frag, _ = audioop.adpcm2lin(
+                swapped[: (m + 1) // 2], 2, (int(pred), bidx)
+            )
+            ref[c].extend(
+                int(v) for v in np.frombuffer(frag, dtype="<i2")[:m]
+            )
+        k += take
+    for c in (0, 1):
+        assert np.array_equal(dec[:, c].astype(int), np.array(ref[c]))
+
+
+def test_stereo_container_roundtrip_shapes():
+    from bigdata_pipelines_aws_glue_spark.operators.adpcm import (
+        BLOCK_ALIGN_STEREO,
+        ima_decode_stereo,
+        ima_encode_stereo,
+    )
+
+    for n in (1, 2, 64, 65, 66, 130, 333):
+        left = _pcm(n, seed=n)
+        right = _pcm(n, seed=n + 1000)
+        wav = encode_wav_ima(left, right=right)
+        frames, rate = decode_wav(wav)
+        assert rate == 8000 and frames.shape == (n, 2)
+        assert np.array_equal(
+            frames,
+            ima_decode_stereo(
+                ima_encode_stereo(left, right), BLOCK_ALIGN_STEREO, n
+            ),
+        )
+
+
 def test_reconstruction_tracks_smooth_signal():
     """ADPCM is lossy but adaptive: on a smooth signal the
     reconstruction error must be far below full scale."""
