@@ -1746,13 +1746,18 @@ ann_scored AS (
 
 
 def _sign_sig(col_name: str) -> Column:
-    """64-dim embedding → ONE 64-bit signature: bit d set iff
-    dimension d is strictly positive. Pure-JVM fold (shiftleft + OR
-    inside whole-stage codegen); bit 63 lands on the sign bit, which
-    is fine — all downstream math is XOR/POPCNT."""
+    """Embedding → ONE 64-bit signature over its FIRST 64 dims: bit d
+    set iff dimension d is strictly positive. The ``slice`` makes the
+    first-64 truncation EXPLICIT (matching the twin's range(1, 65)):
+    without it, Java's ``shiftleft`` silently wraps the shift count
+    mod 64, so a wider embedding would alias dim 64 onto bit 0 —
+    a silent-corruption class, not a crash. Pure-JVM fold (shiftleft
+    + OR inside whole-stage codegen); bit 63 lands on the sign bit,
+    which is fine — all downstream math is XOR/POPCNT."""
+    sl = f"slice({col_name}, 1, 64)"
     return F.expr(
         f"""aggregate(
-              zip_with({col_name}, sequence(0, size({col_name}) - 1),
+              zip_with({sl}, sequence(0, size({sl}) - 1),
                        (x, i) -> IF(x > 0, shiftleft(1L, i), 0L)),
               0L, (acc, b) -> acc | b)"""
     )
