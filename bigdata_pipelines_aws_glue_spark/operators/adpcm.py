@@ -129,6 +129,8 @@ def _decode_channel(
     """Expand ``n`` LOW-nibble-first codes from one channel's nibble
     bytes, starting from the block-header state. Shared by the mono
     and stereo paths (the per-nibble arithmetic is identical)."""
+    if len(nib) < (n + 1) // 2:
+        raise ValueError("IMA ADPCM: truncated block body")
     out = []
     for j in range(n):
         byte = nib[j >> 1]
@@ -367,11 +369,18 @@ _SQL_IDX = "[" + ", ".join(str(v) for v in INDEX_TABLE) + "]"
 #: Recursive replay of the encoder state machine (lockstep over all
 #: docs, one level per sample index). Block boundary: sample k is a
 #: block start iff (k-1) % SAMPLES_PER_BLOCK == 0 — there the
-#:  predictor resets to the raw sample and the index carries.
+#: predictor resets to the raw sample and the index carries.
+#: PRECONDITION (same as the G.711 oracle, multimodal.py): the
+#: corpus text is ASCII, so ``ascii(substr(text, i, 1))`` (character
+#: indexing) equals the i-th encoded BYTE the kernel consumes. On
+#: non-ASCII text the two diverge (DuckDB 1.0 has no BLOB substr).
+#: NULL text is coalesced to '' so every doc_id gets a (0,0,0) row,
+#: matching the kernel's ``text or ""``.
 AUDIO_ADPCM_ORACLE = f"""
 WITH RECURSIVE
-t AS (SELECT doc_id, text,
-             CAST(ceil(octet_length(encode(text)) / 2.0) AS BIGINT) AS n
+t AS (SELECT doc_id, coalesce(text, '') AS text,
+             CAST(ceil(octet_length(encode(coalesce(text, ''))) / 2.0)
+                  AS BIGINT) AS n
       FROM documents),
 walk AS (
     SELECT doc_id, CAST(1 AS BIGINT) AS k,
@@ -524,15 +533,19 @@ def multimodal_audio_adpcm_stereo(
 #: (0 = left, 1 = right) threaded through the walk. Channel ch's
 #: sample k is interleaved PCM sample j = 2(k-1) + ch + 1 (0 beyond
 #: the stream = the right-channel pad); samples per block per channel
-#: is block_align - 7 = 65.
+#: is block_align - 7 = 65. Same PRECONDITION as the mono oracle:
+#: ASCII corpus (char indexing == byte indexing), NULL text coalesced
+#: to '' so every doc_id gets a zero row like the kernel's
+#: ``text or ""``.
 _STEREO_SPB = BLOCK_ALIGN_STEREO - 7
 
 AUDIO_ADPCM_STEREO_ORACLE = f"""
 WITH RECURSIVE
-t AS (SELECT doc_id, text,
-             CAST(ceil(octet_length(encode(text)) / 2.0) AS BIGINT) AS np,
-             CAST(ceil(ceil(octet_length(encode(text)) / 2.0) / 2.0)
-                  AS BIGINT) AS nf
+t AS (SELECT doc_id, coalesce(text, '') AS text,
+             CAST(ceil(octet_length(encode(coalesce(text, ''))) / 2.0)
+                  AS BIGINT) AS np,
+             CAST(ceil(ceil(octet_length(encode(coalesce(text, ''))) / 2.0)
+                       / 2.0) AS BIGINT) AS nf
       FROM documents),
 walk AS (
     SELECT doc_id, ch, CAST(1 AS BIGINT) AS k,

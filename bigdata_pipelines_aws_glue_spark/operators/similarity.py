@@ -1836,8 +1836,9 @@ def binary_mih_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     sigs = emb.select("vec_id", _sign_sig("embedding").alias("sig"))
-    # band keys via shiftright + 16-bit mask (arithmetic vs logical
-    # shift is irrelevant under the mask, so both engines agree)
+    # band keys via shiftright + MIH_BITS-wide (8-bit) mask
+    # (arithmetic vs logical shift is irrelevant under the mask, so
+    # both engines agree)
     bands = sigs.select(
         "vec_id",
         "sig",
@@ -1934,8 +1935,9 @@ ann_topk AS (
 """
 
 #: MIH candidate generation + re-rank, replayed exactly: band keys by
-#: shiftright+mask (convention-proof under the 16-bit mask), equality
-#: join on (band, bkey), distinct pairs, exact-Hamming rank.
+#: shiftright+mask (convention-proof under the MIH_BITS-wide 8-bit
+#: mask), equality join on (band, bkey), distinct pairs,
+#: exact-Hamming rank.
 _SQL_MIH = f"""
 bands AS (
     SELECT vec_id, sig, b.band,

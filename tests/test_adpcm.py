@@ -198,3 +198,47 @@ def test_reconstruction_tracks_smooth_signal():
     )
     err = np.abs(dec - pcm)
     assert float(err.mean()) < 100 and int(err.max()) < 2000
+
+
+def test_truncated_block_body_raises_value_error():
+    """A data chunk cut mid-block must raise a descriptive
+    ValueError (not IndexError) — ADVICE r10: header checks existed
+    but the nibble body walk could index past the buffer."""
+    from bigdata_pipelines_aws_glue_spark.operators.adpcm import (
+        _decode_channel,
+    )
+
+    pcm = _pcm(SAMPLES_PER_BLOCK + 10)
+    data = ima_encode(pcm)
+    with pytest.raises(ValueError, match="truncated block body"):
+        ima_decode(data[: BLOCK_ALIGN + 6], BLOCK_ALIGN, len(pcm))
+    with pytest.raises(ValueError, match="truncated block body"):
+        _decode_channel(0, 0, b"\x00", 5)
+
+
+def test_oracle_emits_zero_row_for_null_and_empty_text():
+    """ADVICE r10: the ADPCM oracles must not drop NULL-text docs —
+    the kernel emits a (0,0,0) row via ``text or \"\"``, so the twin
+    must coalesce NULL to '' and keep the doc_id."""
+    duckdb = pytest.importorskip("duckdb")
+    from bigdata_pipelines_aws_glue_spark.operators.adpcm import (
+        AUDIO_ADPCM_ORACLE,
+        AUDIO_ADPCM_STEREO_ORACLE,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES"
+        " (1, 'ab'), (2, NULL), (3, '')) t(doc_id, text)"
+    )
+    mono = dict(
+        (r[0], r[1:])
+        for r in con.execute(AUDIO_ADPCM_ORACLE).fetchall()
+    )
+    stereo = dict(
+        (r[0], r[1:])
+        for r in con.execute(AUDIO_ADPCM_STEREO_ORACLE).fetchall()
+    )
+    assert set(mono) == set(stereo) == {1, 2, 3}
+    assert mono[2] == mono[3] == (0, 0, 0)
+    assert stereo[2] == stereo[3] == (0, 0, 0)
