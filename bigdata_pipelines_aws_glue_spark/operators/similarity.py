@@ -1986,6 +1986,280 @@ ann_topk AS (
 """
 
 
+# ---------------- multi-word binary signatures (r11): past 64 dims
+
+
+#: The r10 binary family is 64-dim-bounded by construction —
+#: ``_sign_sig`` slices the first 64 dims into ONE BIGINT. Real
+#: embedding pipelines run 256–1024 dims, so the general form is an
+#: ``array<bigint>`` signature: one word per 64 dims, Hamming =
+#: per-word XOR/POPCNT summed with ``aggregate``, MIH bands addressed
+#: as (word, byte). The corpus here is 64-dim, so the >64-dim input
+#: is a WIDENED FIXTURE: dims 64w+i (w >= 1) are deterministic
+#: rank-order features ``x[i] > x[(i + offset_w) mod 64]`` — pure
+#: float comparisons (no arithmetic), so both engines derive
+#: bit-identical words from the same parquet floats, and the whole
+#: family stays integer-exact end to end. Offsets are chosen so no
+#: bit is another bit's reversed comparison (2*off != 0 mod 64) and
+#: no two words share a dim pair — the extra words carry genuinely
+#: new rank-order structure, not copies of word 0.
+MW_OFFSETS = (0, 1, 17)
+MW_WORDS = len(MW_OFFSETS)
+MW_TOTAL_BANDS = MW_WORDS * MIH_BANDS  # 24 bands of 8 bits over 192
+
+
+def _mw_word(col_name: str, offset: int) -> Column:
+    """One 64-bit word of the multi-word signature. offset 0 is the
+    plain sign bit (== ``_sign_sig``); offset k compares dim i with
+    dim (i + k) mod 64. Same pure-JVM shiftleft/OR fold as
+    ``_sign_sig`` (bit 63 on the sign bit is fine — downstream math
+    is XOR/POPCNT)."""
+    if offset == 0:
+        pred = f"element_at({col_name}, i + 1) > 0"
+    else:
+        pred = (
+            f"element_at({col_name}, i + 1) > "
+            f"element_at({col_name}, pmod(i + {offset}, 64) + 1)"
+        )
+    return F.expr(
+        f"""aggregate(
+              transform(sequence(0, 63),
+                        i -> IF({pred}, shiftleft(1L, i), 0L)),
+              0L, (acc, b) -> acc | b)"""
+    )
+
+
+def _mw_sig(col_name: str) -> Column:
+    """Embedding → ``array<bigint>`` multi-word signature (the
+    general form of ``_sign_sig``; word w covers virtual dims
+    64w..64w+63 of the widened fixture)."""
+    return F.array(*[_mw_word(col_name, off) for off in MW_OFFSETS])
+
+
+def _mw_hamming(a: str, b: str) -> Column:
+    """Multi-word Hamming: per-word XOR/POPCNT summed via aggregate
+    — stays inside whole-stage codegen, one pass over the words."""
+    return F.expr(
+        f"""aggregate(zip_with({a}, {b}, (x, y) -> bit_count(x ^ y)),
+                      0, (acc, d) -> acc + d)"""
+    )
+
+
+def binary_multiword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force multi-word binary ANN (r11): generalizes
+    ``binary_hamming_topk`` past 64 dims — signatures are
+    ``array<bigint>`` (192 bits here), distance is the summed
+    per-word POPCNT. Same 100 TB posture as the one-word form: the
+    signature build is a map-side shrink to 8 bytes/word BEFORE
+    anything moves, the bounded query side broadcasts, ties break on
+    neighbor_id. Integer-only, so the oracle is exact."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    sigs = emb.select("vec_id", _mw_sig("embedding").alias("sig"))
+    queries = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+    )
+    scored = sigs.join(
+        F.broadcast(queries), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _mw_hamming("qsig", "sig").cast("int").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )
+
+
+def binary_multiword_mih_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-index Hamming over multi-word signatures (r11): bands
+    are addressed as (word, byte) — band b lives in word b DIV 8,
+    byte b MOD 8 — giving MW_TOTAL_BANDS = 24 bands over 192 bits,
+    so by pigeonhole any pair at Hamming <= 23 shares a band exactly
+    (pinned by pytest on constructed flips). Candidates come from the
+    same bucketed (band, key) EQUI-join as the one-word form — no
+    BNLJ at any size; random signs sit at expected distance 96, so
+    corpus candidates are band-collision-driven (~n*24/256 per
+    query), which the recall audit below prices."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    sigs = emb.select("vec_id", _mw_sig("embedding").alias("sig"))
+    # (word, byte) band key: arithmetic-vs-logical shift is
+    # irrelevant under the 8-bit mask, so both engines agree
+    bands = sigs.select(
+        "vec_id",
+        "sig",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(MW_TOTAL_BANDS - 1))
+        ).alias("band"),
+    ).withColumn(
+        "bkey",
+        F.expr(
+            f"shiftright(element_at(sig, CAST(band DIV {MIH_BANDS} AS INT)"
+            f" + 1), (band % {MIH_BANDS}) * {MIH_BITS})"
+            f" & {(1 << MIH_BITS) - 1}"
+        ),
+    )
+    qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig").alias("qsig"),
+        "band",
+        "bkey",
+    )
+    cand = (
+        qb.join(bands, ["band", "bkey"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "qsig", F.col("vec_id").alias("neighbor_id"), "sig"
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        _mw_hamming("qsig", "sig").cast("int").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )
+
+
+def binary_multiword_mih_recall_at10(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@10 of multi-word MIH vs BRUTE multi-word Hamming — the
+    pure index loss of banding (not quantization loss: both sides
+    rank the same 192-bit signatures), measured per query."""
+    return _recall_vs_exact(
+        binary_multiword_topk(spark, sf_dir),
+        binary_multiword_mih_topk(spark, sf_dir),
+    )
+
+
+def _sql_mw_word(off: int) -> str:
+    """DuckDB packing of one signature word (same min-long literal
+    trick for bit 63 as ``_SQL_SIGS_CTE``; disjoint bits make the
+    arithmetic sum equal bitwise OR)."""
+    pred = (
+        "embedding[i] > 0"
+        if off == 0
+        else f"embedding[i] > embedding[((i - 1 + {off}) % 64) + 1]"
+    )
+    return f"""CAST(list_aggregate(list_transform(range(1, 65),
+               i -> CASE WHEN {pred} THEN
+                           CASE WHEN i = 64
+                                THEN (-9223372036854775807)::BIGINT - 1
+                                ELSE 1::BIGINT << (i - 1) END
+                         ELSE 0::BIGINT END), 'sum') AS BIGINT)"""
+
+
+_SQL_MW_SIGS_CTE = f"""msigs AS (
+    SELECT vec_id,
+           {_sql_mw_word(MW_OFFSETS[0])} AS w0,
+           {_sql_mw_word(MW_OFFSETS[1])} AS w1,
+           {_sql_mw_word(MW_OFFSETS[2])} AS w2
+    FROM embeddings
+)"""
+
+#: DuckDB's bit_count returns TINYINT — three words can sum past 127,
+#: so each term widens to INT before the addition.
+_SQL_MW_HAMMING = (
+    "bit_count(xor(q.w0, b.w0))::INT + bit_count(xor(q.w1, b.w1))::INT"
+    " + bit_count(xor(q.w2, b.w2))::INT"
+)
+
+_SQL_MW_BRUTE = f"""
+{_SQL_MW_SIGS_CTE},
+mwscored AS (
+    SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {_SQL_MW_HAMMING} AS hamming
+    FROM msigs q JOIN msigs b
+      ON q.vec_id < {N_QUERIES} AND q.vec_id <> b.vec_id
+)"""
+
+BINARY_MULTIWORD_TOPK_ORACLE = f"""
+WITH {_SQL_MW_BRUTE.strip()}
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       CAST(hamming AS INT) AS hamming
+FROM (SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rank
+      FROM mwscored)
+WHERE rank <= {TOP_K}
+"""
+
+#: (word, byte) band keys replayed exactly (band b → word b // 8,
+#: byte b % 8; shift convention irrelevant under the 8-bit mask).
+_SQL_MW_MIH = f"""
+mbands AS (
+    SELECT vec_id, w0, w1, w2, b.band,
+           ((CASE b.band // {MIH_BANDS} WHEN 0 THEN w0
+                  WHEN 1 THEN w1 ELSE w2 END)
+            >> ((b.band % {MIH_BANDS}) * {MIH_BITS}))
+           & {(1 << MIH_BITS) - 1} AS bkey
+    FROM msigs CROSS JOIN
+         (SELECT unnest(generate_series(0, {MW_TOTAL_BANDS - 1})) AS band) b
+),
+mcand AS (
+    SELECT DISTINCT q.vec_id AS query_id,
+                    q.w0 AS qw0, q.w1 AS qw1, q.w2 AS qw2,
+                    n.vec_id AS neighbor_id,
+                    n.w0 AS nw0, n.w1 AS nw1, n.w2 AS nw2
+    FROM mbands q JOIN mbands n ON q.band = n.band AND q.bkey = n.bkey
+    WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> n.vec_id
+),
+mwmihscored AS (
+    SELECT query_id, neighbor_id,
+           bit_count(xor(qw0, nw0))::INT + bit_count(xor(qw1, nw1))::INT
+           + bit_count(xor(qw2, nw2))::INT AS hamming
+    FROM mcand
+)"""
+
+BINARY_MULTIWORD_MIH_TOPK_ORACLE = f"""
+WITH {_SQL_MW_SIGS_CTE.strip()},
+{_SQL_MW_MIH.strip()}
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       CAST(hamming AS INT) AS hamming
+FROM (SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rank
+      FROM mwmihscored)
+WHERE rank <= {TOP_K}
+"""
+
+#: Recall twin: exact side = brute multi-word top-k, ann side = MIH
+#: multi-word top-k, joined per query like ``_recall_vs_exact``.
+BINARY_MULTIWORD_MIH_RECALL_ORACLE = f"""
+WITH {_SQL_MW_BRUTE.strip()},
+{_SQL_MW_MIH.strip()},
+exact_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS rank
+        FROM mwscored)
+    WHERE rank <= {TOP_K}
+),
+ann_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS rank
+        FROM mwmihscored)
+    WHERE rank <= {TOP_K}
+)
+{_SQL_RECALL_SELECT}
+"""
+
+
 def _register() -> None:
     registry.register("cosine_topk", cosine_topk, COSINE_TOPK_ORACLE)
     registry.register("ann_lsh_topk", ann_lsh_topk, LSH_TOPK_ORACLE)
@@ -2044,4 +2318,19 @@ def _register() -> None:
         "binary_mih_recall_at10",
         binary_mih_recall_at10,
         BINARY_MIH_RECALL_ORACLE,
+    )
+    registry.register(
+        "binary_multiword_topk",
+        binary_multiword_topk,
+        BINARY_MULTIWORD_TOPK_ORACLE,
+    )
+    registry.register(
+        "binary_multiword_mih_topk",
+        binary_multiword_mih_topk,
+        BINARY_MULTIWORD_MIH_TOPK_ORACLE,
+    )
+    registry.register(
+        "binary_multiword_mih_recall_at10",
+        binary_multiword_mih_recall_at10,
+        BINARY_MULTIWORD_MIH_RECALL_ORACLE,
     )

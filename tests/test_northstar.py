@@ -275,6 +275,97 @@ def test_binary_mih_pigeonhole_guarantee(spark, sf_dir):
         assert ours == ref, (q, ours, ref)
 
 
+def test_binary_multiword_pigeonhole_and_replay(spark, sf_dir):
+    """Multi-word generalization (r11): 192-bit array<bigint>
+    signatures. (a) word 0 equals the one-word ``_sign_sig`` on the
+    same vectors; (b) the (word, byte) banding's pigeonhole radius is
+    MW_TOTAL_BANDS-1 = 23 on constructed flips; (c) the Spark MIH
+    top-k equals a full numpy candidate/rank replay."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.similarity import (
+        MIH_BANDS,
+        MIH_BITS,
+        MW_OFFSETS,
+        MW_TOTAL_BANDS,
+        MW_WORDS,
+        N_QUERIES,
+        _mw_sig,
+        _sign_sig,
+        binary_multiword_mih_topk,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "vec_id",
+        "embedding",
+        _mw_sig("embedding").alias("sig"),
+        _sign_sig("embedding").alias("w0"),
+    ).collect()
+    sigs = {}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float32)
+        words = []
+        for off in MW_OFFSETS:
+            w = 0
+            for i in range(64):
+                hit = v[i] > 0 if off == 0 else v[i] > v[(i + off) % 64]
+                if hit:
+                    w |= 1 << i
+            words.append(w)
+        got = [s & ((1 << 64) - 1) for s in r["sig"]]
+        assert got == words, r["vec_id"]
+        assert (r["sig"][0] & ((1 << 64) - 1)) == (
+            r["w0"] & ((1 << 64) - 1)
+        ), "word 0 must equal the one-word sign signature"
+        sigs[r["vec_id"]] = words
+
+    mask = (1 << MIH_BITS) - 1
+
+    def shares_band(a, b):
+        return any(
+            ((a[band // MIH_BANDS] >> (MIH_BITS * (band % MIH_BANDS)))
+             & mask)
+            == ((b[band // MIH_BANDS] >> (MIH_BITS * (band % MIH_BANDS)))
+                & mask)
+            for band in range(MW_TOTAL_BANDS)
+        )
+
+    def hamming(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    # (b) pigeonhole at the widened radius, flips spread across words
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        a = [
+            int(rng.integers(0, 1 << 63)) | (int(rng.integers(0, 2)) << 63)
+            for _ in range(MW_WORDS)
+        ]
+        nflips = int(rng.integers(0, MW_TOTAL_BANDS))
+        flips = rng.choice(64 * MW_WORDS, size=nflips, replace=False)
+        b = list(a)
+        for f in flips:
+            b[int(f) // 64] ^= 1 << (int(f) % 64)
+        assert hamming(a, b) <= MW_TOTAL_BANDS - 1 and shares_band(a, b)
+
+    # (c) full replay of the Spark MIH pipeline
+    got = {}
+    for r in binary_multiword_mih_topk(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["hamming"])
+        )
+    for q, sq in sigs.items():
+        if q >= N_QUERIES:
+            continue
+        cands = [
+            n for n, s in sigs.items() if n != q and shares_band(sq, s)
+        ]
+        ref = sorted((hamming(sq, sigs[n]), n) for n in cands)[:10]
+        ours = [(h, n) for _, n, h in sorted(got.get(q, []))]
+        assert ours == ref, (q, ours, ref)
+
+
 def test_cosine_topk_shape(spark, sf_dir):
     out = cosine_topk(spark, sf_dir).collect()
     by_q = {}

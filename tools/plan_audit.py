@@ -272,6 +272,19 @@ WHITELIST: dict[str, dict[str, str]] = {
         "signature broadcast above",
         "ForcedBroadcastUnbounded": "N_QUERIES samples on both sides",
     },
+    "binary_multiword_topk": {
+        "BroadcastNestedLoopJoin": "binary_hamming_topk's bounded-query shape over multi-word "
+        "signatures: N_QUERIES array<bigint> sigs broadcast against "
+        "the corpus sigs; each probe is MW_WORDS XOR+POPCNTs",
+        "ForcedBroadcastUnbounded": "query side is the fixed N_QUERIES (vec_id < 50) sample of "
+        "3-word signatures — bounded by the query set, not the corpus",
+    },
+    "binary_multiword_mih_recall_at10": {
+        "BroadcastNestedLoopJoin": "the exact-baseline side is the brute multi-word top-k over "
+        "the bounded N_QUERIES sample (the BNLJ above); the MIH side "
+        "is a pure (band,key) equi-join",
+        "ForcedBroadcastUnbounded": "N_QUERIES signature sample on the brute side",
+    },
     "binary_mih_recall_at10": {
         "BroadcastNestedLoopJoin": "the exact-baseline side is cosine_topk over the bounded "
         "N_QUERIES audit sample; the MIH side itself is a (band, "
