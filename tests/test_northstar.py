@@ -991,6 +991,55 @@ def test_simhash_hamming_locality(spark):
     assert ham(sig[1], sig[3]) < 15 < ham(sig[1], sig[4])
 
 
+def test_simhash_hamming_selfjoin_df_cap_on_hot_keys(spark, tmp_path):
+    """The corpus-scale SimHash pair join's block-key frequency cap
+    (r11): a constructed hot key — 70 identical docs, all four block
+    keys at frequency 70 > cap 64 — must propose NO pairs (that
+    cluster is dedup_exact's job), while a small identical pair with
+    cold keys IS found at Hamming 0. Also pins the Manku pigeonhole:
+    any pair within radius 3 shares one of the 4 15-bit blocks."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.dedup import (
+        SIMHASH_BLOCK_BITS,
+        SIMHASH_BLOCK_DF_CAP,
+        SIMHASH_BLOCKS,
+        SIMHASH_HAMMING_RADIUS,
+        dedup_simhash_hamming,
+    )
+
+    hot_text = " ".join(f"hot{i}" for i in range(40))
+    cold_text = " ".join(f"cold{i}" for i in range(40))
+    rows = [(i, hot_text) for i in range(100, 100 + SIMHASH_BLOCK_DF_CAP + 6)]
+    rows += [(1, cold_text), (2, cold_text)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in dedup_simhash_hamming(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 2): 0}, got  # hot cluster: zero pairs proposed
+
+    # pigeonhole: <=3 flips over 60 bits always leave a block intact
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        a = int(rng.integers(0, 1 << 60))
+        flips = rng.choice(
+            60, size=int(rng.integers(0, SIMHASH_HAMMING_RADIUS + 1)),
+            replace=False,
+        )
+        b = a
+        for f in flips:
+            b ^= 1 << int(f)
+        assert any(
+            ((a >> (SIMHASH_BLOCK_BITS * k)) & mask)
+            == ((b >> (SIMHASH_BLOCK_BITS * k)) & mask)
+            for k in range(SIMHASH_BLOCKS)
+        )
+
+
 def test_incremental_neardup_matches_cross_boundary_truth(spark, sf_dir):
     """The incremental NEW x CORPUS form must find exactly the true
     Jaccard>=0.8 pairs that cross the batch boundary (subset of the
