@@ -35,6 +35,18 @@ HEADLINE = [
     "cosine_topk",
 ]
 
+#: Post-r5 families appended r11 (VERDICT_r10 item 5) so span dedup,
+#: CDC, binary ANN and the audio codecs get a round-over-round
+#: wall-time trend too. Timed identically but summed SEPARATELY
+#: (``extended_total_sec``): ``value`` stays the original-13 subtotal
+#: so the r1-r10 trend remains like-for-like comparable.
+EXTENDED = [
+    "dedup_substring_spans",
+    "cdc_store_savings",
+    "binary_mih_topk",
+    "multimodal_audio_adpcm",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,7 +85,7 @@ def main() -> None:
     queries = registry.queries()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         fn = queries[name]
         # best-of-5: the first run pays per-query codegen/JIT (~0.5-1s,
         # a fixed cost amortized to zero at real scale) and occasional
@@ -97,7 +109,8 @@ def main() -> None:
             (max(steady) - min(steady)) / max(min(steady), 1e-9), 2
         )
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings[n] for n in HEADLINE), 3)
+    ext_total = round(sum(timings[n] for n in EXTENDED), 3)
     print(
         json.dumps(
             {
@@ -108,6 +121,7 @@ def main() -> None:
                 "sf": float(sf),
                 "startup_sec": round(startup, 3),
                 "n_queries": len(timings),
+                "extended_total_sec": ext_total,
                 "rel_spread": spreads,
                 "loadavg_1_5_15": loadavg,
             }
