@@ -28,80 +28,77 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy in ``tools/rotate_priority.py``, which
-#: generated this window). Round-10 window (VERDICT_r9 item 1,
-#: executed exactly as planned): (a) FORCED by policy — the 3
-#: round-10 additions (G.711 mu-law/A-law audio, IMA ADPCM audio,
-#: char-offset span provenance; each oracle-verified locally at
-#: sf0.01 AND sf0.1 and in PLAIN_SESSION on registration); (b) all
-#: 42 remaining r5-last-green rows; (c) the 5 oldest-r6 rows,
-#: filling 50 exactly. Every name in this window was verified green
-#: in PLAIN_SESSION at sf0.01 this round before the rotation was
-#: committed.
+#: generated this window). Round-11 window (VERDICT_r10 item 1,
+#: executed exactly as the r10 comment planned): (a) FORCED —
+#: the 4 round-11 additions (the multi-word binary ANN trio +
+#: ``dedup_simhash_hamming``) plus the 2 ADPCM rows whose ORACLES
+#: changed this round (NULL-text coalesce fix, ADVICE_r10 item 1 —
+#: a changed oracle must re-attest even though the Spark side is
+#: untouched); (b) the 4 remaining never-attested late-r10
+#: binary-ANN rows (never-attested sorts first automatically);
+#: (c) the 40 oldest r6-last-green rows, filling 50 exactly. Every
+#: name in this window was verified green in PLAIN_SESSION at
+#: sf0.01 this round before the rotation was committed; the 6
+#: forced rows also at sf0.1 + plan audit.
 #:
-#: Round-11 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 198 oracled
-#: rows — the 5 late-r10 registrations (the binary-quantization ANN
-#: family: `binary_hamming_topk` / `binary_hamming_recall_at10` /
-#: `binary_mih_topk` / `binary_mih_recall_at10`, plus
-#: `multimodal_audio_adpcm_stereo`, registered AFTER
-#: this window was committed; each locally verified at sf0.01 +
-#: sf0.1 + PLAIN_SESSION + plan audit on registration, and
-#: never-attested rows sort first under the rotation policy, so they
-#: LEAD the r11 window automatically) — then 43 last-green r6,
-#: 50 r7, 50 r8, 50 r9. So the r11 window = any r11 additions + the
-#: 5 above + the 43 remaining r6 rows + oldest-r7 to fill 50.
-#: Steady state, purely age-driven.
+#: Round-12 arithmetic (from tools/rotate_priority.py this round):
+#: after this window attests, the deferred remainder is 202 oracled
+#: rows — 3 still-r6 (`market_basket_pairs`, `compaction_plan`,
+#: `ewma_anomaly_per_user`), then the r7 block, r8, r9, r10. So the
+#: r12 window = any r12 additions + those 3 r6 rows + oldest-r7 to
+#: fill 50. Steady state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
-    "multimodal_audio_g711",
+    "binary_multiword_topk",
+    "binary_multiword_mih_topk",
+    "binary_multiword_mih_recall_at10",
+    "dedup_simhash_hamming",
     "multimodal_audio_adpcm",
-    "dedup_span_char_offsets",
-    "q16_supplier_diversity",
-    "histogram_order_totals",
-    "unpivot_measures",
-    "semi_join_customers",
-    "anti_join_customers",
-    "range_join_promo_windows",
-    "set_union",
-    "set_intersect",
-    "set_except",
-    "union_all_by_name",
-    "set_intersect_all",
-    "set_except_all",
-    "staged_merge_orders",
-    "events_window_10min",
-    "events_sessionize",
-    "events_json_props",
-    "events_sliding_window",
-    "events_json_typed",
-    "events_grouping_sets",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_attribution",
-    "dedup_exact",
-    "decontaminate_against_eval",
-    "ivf_topk",
-    "ivf_recall_at10",
-    "embedding_centroids",
-    "regex_functions",
-    "q17_small_quantity_revenue",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "q15_top_supplier",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q8_market_share",
-    "q20_bulk_suppliers",
-    "q21_waiting_suppliers",
-    "dq_profile",
-    "dq_expectations",
-    "heavy_hitters_mg",
-    "bm25_search",
-    "pagerank_trade_graph",
-    "stats_moments",
-    "asof_join_rates",
-    "asof_join_sortmerge",
-    "asof_join_skewproof",
-    "events_click_to_purchase",
+    "multimodal_audio_adpcm_stereo",
+    "binary_hamming_topk",
+    "binary_hamming_recall_at10",
+    "binary_mih_topk",
+    "binary_mih_recall_at10",
+    "dedup_content_hash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_neardup_pipeline",
+    "dedup_incremental_neardup",
+    "dedup_simhash",
+    "dedup_clusters",
+    "corpus_curation_summary",
+    "sequence_pack_chunks",
+    "curation_funnel_report",
+    "chunk_fill_report",
+    "embedding_quantize_int8",
+    "text_stats",
+    "doc_sentiment_lexicon",
+    "gopher_quality_filter",
+    "kmeans_embeddings",
+    "pq_topk_sampled",
+    "pq_sampled_recall_at10",
+    "multimodal_bytes_meta",
+    "stratified_sample",
+    "weighted_sample_topk",
+    "skew_safe_agg",
+    "q4_late_shipment_priority",
+    "q22_idle_customers",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "seasonal_decompose_daily",
+    "count_min_sketch",
+    "corpus_mix_weights",
+    "corpus_token_entropy",
+    "crossdoc_shingle_dup",
+    "quality_classifier_train",
+    "quality_classifier_weights",
+    "zorder_layout",
+    "zorder_pruning_gain",
+    "fuzzy_match_parts",
+    "er_golden_record",
+    "split_token_drift",
+    "k_anonymity_audit",
+
 )
 
 
