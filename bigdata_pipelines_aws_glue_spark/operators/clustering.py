@@ -144,6 +144,51 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
 
+def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-family N2 completion (r11): the Hamming<=3 pair list
+    from ``dedup_simhash_hamming`` grouped into connected components
+    with canonical election — the integer-exact mirror of
+    ``dedup_clusters`` (whose pairs carry a float Jaccard threshold).
+    Same label-propagation core; the pair stage is the df-capped
+    Manku block equi-join, so the whole path stays sub-quadratic."""
+    from bigdata_pipelines_aws_glue_spark.operators.dedup import (
+        dedup_simhash_hamming,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_simhash_hamming(spark, sf_dir).select(
+        F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
+    )
+    return assign_dedup_clusters(docs, pairs)
+
+
+def _simhash_clusters_oracle() -> str:
+    from bigdata_pipelines_aws_glue_spark.operators.dedup import (
+        SIMHASH_HAMMING_ORACLE,
+    )
+
+    return f"""
+WITH RECURSIVE pairs AS ({SIMHASH_HAMMING_ORACLE}),
+sym AS (
+    SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+    UNION
+    SELECT doc_id_b AS u, doc_id_a AS v FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM sym
+    UNION
+    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+),
+comp AS (
+    SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
 def corpus_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline's acceptance report: per language, corpus
     size before dedup, after near-dup clustering, and the dedup rate.
@@ -177,6 +222,11 @@ GROUP BY d.lang
 
 def _register() -> None:
     registry.register("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE)
+    registry.register(
+        "dedup_simhash_clusters",
+        dedup_simhash_clusters,
+        _simhash_clusters_oracle(),
+    )
     registry.register(
         "corpus_curation_summary",
         corpus_curation_summary,

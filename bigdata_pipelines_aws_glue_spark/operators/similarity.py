@@ -2144,6 +2144,123 @@ def binary_multiword_mih_recall_at10(
     )
 
 
+#: Asymmetric-distance quantization scale: query components quantize
+#: to integer millionths (floor(x*1e6 + 0.5) — bit-identical per
+#: value in both engines, the repo's standard quantization; float32
+#: components are ~unit-scale so 64 terms stay far from BIGINT
+#: range), making the score integer-exact and order-independent.
+ASYM_SCALE = 1_000_000.0
+
+
+def binary_asymmetric_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric binary ANN (r11): the CORPUS stays sign-bit
+    quantized (8 bytes/vector — the 100 TB memory win) but the QUERY
+    keeps its float vector, scoring sum_i(sig_bit_i ? q_i : -q_i) —
+    the inner product against the un-normalized sign pattern. This is
+    the asymmetric-distance idea of Jégou et al.'s ADC / Gordo &
+    Perronnin's asymmetric binary distances: quantize only the stored
+    side and recover most of the accuracy lost to symmetric
+    Hamming (the recall audit below prices it against exact cosine —
+    compare ``binary_hamming_recall_at10``). Query components
+    quantize to integer millionths so the score is integer-exact
+    cross-engine; ranking is DESC score, neighbor_id ties."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    sigs = emb.select("vec_id", _sign_sig("embedding").alias("sig"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        # scale/half literals CAST to DOUBLE explicitly: bare decimal
+        # literals parse as DECIMAL in both engines and the decimal
+        # intermediate rounds differently at half boundaries
+        # (observed: 95/500 rows off by one quantum without the cast)
+        F.expr(
+            f"transform(slice(embedding, 1, 64),"
+            f" x -> CAST(floor(x * CAST({int(ASYM_SCALE)} AS DOUBLE)"
+            f" + CAST(0.5 AS DOUBLE)) AS BIGINT))"
+        ).alias("ql"),
+    )
+    scored = sigs.join(
+        F.broadcast(queries), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            "aggregate(zip_with(ql, sequence(0, 63),"
+            " (q, i) -> IF((shiftright(sig, i) & 1) = 1, q, -q)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("asym_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("asym_score").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "asym_score")
+    )
+
+
+def binary_asymmetric_recall_at10(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@10 of asymmetric binary scoring vs exact cosine — the
+    accuracy recovered by keeping the query un-quantized, measured on
+    the same sampled-recall contract as ``binary_hamming_recall_at10``
+    (whose loss it should beat: only one side is quantized here)."""
+    return _recall_vs_exact(
+        cosine_topk(spark, sf_dir), binary_asymmetric_topk(spark, sf_dir)
+    )
+
+
+#: The (sig >> (i-1)) & 1 bit probe is shift-convention-proof (the
+#: & 1 masks away arithmetic-shift sign fill, including bit 63).
+_SQL_ASYM = f"""
+{_SQL_SIGS_CTE},
+ql AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(x * {int(ASYM_SCALE)}::DOUBLE
+                          + 0.5::DOUBLE) AS BIGINT)) AS q
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+ascored AS (
+    SELECT ql.vec_id AS query_id, s.vec_id AS neighbor_id,
+           CAST(list_aggregate(list_transform(range(1, 65),
+               i -> CASE WHEN (s.sig >> (i - 1)) & 1 = 1
+                         THEN ql.q[i] ELSE -ql.q[i] END), 'sum')
+                AS BIGINT) AS asym_score
+    FROM ql JOIN sigs s ON ql.vec_id <> s.vec_id
+)"""
+
+BINARY_ASYMMETRIC_TOPK_ORACLE = f"""
+WITH {_SQL_ASYM.strip()}
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, asym_score
+FROM (SELECT query_id, neighbor_id, asym_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY asym_score DESC, neighbor_id)
+               AS rank
+      FROM ascored)
+WHERE rank <= {TOP_K}
+"""
+
+BINARY_ASYMMETRIC_RECALL_ORACLE = f"""
+WITH {_SQL_VN.strip()},
+{_SQL_ASYM.strip()},
+ann_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY asym_score DESC, neighbor_id)
+                 AS rank
+        FROM ascored)
+    WHERE rank <= {TOP_K}
+),
+{_SQL_EXACT_TOPK.strip()}
+{_SQL_RECALL_SELECT}
+"""
+
+
 def _sql_mw_word(off: int) -> str:
     """DuckDB packing of one signature word (same min-long literal
     trick for bit 63 as ``_SQL_SIGS_CTE``; disjoint bits make the
@@ -2333,4 +2450,14 @@ def _register() -> None:
         "binary_multiword_mih_recall_at10",
         binary_multiword_mih_recall_at10,
         BINARY_MULTIWORD_MIH_RECALL_ORACLE,
+    )
+    registry.register(
+        "binary_asymmetric_topk",
+        binary_asymmetric_topk,
+        BINARY_ASYMMETRIC_TOPK_ORACLE,
+    )
+    registry.register(
+        "binary_asymmetric_recall_at10",
+        binary_asymmetric_recall_at10,
+        BINARY_ASYMMETRIC_RECALL_ORACLE,
     )

@@ -29,29 +29,35 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy in ``tools/rotate_priority.py``, which
 #: generated this window). Round-11 window (VERDICT_r10 item 1,
-#: executed exactly as the r10 comment planned): (a) FORCED —
-#: the 4 round-11 additions (the multi-word binary ANN trio +
-#: ``dedup_simhash_hamming``) plus the 2 ADPCM rows whose ORACLES
-#: changed this round (NULL-text coalesce fix, ADVICE_r10 item 1 —
-#: a changed oracle must re-attest even though the Spark side is
-#: untouched); (b) the 4 remaining never-attested late-r10
-#: binary-ANN rows (never-attested sorts first automatically);
-#: (c) the 40 oldest r6-last-green rows, filling 50 exactly. Every
-#: name in this window was verified green in PLAIN_SESSION at
-#: sf0.01 this round before the rotation was committed; the 6
-#: forced rows also at sf0.1 + plan audit.
+#: executed as the r10 comment planned, re-cut once when the late
+#: r11 additions landed BEFORE the driver ran — strictly more fresh
+#: attestation, same policy): (a) FORCED — the 7 round-11 additions
+#: (multi-word binary ANN trio, ``dedup_simhash_hamming``, the
+#: asymmetric-distance pair, ``dedup_simhash_clusters``) plus the 2
+#: ADPCM rows whose ORACLES changed this round (NULL-text coalesce
+#: fix, ADVICE_r10 item 1 — a changed oracle must re-attest even
+#: though the Spark side is untouched); (b) the 4 remaining
+#: never-attested late-r10 binary-ANN rows (never-attested sorts
+#: first automatically); (c) the 37 oldest r6-last-green rows,
+#: filling 50 exactly. Every name in this window was verified green
+#: in PLAIN_SESSION at sf0.01 this round before the rotation was
+#: committed; the 9 forced rows also at sf0.1 + plan audit.
 #:
 #: Round-12 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 202 oracled
-#: rows — 3 still-r6 (`market_basket_pairs`, `compaction_plan`,
+#: after this window attests, the deferred remainder is 205 oracled
+#: rows — 6 still-r6 (`er_golden_record`, `split_token_drift`,
+#: `k_anonymity_audit`, `market_basket_pairs`, `compaction_plan`,
 #: `ewma_anomaly_per_user`), then the r7 block, r8, r9, r10. So the
-#: r12 window = any r12 additions + those 3 r6 rows + oldest-r7 to
+#: r12 window = any r12 additions + those 6 r6 rows + oldest-r7 to
 #: fill 50. Steady state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
     "binary_multiword_topk",
     "binary_multiword_mih_topk",
     "binary_multiword_mih_recall_at10",
     "dedup_simhash_hamming",
+    "binary_asymmetric_topk",
+    "binary_asymmetric_recall_at10",
+    "dedup_simhash_clusters",
     "multimodal_audio_adpcm",
     "multimodal_audio_adpcm_stereo",
     "binary_hamming_topk",
@@ -95,10 +101,6 @@ PRIORITY: tuple[str, ...] = (
     "zorder_layout",
     "zorder_pruning_gain",
     "fuzzy_match_parts",
-    "er_golden_record",
-    "split_token_drift",
-    "k_anonymity_audit",
-
 )
 
 

@@ -275,6 +275,69 @@ def test_binary_mih_pigeonhole_guarantee(spark, sf_dir):
         assert ours == ref, (q, ours, ref)
 
 
+def test_binary_asymmetric_score_replay_and_recall_gain(spark, sf_dir):
+    """Asymmetric binary scoring (r11): (a) the integer score equals
+    a numpy replay (quantized query x corpus sign pattern); (b) mean
+    recall@10 vs exact cosine beats symmetric Hamming — the point of
+    keeping the query un-quantized (measured 0.288 -> 0.384 at
+    sf0.01, 0.168 -> 0.300 at sf0.1; asserted as mean >= here since
+    per-query dominance is not guaranteed)."""
+    import math
+
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.similarity import (
+        ASYM_SCALE,
+        N_QUERIES,
+        _sign_sig,
+        binary_asymmetric_recall_at10,
+        binary_asymmetric_topk,
+        binary_hamming_recall_at10,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "vec_id", "embedding", _sign_sig("embedding").alias("sig")
+    ).collect()
+    sigs = {r["vec_id"]: r["sig"] & ((1 << 64) - 1) for r in rows}
+    ql = {
+        r["vec_id"]: [
+            int(math.floor(float(x) * ASYM_SCALE + 0.5))
+            for x in np.array(r["embedding"], dtype=np.float32)
+        ]
+        for r in rows
+        if r["vec_id"] < N_QUERIES
+    }
+
+    def score(q, n):
+        return sum(
+            ql[q][i] if (sigs[n] >> i) & 1 else -ql[q][i]
+            for i in range(64)
+        )
+
+    got = {}
+    for r in binary_asymmetric_topk(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["asym_score"])
+        )
+    for q in list(ql)[:5]:
+        ref = sorted(
+            ((-score(q, n), n) for n in sigs if n != q)
+        )[:10]
+        ours = [(-s, n) for _, n, s in sorted(got[q])]
+        assert ours == ref, q
+
+    sym = [
+        r["hits"] for r in binary_hamming_recall_at10(spark, sf_dir).collect()
+    ]
+    asym = [
+        r["hits"]
+        for r in binary_asymmetric_recall_at10(spark, sf_dir).collect()
+    ]
+    assert sum(asym) >= sum(sym), (sum(asym), sum(sym))
+
+
 def test_binary_multiword_pigeonhole_and_replay(spark, sf_dir):
     """Multi-word generalization (r11): 192-bit array<bigint>
     signatures. (a) word 0 equals the one-word ``_sign_sig`` on the

@@ -279,6 +279,20 @@ WHITELIST: dict[str, dict[str, str]] = {
         "ForcedBroadcastUnbounded": "query side is the fixed N_QUERIES (vec_id < 50) sample of "
         "3-word signatures — bounded by the query set, not the corpus",
     },
+    "binary_asymmetric_topk": {
+        "BroadcastNestedLoopJoin": "binary_hamming_topk's bounded-query shape: N_QUERIES "
+        "quantized query vectors broadcast against the 8-byte corpus "
+        "signatures; each probe is a 64-term integer fold",
+        "ForcedBroadcastUnbounded": "query side is the fixed N_QUERIES (vec_id < 50) sample of "
+        "quantized query components — bounded by the query set, not "
+        "the corpus",
+    },
+    "binary_asymmetric_recall_at10": {
+        "BroadcastNestedLoopJoin": "the exact-baseline side is cosine_topk over the bounded "
+        "N_QUERIES audit sample; the asymmetric side is the bounded "
+        "quantized-query broadcast above",
+        "ForcedBroadcastUnbounded": "N_QUERIES samples on both sides",
+    },
     "binary_multiword_mih_recall_at10": {
         "BroadcastNestedLoopJoin": "the exact-baseline side is the brute multi-word top-k over "
         "the bounded N_QUERIES sample (the BNLJ above); the MIH side "
