@@ -2144,6 +2144,150 @@ def binary_multiword_mih_recall_at10(
     )
 
 
+#: MIH multiprobe flips: probing each 8-bit band key at Hamming <= 1
+#: in KEY space (the exact key + its 8 one-bit flips) widens the
+#: pigeonhole guarantee from MIH_BANDS-1 = 7 to 2*MIH_BANDS-1 = 15:
+#: if the total distance is <= 15 over 8 bands, some band carries
+#: <= floor(15/8) = 1 of it — exactly what Norouzi et al.'s
+#: multi-index hashing probes for at radius r: each index is
+#: searched to radius floor(r/m). Candidate volume grows 9x, still
+#: bucketed (the probe set is per-query-band, the join stays a
+#: (band, key) equi-join).
+MIH_PROBE_FLIPS = (0,) + tuple(1 << i for i in range(MIH_BITS))
+
+
+def binary_mih_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe MIH (r11): ``binary_mih_topk`` with each query band
+    key probed at the exact key plus its 8 one-bit flips — the real
+    Norouzi search procedure (per-index radius floor(r/m)), giving a
+    provable radius-15 candidate guarantee (pinned by pytest) while
+    the corpus side is untouched: probes explode on the BOUNDED query
+    side only, and candidates still come from the bucketed
+    (band, key) equi-join."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    sigs = emb.select("vec_id", _sign_sig("embedding").alias("sig"))
+    bands = sigs.select(
+        "vec_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(MIH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "bkey",
+        F.expr(f"shiftright(sig, band * {MIH_BITS}) & {(1 << MIH_BITS) - 1}"),
+    )
+    qb = (
+        bands.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("sig").alias("qsig"),
+            "band",
+            "bkey",
+        )
+        .withColumn(
+            "flip",
+            F.explode(F.array(*[F.lit(f) for f in MIH_PROBE_FLIPS])),
+        )
+        .select(
+            "query_id",
+            "qsig",
+            "band",
+            F.col("bkey").bitwiseXOR(F.col("flip")).alias("bkey"),
+        )
+    )
+    cand = (
+        qb.join(bands, ["band", "bkey"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "qsig", F.col("vec_id").alias("neighbor_id"), "sig"
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.bit_count(F.col("qsig").bitwiseXOR(F.col("sig")))
+        .cast("int")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )
+
+
+def binary_mih_multiprobe_recall_at10(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@10 of multiprobe MIH vs exact cosine — the lift the 9x
+    candidate expansion buys over plain ``binary_mih_recall_at10``
+    (probe supersets can only add candidates, so per-query hits
+    dominate the plain form; pinned by pytest)."""
+    return _recall_vs_exact(
+        cosine_topk(spark, sf_dir),
+        binary_mih_multiprobe_topk(spark, sf_dir),
+    )
+
+
+_SQL_MIH_FLIPS = ", ".join(str(f) for f in MIH_PROBE_FLIPS)
+
+#: Multiprobe replay: the query side's band keys expand by XOR with
+#: the 9 probe flips, the corpus side is the plain band table.
+_SQL_MIH_MP = f"""
+bands AS (
+    SELECT vec_id, sig, b.band,
+           (sig >> (b.band * {MIH_BITS})) & {(1 << MIH_BITS) - 1} AS bkey
+    FROM sigs CROSS JOIN
+         (SELECT unnest(generate_series(0, {MIH_BANDS - 1})) AS band) b
+),
+qprobes AS (
+    SELECT vec_id, sig, band, xor(bkey, f.flip) AS bkey
+    FROM bands CROSS JOIN (SELECT unnest([{_SQL_MIH_FLIPS}]) AS flip) f
+    WHERE vec_id < {N_QUERIES}
+),
+mpcand AS (
+    SELECT DISTINCT q.vec_id AS query_id, q.sig AS qsig,
+                    n.vec_id AS neighbor_id, n.sig AS nsig
+    FROM qprobes q JOIN bands n ON q.band = n.band AND q.bkey = n.bkey
+    WHERE q.vec_id <> n.vec_id
+),
+mpscored AS (
+    SELECT query_id, neighbor_id,
+           bit_count(xor(qsig, nsig)) AS hamming
+    FROM mpcand
+)"""
+
+BINARY_MIH_MULTIPROBE_TOPK_ORACLE = f"""
+WITH {_SQL_SIGS_CTE},
+{_SQL_MIH_MP.strip()}
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       CAST(hamming AS INT) AS hamming
+FROM (SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rank
+      FROM mpscored)
+WHERE rank <= {TOP_K}
+"""
+
+BINARY_MIH_MULTIPROBE_RECALL_ORACLE = f"""
+WITH {_SQL_VN.strip()},
+{_SQL_SIGS_CTE},
+{_SQL_MIH_MP.strip()},
+ann_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS rank
+        FROM mpscored)
+    WHERE rank <= {TOP_K}
+),
+{_SQL_EXACT_TOPK.strip()}
+{_SQL_RECALL_SELECT}
+"""
+
+
 #: Asymmetric-distance quantization scale: query components quantize
 #: to integer millionths (floor(x*1e6 + 0.5) — bit-identical per
 #: value in both engines, the repo's standard quantization; float32
@@ -2460,4 +2604,14 @@ def _register() -> None:
         "binary_asymmetric_recall_at10",
         binary_asymmetric_recall_at10,
         BINARY_ASYMMETRIC_RECALL_ORACLE,
+    )
+    registry.register(
+        "binary_mih_multiprobe_topk",
+        binary_mih_multiprobe_topk,
+        BINARY_MIH_MULTIPROBE_TOPK_ORACLE,
+    )
+    registry.register(
+        "binary_mih_multiprobe_recall_at10",
+        binary_mih_multiprobe_recall_at10,
+        BINARY_MIH_MULTIPROBE_RECALL_ORACLE,
     )

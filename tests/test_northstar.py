@@ -275,6 +275,97 @@ def test_binary_mih_pigeonhole_guarantee(spark, sf_dir):
         assert ours == ref, (q, ours, ref)
 
 
+def test_binary_mih_multiprobe_radius_and_dominance(spark, sf_dir):
+    """Multiprobe MIH (r11): (a) probing each 8-bit band key at
+    Hamming<=1 widens the pigeonhole radius to 2*MIH_BANDS-1 = 15 —
+    any pair within 15 bits has some band carrying <= 1 of them, so a
+    1-flip probe finds it (constructed flips); (b) the multiprobe
+    CANDIDATE set is a strict superset of plain MIH's (numpy replay),
+    and TOTAL recall improves (0.112 -> 0.250 mean at sf0.01
+    measured). Per-query hit dominance is deliberately NOT asserted:
+    unlike the LSH multiprobe test (which re-ranks by exact cosine,
+    where top-k hits ARE monotone in the candidate set), the Hamming
+    re-rank is a different metric from the cosine truth, so an added
+    closer-in-Hamming but cosine-false candidate can displace a true
+    hit from one query's top-10."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.similarity import (
+        MIH_BANDS,
+        MIH_BITS,
+        MIH_PROBE_FLIPS,
+        N_QUERIES,
+        _sign_sig,
+        binary_mih_multiprobe_recall_at10,
+        binary_mih_recall_at10,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    mask = (1 << MIH_BITS) - 1
+
+    def probe_finds(a, b):
+        # some band where the two keys differ in <= 1 bit
+        return any(
+            bin(((a >> (MIH_BITS * i)) & mask)
+                ^ ((b >> (MIH_BITS * i)) & mask)).count("1") <= 1
+            for i in range(MIH_BANDS)
+        )
+
+    rng = np.random.default_rng(23)
+    for _ in range(300):
+        a = int(rng.integers(0, 1 << 63)) | (int(rng.integers(0, 2)) << 63)
+        nflips = int(rng.integers(0, 2 * MIH_BANDS))  # 0..15
+        flips = rng.choice(64, size=nflips, replace=False)
+        b = a
+        for f in flips:
+            b ^= 1 << int(f)
+        assert probe_finds(a, b), (nflips, sorted(flips))
+
+    # (b1) candidate superset, replayed in numpy on the real corpus
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = {
+        r["vec_id"]: r["sig"] & ((1 << 64) - 1)
+        for r in emb.select(
+            "vec_id", _sign_sig("embedding").alias("sig")
+        ).collect()
+    }
+
+    def keys(s):
+        return [(i, (s >> (MIH_BITS * i)) & mask) for i in range(MIH_BANDS)]
+
+    def plain_cands(q):
+        kq = set(keys(sigs[q]))
+        return {
+            n for n, s in sigs.items() if n != q and kq & set(keys(s))
+        }
+
+    def probe_cands(q):
+        kq = {
+            (i, k ^ f)
+            for i, k in keys(sigs[q])
+            for f in MIH_PROBE_FLIPS
+        }
+        return {
+            n for n, s in sigs.items() if n != q and kq & set(keys(s))
+        }
+
+    for q in range(min(N_QUERIES, 10)):
+        assert probe_cands(q) >= plain_cands(q), q
+
+    # (b2) mean recall improves (per-query dominance not guaranteed —
+    # see docstring)
+    plain = {
+        r["query_id"]: r["hits"]
+        for r in binary_mih_recall_at10(spark, sf_dir).collect()
+    }
+    multi = {
+        r["query_id"]: r["hits"]
+        for r in binary_mih_multiprobe_recall_at10(spark, sf_dir).collect()
+    }
+    assert set(plain) == set(multi)
+    assert sum(multi.values()) > sum(plain.values())
+
+
 def test_binary_asymmetric_score_replay_and_recall_gain(spark, sf_dir):
     """Asymmetric binary scoring (r11): (a) the integer score equals
     a numpy replay (quantized query x corpus sign pattern); (b) mean

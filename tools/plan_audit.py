@@ -305,6 +305,13 @@ WHITELIST: dict[str, dict[str, str]] = {
         "8-bit key) equi-join — its standalone plan audits clean",
         "ForcedBroadcastUnbounded": "N_QUERIES exact-baseline sample",
     },
+    "binary_mih_multiprobe_recall_at10": {
+        "BroadcastNestedLoopJoin": "the exact-baseline side is cosine_topk over the bounded "
+        "N_QUERIES audit sample; the multiprobe MIH side is still a "
+        "(band, key) equi-join (probes explode the bounded query "
+        "side only) — its standalone plan audits clean",
+        "ForcedBroadcastUnbounded": "N_QUERIES exact-baseline sample",
+    },
     "hybrid_search_rrf": {
         "BroadcastNestedLoopJoin": "the two bounded retrieval shapes it fuses: BM25's (n_docs, "
         "avgdl) 1-row scalar + query-term broadcasts, and the dense "
