@@ -30,6 +30,7 @@ from bigdata_pipelines_aws_glue_spark.sources.catalog import (
 )
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 from bigdata_pipelines_aws_glue_spark.sources.writers import (
+    write_bucketed_table,
     write_partitioned_parquet,
     write_table,
 )
@@ -86,6 +87,60 @@ SELECT o_orderstatus,
        max(o_orderdate) AS last_order
 FROM orders
 GROUP BY o_orderstatus
+"""
+
+
+def bucketed_join_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed CO-LOCATED join on the hard signal (r11): orders and
+    customer are written as EXTERNAL bucketed+sorted tables (8
+    buckets on the join key each side), read back through the
+    catalog, and sort-merge-joined — with matching bucketing on both
+    sides Spark elides the join Exchange entirely (pinned by pytest:
+    the join plan has SortMergeJoin and ZERO Exchange nodes). This is
+    the write-once/shuffle-never layout a 100 TB fact table wants for
+    its repeated key joins; the shuffle cost moves to write time.
+    The aggregate after the join hashes against a straight
+    join-from-parquet DuckDB twin, proving the bucketed write+read
+    path preserved every row. Names/paths are per-SF, overwrite mode
+    keeps re-runs idempotent (C3)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    sf_tag = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_") or "sf"
+    )
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{sf_tag}")
+    o_table = f"bucketed_orders_{sf_tag}"
+    c_table = f"bucketed_customer_{sf_tag}"
+    write_bucketed_table(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        o_table,
+        os.path.join(base, "orders"),
+        "o_custkey",
+    )
+    write_bucketed_table(
+        customer.select("c_custkey", "c_mktsegment"),
+        c_table,
+        os.path.join(base, "customer"),
+        "c_custkey",
+    )
+    o = spark.table(f"default.{o_table}")
+    c = spark.table(f"default.{c_table}")
+    joined = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
+BUCKETED_JOIN_ORACLE = """
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
 """
 
 
@@ -237,6 +292,11 @@ GROUP BY event_type
 def _register() -> None:
     registry.register(
         "catalog_roundtrip_orders", catalog_roundtrip_orders, CATALOG_RT_ORACLE
+    )
+    registry.register(
+        "bucketed_join_colocation",
+        bucketed_join_colocation,
+        BUCKETED_JOIN_ORACLE,
     )
     registry.register(
         "jsonl_roundtrip_events", jsonl_roundtrip_events, JSONL_RT_ORACLE

@@ -54,6 +54,33 @@ def write_table(
     df.write.mode(mode).format(format).options(**options).save(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted EXTERNAL table (the co-located-join layout):
+    rows hash into ``n_buckets`` files per write task on
+    ``bucket_col`` and each bucket file is sorted on it, so a join
+    between two tables bucketed the SAME way on their join keys needs
+    NO Exchange — the shuffle was paid once at write time, which is
+    the right trade at 100 TB for any fact table joined repeatedly on
+    the same key. The explicit ``path`` keeps the table external
+    (metastore entry only — no warehouse-dir write, same constraint
+    catalog_rt documents for read-only driver cwds)."""
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .saveAsTable(name)
+    )
+
+
 def compact_parquet(
     spark,
     path: str,

@@ -122,3 +122,40 @@ def test_jdbc_roundtrip_embedded_derby(spark, sf_dir):
         orders, url, "ORDERS_WH", driver=DERBY_DRIVER, write_partitions=2
     )
     assert read_jdbc(spark, url, "ORDERS_WH", driver=DERBY_DRIVER).count() == orders.count()
+
+
+def test_bucketed_join_elides_exchange(spark, sf_dir):
+    """Bucketed co-located join (r11): with both sides written
+    bucketed+sorted on the join key (8 buckets each), the sort-merge
+    join plan must contain ZERO Exchange nodes and scan with
+    Bucketed: true — the write-once/shuffle-never layout. Also checks
+    idempotent re-run (overwrite mode) returns identical rows."""
+    from bigdata_pipelines_aws_glue_spark.operators.catalog_rt import (
+        bucketed_join_colocation,
+    )
+
+    first = {
+        r["c_mktsegment"]: (r["n_orders"], r["revenue_cents"])
+        for r in bucketed_join_colocation(spark, sf_dir).collect()
+    }
+    assert first and all(n > 0 for n, _ in first.values())
+
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    o = spark.table(f"default.bucketed_orders_{sf_tag}")
+    c = spark.table(f"default.bucketed_customer_{sf_tag}")
+    plan = (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+
+    second = {
+        r["c_mktsegment"]: (r["n_orders"], r["revenue_cents"])
+        for r in bucketed_join_colocation(spark, sf_dir).collect()
+    }
+    assert second == first
