@@ -159,6 +159,56 @@ GROUP BY l_returnflag
 """
 
 
+def salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting helper's JOIN form through the correctness gate
+    (r11, completing the named skew toolkit: salted agg was attested
+    r6, AQE skew-join is session config, this is the manual
+    replicate-and-salt join for when neither applies): lineitem (the
+    big, potentially key-skewed side) salted over 8 buckets, the
+    supplier+nation dimension replicated per salt, joined on
+    (suppkey, salt) — row-identical to the plain join, so the
+    straight-join DuckDB twin hash-matches. Revenue quantizes to
+    cents per row BEFORE the sum (identical double parse tree both
+    engines), summed in long domain."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import (
+        salted_skew_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            * F.lit(100)
+            + F.lit(0.5)
+        ).alias("rev_cents"),
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    joined = salted_skew_join(li, supp, ["s_suppkey"], buckets=8)
+    return joined.groupBy("n_name").agg(
+        F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SALTED_JOIN_ORACLE = """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex surface: extract (group), replace, match-filter. Patterns
     stay in the RE2 ∩ Java-regex common subset so Spark and DuckDB
@@ -432,3 +482,8 @@ def _register() -> None:
     registry.register("date_functions", date_functions, DATE_ORACLE)
     registry.register("array_functions", array_functions, ARRAY_ORACLE)
     registry.register("skew_safe_agg", skew_safe_agg, SKEW_ORACLE)
+    registry.register(
+        "salted_join_supplier_revenue",
+        salted_join_supplier_revenue,
+        SALTED_JOIN_ORACLE,
+    )

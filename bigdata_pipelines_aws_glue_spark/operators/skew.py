@@ -33,6 +33,33 @@ def salt_col(buckets: int) -> Column:
     return F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
 
 
+def salted_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicate-and-salt equi-join for hot keys: the BIG (skewed)
+    side gets a per-row salt in [0, buckets); the SMALL side is
+    replicated once per salt value; the join runs on (keys + salt),
+    spreading each hot key over ``buckets`` reducers. Result is
+    row-identical to the plain join (each big row matches exactly its
+    own salt's replica — multiplicity preserved even with duplicate
+    small-side keys; pinned by pytest on a constructed 90%-hot key).
+    Use when AQE's skew-join splitting isn't available or the skew is
+    known up front; cost is ``buckets``× the small side's shuffle
+    volume, which is the cheap side by construction."""
+    salted = big.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+    )
+    replicated = small.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(b) for b in range(buckets)])),
+    )
+    return salted.join(replicated, on + ["__salt"], how).drop("__salt")
+
+
 def two_phase_agg(
     df: DataFrame,
     key_cols: list[str],

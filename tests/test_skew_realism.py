@@ -145,3 +145,33 @@ def test_two_phase_agg_exact_on_hot_corpus(spark, hot_corpus):
     assert got == want
     hot_total = want[HOT_KEY]
     assert hot_total > 0 and len(want) == N_DIM
+
+
+def test_salted_skew_join_row_identical_on_hot_key(spark):
+    """salted_skew_join must be ROW-identical to the plain join —
+    multiplicity included — on a constructed 90%-hot key, and with
+    DUPLICATE small-side keys (each big row matches every matching
+    small row exactly once, in exactly one salt bucket)."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import (
+        salted_skew_join,
+    )
+
+    rows = [(7, i) for i in range(900)] + [
+        (k, i) for i, k in enumerate(range(100, 200))
+    ]
+    big = spark.createDataFrame(rows, "k long, payload long")
+    small = spark.createDataFrame(
+        [(7, "hot"), (7, "hot2"), (150, "cold"), (999, "nomatch")],
+        "k long, label string",
+    )
+    got = sorted(
+        (r["k"], r["payload"], r["label"])
+        for r in salted_skew_join(big, small, ["k"], buckets=8).collect()
+    )
+    want = sorted(
+        (r["k"], r["payload"], r["label"])
+        for r in big.join(small, ["k"]).collect()
+    )
+    assert got == want
+    # hot key matched twice per big row (duplicate small keys)
+    assert sum(1 for k, _, _ in got if k == 7) == 1800
