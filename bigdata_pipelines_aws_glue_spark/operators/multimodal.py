@@ -397,6 +397,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from bigdata_pipelines_aws_glue_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from bigdata_pipelines_aws_glue_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
         "codec for this format not available in this environment; "
         "wire PIL/torchvision/ffmpeg here at deploy time"

@@ -1,0 +1,383 @@
+"""Baseline TIFF codec ([north-star] N4 multimodal adjacency; no
+reference citation — the reference is a currency ETL with no media).
+
+Scope — the TIFF 6.0 BASELINE profile real scanned-document corpora
+are dominated by:
+
+- both byte orders (``II`` little-endian and ``MM`` big-endian);
+- 8-bit grayscale (photometric 1) and 8-bit RGB (photometric 2),
+  chunky planar config;
+- Compression 1 (none) and 32773 (PackBits, the Apple RLE every
+  baseline reader must support);
+- multi-strip layout (``RowsPerStrip``/``StripOffsets``/
+  ``StripByteCounts``), the unit a 100 TB scan pipeline parallelizes
+  on.
+
+Everything else (LZW, JPEG-in-TIFF, tiles, planar=2, 16-bit,
+predictors) raises ``NotImplementedError`` LOUDLY at the dispatch
+point — the integration seam where a real deployment wires
+PIL/libtiff, same contract as ``multimodal.decode_image``.
+
+Validator: javax.imageio ships a TIFF plugin since Java 9, so the
+encoder is cross-validated pixel-for-pixel against Java's reader and
+the decoder against Java's writer (tests/test_tiff.py) — the same
+in-container third-party pin the GIF/JPEG/WAV codecs carry.
+
+numpy + struct only; no third-party imaging dependency.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+#: tag ids (TIFF 6.0 baseline)
+_W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
+_STRIP_OFFS, _SPP, _ROWS_PER_STRIP, _STRIP_COUNTS = 273, 277, 278, 279
+_PLANAR = 284
+
+#: field type -> byte size (BYTE, ASCII, SHORT, LONG, RATIONAL)
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits RLE: runs of >= 3 identical bytes become
+    (257 - n, byte); literals are emitted in <= 128-byte chunks."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and (i - lit_start) < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and data[i + nxt] == data[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        out.append(i - lit_start - 1)
+        out += data[lit_start:i]
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of :func:`packbits_encode` (-128 control is a no-op per
+    spec). Stops after ``expected`` output bytes; truncated input
+    raises."""
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("PackBits: truncated strip")
+        n = data[i]
+        i += 1
+        if n == 128:
+            continue
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError("PackBits: truncated literal")
+            out += data[i : i + n + 1]
+            i += n + 1
+        else:
+            if i >= len(data):
+                raise ValueError("PackBits: truncated run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) != expected:
+        raise ValueError("PackBits: strip over-run")
+    return bytes(out)
+
+
+def encode_tiff(
+    pixels: np.ndarray,
+    byteorder: str = "<",
+    packbits: bool = False,
+    rows_per_strip: int = 16,
+) -> bytes:
+    """(H, W[, 3]) uint8 -> baseline TIFF bytes. Deterministic layout:
+    8-byte header, strip data, the BitsPerSample/offset/count value
+    areas, then the IFD — so the uncompressed container size has a
+    closed form a size-audit can check."""
+    if byteorder not in ("<", ">"):
+        raise ValueError("byteorder must be '<' or '>'")
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("expected (H, W) gray or (H, W, 3) RGB")
+    h, w = px.shape[:2]
+    spp = 1 if gray else 3
+    raster = px.tobytes()  # row-major chunky
+    row_bytes = w * spp
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        rows = min(rows_per_strip, h - r0)
+        raw = raster[r0 * row_bytes : (r0 + rows) * row_bytes]
+        strips.append(packbits_encode(raw) if packbits else raw)
+    n_strips = len(strips)
+
+    bo = byteorder
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
+    out += b"\x00" * 4  # IFD offset patched below
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(len(out))
+        out += s
+    if len(out) % 2:
+        out += b"\x00"  # IFDs/value areas are word-aligned
+
+    # external value areas
+    bits_off = None
+    if spp == 3:
+        bits_off = len(out)
+        out += struct.pack(bo + "3H", 8, 8, 8)
+    offs_off = counts_off = None
+    if n_strips > 1:
+        offs_off = len(out)
+        out += struct.pack(bo + f"{n_strips}I", *strip_offsets)
+        counts_off = len(out)
+        out += struct.pack(bo + f"{n_strips}I", *[len(s) for s in strips])
+
+    def entry(tag, typ, count, value, at_offset=None):
+        if at_offset is not None:
+            return struct.pack(bo + "HHII", tag, typ, count, at_offset)
+        if typ == 3:  # SHORT packs into the low half of the value slot
+            return struct.pack(bo + "HHIHH", tag, typ, count, value, 0)
+        return struct.pack(bo + "HHII", tag, typ, count, value)
+
+    entries = [
+        entry(_W, 4, 1, w),
+        entry(_H, 4, 1, h),
+        (
+            entry(_BITS, 3, 3, 0, at_offset=bits_off)
+            if spp == 3
+            else entry(_BITS, 3, 1, 8)
+        ),
+        entry(_COMP, 3, 1, 32773 if packbits else 1),
+        entry(_PHOTO, 3, 1, 2 if spp == 3 else 1),
+        (
+            entry(_STRIP_OFFS, 4, n_strips, strip_offsets[0])
+            if n_strips == 1
+            else entry(_STRIP_OFFS, 4, n_strips, 0, at_offset=offs_off)
+        ),
+        entry(_SPP, 3, 1, spp),
+        entry(_ROWS_PER_STRIP, 4, 1, rows_per_strip),
+        (
+            entry(_STRIP_COUNTS, 4, n_strips, len(strips[0]))
+            if n_strips == 1
+            else entry(_STRIP_COUNTS, 4, n_strips, 0, at_offset=counts_off)
+        ),
+        entry(_PLANAR, 3, 1, 1),
+    ]
+    ifd_off = len(out)
+    out += struct.pack(bo + "H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack(bo + "I", 0)  # no next IFD
+    out[4:8] = struct.pack(bo + "I", ifd_off)
+    return bytes(out)
+
+
+def _read_values(bo, data, typ, count, raw):
+    size = _TYPE_SIZE[typ]
+    total = size * count
+    blob = raw[:total] if total <= 4 else None
+    if blob is None:
+        (off,) = struct.unpack(bo + "I", raw)
+        if off + total > len(data):
+            raise ValueError("TIFF: value area past EOF")
+        blob = data[off : off + total]
+    fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+    if fmt is None:
+        raise NotImplementedError(f"TIFF: unsupported field type {typ}")
+    return list(struct.unpack(bo + f"{count}{fmt}", blob))
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF bytes -> (H, W) gray or (H, W, 3) RGB uint8.
+    Accepts either byte order, multi-strip layouts, compression 1 or
+    PackBits; everything outside baseline raises loudly (the PIL /
+    libtiff seam)."""
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("TIFF: IFD offset past EOF")
+    (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    pos = ifd_off + 2
+    for _ in range(n_entries):
+        if pos + 12 > len(payload):
+            raise ValueError("TIFF: truncated IFD")
+        tag, typ, count = struct.unpack(bo + "HHI", payload[pos : pos + 8])
+        if typ in (1, 3, 4):
+            tags[tag] = _read_values(
+                bo, payload, typ, count, payload[pos + 8 : pos + 12]
+            )
+        pos += 12
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF: required tag {tag} missing")
+            return default
+        return v[0]
+
+    w, h = one(_W), one(_H)
+    comp = one(_COMP, 1)
+    spp = one(_SPP, 1)
+    bits = tags.get(_BITS, [8])
+    planar = one(_PLANAR, 1)
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} not available in this environment; "
+            "wire PIL/libtiff here at deploy time"
+        )
+    if any(b != 8 for b in bits) or spp not in (1, 3) or planar != 1:
+        raise NotImplementedError(
+            "TIFF: only 8-bit chunky gray/RGB baseline supported here"
+        )
+    rows_per_strip = one(_ROWS_PER_STRIP, h)
+    offsets = tags.get(_STRIP_OFFS)
+    counts = tags.get(_STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF: bad strip tables")
+    row_bytes = w * spp
+    raster = bytearray()
+    remaining_rows = h
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise ValueError("TIFF: strip past EOF")
+        rows = min(rows_per_strip, remaining_rows)
+        raw = payload[off : off + cnt]
+        if comp == 32773:
+            raw = packbits_decode(raw, rows * row_bytes)
+        if len(raw) < rows * row_bytes:
+            raise ValueError("TIFF: truncated strip")
+        raster += raw[: rows * row_bytes]
+        remaining_rows -= rows
+    if remaining_rows != 0:
+        raise ValueError("TIFF: strip tables cover too few rows")
+    arr = np.frombuffer(bytes(raster), dtype=np.uint8)
+    return arr.reshape((h, w) if spp == 1 else (h, w, 3))
+
+
+# ------------------------------------------------ attested query
+
+TIFF_RT_SCHEMA = "doc_id long, variant int, width int, height int, px_sum long"
+
+#: doc_id % 4 -> (byteorder, packbits): every corpus pass exercises
+#: both endiannesses and both baseline compressions.
+_VARIANTS = (("<", False), (">", False), ("<", True), (">", True))
+
+
+def tiff_roundtrip_batch(batches):
+    """mapInPandas kernel: synth pixels from the text recipe (same
+    dims recipe as the image quartet), encode to the doc's TIFF
+    variant, REAL-decode through ``multimodal.decode_image`` (so the
+    magic-dispatch path is on the attested route too), and emit the
+    exact integer pixel sum — replayable from the text bytes in SQL
+    because both encoder and decoder are lossless."""
+    import pandas as pd
+
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            b = np.frombuffer((text or "").encode(), dtype=np.uint8)
+            w, h = len(b) % 64 + 1, len(b) % 48 + 1
+            px = np.resize(b, (h, w, 3))
+            bo, pb = _VARIANTS[int(doc_id) % 4]
+            decoded = decode_image(encode_tiff(px, bo, pb))
+            rows.append(
+                (
+                    doc_id,
+                    int(doc_id) % 4,
+                    w,
+                    h,
+                    int(decoded.astype(np.int64).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "variant", "width", "height", "px_sum"]
+        )
+
+
+def multimodal_tiff_roundtrip(spark, sf_dir):
+    """Registry entry (r11): baseline-TIFF encode -> decode
+    attestation with a FULL hash oracle — the raster tiles the text
+    bytes, so the decoded pixel sum equals q*sum(bytes) +
+    prefix_sum(bytes, r) for w*h*3 = q*nb + r, which the DuckDB twin
+    derives independently from the text (ASCII corpus — char index ==
+    byte, the same documented precondition as the audio oracles). A
+    hash match proves all four (byteorder x PackBits) container
+    variants round-trip every pixel."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        spread(docs.select("doc_id", "text"))
+        .mapInPandas(tiff_roundtrip_batch, schema=TIFF_RT_SCHEMA)
+        .select("doc_id", "variant", "width", "height", "px_sum")
+    )
+
+
+#: scalar range() lists (not the generate_series table function —
+#: DuckDB 1.0 rejects lateral column args there); empty ranges give
+#: NULL from list_aggregate, coalesced to 0.
+TIFF_RT_ORACLE = """
+WITH d AS (
+    SELECT doc_id, coalesce(text, '') AS text,
+           octet_length(encode(coalesce(text, ''))) AS nb,
+           octet_length(encode(coalesce(text, ''))) % 64 + 1 AS w,
+           octet_length(encode(coalesce(text, ''))) % 48 + 1 AS h
+    FROM documents
+),
+s AS (
+    SELECT doc_id, nb, w, h,
+           coalesce(list_aggregate(list_transform(
+               range(1, CAST(nb AS BIGINT) + 1),
+               i -> ascii(substr(text, CAST(i AS INT), 1))), 'sum'),
+             0) AS total,
+           coalesce(list_aggregate(list_transform(
+               range(1, CASE WHEN nb = 0 THEN 1
+                             ELSE CAST((w * h * 3) % nb AS BIGINT) + 1 END),
+               i -> ascii(substr(text, CAST(i AS INT), 1))), 'sum'),
+             0) AS prefix
+    FROM d
+)
+SELECT doc_id,
+       CAST(doc_id % 4 AS INT) AS variant,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(CASE WHEN nb = 0 THEN 0
+                 ELSE ((w * h * 3) // nb) * total + prefix
+            END AS BIGINT) AS px_sum
+FROM s
+"""
+
+
+def _register() -> None:
+    from bigdata_pipelines_aws_glue_spark import registry
+
+    registry.register(
+        "multimodal_tiff_roundtrip", multimodal_tiff_roundtrip, TIFF_RT_ORACLE
+    )

@@ -181,6 +181,7 @@ def _load_all() -> None:
         "spandedup",
         "cdc",
         "adpcm",
+        "tiff",
         "spatial",
         "stattests",
         "cohorts",
