@@ -87,6 +87,89 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — the O(log n)-
+    round upgrade the min-label-propagation docstring above points
+    at: label propagation needs DIAMETER rounds (a 512-node chain
+    needs 511), star contraction collapses the same chain in ~log
+    rounds. Each round is two groupBy-min passes over (node, nbr)
+    pairs; per-round shuffle volume is |E| longs.
+
+    large-star: every node connects its LARGER neighbors to the
+    minimum of its closed neighborhood; small-star: every node (under
+    larger->smaller edge orientation) connects its smaller-or-equal
+    closed neighborhood to its minimum. Converged when the edge set
+    is a star forest (large-star is then a no-op); labels read off
+    the stars, with roots labeling themselves.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        directed = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = (
+            directed.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        )
+        j = directed.join(m, "u")
+        relink = j.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        self_edge = m.select("u", F.col("m").alias("v"))
+        return (
+            relink.union(self_edge)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    cur = e.distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        changed = (
+            nxt.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(nxt).limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    # star forest: every edge is (node, root). Roots label themselves.
+    nodes = (
+        e.select("u")
+        .union(e.select(F.col("v").alias("u")))
+        .distinct()
+    )
+    labels = cur.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        nodes.join(labels, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.least(
+                F.coalesce("component", F.col("u")), F.col("u")
+            ).alias("component"),
+        )
+    )
+
+
 def assign_dedup_clusters(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -142,6 +225,32 @@ SELECT d.doc_id,
        coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` computed by the OTHER algorithm — star
+    contraction instead of label propagation — and attested against
+    the IDENTICAL recursive-closure oracle (cross-algorithm
+    attestation, the allpairs-vs-inverted-index pattern): same pair
+    list, same (doc_id, cluster_id, is_canonical) contract, so a hash
+    match on both proves the two distributed CC algorithms agree with
+    the sequential closure. At 100 TB this is the variant to run on
+    graphs whose diameter is NOT clique-like (provenance chains,
+    citation paths): rounds scale with log n, not diameter."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    comp = connected_components_star(pairs, src="doc_a", dst="doc_b")
+    return docs.join(
+        comp.select(F.col("node").alias("doc_id"), F.col("component")),
+        "doc_id",
+        "left",
+    ).select(
+        F.col("doc_id"),
+        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce("component", F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_canonical"
+        ),
+    )
 
 
 def dedup_simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,6 +335,9 @@ def _register() -> None:
         "dedup_simhash_clusters",
         dedup_simhash_clusters,
         _simhash_clusters_oracle(),
+    )
+    registry.register(
+        "dedup_clusters_star", dedup_clusters_star, DEDUP_CLUSTERS_ORACLE
     )
     registry.register(
         "corpus_curation_summary",

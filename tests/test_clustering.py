@@ -55,3 +55,65 @@ def test_cc_label_columns_only_in_shuffle(spark):
     out = connected_components(edges)
     assert out.columns == ["node", "component"]
     assert dict(out.dtypes) == {"node": "bigint", "component": "bigint"}
+
+
+def test_star_contraction_matches_truth_and_label_prop(spark):
+    """Kiveris large-star/small-star CC (r11): exact agreement with a
+    union-find ground truth on (a) a 512-node CHAIN — the diameter-
+    bound pathology where 25-round label propagation cannot converge
+    — (b) a random multi-component graph, (c) star+triangle; and
+    agreement with label propagation on the clique-like shapes where
+    both are in-contract."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.clustering import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def truth_of(edges):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comp = {}
+        for n in parent:
+            comp.setdefault(find(n), []).append(n)
+        return {n: min(comp[find(n)]) for n in parent}
+
+    rng = np.random.default_rng(5)
+    cases = {
+        "chain512": [(i, i + 1) for i in range(511)],
+        "random": [
+            (int(a), int(b))
+            for a, b in rng.integers(0, 300, (400, 2))
+            if a != b
+        ],
+        "star+tri": [(100, i) for i in range(50)]
+        + [(200, 201), (201, 202), (202, 200)],
+    }
+    for name, edges in cases.items():
+        df = spark.createDataFrame(edges, "src long, dst long")
+        star = {
+            r["node"]: r["component"]
+            for r in connected_components_star(df).collect()
+        }
+        assert star == truth_of(edges), name
+
+    # clique-like: both algorithms agree (label prop is in-contract)
+    df = spark.createDataFrame(cases["star+tri"], "src long, dst long")
+    lp = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    st = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+    assert lp == st

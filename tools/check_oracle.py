@@ -94,6 +94,11 @@ SCALE_TWINS = {
         f"{_FAST_CLUSTERS}\n"
         "SELECT doc_id, cluster_id, is_canonical FROM clusters"
     ),
+    # same contract computed by star contraction — shares the twin
+    "dedup_clusters_star": (
+        f"{_FAST_CLUSTERS}\n"
+        "SELECT doc_id, cluster_id, is_canonical FROM clusters"
+    ),
     "corpus_curation_summary": f"""{_FAST_CLUSTERS}
 SELECT d.lang,
        count(*) AS n_docs,
