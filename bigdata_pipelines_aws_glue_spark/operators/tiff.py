@@ -97,18 +97,164 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def tiff_lzw_encode(data: bytes, early_change: bool = False) -> bytes:
+    """TIFF-variant LZW (compression 5): MSB-first bit packing, codes
+    start at 9 bits, ClearCode 256 / EOI 257. TWO width schedules
+    exist in the wild and they are mutually unreadable at the code-
+    width boundary:
+
+    - ``early_change=False`` (default): NATURAL LZW — the width bumps
+      when the free-entry counter reaches 2^w (512/1024/2048). This
+      is what the JDK's javax.imageio TIFF plugin writes AND reads
+      (measured: its reader NullPointerExceptions on every other
+      schedule), so it is the schedule our in-container validator can
+      pin byte-for-byte.
+    - ``early_change=True``: the TIFF6 spec's famous off-by-one —
+      bump one code earlier (511/1023/2047), the libtiff/PDF
+      ``EarlyChange=1`` convention most non-JDK writers use.
+
+    ``decode_tiff`` accepts BOTH (natural first, EarlyChange retry),
+    so either producer's files decode; the encoder defaults to the
+    schedule the validator proves."""
+    CLEAR, EOI = 256, 257
+    bump_off = 1 if early_change else 0
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    emit(CLEAR, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = nxt
+        nxt += 1
+        if nxt == (1 << width) - bump_off and width < 12:
+            width += 1
+        w = bytes([ch])
+        if nxt == 4093:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def tiff_lzw_decode(
+    data: bytes, expected: int, early_change: bool = False
+) -> bytes:
+    """Inverse of :func:`tiff_lzw_encode` under the SAME schedule.
+    The decoder's table lags the encoder's free-entry counter by one
+    append (the first code after Clear assigns nothing), so its bump
+    thresholds sit one lower: natural = 2^w - 1, EarlyChange =
+    2^w - 2."""
+    CLEAR, EOI = 256, 257
+    bump_k = 2 if early_change else 1
+    out = bytearray()
+    pos = 0  # bit position
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def read_code():
+        nonlocal pos
+        if (pos + width) > len(data) * 8:
+            return EOI  # truncated stream: treat as end, length-check below
+        byte0 = pos >> 3
+        acc = 0
+        need = width
+        bit = pos & 7
+        pos += width
+        i = byte0
+        acc = data[i] & ((1 << (8 - bit)) - 1)
+        got = 8 - bit
+        i += 1
+        while got < need:
+            acc = (acc << 8) | data[i]
+            got += 8
+            i += 1
+        return acc >> (got - need)
+
+    while len(out) < expected:
+        code = read_code()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError("TIFF LZW: bad first code")
+            entry = bytes([code])
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("TIFF LZW: code past table")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        if len(table) >= (1 << width) - bump_k and width < 12:
+            width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("TIFF LZW: truncated strip")
+    return bytes(out[:expected])
+
+
+def _undo_predictor2(raw: bytes, w: int, spp: int, rows: int) -> bytes:
+    """Horizontal-differencing predictor (tag 317 value 2): each
+    sample stores the delta to the same sample one pixel left;
+    cumulative-sum per row per channel restores the raster."""
+    arr = np.frombuffer(raw, dtype=np.uint8).copy().reshape(rows, w, spp)
+    np.cumsum(arr, axis=1, dtype=np.uint8, out=arr)
+    return arr.tobytes()
+
+
+#: encoder compression names -> TIFF tag values
+_COMPRESSIONS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+
+
 def encode_tiff(
     pixels: np.ndarray,
     byteorder: str = "<",
     packbits: bool = False,
     rows_per_strip: int = 16,
+    compression: str | None = None,
 ) -> bytes:
-    """(H, W[, 3]) uint8 -> baseline TIFF bytes. Deterministic layout:
-    8-byte header, strip data, the BitsPerSample/offset/count value
-    areas, then the IFD — so the uncompressed container size has a
-    closed form a size-audit can check."""
+    """(H, W[, 3]) uint8 -> baseline TIFF bytes. ``compression`` is
+    one of none/packbits/lzw/deflate (the legacy ``packbits`` bool is
+    kept for the original call sites). Deterministic layout: 8-byte
+    header, strip data, the BitsPerSample/offset/count value areas,
+    then the IFD — so the uncompressed container size has a closed
+    form a size-audit can check."""
     if byteorder not in ("<", ">"):
         raise ValueError("byteorder must be '<' or '>'")
+    comp_name = compression or ("packbits" if packbits else "none")
+    if comp_name not in _COMPRESSIONS:
+        raise ValueError(f"unsupported compression {comp_name!r}")
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
@@ -117,11 +263,18 @@ def encode_tiff(
     spp = 1 if gray else 3
     raster = px.tobytes()  # row-major chunky
     row_bytes = w * spp
+    _encoders = {
+        "none": lambda b: b,
+        "packbits": packbits_encode,
+        "lzw": tiff_lzw_encode,
+        "deflate": __import__("zlib").compress,
+    }
+    enc = _encoders[comp_name]
     strips = []
     for r0 in range(0, h, rows_per_strip):
         rows = min(rows_per_strip, h - r0)
         raw = raster[r0 * row_bytes : (r0 + rows) * row_bytes]
-        strips.append(packbits_encode(raw) if packbits else raw)
+        strips.append(enc(raw))
     n_strips = len(strips)
 
     bo = byteorder
@@ -162,7 +315,7 @@ def encode_tiff(
             if spp == 3
             else entry(_BITS, 3, 1, 8)
         ),
-        entry(_COMP, 3, 1, 32773 if packbits else 1),
+        entry(_COMP, 3, 1, _COMPRESSIONS[comp_name]),
         entry(_PHOTO, 3, 1, 2 if spp == 3 else 1),
         (
             entry(_STRIP_OFFS, 4, n_strips, strip_offsets[0])
@@ -242,7 +395,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     spp = one(_SPP, 1)
     bits = tags.get(_BITS, [8])
     planar = one(_PLANAR, 1)
-    if comp not in (1, 32773):
+    predictor = one(317, 1)
+    # 8 = Adobe deflate, 32946 = the older deflate tag — same stream
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} not available in this environment; "
             "wire PIL/libtiff here at deploy time"
@@ -250,6 +405,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if any(b != 8 for b in bits) or spp not in (1, 3) or planar != 1:
         raise NotImplementedError(
             "TIFF: only 8-bit chunky gray/RGB baseline supported here"
+        )
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} (floating-point) not supported"
         )
     rows_per_strip = one(_ROWS_PER_STRIP, h)
     offsets = tags.get(_STRIP_OFFS)
@@ -266,9 +425,29 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raw = payload[off : off + cnt]
         if comp == 32773:
             raw = packbits_decode(raw, rows * row_bytes)
+        elif comp == 5:
+            # natural schedule first (what javax writes), then the
+            # libtiff/PDF EarlyChange retry. A wrong-schedule read
+            # desyncs at a code-width boundary and in practice trips
+            # the code-past-table check almost immediately (strips
+            # shorter than ~253 codes never reach a boundary, where
+            # the schedules are identical anyway).
+            try:
+                raw = tiff_lzw_decode(raw, rows * row_bytes)
+            except ValueError:
+                raw = tiff_lzw_decode(
+                    raw, rows * row_bytes, early_change=True
+                )
+        elif comp in (8, 32946):
+            import zlib
+
+            raw = zlib.decompress(raw)
         if len(raw) < rows * row_bytes:
             raise ValueError("TIFF: truncated strip")
-        raster += raw[: rows * row_bytes]
+        raw = raw[: rows * row_bytes]
+        if predictor == 2:
+            raw = _undo_predictor2(raw, w, spp, rows)
+        raster += raw
         remaining_rows -= rows
     if remaining_rows != 0:
         raise ValueError("TIFF: strip tables cover too few rows")
@@ -280,9 +459,17 @@ def decode_tiff(payload: bytes) -> np.ndarray:
 
 TIFF_RT_SCHEMA = "doc_id long, variant int, width int, height int, px_sum long"
 
-#: doc_id % 4 -> (byteorder, packbits): every corpus pass exercises
-#: both endiannesses and both baseline compressions.
-_VARIANTS = (("<", False), (">", False), ("<", True), (">", True))
+#: doc_id % 6 -> (byteorder, compression): every corpus pass
+#: exercises both endiannesses and all four lossless compressions
+#: (none / PackBits / LZW / Deflate).
+_VARIANTS = (
+    ("<", "none"),
+    (">", "none"),
+    ("<", "packbits"),
+    (">", "packbits"),
+    ("<", "lzw"),
+    (">", "deflate"),
+)
 
 
 def tiff_roundtrip_batch(batches):
@@ -304,12 +491,12 @@ def tiff_roundtrip_batch(batches):
             b = np.frombuffer((text or "").encode(), dtype=np.uint8)
             w, h = len(b) % 64 + 1, len(b) % 48 + 1
             px = np.resize(b, (h, w, 3))
-            bo, pb = _VARIANTS[int(doc_id) % 4]
-            decoded = decode_image(encode_tiff(px, bo, pb))
+            bo, comp = _VARIANTS[int(doc_id) % len(_VARIANTS)]
+            decoded = decode_image(encode_tiff(px, bo, compression=comp))
             rows.append(
                 (
                     doc_id,
-                    int(doc_id) % 4,
+                    int(doc_id) % len(_VARIANTS),
                     w,
                     h,
                     int(decoded.astype(np.int64).sum()),
@@ -327,7 +514,7 @@ def multimodal_tiff_roundtrip(spark, sf_dir):
     prefix_sum(bytes, r) for w*h*3 = q*nb + r, which the DuckDB twin
     derives independently from the text (ASCII corpus — char index ==
     byte, the same documented precondition as the audio oracles). A
-    hash match proves all four (byteorder x PackBits) container
+    hash match proves all six (byteorder x compression) container
     variants round-trip every pixel."""
     from bigdata_pipelines_aws_glue_spark.operators.skew import spread
     from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
@@ -365,7 +552,7 @@ s AS (
     FROM d
 )
 SELECT doc_id,
-       CAST(doc_id % 4 AS INT) AS variant,
+       CAST(doc_id % 6 AS INT) AS variant,
        CAST(w AS INT) AS width,
        CAST(h AS INT) AS height,
        CAST(CASE WHEN nb = 0 THEN 0

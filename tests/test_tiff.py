@@ -56,8 +56,8 @@ def test_tiff_roundtrip_all_variants():
 def test_tiff_loud_seams():
     rgb = np.zeros((4, 4, 3), dtype=np.uint8)
     b = bytearray(encode_tiff(rgb))
-    # flip the compression SHORT (tag 259) to LZW (5): must raise the
-    # documented integration seam, not mis-decode
+    # flip the compression SHORT (tag 259) to JPEG-in-TIFF (7): must
+    # raise the documented integration seam, not mis-decode
     import struct
 
     (ifd_off,) = struct.unpack("<I", bytes(b[4:8]))
@@ -66,9 +66,9 @@ def test_tiff_loud_seams():
     for _ in range(n):
         tag = struct.unpack("<H", bytes(b[pos : pos + 2]))[0]
         if tag == 259:
-            b[pos + 8 : pos + 10] = struct.pack("<H", 5)
+            b[pos + 8 : pos + 10] = struct.pack("<H", 7)
         pos += 12
-    with pytest.raises(NotImplementedError, match="compression 5"):
+    with pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(b))
     with pytest.raises(ValueError, match="not a TIFF"):
         decode_tiff(b"\x89PNG....")
@@ -117,30 +117,100 @@ def test_tiff_encoder_matches_javax_reader(spark):
             assert (gotg == gray).all(), (bo, pb, "gray")
 
 
-def test_tiff_decoder_reads_javax_writer(spark):
-    """Java's TIFF writer → our decoder: the other direction of the
-    pin (Java writes baseline uncompressed by default)."""
+def _java_write_tiff(spark, px, compression=None):
+    """Write an RGB array through javax's TIFF writer, optionally
+    forcing a compression type ('LZW' / 'ZLib' / 'Deflate' /
+    'PackBits'). Returns the TIFF bytes."""
     jvm = spark._jvm
-    rng = np.random.default_rng(9)
-    px = rng.integers(0, 256, (11, 6, 3)).astype(np.uint8)
+    h, w = px.shape[:2]
     img = jvm.java.awt.image.BufferedImage(
-        6, 11, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
     )
-    for y in range(11):
-        for x in range(6):
+    for y in range(h):
+        for x in range(w):
             r, g, b = (int(v) for v in px[y, x])
             img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    writers = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    if not writers.hasNext():
+        pytest.skip("no javax TIFF writer in this JDK")
+    writer = writers.next()
     baos = jvm.java.io.ByteArrayOutputStream()
     ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
-    ok = jvm.javax.imageio.ImageIO.write(img, "tiff", ios)
-    if not ok:
-        pytest.skip("no javax TIFF writer in this JDK")
+    writer.setOutput(ios)
+    param = writer.getDefaultWriteParam()
+    if compression is not None:
+        param.setCompressionMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT
+        )
+        param.setCompressionType(compression)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
     ios.flush()
-    payload = bytes(baos.toByteArray())
-    try:
-        got = decode_tiff(payload)
-    except NotImplementedError as e:
-        pytest.skip(f"javax wrote outside our baseline scope: {e}")
-    assert got.shape[:2] == (11, 6)
-    arr = got if got.ndim == 3 else np.stack([got] * 3, axis=-1)
-    assert (arr == px).all()
+    return bytes(baos.toByteArray())
+
+
+def test_tiff_decoder_reads_javax_writer(spark):
+    """Java's TIFF writer → our decoder, across javax's lossless
+    compressors: default (uncompressed), LZW (exercises the
+    EarlyChange width schedule and, if javax opts in, predictor 2),
+    ZLib/Deflate (tags 8/32946), and PackBits."""
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (21, 13, 3)).astype(np.uint8)
+    for comp in (None, "LZW", "ZLib", "Deflate", "PackBits"):
+        payload = _java_write_tiff(spark, px, comp)
+        try:
+            got = decode_tiff(payload)
+        except NotImplementedError as e:
+            pytest.skip(f"javax wrote outside our baseline scope: {e}")
+        assert got.shape[:2] == (21, 13), comp
+        arr = got if got.ndim == 3 else np.stack([got] * 3, axis=-1)
+        assert (arr == px).all(), comp
+
+
+def test_tiff_lzw_deflate_encoders_match_javax_reader(spark):
+    """Our LZW and Deflate TIFF bytes through Java's reader —
+    pixel-for-pixel, both byte orders, with a single-strip raster
+    crossing the 9->10 bit LZW width boundary (where the two LZW
+    width schedules diverge — the JDK reads ONLY the natural one)."""
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, (40, 20, 3)).astype(np.uint8)
+    for comp in ("lzw", "deflate"):
+        for bo in "<>":
+            got = _java_read_tiff(
+                spark,
+                encode_tiff(rgb, bo, compression=comp, rows_per_strip=40),
+            )
+            assert (got == rgb).all(), (comp, bo)
+
+
+def test_tiff_lzw_both_width_schedules():
+    """The two wild LZW width schedules: each round-trips under
+    itself; a boundary-crossing stream written under EarlyChange is
+    REJECTED loudly by the natural decoder (no silent wrong raster);
+    and decode_tiff's natural-then-EarlyChange retry reads an
+    EarlyChange container end-to-end."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.tiff import (
+        tiff_lzw_decode,
+        tiff_lzw_encode,
+    )
+
+    rng = np.random.default_rng(17)
+    data = bytes(rng.integers(0, 256, 3000).astype(np.uint8))  # crosses 9->10
+    for ec in (False, True):
+        assert tiff_lzw_decode(tiff_lzw_encode(data, ec), len(data), ec) == data
+    with pytest.raises(ValueError):
+        tiff_lzw_decode(tiff_lzw_encode(data, True), len(data), False)
+
+    # EarlyChange container through the public decoder (retry path):
+    # splice an EarlyChange strip into a natural-encoded container
+    px = rng.integers(0, 256, (2, 600, 3)).astype(np.uint8)
+    container = bytearray(encode_tiff(px, "<", compression="lzw",
+                                      rows_per_strip=2))
+    natural_strip = tiff_lzw_encode(px.tobytes(), early_change=False)
+    ec_strip = tiff_lzw_encode(px.tobytes(), early_change=True)
+    assert len(ec_strip) == len(natural_strip)  # same codes, same count
+    idx = bytes(container).find(natural_strip)
+    assert idx > 0
+    container[idx : idx + len(ec_strip)] = ec_strip
+    assert (decode_tiff(bytes(container)) == px).all()
