@@ -243,6 +243,7 @@ def encode_tiff(
     packbits: bool = False,
     rows_per_strip: int = 16,
     compression: str | None = None,
+    predictor: bool = False,
 ) -> bytes:
     """(H, W[, 3]) uint8 -> baseline TIFF bytes. ``compression`` is
     one of none/packbits/lzw/deflate (the legacy ``packbits`` bool is
@@ -274,6 +275,14 @@ def encode_tiff(
     for r0 in range(0, h, rows_per_strip):
         rows = min(rows_per_strip, h - r0)
         raw = raster[r0 * row_bytes : (r0 + rows) * row_bytes]
+        if predictor:
+            # horizontal differencing (tag 317=2): store per-channel
+            # deltas to the pixel one left, mod 256 — the transform
+            # that makes smooth rasters LZW/deflate-friendly
+            a = np.frombuffer(raw, dtype=np.uint8).reshape(rows, w, spp)
+            d = a.copy()
+            d[:, 1:, :] -= a[:, :-1, :]
+            raw = d.tobytes()
         strips.append(enc(raw))
     n_strips = len(strips)
 
@@ -331,6 +340,9 @@ def encode_tiff(
         ),
         entry(_PLANAR, 3, 1, 1),
     ]
+    if predictor:
+        entries.append(entry(317, 3, 1, 2))
+        entries.sort(key=lambda e: struct.unpack(bo + "H", e[:2])[0])
     ifd_off = len(out)
     out += struct.pack(bo + "H", len(entries))
     for e in entries:

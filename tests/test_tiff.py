@@ -150,9 +150,9 @@ def _java_write_tiff(spark, px, compression=None):
 
 def test_tiff_decoder_reads_javax_writer(spark):
     """Java's TIFF writer → our decoder, across javax's lossless
-    compressors: default (uncompressed), LZW (exercises the
-    EarlyChange width schedule and, if javax opts in, predictor 2),
-    ZLib/Deflate (tags 8/32946), and PackBits."""
+    compressors: default (uncompressed), LZW (the JDK writes the
+    NATURAL width schedule — measured, see tiff_lzw_encode), ZLib /
+    Deflate (tags 8/32946), and PackBits."""
     rng = np.random.default_rng(9)
     px = rng.integers(0, 256, (21, 13, 3)).astype(np.uint8)
     for comp in (None, "LZW", "ZLib", "Deflate", "PackBits"):
@@ -214,3 +214,25 @@ def test_tiff_lzw_both_width_schedules():
     assert idx > 0
     container[idx : idx + len(ec_strip)] = ec_strip
     assert (decode_tiff(bytes(container)) == px).all()
+
+
+def test_tiff_predictor2_roundtrip_and_javax(spark):
+    """Horizontal-differencing predictor (tag 317=2): our
+    predictor-written LZW/deflate containers round-trip through our
+    decoder AND through Java's reader (the JDK reader honors the
+    predictor tag, pinning our differencing direction), on a smooth
+    gradient where the predictor actually shrinks the stream."""
+    grad = np.add.outer(
+        np.arange(24, dtype=np.uint8) * 3, np.arange(30, dtype=np.uint8)
+    )
+    rgb = np.stack([grad, grad + 7, grad + 19], axis=-1).astype(np.uint8)
+    for comp in ("lzw", "deflate"):
+        plain = encode_tiff(rgb, compression=comp)
+        pred = encode_tiff(rgb, compression=comp, predictor=True)
+        assert (decode_tiff(pred) == rgb).all(), comp
+        assert len(pred) < len(plain), (comp, "predictor should shrink")
+        got = _java_read_tiff(spark, pred)
+        assert (got == rgb).all(), comp
+    # gray path too
+    g = grad.astype(np.uint8)
+    assert (decode_tiff(encode_tiff(g, compression="lzw", predictor=True)) == g).all()
