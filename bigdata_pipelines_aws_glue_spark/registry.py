@@ -28,28 +28,30 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy in ``tools/rotate_priority.py``, which
-#: generated this window). Round-11 window (VERDICT_r10 item 1,
-#: executed as the r10 comment planned, re-cut once when the late
-#: r11 additions landed BEFORE the driver ran — strictly more fresh
-#: attestation, same policy): (a) FORCED — the 7 round-11 additions
-#: (multi-word binary ANN trio, ``dedup_simhash_hamming``, the
-#: asymmetric-distance pair, ``dedup_simhash_clusters``) plus the 2
-#: ADPCM rows whose ORACLES changed this round (NULL-text coalesce
-#: fix, ADVICE_r10 item 1 — a changed oracle must re-attest even
-#: though the Spark side is untouched); (b) the 4 remaining
-#: never-attested late-r10 binary-ANN rows (never-attested sorts
-#: first automatically); (c) the 37 oldest r6-last-green rows,
-#: filling 50 exactly. Every name in this window was verified green
-#: in PLAIN_SESSION at sf0.01 this round before the rotation was
-#: committed; the 9 forced rows also at sf0.1 + plan audit.
+#: generated this window). Round-11 window (VERDICT_r10 item 1 —
+#: executed as the r10 comment planned, then re-cut as each batch of
+#: r11 additions landed BEFORE the driver ran; every re-cut trades
+#: oldest-r6 slots for never-attested fresh rows, strictly more
+#: evidence under the same policy): (a) FORCED — the 13 round-11
+#: additions (multi-word binary ANN trio, ``dedup_simhash_hamming``,
+#: the asymmetric-distance pair, ``dedup_simhash_clusters``, the MIH
+#: multiprobe pair, ``bucketed_join_colocation``,
+#: ``salted_join_supplier_revenue``, ``multimodal_tiff_roundtrip``,
+#: ``dedup_clusters_star``) plus the 2 ADPCM rows whose ORACLES
+#: changed this round (NULL-text coalesce fix, ADVICE_r10 item 1 — a
+#: changed oracle must re-attest even though the Spark side is
+#: untouched); (b) the 4 remaining never-attested late-r10
+#: binary-ANN rows (never-attested sorts first automatically);
+#: (c) the 31 oldest r6-last-green rows, filling 50 exactly. Every
+#: name in this window was verified green in PLAIN_SESSION at sf0.01
+#: this round before the rotation commit; the 15 forced rows also at
+#: sf0.1 (scale twin where registered) + plan audit.
 #:
 #: Round-12 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 205 oracled
-#: rows — 6 still-r6 (`er_golden_record`, `split_token_drift`,
-#: `k_anonymity_audit`, `market_basket_pairs`, `compaction_plan`,
-#: `ewma_anomaly_per_user`), then the r7 block, r8, r9, r10. So the
-#: r12 window = any r12 additions + those 6 r6 rows + oldest-r7 to
-#: fill 50. Steady state, purely age-driven.
+#: after this window attests, the deferred remainder is 211 oracled
+#: rows — 12 still-r6, then the r7 block (50), r8 (50), r9 (50),
+#: r10 (49). So the r12 window = any r12 additions + those 12 r6
+#: rows + oldest-r7 to fill 50. Steady state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
     "binary_multiword_topk",
     "binary_multiword_mih_topk",
@@ -58,6 +60,12 @@ PRIORITY: tuple[str, ...] = (
     "binary_asymmetric_topk",
     "binary_asymmetric_recall_at10",
     "dedup_simhash_clusters",
+    "binary_mih_multiprobe_topk",
+    "binary_mih_multiprobe_recall_at10",
+    "bucketed_join_colocation",
+    "salted_join_supplier_revenue",
+    "multimodal_tiff_roundtrip",
+    "dedup_clusters_star",
     "multimodal_audio_adpcm",
     "multimodal_audio_adpcm_stereo",
     "binary_hamming_topk",
@@ -95,12 +103,6 @@ PRIORITY: tuple[str, ...] = (
     "count_min_sketch",
     "corpus_mix_weights",
     "corpus_token_entropy",
-    "crossdoc_shingle_dup",
-    "quality_classifier_train",
-    "quality_classifier_weights",
-    "zorder_layout",
-    "zorder_pruning_gain",
-    "fuzzy_match_parts",
 )
 
 
