@@ -142,20 +142,30 @@ def connected_components_star(
             .distinct()
         )
 
-    cur = e.distinct().localCheckpoint(eager=True)
+    base = e.distinct().localCheckpoint(eager=True)
+    cur = base
+    n_cur = cur.count()
     for _ in range(max_iter):
         nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
-        changed = (
-            nxt.exceptAll(cur).limit(1).count()
-            + cur.exceptAll(nxt).limit(1).count()
+        n_nxt = nxt.count()
+        # cheap count gate first (both sides are checkpointed and
+        # distinct, so equal sets iff equal counts AND one-sided
+        # containment) — the exceptAll co-group only runs on the
+        # final converged round
+        converged = n_nxt == n_cur and (
+            nxt.exceptAll(cur).limit(1).count() == 0
         )
-        cur = nxt
-        if changed == 0:
+        cur, n_cur = nxt, n_nxt
+        if converged:
             break
     # star forest: every edge is (node, root). Roots label themselves.
+    # NB: nodes derive from the CHECKPOINTED edge set — deriving from
+    # `e` would re-execute the (possibly expensive) upstream pair
+    # lineage a second time (measured on dedup_clusters_star: the
+    # Jaccard pair plan re-ran just to list vertices).
     nodes = (
-        e.select("u")
-        .union(e.select(F.col("v").alias("u")))
+        base.select("u")
+        .union(base.select(F.col("v").alias("u")))
         .distinct()
     )
     labels = cur.groupBy("u").agg(F.min("v").alias("component"))
