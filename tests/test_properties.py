@@ -500,3 +500,93 @@ def test_cdc_chunks_tile_text_exactly(texts):
             continue
         _, joined, covered, n_chunks = by_doc[i + 1]
         assert joined == t and covered == len(t) and n_chunks >= 1
+
+
+@given(st.binary(max_size=3000))
+@settings(max_examples=60, deadline=None)
+def test_packbits_roundtrip_any_bytes(data):
+    from bigdata_pipelines_aws_glue_spark.operators.tiff import (
+        packbits_decode,
+        packbits_encode,
+    )
+
+    assert packbits_decode(packbits_encode(data), len(data)) == data
+
+
+@given(st.binary(max_size=4000), st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_tiff_lzw_roundtrip_any_bytes_both_schedules(data, early):
+    from bigdata_pipelines_aws_glue_spark.operators.tiff import (
+        tiff_lzw_decode,
+        tiff_lzw_encode,
+    )
+
+    assert (
+        tiff_lzw_decode(tiff_lzw_encode(data, early), len(data), early)
+        == data
+    )
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.booleans(),
+    st.sampled_from(["none", "packbits", "lzw", "deflate"]),
+    st.sampled_from(["<", ">"]),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_container_roundtrip_any_shape(
+    h, w, gray, comp, bo, predictor, seed
+):
+    """Any (shape x colorspace x compression x byteorder x predictor)
+    combination must round-trip pixel-exact — TIFF is lossless in
+    this profile by construction."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w) if gray else (h, w, 3)).astype(
+        np.uint8
+    )
+    got = decode_tiff(
+        encode_tiff(px, bo, compression=comp, predictor=predictor)
+    )
+    assert (got == px).all()
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=0,
+        max_size=400,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_adpcm_wav_roundtrip_any_pcm_shape(samples):
+    """IMA ADPCM container round-trip: decode(encode(x)) preserves the
+    sample COUNT exactly (fact-chunk trim across any block split) and
+    every reconstructed sample stays in int16 range — the lossy-codec
+    analogue of the lossless identities above."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.adpcm import (
+        encode_wav_ima,
+    )
+    from bigdata_pipelines_aws_glue_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    pcm = np.array(samples, dtype=np.int64)
+    if len(pcm) == 0:
+        return
+    frames, rate = decode_wav(encode_wav_ima(pcm))
+    assert frames.shape[0] == len(pcm)
+    assert frames.dtype == np.int16
+    # first sample of every 505-sample block is stored verbatim
+    assert int(frames.reshape(-1)[0]) == int(pcm[0])
