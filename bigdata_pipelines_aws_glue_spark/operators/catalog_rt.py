@@ -101,13 +101,16 @@ def bucketed_join_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     its repeated key joins; the shuffle cost moves to write time.
     The aggregate after the join hashes against a straight
     join-from-parquet DuckDB twin, proving the bucketed write+read
-    path preserved every row. Names/paths are per-SF, overwrite mode
-    keeps re-runs idempotent (C3)."""
+    path preserved every row. Names/paths are per-(SF, Spark app):
+    the applicationId suffix keeps two concurrent drivers against the
+    same SF from racing each other's overwrite (ADVICE r11) while
+    re-runs within one session stay idempotent (C3, overwrite mode)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    app_tag = spark.sparkContext.applicationId.replace("-", "_")
     sf_tag = (
         os.path.basename(os.path.normpath(sf_dir)).replace(".", "_") or "sf"
-    )
+    ) + f"_{app_tag}"
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{sf_tag}")
     o_table = f"bucketed_orders_{sf_tag}"
     c_table = f"bucketed_customer_{sf_tag}"

@@ -145,7 +145,10 @@ def connected_components_star(
     base = e.distinct().localCheckpoint(eager=True)
     cur = base
     n_cur = cur.count()
+    converged = n_cur == 0
     for _ in range(max_iter):
+        if converged:
+            break
         nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
         n_nxt = nxt.count()
         # cheap count gate first (both sides are checkpointed and
@@ -156,8 +159,14 @@ def connected_components_star(
             nxt.exceptAll(cur).limit(1).count() == 0
         )
         cur, n_cur = nxt, n_nxt
-        if converged:
-            break
+    if not converged:
+        # loud failure (ADVICE r11): labels read off a non-star edge
+        # set would be silently wrong components.
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"max_iter={max_iter} rounds ({n_cur} edges remaining); "
+            f"raise max_iter — rounds needed are O(log n)"
+        )
     # star forest: every edge is (node, root). Roots label themselves.
     # NB: nodes derive from the CHECKPOINTED edge set — deriving from
     # `e` would re-execute the (possibly expensive) upstream pair

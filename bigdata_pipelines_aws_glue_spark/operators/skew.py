@@ -49,7 +49,21 @@ def salted_skew_join(
     small-side keys; pinned by pytest on a constructed 90%-hot key).
     Use when AQE's skew-join splitting isn't available or the skew is
     known up front; cost is ``buckets``× the small side's shuffle
-    volume, which is the cheap side by construction."""
+    volume, which is the cheap side by construction.
+
+    Only join types where the replicated small side cannot surface
+    unmatched rows are allowed: a right/full outer join would emit an
+    unmatched small-side row once per salt replica (``buckets`` copies
+    null-extended) instead of once, silently breaking the
+    row-identity guarantee. (ADVICE r11.)"""
+    safe = {"inner", "left", "left_outer", "leftouter", "left_semi",
+            "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_skew_join: how={how!r} breaks row-identity — an "
+            f"unmatched small-side row appears once per salt replica; "
+            f"allowed: {sorted(safe)}"
+        )
     salted = big.withColumn(
         "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
     )

@@ -7,16 +7,21 @@ are dominated by:
 - both byte orders (``II`` little-endian and ``MM`` big-endian);
 - 8-bit grayscale (photometric 1) and 8-bit RGB (photometric 2),
   chunky planar config;
-- Compression 1 (none) and 32773 (PackBits, the Apple RLE every
-  baseline reader must support);
+- Compression 1 (none), 32773 (PackBits, the Apple RLE every
+  baseline reader must support), 5 (LZW — BOTH code-width schedules:
+  the natural bump at 512/1024/2048 that javax/JDK writes, and the
+  TIFF6-spec EarlyChange schedule libtiff/PDF use; encoder flag,
+  decoder retry), and 8/32946 (Deflate/ZLib, bounded inflate);
+- the TIFF horizontal-differencing predictor (tag 317 = 2) on both
+  the encode and decode paths;
 - multi-strip layout (``RowsPerStrip``/``StripOffsets``/
   ``StripByteCounts``), the unit a 100 TB scan pipeline parallelizes
   on.
 
-Everything else (LZW, JPEG-in-TIFF, tiles, planar=2, 16-bit,
-predictors) raises ``NotImplementedError`` LOUDLY at the dispatch
-point — the integration seam where a real deployment wires
-PIL/libtiff, same contract as ``multimodal.decode_image``.
+What actually remains — tiles, planar configuration 2, 16-bit
+samples, and JPEG-in-TIFF — raises ``NotImplementedError`` LOUDLY at
+the dispatch point — the integration seam where a real deployment
+wires PIL/libtiff, same contract as ``multimodal.decode_image``.
 
 Validator: javax.imageio ships a TIFF plugin since Java 9, so the
 encoder is cross-validated pixel-for-pixel against Java's reader and
@@ -453,7 +458,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         elif comp in (8, 32946):
             import zlib
 
-            raw = zlib.decompress(raw)
+            # bound the inflate at the expected strip size (ADVICE
+            # r11): a small hostile strip can otherwise balloon to an
+            # arbitrarily large buffer before the truncation below —
+            # the PackBits/LZW paths already stop at `expected`.
+            d = zlib.decompressobj()
+            raw = d.decompress(raw, rows * row_bytes)
         if len(raw) < rows * row_bytes:
             raise ValueError("TIFF: truncated strip")
         raw = raw[: rows * row_bytes]

@@ -117,3 +117,22 @@ def test_star_contraction_matches_truth_and_label_prop(spark):
         for r in connected_components_star(df).collect()
     }
     assert lp == st
+
+
+def test_star_contraction_raises_on_max_iter_exhaustion(spark):
+    """Non-convergence must be LOUD (ADVICE r11): labels read off a
+    non-star edge set would be silently wrong components."""
+    import pytest
+
+    from bigdata_pipelines_aws_glue_spark.operators.clustering import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(df, max_iter=1)
+    # empty edge set is trivially converged, no raise
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components_star(empty).count() == 0

@@ -175,3 +175,21 @@ def test_salted_skew_join_row_identical_on_hot_key(spark):
     assert got == want
     # hot key matched twice per big row (duplicate small keys)
     assert sum(1 for k, _, _ in got if k == 7) == 1800
+
+
+def test_salted_skew_join_rejects_outer_how(spark):
+    """how=right/full must raise (ADVICE r11): an unmatched small-side
+    row would surface once per salt replica, breaking row-identity."""
+    import pytest
+
+    from bigdata_pipelines_aws_glue_spark.operators.skew import (
+        salted_skew_join,
+    )
+
+    big = spark.createDataFrame([(1, 1)], "k long, payload long")
+    small = spark.createDataFrame([(2, "x")], "k long, label string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="row-identity"):
+            salted_skew_join(big, small, ["k"], buckets=4, how=how)
+    # the safe set still works
+    assert salted_skew_join(big, small, ["k"], how="left").count() == 1

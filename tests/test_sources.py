@@ -140,7 +140,11 @@ def test_bucketed_join_elides_exchange(spark, sf_dir):
     }
     assert first and all(n > 0 for n, _ in first.values())
 
-    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    app_tag = spark.sparkContext.applicationId.replace("-", "_")
+    sf_tag = (
+        sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+        + f"_{app_tag}"
+    )
     o = spark.table(f"default.bucketed_orders_{sf_tag}")
     c = spark.table(f"default.bucketed_customer_{sf_tag}")
     plan = (
