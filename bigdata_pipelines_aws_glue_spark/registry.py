@@ -184,6 +184,7 @@ def _load_all() -> None:
         "cdc",
         "adpcm",
         "tiff",
+        "markup",
         "spatial",
         "stattests",
         "cohorts",
