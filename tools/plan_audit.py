@@ -299,6 +299,13 @@ WHITELIST: dict[str, dict[str, str]] = {
         "is a pure (band,key) equi-join",
         "ForcedBroadcastUnbounded": "N_QUERIES signature sample on the brute side",
     },
+    "binary_multiword_mih_multiprobe_recall_at10": {
+        "BroadcastNestedLoopJoin": "same brute multi-word exact baseline as "
+        "binary_multiword_mih_recall_at10 (bounded N_QUERIES sample); the "
+        "multiprobe MIH side is a pure (band,key) equi-join with the 9x "
+        "probe expansion on the bounded query side only",
+        "ForcedBroadcastUnbounded": "N_QUERIES signature sample on the brute side",
+    },
     "binary_mih_recall_at10": {
         "BroadcastNestedLoopJoin": "the exact-baseline side is cosine_topk over the bounded "
         "N_QUERIES audit sample; the MIH side itself is a (band, "
