@@ -23,6 +23,8 @@ identical Jaccard pair list.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,6 +34,37 @@ from bigdata_pipelines_aws_glue_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+#: checkpointed Jaccard pair sets keyed on (applicationId, sf_dir,
+#: threshold) — ``dedup_clusters`` and ``dedup_clusters_star`` consume
+#: the IDENTICAL pair list (that identity is the point of the
+#: cross-algorithm attestation), so within one driver session the
+#: expensive shingle self-join runs once, not once per CC algorithm
+#: (VERDICT r11 #6). Keying on applicationId makes a stale entry from
+#: a stopped session unreachable rather than wrongly reused.
+_PAIR_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def jaccard_pairs_checkpointed(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """The shared, lineage-truncated Jaccard>=threshold pair stage.
+    ``localCheckpoint(eager=True)`` both caps the iterative-CC plan
+    growth and materializes the pair blocks once for every consumer
+    in the session."""
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.normpath(sf_dir),
+        threshold,
+    )
+    df = _PAIR_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        df = ngram_jaccard_pairs(docs, threshold=threshold).localCheckpoint(
+            eager=True
+        )
+        _PAIR_CACHE[key] = df
+    return df
 
 
 def connected_components(
@@ -216,7 +249,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 end-to-end: Jaccard>=0.8 pairs -> connected components ->
     per-document cluster assignment + canonical election."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    pairs = jaccard_pairs_checkpointed(spark, sf_dir, threshold=0.8)
     return assign_dedup_clusters(docs, pairs)
 
 
@@ -257,7 +290,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs whose diameter is NOT clique-like (provenance chains,
     citation paths): rounds scale with log n, not diameter."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    pairs = jaccard_pairs_checkpointed(spark, sf_dir, threshold=0.8)
     comp = connected_components_star(pairs, src="doc_a", dst="doc_b")
     return docs.join(
         comp.select(F.col("node").alias("doc_id"), F.col("component")),
