@@ -28,81 +28,74 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy in ``tools/rotate_priority.py``, which
-#: generated this window). Round-11 window (VERDICT_r10 item 1 —
-#: executed as the r10 comment planned, then re-cut as each batch of
-#: r11 additions landed BEFORE the driver ran; every re-cut trades
-#: oldest-r6 slots for never-attested fresh rows, strictly more
-#: evidence under the same policy): (a) FORCED — the 13 round-11
-#: additions (multi-word binary ANN trio, ``dedup_simhash_hamming``,
-#: the asymmetric-distance pair, ``dedup_simhash_clusters``, the MIH
-#: multiprobe pair, ``bucketed_join_colocation``,
-#: ``salted_join_supplier_revenue``, ``multimodal_tiff_roundtrip``,
-#: ``dedup_clusters_star``) plus the 2 ADPCM rows whose ORACLES
-#: changed this round (NULL-text coalesce fix, ADVICE_r10 item 1 — a
-#: changed oracle must re-attest even though the Spark side is
-#: untouched); (b) the 4 remaining never-attested late-r10
-#: binary-ANN rows (never-attested sorts first automatically);
-#: (c) the 31 oldest r6-last-green rows, filling 50 exactly. Every
-#: name in this window was verified green in PLAIN_SESSION at sf0.01
-#: this round before the rotation commit; the 15 forced rows also at
-#: sf0.1 (scale twin where registered) + plan audit.
+#: generated this window). Round-12 window (VERDICT_r11 item 1 —
+#: executed exactly as the r11 comment's arithmetic planned):
+#: (a) FORCED — the 5 round-12 additions (HTML/markup-extraction
+#: trio ``html_strip_text``/``boilerplate_density``/
+#: ``html_main_content``, plus the composed multi-word MIH
+#: multiprobe pair — never-attested sorts first automatically);
+#: (b) the 12 remaining r6-last-green rows; (c) the 33 oldest
+#: r7-last-green rows, filling 50 exactly. Every name in this window
+#: was verified green in PLAIN_SESSION at sf0.01 this round before
+#: the rotation commit (the 5 forced rows also at sf0.1 with scale
+#: twins where registered, + plan audit).
 #:
-#: Round-12 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 211 oracled
-#: rows — 12 still-r6, then the r7 block (50), r8 (50), r9 (50),
-#: r10 (49). So the r12 window = any r12 additions + those 12 r6
-#: rows + oldest-r7 to fill 50. Steady state, purely age-driven.
+#: Round-13 arithmetic (from tools/rotate_priority.py this round):
+#: after this window attests, the deferred remainder is 216 oracled
+#: rows — 17 still-r7, then r8 (50), r9 (50), r10 (49), r11 (50).
+#: So the r13 window = any r13 additions + those 17 r7 rows +
+#: oldest-r8 to fill 50. Steady state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
-    "binary_multiword_topk",
-    "binary_multiword_mih_topk",
-    "binary_multiword_mih_recall_at10",
-    "dedup_simhash_hamming",
-    "binary_asymmetric_topk",
-    "binary_asymmetric_recall_at10",
-    "dedup_simhash_clusters",
-    "binary_mih_multiprobe_topk",
-    "binary_mih_multiprobe_recall_at10",
-    "bucketed_join_colocation",
-    "salted_join_supplier_revenue",
-    "multimodal_tiff_roundtrip",
-    "dedup_clusters_star",
-    "multimodal_audio_adpcm",
-    "multimodal_audio_adpcm_stereo",
-    "binary_hamming_topk",
-    "binary_hamming_recall_at10",
-    "binary_mih_topk",
-    "binary_mih_recall_at10",
-    "dedup_content_hash",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_neardup_pipeline",
-    "dedup_incremental_neardup",
-    "dedup_simhash",
-    "dedup_clusters",
-    "corpus_curation_summary",
-    "sequence_pack_chunks",
-    "curation_funnel_report",
-    "chunk_fill_report",
-    "embedding_quantize_int8",
-    "text_stats",
-    "doc_sentiment_lexicon",
-    "gopher_quality_filter",
-    "kmeans_embeddings",
-    "pq_topk_sampled",
-    "pq_sampled_recall_at10",
-    "multimodal_bytes_meta",
-    "stratified_sample",
-    "weighted_sample_topk",
-    "skew_safe_agg",
-    "q4_late_shipment_priority",
-    "q22_idle_customers",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "seasonal_decompose_daily",
-    "count_min_sketch",
-    "corpus_mix_weights",
-    "corpus_token_entropy",
+    "binary_multiword_mih_multiprobe_topk",
+    "binary_multiword_mih_multiprobe_recall_at10",
+    "html_strip_text",
+    "boilerplate_density",
+    "html_main_content",
+    "crossdoc_shingle_dup",
+    "quality_classifier_train",
+    "quality_classifier_weights",
+    "zorder_layout",
+    "zorder_pruning_gain",
+    "fuzzy_match_parts",
+    "er_golden_record",
+    "split_token_drift",
+    "k_anonymity_audit",
+    "market_basket_pairs",
+    "compaction_plan",
+    "ewma_anomaly_per_user",
+    "q1_pricing_summary",
+    "sales_trends_monthly",
+    "approx_quantiles_accuracy",
+    "events_variant_props",
+    "lsh_candidate_quality",
+    "top_terms_per_lang",
+    "doc_repetition_stats",
+    "lang_id_markers",
+    "token_count_bpe",
+    "doc_fingerprint",
+    "pii_scrub_report",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "ann_lsh_recall_at10",
+    "ann_lsh_multiprobe_recall_at10",
+    "dedup_embedding_cosine",
+    "matryoshka_topk",
+    "matryoshka_recall_at10",
+    "multimodal_resize",
+    "multimodal_mp4_frames",
+    "split_contamination_matrix",
+    "deterministic_shuffle",
+    "train_val_test_split",
+    "source_cap_sample",
+    "sql_udf_revenue",
+    "safe_arithmetic",
+    "map_functions",
+    "xml_roundtrip_orders",
+    "string_functions",
+    "date_functions",
+    "array_functions",
+    "sql_correlated_delta",
+    "zorder_layout_key",
 )
 
 
