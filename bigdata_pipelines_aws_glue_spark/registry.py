@@ -178,6 +178,7 @@ def _load_all() -> None:
         "adpcm",
         "tiff",
         "markup",
+        "bloomjoin",
         "spatial",
         "stattests",
         "cohorts",
