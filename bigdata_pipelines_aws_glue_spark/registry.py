@@ -179,6 +179,7 @@ def _load_all() -> None:
         "tiff",
         "markup",
         "bloomjoin",
+        "contrastive",
         "spatial",
         "stattests",
         "cohorts",
