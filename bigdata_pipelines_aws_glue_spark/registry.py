@@ -180,6 +180,7 @@ def _load_all() -> None:
         "markup",
         "bloomjoin",
         "contrastive",
+        "links",
         "spatial",
         "stattests",
         "cohorts",

@@ -1,0 +1,75 @@
+"""Link extraction edge cases: scheme filtering, host/path parsing,
+internal-vs-external split, and fixture composition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark.operators.links import (
+    _HOST_RE,
+    _PATH_RE,
+    _http_links,
+    extract_links,
+    link_host_degree,
+)
+
+
+def test_scheme_filtering(spark):
+    html = (
+        '<a href="https://a.test/x">1</a> <a href="#frag">2</a> '
+        '<a href="mailto:x@y.test">3</a> <a href="/rel">4</a> '
+        '<a href="http://b.test">5</a> <a href="ftp://c.test/f">6</a>'
+    )
+    df = spark.createDataFrame([(html,)], "html string").select(
+        _http_links(F.col("html")).alias("links")
+    )
+    assert df.collect()[0]["links"] == [
+        "https://a.test/x",
+        "http://b.test",
+    ]
+
+
+def test_host_and_path_parsing(spark):
+    df = spark.createDataFrame(
+        [("https://h.test",), ("https://h.test/",), ("http://h.test/a/b?q=1",)],
+        "url string",
+    ).select(
+        F.regexp_extract("url", _HOST_RE, 1).alias("host"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("url", _PATH_RE, 1), F.lit("")),
+            F.lit("/"),
+        ).alias("path"),
+    )
+    rows = [tuple(r) for r in df.collect()]
+    assert rows == [
+        ("h.test", "/"),
+        ("h.test", "/"),
+        ("h.test", "/a/b?q=1"),
+    ]
+
+
+def test_fixture_counts(spark, sf_dir):
+    rows = extract_links(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # base fixture: 5 relative anchors; link block: 3 http +
+        # fragment + mailto -> 10 hrefs, 3 http
+        assert r["n_hrefs"] == 10
+        assert r["n_http"] == 3
+        assert r["n_internal"] == 2
+        assert r["n_external"] == 1
+        assert r["n_hosts"] in (1, 2)  # t1 == t2 can't collapse hosts
+
+
+def test_host_degree_consistency(spark, sf_dir):
+    deg = link_host_degree(spark, sf_dir).collect()
+    total_docs = extract_links(spark, sf_dir).count()
+    # every doc emits exactly 3 http links
+    assert sum(r["n_links"] for r in deg) == 3 * total_docs
+    for r in deg:
+        assert r["n_src_docs"] <= r["n_links"]
+        assert r["n_paths"] <= r["n_links"]
+        assert (
+            r["host"].endswith(".example.test")
+            or r["host"].endswith(".assets.test")
+        )
