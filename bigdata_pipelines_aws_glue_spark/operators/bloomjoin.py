@@ -10,6 +10,17 @@ operator form is deterministic, engine-replayable, and usable where
 the optimizer won't inject one (non-equi pre-aggregations, unions,
 handwritten pipelines).
 
+Sibling: ``operators/datasketches.py:377`` (``bloom_membership_audit``)
+is the *mergeable-sketch* form of a Bloom filter — md5-derived bits
+kept distributed as an m-bounded position table, FPR audited against
+the theoretical curve. THIS module is the *runtime filter* form: the
+filter collapses to a literal word list broadcast into the fact
+scan's row-level predicate (the shape Spark's
+``runtime.bloomFilter`` rule injects), which is what cuts shuffle
+I/O before a join. Different hash family on purpose — arithmetic
+double-hashing here keeps the probe k integer ops with no md5 in
+the fact table's hot path.
+
 Mechanics (all pure JVM expressions — no Python workers):
 
 - **Hashing** is arithmetic double-hashing (Kirsch-Mitzenmacher:

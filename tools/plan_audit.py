@@ -258,6 +258,19 @@ WHITELIST: dict[str, dict[str, str]] = {
         "ForcedBroadcastUnbounded": "query side is the fixed N_QUERIES (vec_id < 50) sample — "
         "documented recall baseline",
     },
+    "hard_negative_pairs": {
+        "BroadcastNestedLoopJoin": "anchor side is the bounded N_QUERIES broadcast against the "
+        "corpus (the cosine_topk shape with a label-inequality "
+        "condition); anchors are a training batch by construction — "
+        "corpus x corpus mining goes through the LSH/MIH bucketed "
+        "candidate generators instead",
+        "ForcedBroadcastUnbounded": "anchor side is the fixed N_QUERIES (vec_id < 50) sample",
+    },
+    "contrastive_triplets": {
+        "BroadcastNestedLoopJoin": "same bounded N_QUERIES anchor broadcast, scored once and "
+        "consumed by both the positive and negative window picks",
+        "ForcedBroadcastUnbounded": "anchor side is the fixed N_QUERIES (vec_id < 50) sample",
+    },
     "binary_hamming_topk": {
         "BroadcastNestedLoopJoin": "query side is a bounded broadcast (N_QUERIES 64-bit "
         "signatures) against the corpus signatures — the cosine_topk "
