@@ -29,21 +29,24 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy in ``tools/rotate_priority.py``, which
 #: generated this window). Round-12 window (VERDICT_r11 item 1 —
-#: executed exactly as the r11 comment's arithmetic planned):
-#: (a) FORCED — the 5 round-12 additions (HTML/markup-extraction
-#: trio ``html_strip_text``/``boilerplate_density``/
-#: ``html_main_content``, plus the composed multi-word MIH
-#: multiprobe pair — never-attested sorts first automatically);
-#: (b) the 12 remaining r6-last-green rows; (c) the 33 oldest
-#: r7-last-green rows, filling 50 exactly. Every name in this window
-#: was verified green in PLAIN_SESSION at sf0.01 this round before
-#: the rotation commit (the 5 forced rows also at sf0.1 with scale
-#: twins where registered, + plan audit).
+#: executed exactly as the r11 comment's arithmetic planned, then
+#: RE-CUT once as the 6 late-r12 additions landed — the r11
+#: precedent: every re-cut trades oldest-fill slots for
+#: never-attested fresh rows, strictly more evidence under the same
+#: policy): (a) the 11 round-12 additions (HTML/markup trio, the
+#: composed multi-word MIH multiprobe pair, the bloom-prefilter
+#: pair, the contrastive-mining pair, the link-extraction pair —
+#: never-attested sorts first automatically); (b) the 12 remaining
+#: r6-last-green rows; (c) the 27 oldest r7-last-green rows,
+#: filling 50 exactly. Every name in this window was verified green
+#: in PLAIN_SESSION at sf0.01 this round before the rotation
+#: commit (all 11 additions also at sf0.1, + plan audit on 280
+#: plans).
 #:
 #: Round-13 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 216 oracled
-#: rows — 17 still-r7, then r8 (50), r9 (50), r10 (49), r11 (50).
-#: So the r13 window = any r13 additions + those 17 r7 rows +
+#: after this window attests, the deferred remainder is 222 oracled
+#: rows — 23 still-r7, then r8 (50), r9 (50), r10 (49), r11 (50).
+#: So the r13 window = any r13 additions + those 23 r7 rows +
 #: oldest-r8 to fill 50. Steady state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
     "binary_multiword_mih_multiprobe_topk",
@@ -51,6 +54,12 @@ PRIORITY: tuple[str, ...] = (
     "html_strip_text",
     "boilerplate_density",
     "html_main_content",
+    "bloom_semijoin_revenue",
+    "bloom_filter_stats",
+    "hard_negative_pairs",
+    "contrastive_triplets",
+    "extract_links",
+    "link_host_degree",
     "crossdoc_shingle_dup",
     "quality_classifier_train",
     "quality_classifier_weights",
@@ -90,12 +99,6 @@ PRIORITY: tuple[str, ...] = (
     "sql_udf_revenue",
     "safe_arithmetic",
     "map_functions",
-    "xml_roundtrip_orders",
-    "string_functions",
-    "date_functions",
-    "array_functions",
-    "sql_correlated_delta",
-    "zorder_layout_key",
 )
 
 
