@@ -217,8 +217,172 @@ GROUP BY host
 )
 
 
+#: PageRank geometry (matches ``operators/graph.py:43`` — same
+#: damping, same 1e-9 contribution quantization, same unrolled
+#: DuckDB round replay).
+PR_DAMP = 0.85
+PR_ITERS = 5
+PR_TOPN = 20
+_Q9 = 1e9
+#: internal doc-to-doc link target: the trailing id of an
+#: own-language ``/doc/{t}`` URL.
+_DOC_TARGET_RE = r"/doc/([0-9]+)$"
+
+
+def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (src, dst) doc-to-doc edges parsed back out of the
+    synthesized HTML (extraction -> graph composition, not fixture
+    arithmetic), restricted to targets that exist in the corpus.
+    t1 == t2 collapses under distinct; t == doc_id is a legal
+    self-loop (doc 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
+    own_host = F.concat(F.col("lang"), F.lit(".example.test"))
+    internal = F.filter(
+        _http_links(html),
+        lambda x: F.regexp_extract(x, _HOST_RE, 1) == own_host,
+    )
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(internal).alias("url"),
+        )
+        .select(
+            "src",
+            F.regexp_extract(F.col("url"), _DOC_TARGET_RE, 1)
+            .cast("long")
+            .alias("dst"),
+        )
+        .distinct()
+    )
+    targets = docs.select(F.col("doc_id").alias("dst"))
+    return edges.join(targets, "dst", "left_semi")
+
+
+def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``PR_TOPN`` documents by PageRank over the extracted link
+    graph after ``PR_ITERS`` synchronous rounds — the HTML -> links
+    -> graph -> quality-prior composition a crawl pipeline runs.
+    Same engine-exact kernel as ``pagerank_trade_graph``
+    (``operators/graph.py:72``): contributions quantize to 1e-9
+    before the sum, the oracle unrolls the rounds as CTEs.
+
+    Simplification shared with the trade-graph form (deliberate,
+    replayed identically by the oracle): no dangling-mass
+    redistribution — a node with no surviving out-edges leaks its
+    mass, and nodes without inlinks hold no rank after round 1. At
+    sf<=0.01 about half the mod-997 targets fall outside the corpus
+    (dropped by the existence semi-join), so the graph genuinely
+    exercises both cases."""
+    edges = _doc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    from bigdata_pipelines_aws_glue_spark.functions.rounding import dec_qsum
+
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # checkpoint the normalized edge list too: every round joins it,
+    # and without this the outdegree join re-executes per round
+    # (5 extra shuffles over the constant graph)
+    e = (
+        edges.join(outd, "src")
+        .select(
+            "src",
+            "dst",
+            (F.lit(1.0) / F.col("deg").cast("double")).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select("src").distinct()
+    n_nodes = nodes.count()
+    rank = nodes.select(
+        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
+    ).localCheckpoint(eager=True)
+    teleport = (1.0 - PR_DAMP) / n_nodes
+    for _ in range(PR_ITERS):
+        contrib = e.join(rank, F.col("src") == F.col("node")).select(
+            "dst", (F.col("r") * F.col("p")).alias("c")
+        )
+        rank = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(teleport)
+                    + F.lit(PR_DAMP)
+                    * (dec_qsum(F.col("c"), _Q9).cast("double") / F.lit(_Q9))
+                ).alias("r")
+            )
+            .localCheckpoint(eager=True)
+        )
+    from pyspark.sql import Window
+    from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+        stable_round,
+    )
+
+    top = rank.orderBy(F.col("r").desc(), F.col("node")).limit(PR_TOPN)
+    w_pos = Window.orderBy(F.col("r").desc(), F.col("node"))
+    return top.withColumn("pos", F.row_number().over(w_pos)).select(
+        "pos",
+        F.col("node").alias("doc_id"),
+        stable_round(F.col("r"), 9).alias("pagerank"),
+    )
+
+
+def _lpr_round(i: int) -> str:
+    return f"""r{i} AS (
+    SELECT e.dst AS node,
+           CAST({(1.0 - PR_DAMP)!r} AS DOUBLE) / (SELECT n FROM nn)
+             + {PR_DAMP} * (sum(CAST(floor(r.r * e.p * 1000000000.0 + 0.5)
+                                     AS BIGINT)) / 1000000000.0) AS r
+    FROM e JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst
+)"""
+
+
+LINK_PAGERANK_ORACLE = (
+    _LINKED_CTE
+    + f""",
+raw_edges AS (
+    SELECT DISTINCT doc_id AS src,
+           CAST(regexp_extract(u.url, '{_DOC_TARGET_RE}', 1) AS BIGINT)
+               AS dst
+    FROM (
+        SELECT doc_id, lang,
+               unnest(list_filter(
+                   regexp_extract_all(lhtml, '{_HREF_RE}', 1),
+                   x -> regexp_matches(x, '{_HTTP_RE}'))) AS url
+        FROM lh
+    ) u
+    WHERE regexp_extract(u.url, '{_HOST_RE}', 1)
+              = u.lang || '.example.test'
+),
+edges AS (
+    SELECT src, dst FROM raw_edges
+    WHERE dst IN (SELECT doc_id FROM documents)
+),
+outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+e AS (
+    SELECT src, dst, 1.0 / CAST(deg AS DOUBLE) AS p
+    FROM edges JOIN outd USING (src)
+),
+nn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM edges),
+r0 AS (
+    SELECT DISTINCT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM edges
+),
+{",".join(_lpr_round(i) for i in range(1, PR_ITERS + 1))},
+ranked AS (
+    SELECT node, r,
+           row_number() OVER (ORDER BY r DESC, node) AS pos
+    FROM r{PR_ITERS}
+)
+SELECT CAST(pos AS INT) AS pos,
+       node AS doc_id,
+       floor(r * 1000000000.0 + 0.5) / 1000000000.0 AS pagerank
+FROM ranked WHERE pos <= {PR_TOPN}
+"""
+)
+
+
 def _register() -> None:
     registry.register("extract_links", extract_links, EXTRACT_LINKS_ORACLE)
     registry.register(
         "link_host_degree", link_host_degree, HOST_DEGREE_ORACLE
     )
+    registry.register("link_pagerank", link_pagerank, LINK_PAGERANK_ORACLE)

@@ -33,20 +33,20 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: RE-CUT once as the 6 late-r12 additions landed — the r11
 #: precedent: every re-cut trades oldest-fill slots for
 #: never-attested fresh rows, strictly more evidence under the same
-#: policy): (a) the 11 round-12 additions (HTML/markup trio, the
+#: policy): (a) the 12 round-12 additions (HTML/markup trio, the
 #: composed multi-word MIH multiprobe pair, the bloom-prefilter
-#: pair, the contrastive-mining pair, the link-extraction pair —
-#: never-attested sorts first automatically); (b) the 12 remaining
-#: r6-last-green rows; (c) the 27 oldest r7-last-green rows,
-#: filling 50 exactly. Every name in this window was verified green
-#: in PLAIN_SESSION at sf0.01 this round before the rotation
-#: commit (all 11 additions also at sf0.1, + plan audit on 280
-#: plans).
+#: pair, the contrastive-mining pair, the link-extraction trio
+#: incl. ``link_pagerank`` — never-attested sorts first
+#: automatically); (b) the 12 remaining r6-last-green rows; (c) the
+#: 26 oldest r7-last-green rows, filling 50 exactly. Every name in
+#: this window was verified green in PLAIN_SESSION at sf0.01 this
+#: round before the rotation commit (all 12 additions also at
+#: sf0.1, + plan audit on 281 plans).
 #:
 #: Round-13 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 222 oracled
-#: rows — 23 still-r7, then r8 (50), r9 (50), r10 (49), r11 (50).
-#: So the r13 window = any r13 additions + those 23 r7 rows +
+#: after this window attests, the deferred remainder is 223 oracled
+#: rows — 24 still-r7, then r8 (50), r9 (50), r10 (49), r11 (50).
+#: So the r13 window = any r13 additions + those 24 r7 rows +
 #: oldest-r8 to fill 50. Steady state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
     "binary_multiword_mih_multiprobe_topk",
@@ -60,6 +60,7 @@ PRIORITY: tuple[str, ...] = (
     "contrastive_triplets",
     "extract_links",
     "link_host_degree",
+    "link_pagerank",
     "crossdoc_shingle_dup",
     "quality_classifier_train",
     "quality_classifier_weights",
@@ -98,7 +99,6 @@ PRIORITY: tuple[str, ...] = (
     "source_cap_sample",
     "sql_udf_revenue",
     "safe_arithmetic",
-    "map_functions",
 )
 
 

@@ -73,3 +73,20 @@ def test_host_degree_consistency(spark, sf_dir):
             r["host"].endswith(".example.test")
             or r["host"].endswith(".assets.test")
         )
+
+
+def test_link_pagerank_invariants(spark, sf_dir):
+    from bigdata_pipelines_aws_glue_spark.operators.links import (
+        PR_TOPN,
+        link_pagerank,
+    )
+
+    rows = link_pagerank(spark, sf_dir).collect()
+    assert len(rows) == PR_TOPN
+    assert [r["pos"] for r in rows] == list(range(1, PR_TOPN + 1))
+    ranks = [r["pagerank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r > 0 for r in ranks)
+    # total mass over ALL nodes stays <= 1 (mass leaks at dangling
+    # nodes, never appears from nowhere); top-20 certainly <= 1
+    assert sum(ranks) <= 1.0 + 1e-9
