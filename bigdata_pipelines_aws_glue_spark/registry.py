@@ -33,20 +33,20 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: RE-CUT once as the 6 late-r12 additions landed — the r11
 #: precedent: every re-cut trades oldest-fill slots for
 #: never-attested fresh rows, strictly more evidence under the same
-#: policy): (a) the 12 round-12 additions (HTML/markup trio, the
+#: policy): (a) the 14 round-12 additions (HTML/markup trio, the
 #: composed multi-word MIH multiprobe pair, the bloom-prefilter
 #: pair, the contrastive-mining pair, the link-extraction trio
-#: incl. ``link_pagerank`` — never-attested sorts first
-#: automatically); (b) the 12 remaining r6-last-green rows; (c) the
-#: 26 oldest r7-last-green rows, filling 50 exactly. Every name in
-#: this window was verified green in PLAIN_SESSION at sf0.01 this
-#: round before the rotation commit (all 12 additions also at
-#: sf0.1, + plan audit on 281 plans).
+#: incl. ``link_pagerank``, the WARC framing pair — never-attested
+#: sorts first automatically); (b) the 12 remaining r6-last-green
+#: rows; (c) the 24 oldest r7-last-green rows, filling 50 exactly.
+#: Every name in this window was verified green in PLAIN_SESSION at
+#: sf0.01 this round before the rotation commit (all 14 additions
+#: also at sf0.1, + plan audit on 283 plans).
 #:
 #: Round-13 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 223 oracled
-#: rows — 24 still-r7, then r8 (50), r9 (50), r10 (49), r11 (50).
-#: So the r13 window = any r13 additions + those 24 r7 rows +
+#: after this window attests, the deferred remainder is 225 oracled
+#: rows — 26 still-r7, then r8 (50), r9 (50), r10 (49), r11 (50).
+#: So the r13 window = any r13 additions + those 26 r7 rows +
 #: oldest-r8 to fill 50. Steady state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
     "binary_multiword_mih_multiprobe_topk",
@@ -61,6 +61,8 @@ PRIORITY: tuple[str, ...] = (
     "extract_links",
     "link_host_degree",
     "link_pagerank",
+    "warc_parse_records",
+    "warc_roundtrip_audit",
     "crossdoc_shingle_dup",
     "quality_classifier_train",
     "quality_classifier_weights",
@@ -97,8 +99,6 @@ PRIORITY: tuple[str, ...] = (
     "deterministic_shuffle",
     "train_val_test_split",
     "source_cap_sample",
-    "sql_udf_revenue",
-    "safe_arithmetic",
 )
 
 
@@ -184,6 +184,7 @@ def _load_all() -> None:
         "bloomjoin",
         "contrastive",
         "links",
+        "warc",
         "spatial",
         "stattests",
         "cohorts",

@@ -248,6 +248,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "blk of integer cents / 1e5): bounded by the PRICE DOMAIN "
         "(~600 rows), independent of row volume",
     },
+    "warc_roundtrip_audit": {
+        "BroadcastNestedLoopJoin": "1-row blob-level totals x 1-row payload-match totals "
+        "crossJoin for the single audit row — scalar join",
+    },
     "hll_vocab_rollup": {
         "BroadcastNestedLoopJoin": "1-row global-exact x 1-row union-estimate crossJoin for the ALL "
         "row — scalar join",
