@@ -590,3 +590,114 @@ def test_adpcm_wav_roundtrip_any_pcm_shape(samples):
     assert frames.dtype == np.int16
     # first sample of every 505-sample block is stored verbatim
     assert int(frames.reshape(-1)[0]) == int(pcm[0])
+
+
+# ------------------------------------------------ WARC framing (r12)
+
+_CRLF = "\r\n"
+
+
+def _py_warc_record(doc_id: int, payload: str) -> str:
+    return (
+        f"WARC/1.0{_CRLF}WARC-Type: response{_CRLF}"
+        f"WARC-Record-ID: <urn:doc:{doc_id}>{_CRLF}"
+        f"WARC-Target-URI: https://en.example.test/doc/{doc_id}{_CRLF}"
+        f"Content-Length: {len(payload)}{_CRLF}{_CRLF}"
+        f"{payload}{_CRLF}{_CRLF}"
+    )
+
+
+def _py_warc_parse(blob: str, max_recs: int = 64):
+    """Pure-python mirror of the Spark fold / DuckDB CTE step
+    arithmetic in operators/warc.py (1-based offsets kept)."""
+    off = 1
+    recs = []
+    for _ in range(max_recs):
+        if not (off < len(blob) and blob[off - 1 : off + 7] == "WARC/1.0"):
+            break
+        rest = blob[off - 1 :]
+        hdr_end = rest.find(_CRLF + _CRLF) + 1  # 1-based like instr
+        import re
+
+        clen = int(re.search(r"Content-Length: ([0-9]+)", rest).group(1))
+        pay_start = off + hdr_end - 1 + 4
+        recs.append(blob[pay_start - 1 : pay_start - 1 + clen])
+        off = off + hdr_end - 1 + 4 + clen + 4
+    return off, recs
+
+
+#: payloads may contain CRLF, the record marker, fake headers —
+#: Content-Length framing must not care.
+warc_payloads = st.lists(
+    st.text(
+        alphabet=st.sampled_from(
+            list("abcXYZ 0123456789:<>/") + ["\r", "\n"]
+        ),
+        max_size=40,
+    ).map(lambda s: s),
+    min_size=0,
+    max_size=6,
+)
+
+
+@given(warc_payloads)
+@settings(max_examples=300, deadline=None)
+def test_warc_framing_roundtrip_any_payload(payloads):
+    blob = "".join(
+        _py_warc_record(i, p) for i, p in enumerate(payloads)
+    )
+    off, recs = _py_warc_parse(blob)
+    assert recs == payloads
+    assert off == len(blob) + 1
+
+
+@given(warc_payloads)
+@settings(max_examples=100, deadline=None)
+def test_warc_framing_survives_marker_injection(payloads):
+    evil = [p + "WARC/1.0\r\nContent-Length: 7\r\n\r\n" for p in payloads]
+    blob = "".join(_py_warc_record(i, p) for i, p in enumerate(evil))
+    _, recs = _py_warc_parse(blob)
+    assert recs == evil
+
+
+# ------------------------------------------------ bloom packing (r12)
+
+from bigdata_pipelines_aws_glue_spark.operators.bloomjoin import (  # noqa: E402
+    _A1,
+    _A2,
+    _B1,
+    _B2,
+    _P,
+)
+
+
+def _py_positions(key: int, m: int, k: int) -> list[int]:
+    h = key % _P
+    h1 = (_A1 * h + _B1) % _P
+    h2 = ((_A2 * h + _B2) % (_P - 1)) + 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), max_size=60),
+    st.lists(st.integers(min_value=0, max_value=2**40), max_size=60),
+)
+@settings(max_examples=200, deadline=None)
+def test_bloom_bitset_equals_set_semantics(build, probe):
+    """The equivalence the oracle rests on: the Spark 63-bit-word
+    bitset test must equal DuckDB's all-positions-in-set test."""
+    m, k = 1024, 3
+    words = [0] * ((m + 62) // 63)
+    posset = set()
+    for key in build:
+        for pos in _py_positions(key, m, k):
+            posset.add(pos)
+            words[pos // 63] |= 1 << (pos % 63)
+    for key in build + probe:
+        via_bits = all(
+            words[p // 63] >> (p % 63) & 1 for p in _py_positions(key, m, k)
+        )
+        via_set = all(p in posset for p in _py_positions(key, m, k))
+        assert via_bits == via_set
+        if key in build:
+            assert via_bits  # no false negatives, ever
