@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
 from bigdata_pipelines_aws_glue_spark.operators.dedup import (
     _shingles,
     _tokens,
@@ -798,7 +799,85 @@ FROM sel CROSS JOIN tot
 """
 
 
+# ---------------------------------------------------------------- r12
+#: global raw-score keep threshold and the normalized (per-source
+#: percentile) keep threshold it is compared against.
+QN_RAW_THRESHOLD = 0.5
+QN_PCT_THRESHOLD = 0.5
+
+
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-score calibration ([north-star] curation
+    adjacency): a single global threshold on a raw quality score
+    keeps very different fractions of each source (sources write
+    differently — mean distinct-token ratio spans 0.45..0.56 on this
+    corpus), silently skewing the training mix. The standard fix is
+    QUANTILE NORMALIZATION: rank each doc within its source
+    (percent_rank) and threshold the percentile instead, equalizing
+    keep rates by construction.
+
+    Emits the per-source audit: docs, raw-threshold keeps vs
+    percentile-threshold keeps, and the raw-score spread. The score
+    is the continuous distinct-token ratio (rounded to 1e-6 BEFORE
+    ranking so both engines rank identical keys; ties then break on
+    doc_id, making percent_rank deterministic). One narrow window
+    per source + one hash aggregation — no corpus-wide sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    raw = stable_round(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double"),
+        6,
+    )
+    d = docs.select("doc_id", "source", raw.alias("raw"))
+    w = Window.partitionBy("source").orderBy("raw", "doc_id")
+    d = d.withColumn("pr", F.percent_rank().over(w))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("raw") >= F.lit(QN_RAW_THRESHOLD)).cast("long")).alias(
+            "n_keep_raw"
+        ),
+        F.sum((F.col("pr") >= F.lit(QN_PCT_THRESHOLD)).cast("long")).alias(
+            "n_keep_norm"
+        ),
+        stable_round(F.min("raw"), 6).alias("min_raw"),
+        stable_round(F.max("raw"), 6).alias("max_raw"),
+    )
+
+
+QUANTILE_NORM_ORACLE = f"""
+WITH s AS (
+    SELECT doc_id, source,
+           floor(len(list_distinct(string_split(trim(text), ' ')))::DOUBLE
+                 / len(string_split(trim(text), ' ')) * 1000000.0 + 0.5)
+             / 1000000.0 AS raw
+    FROM documents
+),
+r AS (
+    SELECT source, raw,
+           percent_rank() OVER (PARTITION BY source
+                                ORDER BY raw, doc_id) AS pr
+    FROM s
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN raw >= {QN_RAW_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep_raw,
+       CAST(sum(CASE WHEN pr >= {QN_PCT_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep_norm,
+       floor(min(raw) * 1000000.0 + 0.5) / 1000000.0 AS min_raw,
+       floor(max(raw) * 1000000.0 + 0.5) / 1000000.0 AS max_raw
+FROM r
+GROUP BY source
+"""
+
+
 def _register() -> None:
+    registry.register(
+        "quality_quantile_normalize",
+        quality_quantile_normalize,
+        QUANTILE_NORM_ORACLE,
+    )
     registry.register(
         "sequence_pack_chunks", sequence_pack_chunks, SEQUENCE_PACK_ORACLE
     )

@@ -285,3 +285,20 @@ def test_greedy_batched_vs_sequential(spark, sf_dir):
 
     with pytest.raises(ValueError, match="serialized driver job"):
         greedy_coverage_batched(spark, sf_dir, rounds=65)
+
+
+def test_quantile_normalize_equalizes_keep_rates(spark, sf_dir):
+    from bigdata_pipelines_aws_glue_spark.operators.curation import (
+        QN_PCT_THRESHOLD,
+        quality_quantile_normalize,
+    )
+
+    rows = quality_quantile_normalize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_keep_raw"] <= r["n_docs"]
+        # percentile threshold keeps the same fraction of EVERY
+        # source by construction (+1 for the pr=0 row edge)
+        expect = r["n_docs"] - int((r["n_docs"] - 1) * QN_PCT_THRESHOLD)
+        assert abs(r["n_keep_norm"] - expect) <= 1
+        assert r["min_raw"] <= r["max_raw"]
