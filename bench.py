@@ -53,6 +53,12 @@ EXTENDED = [
     # where the measurement protocol is explicit.
     "dedup_simhash_hamming",
     "multimodal_tiff_roundtrip",
+    # r12 families: one representative each for markup/links (regex
+    # extraction), the bloom runtime prefilter (incl. its build
+    # collect), and the WARC framing fold.
+    "extract_links",
+    "bloom_semijoin_revenue",
+    "warc_parse_records",
 ]
 
 
