@@ -132,8 +132,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out_rows, schema)
 
 
-def _bpe_oracle() -> str:
-    """Unrolled DuckDB replay of the merge rounds (see module doc)."""
+def _bpe_ctes() -> list[str]:
+    """Unrolled DuckDB replay of the merge rounds (see module doc),
+    as the shared CTE list behind BOTH oracles (training audit and
+    corpus encode)."""
     ctes = [
         """v1 AS (
     SELECT word, CAST(count(*) AS BIGINT) AS freq,
@@ -200,14 +202,111 @@ o{k} AS (
     FROM best{k} bb
 )"""
         )
-    unions = "\nUNION ALL\n".join(
-        f"SELECT * FROM o{k}" for k in range(1, NUM_MERGES + 1)
+    return ctes
+
+
+_BPE_UNIONS = "\nUNION ALL\n".join(
+    f"SELECT * FROM o{k}" for k in range(1, NUM_MERGES + 1)
+)
+
+BPE_ORACLE = "WITH " + ",\n".join(_bpe_ctes()) + "\n" + _BPE_UNIONS
+
+
+def _train_final_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training loop of :func:`bpe_train_merges` without the
+    per-round corpus-symbol audit collects — returns the FINAL
+    (word, freq, syms) vocabulary after ``NUM_MERGES`` merges."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("word", "freq", _char_syms(F.col("word")).alias("syms"))
+        .localCheckpoint(eager=True)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + unions
+    for _ in range(NUM_MERGES):
+        best = (
+            vocab.select(
+                "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .first()
+        )
+        vocab = vocab.withColumn(
+            "syms", _merge_fold(F.col("syms"), best.a, best.b)
+        ).localCheckpoint(eager=True)
+    return vocab
 
 
-BPE_ORACLE = _bpe_oracle()
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the train->apply loop: ENCODE every document with the
+    merges just learned from this corpus (``token_count_bpe`` applies
+    a FIXED tokenizer; this applies the trained one). Application is
+    a broadcast join of the doc word stream against the final
+    (word -> symbols) vocabulary — the 100 TB shape: the vocab is
+    bounded (1e6-1e7 rows at web scale), the corpus never carries
+    symbol arrays, and encoding adds zero extra shuffles beyond the
+    word explode's per-doc re-aggregation.
+
+    Emits per document: word count, the char-level symbol count the
+    words started from (chars + one ``</w>`` terminal per word), the
+    BPE token count after the learned merges, and the compression in
+    exact integer ppm — all integers, hash-exact across engines."""
+    from bigdata_pipelines_aws_glue_spark.hints import maybe_broadcast
+
+    vocab = _train_final_vocab(spark, sf_dir).select(
+        "word", F.size("syms").alias("n_syms"), F.length("word").alias("wlen")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("word")
+    ).filter(F.length("word") > 0)
+    enc = words.join(maybe_broadcast(vocab), "word")
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.col("wlen") + F.lit(1)).cast("long").alias("n_char_syms"),
+        F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        F.floor(
+            F.sum("n_syms").cast("double")
+            * F.lit(1000000.0)
+            / F.sum(F.col("wlen") + F.lit(1)).cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("compression_ppm"),
+    )
+
+
+#: same unrolled CTE chain as BPE_ORACLE (the o{k} audit CTEs are
+#: simply unused); the final vocab v{NUM_MERGES+1} is joined back to
+#: the per-document word stream.
+BPE_ENCODE_ORACLE = (
+    "WITH "
+    + ",\n".join(_bpe_ctes())
+    + f"""
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(w.word) + 1) AS BIGINT) AS n_char_syms,
+       CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens,
+       CAST(floor(sum(len(v.syms)) * 1000000.0
+                  / sum(length(w.word) + 1) + 0.5) AS BIGINT)
+           AS compression_ppm
+FROM (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+    FROM documents
+) w
+JOIN v{NUM_MERGES + 1} v ON w.word = v.word
+WHERE length(w.word) > 0
+GROUP BY doc_id
+"""
+)
 
 
 def _register() -> None:
     registry.register("bpe_train_merges", bpe_train_merges, BPE_ORACLE)
+    registry.register(
+        "bpe_encode_corpus", bpe_encode_corpus, BPE_ENCODE_ORACLE
+    )

@@ -33,21 +33,22 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: RE-CUT once as the 6 late-r12 additions landed — the r11
 #: precedent: every re-cut trades oldest-fill slots for
 #: never-attested fresh rows, strictly more evidence under the same
-#: policy): (a) the 15 round-12 additions (HTML/markup trio, the
+#: policy): (a) the 16 round-12 additions (HTML/markup trio, the
 #: composed multi-word MIH multiprobe pair, the bloom-prefilter
 #: pair, the contrastive-mining pair, the link-extraction trio
 #: incl. ``link_pagerank``, the WARC framing pair,
-#: ``quality_quantile_normalize`` — never-attested sorts first
+#: ``quality_quantile_normalize``, ``bpe_encode_corpus`` (the
+#: train->apply closure) — never-attested sorts first
 #: automatically); (b) the 12 remaining r6-last-green rows; (c) the
-#: 23 oldest r7-last-green rows, filling 50 exactly. Every name in
+#: 22 oldest r7-last-green rows, filling 50 exactly. Every name in
 #: this window was verified green in PLAIN_SESSION at sf0.01 this
-#: round before the rotation commit (all 15 additions also at
-#: sf0.1, + plan audit on 284 plans).
+#: round before the rotation commit (all 16 additions also at
+#: sf0.1, + plan audit on 285 plans).
 #:
 #: Round-13 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 226 oracled
-#: rows — 27 still-r7, then r8 (50), r9 (50), r10 (49), r11 (50).
-#: So the r13 window = any r13 additions + those 27 r7 rows +
+#: after this window attests, the deferred remainder is 227 oracled
+#: rows — 28 still-r7, then r8 (50), r9 (50), r10 (49), r11 (50).
+#: So the r13 window = any r13 additions + those 28 r7 rows +
 #: oldest-r8 to fill 50. Steady state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
     "binary_multiword_mih_multiprobe_topk",
@@ -65,6 +66,7 @@ PRIORITY: tuple[str, ...] = (
     "warc_parse_records",
     "warc_roundtrip_audit",
     "quality_quantile_normalize",
+    "bpe_encode_corpus",
     "crossdoc_shingle_dup",
     "quality_classifier_train",
     "quality_classifier_weights",
@@ -99,7 +101,6 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_mp4_frames",
     "split_contamination_matrix",
     "deterministic_shuffle",
-    "train_val_test_split",
 )
 
 

@@ -48,3 +48,25 @@ def test_bpe_training_audit_trail(spark, sf_dir):
     # no pair is learned twice
     pairs = [(r.left_sym, r.right_sym) for r in out]
     assert len(set(pairs)) == len(pairs)
+
+
+def test_encode_totals_match_training_audit(spark, sf_dir):
+    """Σ per-doc BPE tokens must equal the training audit's final
+    corpus_syms_after — the encode join and the training fold agree
+    on every word."""
+    from bigdata_pipelines_aws_glue_spark.operators.bpe import (
+        bpe_encode_corpus,
+        bpe_train_merges,
+    )
+
+    final_syms = (
+        bpe_train_merges(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()[-1]["corpus_syms_after"]
+    )
+    enc = bpe_encode_corpus(spark, sf_dir).collect()
+    assert sum(r["n_bpe_tokens"] for r in enc) == final_syms
+    for r in enc:
+        assert r["n_bpe_tokens"] <= r["n_char_syms"]  # merges only shrink
+        assert r["n_bpe_tokens"] >= r["n_words"]  # at least 1 sym/word
+        assert r["compression_ppm"] <= 1000000
