@@ -13,15 +13,23 @@ are dominated by:
   TIFF6-spec EarlyChange schedule libtiff/PDF use; encoder flag,
   decoder retry), and 8/32946 (Deflate/ZLib, bounded inflate);
 - the TIFF horizontal-differencing predictor (tag 317 = 2) on both
-  the encode and decode paths;
+  the encode and decode paths (differencing 16-bit VALUES for 16-bit
+  samples, per TIFF 6.0 §14);
 - multi-strip layout (``RowsPerStrip``/``StripOffsets``/
   ``StripByteCounts``), the unit a 100 TB scan pipeline parallelizes
-  on.
+  on;
+- (r12) 16-bit grayscale — sample bytes in the file byte order,
+  both directions;
+- (r12) TILED layout (tags 322-325, dims multiples of 16,
+  zero-padded edge tiles cropped on decode), both directions;
+- (r12) planar configuration 2 (tag 284 = 2, RGB as three separate
+  plane-major strip runs), both directions.
 
-What actually remains — tiles, planar configuration 2, 16-bit
-samples, and JPEG-in-TIFF — raises ``NotImplementedError`` LOUDLY at
-the dispatch point — the integration seam where a real deployment
-wires PIL/libtiff, same contract as ``multimodal.decode_image``.
+What actually remains — 16-bit RGB, tiled planar-2, the
+floating-point predictor (317 = 3), and JPEG-in-TIFF — raises
+``NotImplementedError`` LOUDLY at the dispatch point — the
+integration seam where a real deployment wires PIL/libtiff, same
+contract as ``multimodal.decode_image``.
 
 Validator: javax.imageio ships a TIFF plugin since Java 9, so the
 encoder is cross-validated pixel-for-pixel against Java's reader and
@@ -229,13 +237,44 @@ def tiff_lzw_decode(
     return bytes(out[:expected])
 
 
-def _undo_predictor2(raw: bytes, w: int, spp: int, rows: int) -> bytes:
+def _undo_predictor2(
+    raw: bytes, w: int, spp: int, rows: int, bo: str = "<", bits: int = 8
+) -> bytes:
     """Horizontal-differencing predictor (tag 317 value 2): each
-    sample stores the delta to the same sample one pixel left;
-    cumulative-sum per row per channel restores the raster."""
-    arr = np.frombuffer(raw, dtype=np.uint8).copy().reshape(rows, w, spp)
-    np.cumsum(arr, axis=1, dtype=np.uint8, out=arr)
-    return arr.tobytes()
+    sample stores the delta to the same SAMPLE VALUE one pixel left
+    (16-bit samples difference as 16-bit integers, not bytes — TIFF
+    6.0 §14); cumulative-sum per row per channel restores the
+    raster. Returns bytes in the FILE byte order."""
+    if bits == 8:
+        arr = np.frombuffer(raw, dtype=np.uint8).copy().reshape(rows, w, spp)
+        np.cumsum(arr, axis=1, dtype=np.uint8, out=arr)
+        return arr.tobytes()
+    vals = (
+        np.frombuffer(raw, dtype=np.dtype(bo + "u2"))
+        .astype(np.uint16)
+        .reshape(rows, w, spp)
+    )
+    np.cumsum(vals, axis=1, dtype=np.uint16, out=vals)
+    return vals.astype(np.dtype(bo + "u2")).tobytes()
+
+
+def _apply_predictor2(
+    raw: bytes, w: int, spp: int, rows: int, bo: str = "<", bits: int = 8
+) -> bytes:
+    """Forward horizontal differencing (encode side), dtype-aware."""
+    if bits == 8:
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(rows, w, spp)
+        d = a.copy()
+        d[:, 1:, :] -= a[:, :-1, :]
+        return d.tobytes()
+    a = (
+        np.frombuffer(raw, dtype=np.dtype(bo + "u2"))
+        .astype(np.uint16)
+        .reshape(rows, w, spp)
+    )
+    d = a.copy()
+    d[:, 1:, :] -= a[:, :-1, :]
+    return d.astype(np.dtype(bo + "u2")).tobytes()
 
 
 #: encoder compression names -> TIFF tag values
@@ -249,26 +288,48 @@ def encode_tiff(
     rows_per_strip: int = 16,
     compression: str | None = None,
     predictor: bool = False,
+    bits: int = 8,
+    tile: tuple[int, int] | None = None,
+    planar: int = 1,
 ) -> bytes:
-    """(H, W[, 3]) uint8 -> baseline TIFF bytes. ``compression`` is
-    one of none/packbits/lzw/deflate (the legacy ``packbits`` bool is
-    kept for the original call sites). Deterministic layout: 8-byte
-    header, strip data, the BitsPerSample/offset/count value areas,
-    then the IFD — so the uncompressed container size has a closed
-    form a size-audit can check."""
+    """(H, W[, 3]) uint8 — or uint16 gray with ``bits=16`` — to TIFF
+    bytes. ``compression`` is one of none/packbits/lzw/deflate (the
+    legacy ``packbits`` bool is kept for the original call sites).
+    r12 extensions, each closing a previously-loud seam:
+
+    - ``bits=16``: 16-bit grayscale; sample bytes follow the FILE
+      byte order, the predictor differences 16-bit VALUES (TIFF 6.0
+      §14), compressions operate on the serialized byte stream.
+    - ``tile=(tw, th)``: tiled layout (tags 322-325); tile dims must
+      be multiples of 16 per spec; edge tiles are zero-padded to
+      full size and the decoder crops.
+    - ``planar=2``: RGB stored as three separate planes (tag 284=2),
+      strips ordered plane-major; RowsPerStrip applies per plane.
+
+    Deterministic layout: 8-byte header, block data, value areas,
+    then the IFD — so the uncompressed container size keeps a closed
+    form."""
     if byteorder not in ("<", ">"):
         raise ValueError("byteorder must be '<' or '>'")
     comp_name = compression or ("packbits" if packbits else "none")
     if comp_name not in _COMPRESSIONS:
         raise ValueError(f"unsupported compression {comp_name!r}")
-    px = np.asarray(pixels, dtype=np.uint8)
+    if bits not in (8, 16):
+        raise ValueError("bits must be 8 or 16")
+    if planar not in (1, 2):
+        raise ValueError("planar must be 1 or 2")
+    bo = byteorder
+    dt = np.uint8 if bits == 8 else np.dtype(bo + "u2")
+    px = np.asarray(pixels, dtype=np.uint8 if bits == 8 else np.uint16)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError("expected (H, W) gray or (H, W, 3) RGB")
+    if bits == 16 and not gray:
+        raise ValueError("bits=16 supported for grayscale only")
+    if planar == 2 and (gray or tile is not None):
+        raise ValueError("planar=2 supported for strip-layout RGB only")
     h, w = px.shape[:2]
     spp = 1 if gray else 3
-    raster = px.tobytes()  # row-major chunky
-    row_bytes = w * spp
     _encoders = {
         "none": lambda b: b,
         "packbits": packbits_encode,
@@ -276,28 +337,46 @@ def encode_tiff(
         "deflate": __import__("zlib").compress,
     }
     enc = _encoders[comp_name]
-    strips = []
-    for r0 in range(0, h, rows_per_strip):
-        rows = min(rows_per_strip, h - r0)
-        raw = raster[r0 * row_bytes : (r0 + rows) * row_bytes]
-        if predictor:
-            # horizontal differencing (tag 317=2): store per-channel
-            # deltas to the pixel one left, mod 256 — the transform
-            # that makes smooth rasters LZW/deflate-friendly
-            a = np.frombuffer(raw, dtype=np.uint8).reshape(rows, w, spp)
-            d = a.copy()
-            d[:, 1:, :] -= a[:, :-1, :]
-            raw = d.tobytes()
-        strips.append(enc(raw))
-    n_strips = len(strips)
 
-    bo = byteorder
+    def block(arr, bw, bspp):
+        raw = arr.astype(dt).tobytes()
+        if predictor:
+            raw = _apply_predictor2(raw, bw, bspp, arr.shape[0], bo, bits)
+        return enc(raw)
+
+    blocks = []
+    if tile is not None:
+        tw, th = tile
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError("tile dims must be positive multiples of 16")
+        pad_w, pad_h = -w % tw, -h % th
+        padded = np.pad(
+            px,
+            [(0, pad_h), (0, pad_w)] + ([(0, 0)] if not gray else []),
+        )
+        for ty in range(0, h, th):
+            for tx in range(0, w, tw):
+                blocks.append(
+                    block(padded[ty : ty + th, tx : tx + tw], tw, spp)
+                )
+    elif planar == 2:
+        for p in range(3):
+            plane = px[:, :, p]
+            for r0 in range(0, h, rows_per_strip):
+                rows = min(rows_per_strip, h - r0)
+                blocks.append(block(plane[r0 : r0 + rows], w, 1))
+    else:
+        for r0 in range(0, h, rows_per_strip):
+            rows = min(rows_per_strip, h - r0)
+            blocks.append(block(px[r0 : r0 + rows], w, spp))
+    n_blocks = len(blocks)
+
     out = bytearray()
     out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
     out += b"\x00" * 4  # IFD offset patched below
-    strip_offsets = []
-    for s in strips:
-        strip_offsets.append(len(out))
+    block_offsets = []
+    for s in blocks:
+        block_offsets.append(len(out))
         out += s
     if len(out) % 2:
         out += b"\x00"  # IFDs/value areas are word-aligned
@@ -308,11 +387,11 @@ def encode_tiff(
         bits_off = len(out)
         out += struct.pack(bo + "3H", 8, 8, 8)
     offs_off = counts_off = None
-    if n_strips > 1:
+    if n_blocks > 1:
         offs_off = len(out)
-        out += struct.pack(bo + f"{n_strips}I", *strip_offsets)
+        out += struct.pack(bo + f"{n_blocks}I", *block_offsets)
         counts_off = len(out)
-        out += struct.pack(bo + f"{n_strips}I", *[len(s) for s in strips])
+        out += struct.pack(bo + f"{n_blocks}I", *[len(s) for s in blocks])
 
     def entry(tag, typ, count, value, at_offset=None):
         if at_offset is not None:
@@ -321,33 +400,52 @@ def encode_tiff(
             return struct.pack(bo + "HHIHH", tag, typ, count, value, 0)
         return struct.pack(bo + "HHII", tag, typ, count, value)
 
+    if tile is not None:
+        loc_entries = [
+            entry(322, 4, 1, tw),
+            entry(323, 4, 1, th),
+            (
+                entry(324, 4, n_blocks, block_offsets[0])
+                if n_blocks == 1
+                else entry(324, 4, n_blocks, 0, at_offset=offs_off)
+            ),
+            (
+                entry(325, 4, n_blocks, len(blocks[0]))
+                if n_blocks == 1
+                else entry(325, 4, n_blocks, 0, at_offset=counts_off)
+            ),
+        ]
+    else:
+        loc_entries = [
+            (
+                entry(_STRIP_OFFS, 4, n_blocks, block_offsets[0])
+                if n_blocks == 1
+                else entry(_STRIP_OFFS, 4, n_blocks, 0, at_offset=offs_off)
+            ),
+            entry(_ROWS_PER_STRIP, 4, 1, rows_per_strip),
+            (
+                entry(_STRIP_COUNTS, 4, n_blocks, len(blocks[0]))
+                if n_blocks == 1
+                else entry(_STRIP_COUNTS, 4, n_blocks, 0, at_offset=counts_off)
+            ),
+        ]
     entries = [
         entry(_W, 4, 1, w),
         entry(_H, 4, 1, h),
         (
             entry(_BITS, 3, 3, 0, at_offset=bits_off)
             if spp == 3
-            else entry(_BITS, 3, 1, 8)
+            else entry(_BITS, 3, 1, bits)
         ),
         entry(_COMP, 3, 1, _COMPRESSIONS[comp_name]),
         entry(_PHOTO, 3, 1, 2 if spp == 3 else 1),
-        (
-            entry(_STRIP_OFFS, 4, n_strips, strip_offsets[0])
-            if n_strips == 1
-            else entry(_STRIP_OFFS, 4, n_strips, 0, at_offset=offs_off)
-        ),
         entry(_SPP, 3, 1, spp),
-        entry(_ROWS_PER_STRIP, 4, 1, rows_per_strip),
-        (
-            entry(_STRIP_COUNTS, 4, n_strips, len(strips[0]))
-            if n_strips == 1
-            else entry(_STRIP_COUNTS, 4, n_strips, 0, at_offset=counts_off)
-        ),
-        entry(_PLANAR, 3, 1, 1),
+        entry(_PLANAR, 3, 1, planar),
+        *loc_entries,
     ]
     if predictor:
         entries.append(entry(317, 3, 1, 2))
-        entries.sort(key=lambda e: struct.unpack(bo + "H", e[:2])[0])
+    entries.sort(key=lambda e: struct.unpack(bo + "H", e[:2])[0])
     ifd_off = len(out)
     out += struct.pack(bo + "H", len(entries))
     for e in entries:
@@ -413,35 +511,39 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     bits = tags.get(_BITS, [8])
     planar = one(_PLANAR, 1)
     predictor = one(317, 1)
+    tiled = 324 in tags or 322 in tags
     # 8 = Adobe deflate, 32946 = the older deflate tag — same stream
     if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} not available in this environment; "
             "wire PIL/libtiff here at deploy time"
         )
-    if any(b != 8 for b in bits) or spp not in (1, 3) or planar != 1:
+    nbits = bits[0]
+    if any(b != nbits for b in bits) or nbits not in (8, 16):
         raise NotImplementedError(
-            "TIFF: only 8-bit chunky gray/RGB baseline supported here"
+            "TIFF: only uniform 8-bit (gray/RGB) or 16-bit (gray) "
+            "samples supported here"
         )
+    if spp not in (1, 3) or (nbits == 16 and spp != 1):
+        raise NotImplementedError(
+            "TIFF: 16-bit supported for grayscale only"
+        )
+    if planar == 2 and (spp != 3 or tiled):
+        raise NotImplementedError(
+            "TIFF: planar configuration 2 supported for strip-layout "
+            "RGB only"
+        )
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar}")
     if predictor not in (1, 2):
         raise NotImplementedError(
             f"TIFF predictor {predictor} (floating-point) not supported"
         )
-    rows_per_strip = one(_ROWS_PER_STRIP, h)
-    offsets = tags.get(_STRIP_OFFS)
-    counts = tags.get(_STRIP_COUNTS)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF: bad strip tables")
-    row_bytes = w * spp
-    raster = bytearray()
-    remaining_rows = h
-    for off, cnt in zip(offsets, counts):
-        if off + cnt > len(payload):
-            raise ValueError("TIFF: strip past EOF")
-        rows = min(rows_per_strip, remaining_rows)
-        raw = payload[off : off + cnt]
+    bps = nbits // 8  # bytes per sample
+
+    def inflate(raw: bytes, expected: int) -> bytes:
         if comp == 32773:
-            raw = packbits_decode(raw, rows * row_bytes)
+            raw = packbits_decode(raw, expected)
         elif comp == 5:
             # natural schedule first (what javax writes), then the
             # libtiff/PDF EarlyChange retry. A wrong-schedule read
@@ -450,30 +552,89 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             # shorter than ~253 codes never reach a boundary, where
             # the schedules are identical anyway).
             try:
-                raw = tiff_lzw_decode(raw, rows * row_bytes)
+                raw = tiff_lzw_decode(raw, expected)
             except ValueError:
-                raw = tiff_lzw_decode(
-                    raw, rows * row_bytes, early_change=True
-                )
+                raw = tiff_lzw_decode(raw, expected, early_change=True)
         elif comp in (8, 32946):
             import zlib
 
-            # bound the inflate at the expected strip size (ADVICE
-            # r11): a small hostile strip can otherwise balloon to an
+            # bound the inflate at the expected block size (ADVICE
+            # r11): a small hostile block can otherwise balloon to an
             # arbitrarily large buffer before the truncation below —
             # the PackBits/LZW paths already stop at `expected`.
             d = zlib.decompressobj()
-            raw = d.decompress(raw, rows * row_bytes)
-        if len(raw) < rows * row_bytes:
-            raise ValueError("TIFF: truncated strip")
-        raw = raw[: rows * row_bytes]
-        if predictor == 2:
-            raw = _undo_predictor2(raw, w, spp, rows)
-        raster += raw
-        remaining_rows -= rows
-    if remaining_rows != 0:
-        raise ValueError("TIFF: strip tables cover too few rows")
-    arr = np.frombuffer(bytes(raster), dtype=np.uint8)
+            raw = d.decompress(raw, expected)
+        if len(raw) < expected:
+            raise ValueError("TIFF: truncated strip/tile")
+        return raw[:expected]
+
+    sample_dt = np.uint8 if nbits == 8 else np.dtype(bo + "u2")
+    out_dt = np.uint8 if nbits == 8 else np.uint16
+
+    if tiled:
+        tw, th = one(322), one(323)
+        offsets, counts = tags.get(324), tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF: bad tile tables")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if len(offsets) != across * down:
+            raise ValueError("TIFF: tile table size mismatch")
+        full = np.zeros((down * th, across * tw, spp), dtype=out_dt)
+        t_bytes = th * tw * spp * bps
+        for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(payload):
+                raise ValueError("TIFF: tile past EOF")
+            raw = inflate(payload[off : off + cnt], t_bytes)
+            if predictor == 2:
+                raw = _undo_predictor2(raw, tw, spp, th, bo, nbits)
+            tile = (
+                np.frombuffer(raw, dtype=sample_dt)
+                .astype(out_dt)
+                .reshape(th, tw, spp)
+            )
+            ty, tx = divmod(idx, across)
+            full[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
+        arr = full[:h, :w]
+        return arr[:, :, 0] if spp == 1 else arr
+
+    rows_per_strip = one(_ROWS_PER_STRIP, h)
+    offsets = tags.get(_STRIP_OFFS)
+    counts = tags.get(_STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF: bad strip tables")
+    n_planes = 3 if planar == 2 else 1
+    plane_spp = 1 if planar == 2 else spp
+    row_bytes = w * plane_spp * bps
+    planes = []
+    strips_per_plane = len(offsets) // n_planes
+    if len(offsets) % n_planes:
+        raise ValueError("TIFF: strip table not divisible by planes")
+    for p in range(n_planes):
+        raster = bytearray()
+        remaining_rows = h
+        for off, cnt in zip(
+            offsets[p * strips_per_plane : (p + 1) * strips_per_plane],
+            counts[p * strips_per_plane : (p + 1) * strips_per_plane],
+        ):
+            if off + cnt > len(payload):
+                raise ValueError("TIFF: strip past EOF")
+            rows = min(rows_per_strip, remaining_rows)
+            raw = inflate(payload[off : off + cnt], rows * row_bytes)
+            if predictor == 2:
+                raw = _undo_predictor2(raw, w, plane_spp, rows, bo, nbits)
+            raster += raw
+            remaining_rows -= rows
+        if remaining_rows != 0:
+            raise ValueError("TIFF: strip tables cover too few rows")
+        planes.append(
+            np.frombuffer(bytes(raster), dtype=sample_dt).astype(out_dt)
+        )
+    if planar == 2:
+        return np.stack(
+            [pl.reshape(h, w) for pl in planes], axis=-1
+        )
+    arr = planes[0]
     return arr.reshape((h, w) if spp == 1 else (h, w, 3))
 
 
@@ -584,9 +745,130 @@ FROM s
 """
 
 
+#: doc_id % 6 -> the r12 capability matrix: 16-bit gray (both byte
+#: orders, predictor on LZW), tiled 8-bit RGB and tiled 16-bit gray
+#: (edge padding exercised — w,h are rarely multiples of 16), and
+#: planar-2 RGB (plain + predictor-LZW).
+_EXT_VARIANTS = (
+    ("gray16", "<", "none", False, None, 1),
+    ("gray16", ">", "lzw", True, None, 1),
+    ("rgb8", "<", "packbits", False, (16, 16), 1),
+    ("gray16", ">", "deflate", False, (16, 16), 1),
+    ("rgb8", ">", "none", False, None, 2),
+    ("rgb8", "<", "lzw", True, None, 2),
+)
+
+
+def tiff_extended_batch(batches):
+    """mapInPandas kernel for the r12 TIFF capabilities: synth pixels
+    from the text recipe (16-bit variants scale each byte by 257 so
+    the full sample range is exercised while the sum stays derivable
+    from the text), encode to the variant container, decode, emit
+    the exact integer pixel sum."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            b = np.frombuffer((text or "").encode(), dtype=np.uint8)
+            w, h = len(b) % 64 + 1, len(b) % 48 + 1
+            kind, bo, comp, pred, tile, planar = _EXT_VARIANTS[
+                int(doc_id) % len(_EXT_VARIANTS)
+            ]
+            if kind == "gray16":
+                px = np.resize(b, (h, w)).astype(np.uint16) * 257
+                payload = encode_tiff(
+                    px, bo, compression=comp, predictor=pred,
+                    bits=16, tile=tile,
+                )
+            else:
+                px = np.resize(b, (h, w, 3))
+                payload = encode_tiff(
+                    px, bo, compression=comp, predictor=pred,
+                    tile=tile, planar=planar,
+                )
+            decoded = decode_tiff(payload)
+            assert decoded.shape == px.shape and (decoded == px).all()
+            rows.append(
+                (
+                    doc_id,
+                    int(doc_id) % len(_EXT_VARIANTS),
+                    w,
+                    h,
+                    int(decoded.astype(np.int64).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "variant", "width", "height", "px_sum"]
+        )
+
+
+def multimodal_tiff_extended(spark, sf_dir):
+    """Registry entry (r12): the three previously-loud TIFF seams —
+    16-bit samples, tiled layout, planar configuration 2 — on the
+    hash-oracle signal. Same text-tiling recipe as the baseline
+    query: 8-bit variants sum to q*total + prefix over w*h*3 bytes;
+    16-bit variants to 257x that formula over w*h samples (each
+    byte scales to byte*257, spanning the 16-bit range)."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        spread(docs.select("doc_id", "text"))
+        .mapInPandas(tiff_extended_batch, schema=TIFF_RT_SCHEMA)
+        .select("doc_id", "variant", "width", "height", "px_sum")
+    )
+
+
+TIFF_EXT_ORACLE = """
+WITH d AS (
+    SELECT doc_id, coalesce(text, '') AS text,
+           octet_length(encode(coalesce(text, ''))) AS nb,
+           octet_length(encode(coalesce(text, ''))) % 64 + 1 AS w,
+           octet_length(encode(coalesce(text, ''))) % 48 + 1 AS h,
+           doc_id % 6 AS variant
+    FROM documents
+),
+s AS (
+    SELECT doc_id, nb, w, h, variant,
+           -- n samples the raster tiles over: w*h for the 16-bit
+           -- gray variants (0, 1, 3), w*h*3 for the RGB ones
+           CASE WHEN variant IN (0, 1, 3) THEN w * h
+                ELSE w * h * 3 END AS n,
+           coalesce(list_aggregate(list_transform(
+               range(1, CAST(nb AS BIGINT) + 1),
+               i -> ascii(substr(text, CAST(i AS INT), 1))), 'sum'),
+             0) AS total
+    FROM d
+),
+p AS (
+    SELECT doc_id, nb, w, h, variant, n, total,
+           coalesce(list_aggregate(list_transform(
+               range(1, CASE WHEN nb = 0 THEN 1
+                             ELSE CAST(n % nb AS BIGINT) + 1 END),
+               i -> ascii(substr(text, CAST(i AS INT), 1))), 'sum'),
+             0) AS prefix
+    FROM s JOIN d USING (doc_id, nb, w, h, variant)
+)
+SELECT doc_id,
+       CAST(variant AS INT) AS variant,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(CASE WHEN nb = 0 THEN 0
+                 ELSE (CASE WHEN variant IN (0, 1, 3) THEN 257 ELSE 1 END)
+                      * ((n // nb) * total + prefix)
+            END AS BIGINT) AS px_sum
+FROM p
+"""
+
+
 def _register() -> None:
     from bigdata_pipelines_aws_glue_spark import registry
 
     registry.register(
         "multimodal_tiff_roundtrip", multimodal_tiff_roundtrip, TIFF_RT_ORACLE
+    )
+    registry.register(
+        "multimodal_tiff_extended", multimodal_tiff_extended, TIFF_EXT_ORACLE
     )

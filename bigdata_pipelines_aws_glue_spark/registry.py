@@ -30,25 +30,26 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: OLDEST evidence (policy in ``tools/rotate_priority.py``, which
 #: generated this window). Round-12 window (VERDICT_r11 item 1 —
 #: executed exactly as the r11 comment's arithmetic planned, then
-#: RE-CUT once as the 6 late-r12 additions landed — the r11
+#: RE-CUT as each batch of late-r12 additions landed — the r11
 #: precedent: every re-cut trades oldest-fill slots for
 #: never-attested fresh rows, strictly more evidence under the same
-#: policy): (a) the 16 round-12 additions (HTML/markup trio, the
+#: policy): (a) the 17 round-12 additions (HTML/markup trio, the
 #: composed multi-word MIH multiprobe pair, the bloom-prefilter
 #: pair, the contrastive-mining pair, the link-extraction trio
 #: incl. ``link_pagerank``, the WARC framing pair,
 #: ``quality_quantile_normalize``, ``bpe_encode_corpus`` (the
-#: train->apply closure) — never-attested sorts first
+#: train->apply closure), ``multimodal_tiff_extended`` (the three
+#: formerly-loud TIFF seams) — never-attested sorts first
 #: automatically); (b) the 12 remaining r6-last-green rows; (c) the
-#: 22 oldest r7-last-green rows, filling 50 exactly. Every name in
+#: 21 oldest r7-last-green rows, filling 50 exactly. Every name in
 #: this window was verified green in PLAIN_SESSION at sf0.01 this
-#: round before the rotation commit (all 16 additions also at
-#: sf0.1, + plan audit on 285 plans).
+#: round before the rotation commit (all 17 additions also at
+#: sf0.1, + plan audit on 286 plans).
 #:
 #: Round-13 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 227 oracled
-#: rows — 28 still-r7, then r8 (50), r9 (50), r10 (49), r11 (50).
-#: So the r13 window = any r13 additions + those 28 r7 rows +
+#: after this window attests, the deferred remainder is 228 oracled
+#: rows — 29 still-r7, then r8 (50), r9 (50), r10 (49), r11 (50).
+#: So the r13 window = any r13 additions + those 29 r7 rows +
 #: oldest-r8 to fill 50. Steady state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
     "binary_multiword_mih_multiprobe_topk",
@@ -67,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "warc_roundtrip_audit",
     "quality_quantile_normalize",
     "bpe_encode_corpus",
+    "multimodal_tiff_extended",
     "crossdoc_shingle_dup",
     "quality_classifier_train",
     "quality_classifier_weights",
@@ -100,7 +102,6 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_resize",
     "multimodal_mp4_frames",
     "split_contamination_matrix",
-    "deterministic_shuffle",
 )
 
 

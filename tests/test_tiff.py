@@ -236,3 +236,157 @@ def test_tiff_predictor2_roundtrip_and_javax(spark):
     # gray path too
     g = grad.astype(np.uint8)
     assert (decode_tiff(encode_tiff(g, compression="lzw", predictor=True)) == g).all()
+
+
+# ------------------------------------------------ r12 extensions
+
+
+def _java_read_tiff16(spark, payload):
+    jvm = spark._jvm
+    stream = jvm.java.io.ByteArrayInputStream(bytearray(payload))
+    iis = jvm.javax.imageio.ImageIO.createImageInputStream(stream)
+    readers = jvm.javax.imageio.ImageIO.getImageReadersByFormatName("tiff")
+    if not readers.hasNext():
+        pytest.skip("no javax TIFF plugin in this JDK")
+    reader = readers.next()
+    reader.setInput(iis)
+    raster = reader.read(0).getRaster()
+    h, w = raster.getHeight(), raster.getWidth()
+    arr = np.zeros((h, w), dtype=np.uint16)
+    for y in range(h):
+        for x in range(w):
+            arr[y, x] = raster.getSample(x, y, 0)
+    return arr
+
+
+def test_tiff16_both_directions_javax(spark):
+    """16-bit grayscale: our encoder → Java's reader pixel-exact in
+    both byte orders and every lossless compression; Java's
+    USHORT_GRAY writer → our decoder. The predictor is validated
+    through OUR round-trip only: the JDK TIFF plugin rejects
+    predictor 2 on 16-bit samples outright (measured —
+    IIOException on read), and for none/packbits it IGNORES the
+    predictor tag entirely (also measured), so javax can only pin
+    the unpredicted 16-bit path."""
+    rng = np.random.default_rng(21)
+    g16 = rng.integers(0, 65536, (21, 13)).astype(np.uint16)
+    for bo in "<>":
+        for comp in ("none", "packbits", "lzw", "deflate"):
+            payload = encode_tiff(g16, bo, compression=comp, bits=16)
+            assert (decode_tiff(payload) == g16).all(), (bo, comp)
+            assert (_java_read_tiff16(spark, payload) == g16).all(), (
+                bo,
+                comp,
+            )
+            pred = encode_tiff(
+                g16, bo, compression=comp, predictor=True, bits=16
+            )
+            assert (decode_tiff(pred) == g16).all(), (bo, comp, "pred")
+    # the predictor actually helps where it should: 16-bit gradient
+    grad16 = (
+        np.add.outer(np.arange(24), np.arange(30)) * 97
+    ).astype(np.uint16)
+    plain = encode_tiff(grad16, compression="lzw", bits=16)
+    pred = encode_tiff(grad16, compression="lzw", predictor=True, bits=16)
+    assert len(pred) < len(plain)
+    assert (decode_tiff(pred) == grad16).all()
+    # reverse direction: javax writes TYPE_USHORT_GRAY
+    jvm = spark._jvm
+    h, w = g16.shape
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_USHORT_GRAY
+    )
+    raster = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, int(g16[y, x]))
+    writers = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    if not writers.hasNext():
+        pytest.skip("no javax TIFF writer in this JDK")
+    writer = writers.next()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), None)
+    ios.flush()
+    got = decode_tiff(bytes(baos.toByteArray()))
+    assert got.dtype == np.uint16
+    assert (got == g16).all()
+
+
+def test_tiff_tiled_both_directions_javax(spark):
+    """Tiled layout: our tiled bytes → Java's reader (edge-padded
+    tiles must crop correctly); Java's explicitly-tiled writer → our
+    decoder."""
+    rng = np.random.default_rng(22)
+    rgb = rng.integers(0, 256, (23, 37, 3)).astype(np.uint8)
+    for bo in "<>":
+        payload = encode_tiff(rgb, bo, compression="packbits", tile=(16, 16))
+        assert (decode_tiff(payload) == rgb).all(), bo
+        assert (_java_read_tiff(spark, payload) == rgb).all(), bo
+    # javax writes a tiled file
+    jvm = spark._jvm
+    h, w = rgb.shape[:2]
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in rgb[y, x])
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    writers = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    if not writers.hasNext():
+        pytest.skip("no javax TIFF writer in this JDK")
+    writer = writers.next()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    param = writer.getDefaultWriteParam()
+    param.setTilingMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setTiling(16, 16, 0, 0)
+    writer.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.flush()
+    got = decode_tiff(bytes(baos.toByteArray()))
+    arr = got if got.ndim == 3 else np.stack([got] * 3, axis=-1)
+    assert (arr == rgb).all()
+
+
+def test_tiff_planar2_roundtrip_and_javax(spark):
+    """Planar configuration 2: our planar bytes must decode to the
+    identical array as the chunky form; Java's reader must agree
+    (the JDK TIFF plugin reads planar 2)."""
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 256, (21, 13, 3)).astype(np.uint8)
+    for bo in "<>":
+        for comp in ("none", "lzw"):
+            # predictor only with lzw: javax ignores the predictor
+            # tag for uncompressed data (measured, see the 16-bit
+            # test), so an uncompressed+predictor file is not
+            # interop-comparable
+            payload = encode_tiff(
+                rgb, bo, compression=comp,
+                predictor=(comp == "lzw"), planar=2,
+            )
+            assert (decode_tiff(payload) == rgb).all(), (bo, comp)
+            try:
+                got = _java_read_tiff(spark, payload)
+            except Exception as e:  # javax planar support varies
+                pytest.skip(f"javax could not read planar 2: {e}")
+            assert (got == rgb).all(), (bo, comp)
+
+
+def test_tiff_new_seams_stay_loud():
+    rng = np.random.default_rng(24)
+    rgb16 = rng.integers(0, 65536, (4, 4, 3)).astype(np.uint16)
+    with pytest.raises(ValueError, match="grayscale"):
+        encode_tiff(rgb16, bits=16)
+    with pytest.raises(ValueError, match="strip-layout RGB"):
+        encode_tiff(
+            rng.integers(0, 256, (4, 4, 3)).astype(np.uint8),
+            planar=2,
+            tile=(16, 16),
+        )
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(
+            rng.integers(0, 256, (4, 4)).astype(np.uint8), tile=(8, 8)
+        )
