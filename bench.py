@@ -62,6 +62,33 @@ EXTENDED = [
 ]
 
 
+def _host_canary() -> float:
+    """Fixed single-threaded CPU microbenchmark (VERDICT_r12 item 6):
+    an LCG+xorshift sweep over a 16 MiB uint64 array, best-of-3.
+    Same code every round, zero Spark involvement — so when a driver
+    reading moves on unchanged query code, the canary says whether
+    the HOST moved (r12's ~1.4x same-code drift had to be argued from
+    per-query uniformity instead). Normalize same-code rounds as
+    value * (canary_ref / canary_sec); the idle-host reference is
+    recorded next to each reading in BENCH_LOCAL.jsonl / BENCH_TREND.
+    """
+    import numpy as np
+
+    x = np.arange(1 << 21, dtype=np.uint64)
+    mul = np.uint64(6364136223846793005)
+    add = np.uint64(1442695040888963407)
+    sh = np.uint64(17)
+    best = float("inf")
+    for _ in range(3):
+        y = x.copy()
+        t0 = time.perf_counter()
+        for _ in range(100):
+            y = y * mul + add
+            y ^= y >> sh
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -71,6 +98,7 @@ def main() -> None:
     # reading was unexplainable without knowing what else the host
     # was doing at bench time.
     loadavg = [round(x, 2) for x in os.getloadavg()]
+    canary = _host_canary()
     t0 = time.time()
     spark = get_spark("bench")
     # Warm the engine's one-time machinery outside any measured query:
@@ -138,6 +166,7 @@ def main() -> None:
                 "extended_total_sec": ext_total,
                 "rel_spread": spreads,
                 "loadavg_1_5_15": loadavg,
+                "canary_sec": canary,
             }
         )
     )

@@ -659,6 +659,7 @@ def main() -> int:
     spark = get_spark("plan-audit")
     failures: list[tuple[str, str]] = []
     n_checked = 0
+    n_builders = 0
     for name, fn in registry.queries().items():
         if only and name not in only:
             continue
@@ -705,7 +706,7 @@ def main() -> int:
             failures.append(("streaming", f"stream plan build error: {exc}"))
             stream_plans = []
         for name, analyzed in stream_plans:
-            n_checked += 1
+            n_builders += 1
             forced = _forced_broadcast_unbounded(analyzed)
             status = "ok" if not forced else "FLAG"
             print(
@@ -726,7 +727,11 @@ def main() -> int:
         for name, why in failures:
             print(f"  - {name}: {why}")
         return 1
-    print(f"plan audit clean ({n_checked} queries)")
+    print(
+        f"plan audit clean ({n_checked} queries"
+        + (f" + {n_builders} streaming builders" if n_builders else "")
+        + ")"
+    )
     return 0
 
 
