@@ -1,0 +1,328 @@
+"""URL canonicalization + URL-level document dedup ([north-star] N5
+adjacency, completing the crawl-curation chain of ``links.py``; no
+reference citation — the reference has no documents). Between the
+link graph and corpus curation sits the URL layer: crawlers see the
+same page under many spellings (case, default ports, fragments,
+tracking params, trailing slashes), so corpus dedup starts by
+normalizing every URL to one canonical form, then keeps ONE document
+per canonical URL and caps how many documents any single host may
+contribute (source diversity).
+
+Fixture: every document gets a deterministic "crawl URL" —
+canonical identity ``https://site{h}.example.test/page/{p}`` with
+``p = doc_id % PAGE_MOD`` and ``h = p % N_HOSTS`` — spelled through
+one of six messy variants cycled by ``doc_id % 6``: plain,
+UPPERCASE scheme+host (path case must be preserved), explicit
+``:443`` default port, tracking params mixed UNSORTED with real
+params (``?z=1&utm_source=...&q={p}`` — the kept set must come back
+sorted), a ``#fragment``, and a trailing slash. The pigeonhole on
+``PAGE_MOD`` guarantees real cross-document collisions that only
+appear AFTER canonicalization.
+
+Canonicalization (RFC 3986 normalization + the tracking-param strip
+every crawl pipeline layers on top): lowercase scheme and host, drop
+the scheme's default port, empty path -> ``/`` and trailing slash
+stripped otherwise (path CASE preserved), fragment dropped, query
+params split, tracking params (``utm_*``, ``fbclid``, ``gclid``,
+``msclkid``) removed, survivors SORTED and rejoined.
+
+Scale posture: canonicalization is per-row regex/string map work
+(zero shuffle, whole-stage codegen); dedup is one hash aggregation
+on the canonical URL (the 32-byte-key discipline of
+``dedup.exact_dedup`` — here the key is the canonical string
+itself, bounded by URL length); the host cap is one window over
+host — the same keep-first convention (lowest doc_id wins) as
+``dedup_exact``/``dedup_content_hash``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+#: canonical page identity modulus — the pigeonhole that makes
+#: distinct documents collide on canonical URL.
+PAGE_MOD = 250
+N_HOSTS = 5
+#: max documents any single host may contribute after URL dedup
+#: (~67/host survive dedup at sf0.01, ~100/host at sf0.1 — the cap
+#: bites at both scales).
+MAX_PER_HOST = 60
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+#: tracking params stripped by canonicalization.
+_TRACKING_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid)="
+
+
+def synth_crawl_url(doc_id: Column) -> Column:
+    """The document's messy crawl URL (deterministic; DuckDB rebuilds
+    it byte-identically)."""
+    p = (doc_id % F.lit(PAGE_MOD)).cast("long")
+    h = (p % F.lit(N_HOSTS)).cast("string")
+    ps = p.cast("string")
+    variant = (doc_id % F.lit(6)).cast("int")
+    plain = F.concat(
+        F.lit("https://site"), h, F.lit(".example.test/page/"), ps
+    )
+    return (
+        F.when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTPS://SITE"),
+                h,
+                F.lit(".EXAMPLE.TEST/page/"),
+                ps,
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("https://site"),
+                h,
+                F.lit(".example.test:443/page/"),
+                ps,
+            ),
+        )
+        .when(
+            variant == 3,
+            F.concat(plain, F.lit("?z=1&utm_source=feed&q="), ps),
+        )
+        .when(variant == 4, F.concat(plain, F.lit("#sec"), ps))
+        .when(variant == 5, F.concat(plain, F.lit("/")))
+        .otherwise(plain)
+    )
+
+
+#: DuckDB twin of the crawl-URL fixture.
+_CRAWL_URL_SQL = f"""
+    CASE doc_id % 6
+    WHEN 1 THEN 'HTTPS://SITE' || CAST((doc_id % {PAGE_MOD}) % {N_HOSTS}
+                 AS VARCHAR)
+                || '.EXAMPLE.TEST/page/'
+                || CAST(doc_id % {PAGE_MOD} AS VARCHAR)
+    WHEN 2 THEN 'https://site' || CAST((doc_id % {PAGE_MOD}) % {N_HOSTS}
+                 AS VARCHAR)
+                || '.example.test:443/page/'
+                || CAST(doc_id % {PAGE_MOD} AS VARCHAR)
+    WHEN 3 THEN 'https://site' || CAST((doc_id % {PAGE_MOD}) % {N_HOSTS}
+                 AS VARCHAR)
+                || '.example.test/page/'
+                || CAST(doc_id % {PAGE_MOD} AS VARCHAR)
+                || '?z=1&utm_source=feed&q='
+                || CAST(doc_id % {PAGE_MOD} AS VARCHAR)
+    WHEN 4 THEN 'https://site' || CAST((doc_id % {PAGE_MOD}) % {N_HOSTS}
+                 AS VARCHAR)
+                || '.example.test/page/'
+                || CAST(doc_id % {PAGE_MOD} AS VARCHAR)
+                || '#sec' || CAST(doc_id % {PAGE_MOD} AS VARCHAR)
+    WHEN 5 THEN 'https://site' || CAST((doc_id % {PAGE_MOD}) % {N_HOSTS}
+                 AS VARCHAR)
+                || '.example.test/page/'
+                || CAST(doc_id % {PAGE_MOD} AS VARCHAR) || '/'
+    ELSE 'https://site' || CAST((doc_id % {PAGE_MOD}) % {N_HOSTS}
+          AS VARCHAR)
+         || '.example.test/page/' || CAST(doc_id % {PAGE_MOD} AS VARCHAR)
+    END
+"""
+
+
+def _kept_params(url: Column) -> Column:
+    """array of non-tracking query params, SORTED (empty array when
+    the URL has no query)."""
+    q = F.regexp_extract(url, _QUERY_RE, 1)
+    return F.when(
+        q == F.lit(""), F.array().cast("array<string>")
+    ).otherwise(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda x: ~x.rlike(_TRACKING_RE),
+            )
+        )
+    )
+
+
+def _all_params(url: Column) -> Column:
+    q = F.regexp_extract(url, _QUERY_RE, 1)
+    return F.when(
+        q == F.lit(""), F.array().cast("array<string>")
+    ).otherwise(F.split(q, "&"))
+
+
+def canonical_host(url: Column) -> Column:
+    """lowercased host with the scheme's default port stripped."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    default_port = F.when(scheme == "https", F.lit(":443")).otherwise(
+        F.when(scheme == "http", F.lit(":80")).otherwise(F.lit(""))
+    )
+    strip = (default_port != F.lit("")) & hostport.endswith(default_port)
+    return F.when(
+        strip,
+        F.substring(
+            hostport, 1, F.length(hostport) - F.length(default_port)
+        ),
+    ).otherwise(hostport)
+
+
+def canonical_url(url: Column) -> Column:
+    """RFC 3986 normalization + tracking-param strip (module doc)."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = canonical_host(url)
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(
+        (path == F.lit("")) | (path == F.lit("/")), F.lit("/")
+    ).otherwise(F.regexp_replace(path, r"/+$", ""))
+    kept = _kept_params(url)
+    query = F.when(
+        F.size(kept) > 0,
+        F.concat(F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, query)
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document canonicalization report: the raw crawl URL, its
+    canonical form, the canonical host, how many query params were
+    kept vs stripped, and whether normalization changed anything —
+    the full canonicalization surface in one hash-attested row."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = synth_crawl_url(F.col("doc_id"))
+    d = docs.select("doc_id", raw.alias("raw_url"))
+    kept = _kept_params(F.col("raw_url"))
+    return d.select(
+        "doc_id",
+        "raw_url",
+        canonical_url(F.col("raw_url")).alias("canonical_url"),
+        canonical_host(F.col("raw_url")).alias("host"),
+        F.size(kept).cast("int").alias("n_params_kept"),
+        (F.size(_all_params(F.col("raw_url"))) - F.size(kept))
+        .cast("int")
+        .alias("n_params_stripped"),
+        (canonical_url(F.col("raw_url")) != F.col("raw_url"))
+        .cast("boolean")
+        .alias("changed"),
+    )
+
+
+def url_dedup_hostcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept-document manifest after the two curation stages:
+    (1) URL dedup — one doc per canonical URL, lowest doc_id wins
+    (the ``dedup_exact`` keep-first convention); (2) host source cap
+    — at most ``MAX_PER_HOST`` docs per canonical host, again lowest
+    doc_ids first. Emits the per-host rank and the group multiplicity
+    so the drop decisions are auditable row by row."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = synth_crawl_url(F.col("doc_id"))
+    d = docs.select(
+        "doc_id",
+        canonical_url(raw).alias("canonical_url"),
+        canonical_host(raw).alias("host"),
+    )
+    per_url = d.groupBy("canonical_url", "host").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_docs"),
+    )
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        per_url.withColumn(
+            "host_rank", F.row_number().over(w).cast("int")
+        )
+        .filter(F.col("host_rank") <= MAX_PER_HOST)
+        .select(
+            "doc_id", "canonical_url", "host", "n_dup_docs", "host_rank"
+        )
+    )
+
+
+# ------------------------------------------------ DuckDB twins
+
+#: canonicalization pipeline over a column named ``raw_url``
+#: (DuckDB's list/regex kit mirrors every Spark step 1:1).
+_CANON_PARTS = f"""
+parts AS (
+    SELECT doc_id, raw_url,
+        lower(regexp_extract(raw_url, '{_SCHEME_RE}', 1)) AS scheme,
+        lower(regexp_extract(raw_url, '{_HOSTPORT_RE}', 1)) AS hostport,
+        regexp_extract(raw_url, '{_PATH_RE}', 1) AS path0,
+        regexp_extract(raw_url, '{_QUERY_RE}', 1) AS q
+    FROM raw
+),
+canon AS (
+    SELECT doc_id, raw_url,
+        CASE WHEN scheme = 'https' AND hostport LIKE '%:443'
+             THEN substr(hostport, 1, length(hostport) - 4)
+             WHEN scheme = 'http' AND hostport LIKE '%:80'
+             THEN substr(hostport, 1, length(hostport) - 3)
+             ELSE hostport END AS host,
+        CASE WHEN path0 IN ('', '/') THEN '/'
+             ELSE regexp_replace(path0, '/+$', '') END AS path,
+        CASE WHEN q = '' THEN CAST([] AS VARCHAR[])
+             ELSE string_split(q, '&') END AS allp,
+        CASE WHEN q = '' THEN CAST([] AS VARCHAR[])
+             ELSE list_sort(list_filter(string_split(q, '&'),
+                  x -> NOT regexp_matches(x, '{_TRACKING_RE}')))
+             END AS kept,
+        scheme
+    FROM parts
+),
+cu AS (
+    SELECT doc_id, raw_url, host, allp, kept,
+        scheme || '://' || host || path
+        || CASE WHEN len(kept) > 0
+                THEN '?' || array_to_string(kept, '&') ELSE '' END
+            AS canonical_url
+    FROM canon
+)
+"""
+
+URL_CANONICALIZE_ORACLE = f"""
+WITH raw AS (
+    SELECT doc_id, {_CRAWL_URL_SQL} AS raw_url FROM documents
+),
+{_CANON_PARTS}
+SELECT doc_id, raw_url, canonical_url, host,
+       CAST(len(kept) AS INT) AS n_params_kept,
+       CAST(len(allp) - len(kept) AS INT) AS n_params_stripped,
+       canonical_url <> raw_url AS changed
+FROM cu
+"""
+
+URL_DEDUP_ORACLE = f"""
+WITH raw AS (
+    SELECT doc_id, {_CRAWL_URL_SQL} AS raw_url FROM documents
+),
+{_CANON_PARTS},
+per_url AS (
+    SELECT canonical_url, host,
+           min(doc_id) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_dup_docs
+    FROM cu
+    GROUP BY canonical_url, host
+),
+ranked AS (
+    SELECT doc_id, canonical_url, host, n_dup_docs,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                AS INT) AS host_rank
+    FROM per_url
+)
+SELECT doc_id, canonical_url, host, n_dup_docs, host_rank
+FROM ranked
+WHERE host_rank <= {MAX_PER_HOST}
+"""
+
+
+def _register() -> None:
+    registry.register(
+        "url_canonicalize", url_canonicalize, URL_CANONICALIZE_ORACLE
+    )
+    registry.register(
+        "url_dedup_hostcap", url_dedup_hostcap, URL_DEDUP_ORACLE
+    )

@@ -183,10 +183,12 @@ def _load_all() -> None:
         "cdc",
         "adpcm",
         "tiff",
+        "packing",
         "markup",
         "bloomjoin",
         "contrastive",
         "links",
+        "urls",
         "warc",
         "spatial",
         "stattests",

@@ -1,0 +1,133 @@
+"""Sequence packing: greedy first-fit semantics, truncation, token
+conservation, and a seeded random replay of the JVM fold against a
+pure-python reference."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark.operators.packing import (
+    DOCS_PER_SHARD,
+    SEQ_BUDGET,
+    _pack_fold,
+    pack_training_sequences,
+    packing_stats,
+)
+
+
+def _fold(spark, pairs):
+    """Run the JVM fold on one explicit (doc_id, tok) list."""
+    df = spark.createDataFrame(
+        [([{"doc_id": d, "tok": t} for d, t in pairs],)],
+        "lst array<struct<doc_id:bigint,tok:bigint>>",
+    )
+    row = df.select(_pack_fold(F.col("lst")).alias("q")).collect()[0]
+    return [
+        (
+            s["seq_idx"],
+            s["n_docs"],
+            s["n_tokens"],
+            s["n_trunc"],
+            s["first_doc"],
+            s["last_doc"],
+        )
+        for s in row["q"]
+    ]
+
+
+def _py_greedy(pairs, budget):
+    """Pure-python reference of the greedy first-fit recurrence."""
+    seqs = []
+    for d, t in pairs:
+        ctok = min(t, budget)
+        trunc = t - ctok
+        if seqs and seqs[-1][2] + ctok <= budget:
+            i, n, tok, tr, fd, _ = seqs[-1]
+            seqs[-1] = (i, n + 1, tok + ctok, tr + trunc, fd, d)
+        else:
+            seqs.append((len(seqs) + 1, 1, ctok, trunc, d, d))
+    return seqs
+
+
+def test_fold_pinned_cases(spark):
+    B = SEQ_BUDGET
+    # exact fill, then spill to a new sequence
+    assert _fold(spark, [(0, B // 2), (1, B // 2), (2, 1)]) == [
+        (1, 2, B, 0, 0, 1),
+        (2, 1, 1, 0, 2, 2),
+    ]
+    # oversized doc: truncated to the budget, fills its own sequence
+    assert _fold(spark, [(0, B + 37), (1, 5)]) == [
+        (1, 1, B, 37, 0, 0),
+        (2, 1, 5, 0, 1, 1),
+    ]
+    # greedy (not best-fit): doc 2 fits seq 1's leftover but greedy
+    # already moved on when doc 1 spilled
+    assert _fold(spark, [(0, B - 10), (1, 11), (2, 10)]) == [
+        (1, 1, B - 10, 0, 0, 0),
+        (2, 2, 21, 0, 1, 2),
+    ]
+    # empty shard list folds to no sequences
+    assert _fold(spark, []) == []
+
+
+def test_fold_matches_python_reference_random(spark):
+    rng = np.random.RandomState(7)
+    cases = []
+    for _ in range(40):
+        n = rng.randint(1, DOCS_PER_SHARD + 1)
+        toks = rng.randint(1, SEQ_BUDGET + 200, size=n)
+        base = rng.randint(0, 10_000)
+        cases.append([(base + i, int(t)) for i, t in enumerate(toks)])
+    df = spark.createDataFrame(
+        [([{"doc_id": d, "tok": t} for d, t in c],) for c in cases],
+        "lst array<struct<doc_id:bigint,tok:bigint>>",
+    )
+    rows = df.select(_pack_fold(F.col("lst")).alias("q")).collect()
+    for case, row in zip(cases, rows):
+        got = [
+            (
+                s["seq_idx"],
+                s["n_docs"],
+                s["n_tokens"],
+                s["n_trunc"],
+                s["first_doc"],
+                s["last_doc"],
+            )
+            for s in row["q"]
+        ]
+        assert got == _py_greedy(case, SEQ_BUDGET), case
+
+
+def test_corpus_conservation_and_bounds(spark, sf_dir):
+    stats = packing_stats(spark, sf_dir).collect()[0]
+    # conservation: nothing leaks between input and (packed + clipped)
+    assert (
+        stats["n_packed_tokens"] + stats["n_truncated_tokens"]
+        == stats["n_input_tokens"]
+    )
+    assert stats["n_sequences"] > 0
+    seqs = pack_training_sequences(spark, sf_dir).collect()
+    assert len(seqs) == stats["n_sequences"]
+    assert sum(s["n_docs"] for s in seqs) == stats["n_docs"]
+    by_shard: dict[int, list] = {}
+    for s in seqs:
+        # no sequence ever exceeds the budget
+        assert 0 < s["n_tokens"] <= SEQ_BUDGET
+        # a clipped doc fills its sequence exactly
+        if s["n_trunc_tokens"] > 0:
+            assert s["n_tokens"] == SEQ_BUDGET
+        assert s["first_doc_id"] <= s["last_doc_id"]
+        by_shard.setdefault(s["shard"], []).append(s)
+    for shard, group in by_shard.items():
+        group.sort(key=lambda s: s["seq_idx"])
+        # seq_idx dense from 1; doc spans ordered and disjoint
+        assert [s["seq_idx"] for s in group] == list(
+            range(1, len(group) + 1)
+        )
+        for a, b in zip(group, group[1:]):
+            assert a["last_doc_id"] < b["first_doc_id"]
+        for s in group:
+            assert s["first_doc_id"] // DOCS_PER_SHARD == shard
+            assert s["last_doc_id"] // DOCS_PER_SHARD == shard
