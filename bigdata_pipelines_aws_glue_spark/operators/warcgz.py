@@ -1,0 +1,241 @@
+"""Gzip-member WARC framing ([north-star] N4/N5 adjacency; public
+specs ISO 28500 + RFC 1950/1952; no reference citation — the
+reference has no web-archive inputs). Real ``.warc.gz`` shards are
+PER-RECORD compression members concatenated back to back, so a
+reader can seek to any record (offsets come from the CDX index) and
+inflate exactly one member. ``operators/warc.py`` frames plain-text
+blobs; this module adds the compressed layer on top of the same
+record synthesis and the same Content-Length scan.
+
+Member format (the synthesized-container pattern of ``tiff.py``; the
+length prefixes carry what a real reader gets from the CDX index —
+member offset/size and the record's uncompressed size):
+
+    [4B big-endian compressed_len][4B big-endian uncompressed_len]
+    [zlib-compressed record bytes]
+
+Parse = the honest three-step pipeline: (1) split the blob on the
+length prefixes — nothing scans compressed bytes for magic markers;
+(2) inflate each member with the BOUNDED discipline of
+``tiff.py:565`` (``decompressobj().decompress(raw, expected)``, then
+loud ValueError unless the stream ended exactly at ``expected`` with
+nothing unconsumed and the blob walk ends exactly at EOF — a lying
+prefix or trailing garbage fails the task, never silently truncates);
+(3) run ``warc._parse_fold``'s Content-Length scan over the
+reassembled text — the framing layers compose, they don't fork.
+
+Engine strategy: compression is genuinely Python (zlib), so both
+kernels are Arrow-batched (``applyInPandas`` to assemble blobs,
+``pandas_udf`` to split+inflate) — never row-at-a-time. Everything
+around them is JVM: record synthesis, the fold, the zip/explode.
+DuckDB cannot gunzip, so the oracle attests the ROUND-TRIP
+INVARIANTS instead: it rebuilds the records set-wise (the
+``warc.py`` replay) and emits each record's framed length as
+``member_ulen`` — while Spark emits the ``uncompressed_len`` PREFIX
+read back out of the member. The hash match therefore proves the
+prefixes written at compress time survive the split and equal the
+true record lengths, and that payload md5s round-trip through
+compress -> split -> bounded-inflate byte-exactly. (The compressed
+byte count itself is zlib-version-specific and deliberately not in
+the attested row.)
+
+Byte==char precondition (same as ``warc.py``): prefixes store UTF-8
+BYTE lengths; the DuckDB twin measures CHAR lengths — identical on
+this ASCII corpus, and a non-ASCII corpus would fail the hash check
+loudly rather than drift.
+
+Scale posture: one groupBy(bucket) shuffle carrying record text (the
+same shuffle ``warc.warc_blobs`` pays); members compress/inflate
+independently per record inside Arrow batches — exactly how crawl
+writers and readers parallelize at 100 TB; blobs parse independently
+per shard.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.operators.links import synth_linked_html
+from bigdata_pipelines_aws_glue_spark.operators.warc import (
+    _BLOB_CTE,
+    _DOC_RE,
+    _PARSE_CTES,
+    _REC_SQL,
+    MAX_RECS,
+    RECS_PER_BLOB,
+    _parse_fold,
+    synth_warc_record,
+)
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+_PREFIX = struct.Struct(">II")
+
+
+def compress_member(txt: str) -> bytes:
+    """One length-prefixed zlib member for a record string."""
+    raw = txt.encode("utf-8")
+    comp = zlib.compress(raw)
+    return _PREFIX.pack(len(comp), len(raw)) + comp
+
+
+def split_members(blob: bytes) -> list[tuple[int, str]]:
+    """(uncompressed_len_prefix, record_text) per member, walking the
+    length prefixes with bounded inflate. Loud on any inconsistency:
+    short prefix/member, stream not ending exactly at the declared
+    length, unconsumed bytes inside a member, or a blob walk that
+    does not end exactly at EOF."""
+    out: list[tuple[int, str]] = []
+    off = 0
+    n = len(blob)
+    while off < n:
+        if off + _PREFIX.size > n:
+            raise ValueError(f"truncated member prefix at offset {off}")
+        clen, ulen = _PREFIX.unpack_from(blob, off)
+        off += _PREFIX.size
+        if off + clen > n:
+            raise ValueError(
+                f"member overruns blob: need {clen} bytes at {off}, "
+                f"have {n - off}"
+            )
+        comp = blob[off : off + clen]
+        off += clen
+        d = zlib.decompressobj()
+        # bounded inflate (tiff.py:565 discipline): never allocate
+        # more than the declared size, whatever the stream claims.
+        raw = d.decompress(comp, ulen)
+        if len(raw) != ulen or not d.eof or d.unconsumed_tail:
+            raise ValueError(
+                f"member inflate mismatch: declared {ulen}, got "
+                f"{len(raw)}, eof={d.eof}, "
+                f"unconsumed={len(d.unconsumed_tail)}"
+            )
+        out.append((ulen, raw.decode("utf-8")))
+    if off != n:
+        raise ValueError(f"blob walk ended at {off}, blob size {n}")
+    return out
+
+
+def _assemble_blob(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one length-prefixed-member blob per
+    bucket, members in doc_id order."""
+    pdf = pdf.sort_values("doc_id")
+    blob = b"".join(compress_member(t) for t in pdf["rec"])
+    return pd.DataFrame(
+        {"bucket": [int(pdf["bucket"].iloc[0])], "blob": [blob]}
+    )
+
+
+def warc_gz_blobs(docs: DataFrame) -> DataFrame:
+    """(bucket, blob): per-record zlib members concatenated in doc_id
+    order, ``RECS_PER_BLOB`` per blob."""
+    payload = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
+    rec = synth_warc_record(F.col("doc_id"), F.col("lang"), payload)
+    per_rec = docs.select(
+        F.floor(F.col("doc_id") / F.lit(RECS_PER_BLOB))
+        .cast("long")
+        .alias("bucket"),
+        F.col("doc_id"),
+        rec.alias("rec"),
+    )
+    return per_rec.groupBy("bucket").applyInPandas(
+        _assemble_blob, schema="bucket long, blob binary"
+    )
+
+
+def _gz_members_udf():
+    """pandas_udf built lazily (the DDL string needs a live session
+    to parse, so a module-level decorator would break import)."""
+
+    @F.pandas_udf("array<struct<ulen:int,txt:string>>")
+    def _gz_members(blobs: pd.Series) -> pd.Series:
+        return blobs.apply(
+            lambda b: [
+                {"ulen": ulen, "txt": txt}
+                for ulen, txt in split_members(bytes(b))
+            ]
+        )
+
+    return _gz_members
+
+
+def warc_gz_parse_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per recovered record: everything ``warc_parse_records`` emits,
+    plus ``member_ulen`` — the uncompressed-length PREFIX read back
+    from the member (the oracle independently computes the record's
+    true framed length; see module doc for what the match proves)."""
+    blobs = warc_gz_blobs(load_table(spark, sf_dir, "documents"))
+    members = blobs.select(
+        "bucket", _gz_members_udf()(F.col("blob")).alias("ms")
+    )
+    text = F.array_join(
+        F.transform(F.col("ms"), lambda m: m["txt"]), ""
+    )
+    folded = members.select(
+        "bucket",
+        F.col("ms"),
+        _parse_fold(text)["recs"].alias("recs"),
+    )
+    # records and members are both in blob order; zip positionally so
+    # each fold row carries its member's prefix.
+    zipped = folded.select(
+        "bucket",
+        F.explode(
+            F.arrays_zip(
+                F.col("recs"),
+                F.transform(F.col("ms"), lambda m: m["ulen"]).alias("ulen"),
+            )
+        ).alias("z"),
+    )
+    return zipped.select(
+        "bucket",
+        F.col("z.recs.idx").alias("rec_idx"),
+        F.regexp_extract(F.col("z.recs.uri"), _DOC_RE, 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("z.recs.clen").alias("content_length"),
+        F.col("z.ulen").alias("member_ulen"),
+        F.col("z.recs.pay_md5").alias("payload_md5"),
+    )
+
+
+#: same replay chain as WARC_PARSE_ORACLE; ``member_ulen`` is the
+#: rebuilt record's char length (== the byte-length prefix on this
+#: ASCII corpus — the module-doc precondition), recovered from the
+#: fold as the offset delta each step consumed. Rather than extend
+#: the shared step struct, recompute it as length(record text):
+#: each record string is rebuildable per doc.
+WARC_GZ_PARSE_ORACLE = (
+    _BLOB_CTE
+    + ",\n"
+    + _PARSE_CTES
+    + f""",
+rec AS (SELECT bucket, unnest(recs) AS r FROM s{MAX_RECS}),
+rlen AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(length({_REC_SQL}) AS INT) AS member_ulen
+    FROM pay
+)
+SELECT rec.bucket,
+       CAST(rec.r.idx AS INT) AS rec_idx,
+       CAST(regexp_extract(rec.r.uri, '{_DOC_RE}', 1) AS BIGINT) AS doc_id,
+       CAST(rec.r.clen AS INT) AS content_length,
+       rlen.member_ulen,
+       rec.r.pay_md5 AS payload_md5
+FROM rec
+JOIN rlen
+  ON CAST(regexp_extract(rec.r.uri, '{_DOC_RE}', 1) AS BIGINT)
+     = rlen.doc_id
+"""
+)
+
+
+def _register() -> None:
+    registry.register(
+        "warc_gz_parse_records", warc_gz_parse_records, WARC_GZ_PARSE_ORACLE
+    )

@@ -190,6 +190,7 @@ def _load_all() -> None:
         "links",
         "urls",
         "warc",
+        "warcgz",
         "spatial",
         "stattests",
         "cohorts",
