@@ -137,7 +137,7 @@ def _bpe_ctes() -> list[str]:
     as the shared CTE list behind BOTH oracles (training audit and
     corpus encode)."""
     ctes = [
-        """v1 AS (
+        """v1 AS MATERIALIZED (
     SELECT word, CAST(count(*) AS BIGINT) AS freq,
            list_append(list_transform(range(1, length(word) + 1),
                        i -> substr(word, CAST(i AS INT), 1)), '</w>') AS syms
@@ -148,7 +148,7 @@ def _bpe_ctes() -> list[str]:
     ]
     for k in range(1, NUM_MERGES + 1):
         ctes.append(
-            f"""p{k} AS (
+            f"""p{k} AS MATERIALIZED (
     SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
         SELECT freq,
                unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS a,
@@ -156,45 +156,45 @@ def _bpe_ctes() -> list[str]:
         FROM v{k}
     ) GROUP BY a, b
 ),
-best{k} AS (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-pos{k} AS (
+best{k} AS MATERIALIZED (SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+pos{k} AS MATERIALIZED (
     SELECT word, freq, syms, len(syms) AS L,
            unnest(range(1, len(syms) + 1)) AS i
     FROM v{k}
 ),
-mm{k} AS (
+mm{k} AS MATERIALIZED (
     SELECT p.word, p.freq, p.syms, p.i,
            CASE WHEN p.i < p.L AND p.syms[p.i] = bb.a
                      AND p.syms[p.i + 1] = bb.b THEN 1 ELSE 0 END AS is_match
     FROM pos{k} p CROSS JOIN best{k} bb
 ),
-fl{k} AS (
+fl{k} AS MATERIALIZED (
     SELECT word, freq, syms, i, is_match,
            CASE WHEN is_match = 1 THEN
                i - row_number() OVER (PARTITION BY word, is_match ORDER BY i)
            END AS grp
     FROM mm{k}
 ),
-se{k} AS (
+se{k} AS MATERIALIZED (
     SELECT word, freq, syms, i, is_match,
            CASE WHEN is_match = 1 AND
                 (row_number() OVER (PARTITION BY word, grp ORDER BY i)) % 2 = 1
            THEN 1 ELSE 0 END AS selected
     FROM fl{k}
 ),
-fi{k} AS (
+fi{k} AS MATERIALIZED (
     SELECT word, freq, syms, i, selected,
            coalesce(lag(selected) OVER (PARTITION BY word ORDER BY i), 0)
                AS consumed
     FROM se{k}
 ),
-v{k + 1} AS (
+v{k + 1} AS MATERIALIZED (
     SELECT word, min(freq) AS freq,
            list(CASE WHEN selected = 1 THEN syms[i] || syms[i + 1]
                      ELSE syms[i] END ORDER BY i) AS syms
     FROM fi{k} WHERE consumed = 0 GROUP BY word
 ),
-o{k} AS (
+o{k} AS MATERIALIZED (
     SELECT {k} AS merge_rank, bb.a AS left_sym, bb.b AS right_sym,
            bb.cnt AS pair_count,
            (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM v{k + 1})

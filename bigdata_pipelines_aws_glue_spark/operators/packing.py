@@ -212,7 +212,7 @@ def packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: per-doc learned-BPE token counts off the shared BPE replay chain
 #: (v{NUM_MERGES+1} is the final vocab, exactly as BPE_ENCODE_ORACLE
 #: consumes it).
-_DTOK_CTE = f"""dtok AS (
+_DTOK_CTE = f"""dtok AS MATERIALIZED (
     SELECT doc_id, CAST(sum(len(v.syms)) AS BIGINT) AS tok
     FROM (
         SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
@@ -222,14 +222,14 @@ _DTOK_CTE = f"""dtok AS (
     WHERE length(w.word) > 0
     GROUP BY doc_id
 ),
-sh AS (
+sh AS MATERIALIZED (
     SELECT CAST(doc_id // {DOCS_PER_SHARD} AS BIGINT) AS shard,
            list(struct_pack(doc_id := doc_id, tok := tok)
                 ORDER BY doc_id) AS lst
     FROM dtok
     GROUP BY 1
 ),
-k0 AS (
+k0 AS MATERIALIZED (
     SELECT shard, lst,
            CAST([] AS STRUCT(seq_idx INT, n_docs INT, n_tokens INT,
                              n_trunc INT, first_doc BIGINT,
@@ -243,7 +243,7 @@ def _pack_step(i: int) -> str:
     body (two CTEs: extract element ``i``, then update the seqs)."""
     b = SEQ_BUDGET
     last = "seqs[-1]"
-    return f"""t{i} AS (
+    return f"""t{i} AS MATERIALIZED (
     SELECT shard, lst, seqs,
         CASE WHEN len(lst) >= {i}
              THEN struct_extract(lst[{i}], 'doc_id') END AS did,
@@ -256,7 +256,7 @@ def _pack_step(i: int) -> str:
                        AS INT) END AS tr
     FROM k{i - 1}
 ),
-k{i} AS (
+k{i} AS MATERIALIZED (
     SELECT shard, lst,
         CASE
         WHEN did IS NULL THEN seqs
