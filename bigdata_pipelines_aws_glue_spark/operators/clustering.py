@@ -258,8 +258,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # component = min reachable id. Fine at oracle scale; the Spark side
 # is the one that has to survive 100 TB.
 DEDUP_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE pairs AS ({NGRAM_JACCARD_ORACLE}),
-sym AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({NGRAM_JACCARD_ORACLE}),
+sym AS MATERIALIZED (
     SELECT doc_a AS u, doc_b AS v FROM pairs
     UNION
     SELECT doc_b AS u, doc_a AS v FROM pairs
@@ -329,8 +329,8 @@ def _simhash_clusters_oracle() -> str:
     )
 
     return f"""
-WITH RECURSIVE pairs AS ({SIMHASH_HAMMING_ORACLE}),
-sym AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({SIMHASH_HAMMING_ORACLE}),
+sym AS MATERIALIZED (
     SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
     UNION
     SELECT doc_id_b AS u, doc_id_a AS v FROM pairs

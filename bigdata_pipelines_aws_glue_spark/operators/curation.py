@@ -47,7 +47,11 @@ def pack_sequences(
 
     Scale: ROWS UNBOUNDED PRECEDING running sum within a shard is a
     single sort per shard partition — shards are the parallelism unit,
-    mirroring per-output-file packing on a real cluster."""
+    mirroring per-output-file packing on a real cluster.
+
+    The boundary-RESPECTING counterpart (greedy first-fit, docs never
+    split, learned-BPE token counts, truncation conservation) is
+    ``operators/packing.py:pack_training_sequences``."""
     n_tokens = F.size(F.split(F.trim(F.col(text_col)), " "))
     w = (
         Window.partitionBy("shard")

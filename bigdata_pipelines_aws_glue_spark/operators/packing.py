@@ -12,9 +12,12 @@ than the budget is TRUNCATED to the budget (it fills its own
 sequence exactly; the clipped tokens are accounted, never silently
 dropped). Documents are never split across sequences — the
 boundary-respecting packing used when attention must not cross
-document boundaries (the concat-and-chunk alternative is the
-``sequence_id = floor(running_sum / budget)`` window, a strictly
-simpler plan).
+document boundaries. (The concat-and-chunk alternative — docs DO
+split at window boundaries, ``chunk_id = floor(start_offset /
+budget)`` — already ships as ``curation.sequence_pack_chunks`` /
+``chunk_fill_report`` over whitespace token counts; this module is
+the other half of the packing design space, driven by the LEARNED
+tokenizer's counts and with explicit truncation conservation.)
 
 Sharding: packing state is inherently sequential, so at 100 TB the
 unit of packing is the SHARD (``DOCS_PER_SHARD`` consecutive
