@@ -252,6 +252,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row blob-level totals x 1-row payload-match totals "
         "crossJoin for the single audit row — scalar join",
     },
+    "packing_stats": {
+        "BroadcastNestedLoopJoin": "1-row input-token totals x 1-row sequence totals "
+        "crossJoin for the single conservation-audit row — scalar join "
+        "(the warc_roundtrip_audit shape)",
+    },
     "hll_vocab_rollup": {
         "BroadcastNestedLoopJoin": "1-row global-exact x 1-row union-estimate crossJoin for the ALL "
         "row — scalar join",
