@@ -28,80 +28,76 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy in ``tools/rotate_priority.py``, which
-#: generated this window). Round-12 window (VERDICT_r11 item 1 —
-#: executed exactly as the r11 comment's arithmetic planned, then
-#: RE-CUT as each batch of late-r12 additions landed — the r11
-#: precedent: every re-cut trades oldest-fill slots for
-#: never-attested fresh rows, strictly more evidence under the same
-#: policy): (a) the 17 round-12 additions (HTML/markup trio, the
-#: composed multi-word MIH multiprobe pair, the bloom-prefilter
-#: pair, the contrastive-mining pair, the link-extraction trio
-#: incl. ``link_pagerank``, the WARC framing pair,
-#: ``quality_quantile_normalize``, ``bpe_encode_corpus`` (the
-#: train->apply closure), ``multimodal_tiff_extended`` (the three
-#: formerly-loud TIFF seams) — never-attested sorts first
-#: automatically); (b) the 12 remaining r6-last-green rows; (c) the
-#: 21 oldest r7-last-green rows, filling 50 exactly. Every name in
-#: this window was verified green in PLAIN_SESSION at sf0.01 this
-#: round before the rotation commit (all 17 additions also at
-#: sf0.1, + plan audit on 286 plans).
+#: generated this window). Round-13 window (VERDICT_r12 item 1 —
+#: executed exactly as the r12 comment's arithmetic planned, plus
+#: the standing forced-first rule for new/behavior-changed rows):
+#: (a) the 5 round-13 additions (sequence packing pair, URL
+#: canonicalization/dedup pair, gzip-member WARC framing) plus the
+#: 6 rows whose ORACLE TEXT changed this round (the BPE pair and
+#: the four closure-embedding cluster queries — ``AS MATERIALIZED``
+#: on their replay CTEs, results verified identical but the changed
+#: twin must re-attest); (b) the 29 remaining r7-last-green rows;
+#: (c) the 10 oldest r8-last-green rows, filling 50 exactly. Every
+#: name in this window was verified green in PLAIN_SESSION at
+#: sf0.01 this round before the rotation commit (the 11 forced rows
+#: also at sf0.1).
 #:
-#: Round-13 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 228 oracled
-#: rows — 29 still-r7, then r8 (50), r9 (50), r10 (49), r11 (50).
-#: So the r13 window = any r13 additions + those 29 r7 rows +
-#: oldest-r8 to fill 50. Steady state, purely age-driven.
+#: Round-14 arithmetic (from tools/rotate_priority.py this round):
+#: after this window attests, the deferred remainder is 233 oracled
+#: rows — 40 still-r8, then r9 (49), r10 (49), r11 (46), r12 (49).
+#: So the r14 window = any r14 additions + those 40 r8 rows +
+#: oldest-r9 to fill 50. Steady state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
-    "binary_multiword_mih_multiprobe_topk",
-    "binary_multiword_mih_multiprobe_recall_at10",
-    "html_strip_text",
-    "boilerplate_density",
-    "html_main_content",
-    "bloom_semijoin_revenue",
-    "bloom_filter_stats",
-    "hard_negative_pairs",
-    "contrastive_triplets",
-    "extract_links",
-    "link_host_degree",
-    "link_pagerank",
-    "warc_parse_records",
-    "warc_roundtrip_audit",
-    "quality_quantile_normalize",
+    "pack_training_sequences",
+    "packing_stats",
+    "url_canonicalize",
+    "url_dedup_hostcap",
+    "warc_gz_parse_records",
+    "bpe_train_merges",
     "bpe_encode_corpus",
-    "multimodal_tiff_extended",
-    "crossdoc_shingle_dup",
-    "quality_classifier_train",
-    "quality_classifier_weights",
-    "zorder_layout",
-    "zorder_pruning_gain",
-    "fuzzy_match_parts",
-    "er_golden_record",
-    "split_token_drift",
-    "k_anonymity_audit",
-    "market_basket_pairs",
-    "compaction_plan",
-    "ewma_anomaly_per_user",
-    "q1_pricing_summary",
-    "sales_trends_monthly",
-    "approx_quantiles_accuracy",
-    "events_variant_props",
-    "lsh_candidate_quality",
-    "top_terms_per_lang",
-    "doc_repetition_stats",
-    "lang_id_markers",
-    "token_count_bpe",
-    "doc_fingerprint",
-    "pii_scrub_report",
-    "cosine_topk",
-    "ann_lsh_topk",
-    "ann_lsh_recall_at10",
-    "ann_lsh_multiprobe_recall_at10",
-    "dedup_embedding_cosine",
-    "matryoshka_topk",
-    "matryoshka_recall_at10",
-    "multimodal_resize",
-    "multimodal_mp4_frames",
-    "split_contamination_matrix",
+    "dedup_clusters",
+    "dedup_simhash_clusters",
+    "dedup_clusters_star",
+    "corpus_curation_summary",
+    "deterministic_shuffle",
+    "train_val_test_split",
+    "source_cap_sample",
+    "sql_udf_revenue",
+    "safe_arithmetic",
+    "map_functions",
+    "xml_roundtrip_orders",
+    "string_functions",
+    "date_functions",
+    "array_functions",
+    "sql_correlated_delta",
+    "zorder_layout_key",
+    "events_rolling_avg_time",
+    "events_outlier_mad",
+    "hll_vocab_rollup",
+    "token_budget_allocation",
+    "sales_trend_slope",
+    "rolling_7d_active_users",
+    "recursive_trade_reach",
+    "trade_reach_frontier",
+    "triangle_count_parts",
+    "quality_classifier_score",
+    "join_size_estimate",
+    "theta_set_algebra",
+    "kll_quantile_merge",
+    "approx_top_terms",
+    "chunk_documents_udtf",
+    "pysource_lang_rollup",
+    "sessions_stateful",
+    "rollup_sales",
+    "q3_top_unshipped",
+    "percentile_by_status",
+    "trimmed_mean_price",
+    "equidepth_histogram",
+    "inventory_balance_resets",
+    "interp_asof_rates",
+    "asof_join_forward",
+    "snapshot_diff_orders",
+    "cdc_apply_changes",
 )
 
 
