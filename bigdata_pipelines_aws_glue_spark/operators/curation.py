@@ -49,7 +49,7 @@ def pack_sequences(
     single sort per shard partition — shards are the parallelism unit,
     mirroring per-output-file packing on a real cluster.
 
-    The boundary-RESPECTING counterpart (greedy first-fit, docs never
+    The boundary-RESPECTING counterpart (greedy next-fit/first-fit, docs never
     split, learned-BPE token counts, truncation conservation) is
     ``operators/packing.py:pack_training_sequences``."""
     n_tokens = F.size(F.split(F.trim(F.col(text_col)), " "))

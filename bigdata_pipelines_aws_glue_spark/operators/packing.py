@@ -4,10 +4,23 @@ no documents). The step between ``bpe_encode_corpus``
 (``operators/bpe.py``) and a training batch: bin the per-document
 token streams into fixed token-budget context windows.
 
-Semantics (greedy doc-order first-fit, the deterministic
-oracle-checkable form): documents are visited in ``doc_id`` order;
-each goes into the CURRENT sequence if its token count still fits
-the ``SEQ_BUDGET``, else a new sequence starts. A document longer
+Semantics — TWO deterministic oracle-checkable forms, both visiting
+documents in ``doc_id`` order:
+
+* ``pack_training_sequences`` — greedy NEXT-FIT: each doc goes into
+  the CURRENT (open) sequence if its token count still fits the
+  ``SEQ_BUDGET``, else the sequence closes forever and a new one
+  starts. Sequences emit in doc order and state is one open bin —
+  the streaming form a sharded writer actually uses.
+* ``pack_sequences_firstfit`` — greedy FIRST-FIT: every sequence in
+  the shard stays open; each doc scans them in creation order and
+  joins the FIRST with room, opening a new one only when none fits.
+  Classic bin packing (never worse than next-fit, ≤ 1.7x OPT);
+  state is the shard's bin list — affordable exactly because the
+  shard bounds it. ``packing_fill_compare`` quantifies the fill
+  gap between the two on this corpus in one audit row.
+
+In both forms a document longer
 than the budget is TRUNCATED to the budget (it fills its own
 sequence exactly; the clipped tokens are accounted, never silently
 dropped). Documents are never split across sequences — the
@@ -96,7 +109,7 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pack_fold(lst: Column) -> Column:
-    """Greedy first-fit over a doc_id-sorted array of (doc_id, tok)
+    """Greedy next-fit over a doc_id-sorted array of (doc_id, tok)
     structs, as one JVM ``aggregate`` fold. ``F.get`` returns NULL on
     the empty accumulator, so the first doc falls through to the
     new-sequence branch (the ``bpe._merge_fold`` trick)."""
@@ -208,6 +221,148 @@ def packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two 1-row aggregates: the same bounded crossJoin shape as
     # warc_roundtrip_audit (metadata-sized by construction).
     return a.crossJoin(b)
+
+
+def _firstfit_fold(lst: Column) -> Column:
+    """Greedy FIRST-FIT over the same doc_id-sorted array: every
+    sequence stays open; the doc joins the first one with room
+    (``fidx``), found by an enumerate-filter over the accumulator —
+    still one JVM fold, state bounded by the shard. ``F.get`` on the
+    empty filtered list returns NULL, so no-fit falls through to the
+    new-sequence branch."""
+
+    def step(acc: Column, x: Column) -> Column:
+        ctok = F.least(x["tok"], F.lit(SEQ_BUDGET)).cast("int")
+        trunc = (x["tok"] - ctok).cast("int")
+        fidx = F.get(
+            F.filter(
+                F.transform(
+                    acc,
+                    lambda s, i: F.when(
+                        (s["n_tokens"] + ctok) <= F.lit(SEQ_BUDGET),
+                        i + F.lit(1),
+                    ),
+                ),
+                lambda v: v.isNotNull(),
+            ),
+            0,
+        )
+        joined = F.transform(
+            acc,
+            lambda s, i: F.when(
+                (i + F.lit(1)) == fidx,
+                F.struct(
+                    s["seq_idx"].alias("seq_idx"),
+                    (s["n_docs"] + F.lit(1)).cast("int").alias("n_docs"),
+                    (s["n_tokens"] + ctok).cast("int").alias("n_tokens"),
+                    (s["n_trunc"] + trunc).cast("int").alias("n_trunc"),
+                    s["first_doc"].alias("first_doc"),
+                    x["doc_id"].cast("long").alias("last_doc"),
+                ),
+            ).otherwise(s),
+        )
+        fresh = F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    (F.size(acc) + 1).cast("int").alias("seq_idx"),
+                    F.lit(1).cast("int").alias("n_docs"),
+                    ctok.alias("n_tokens"),
+                    trunc.alias("n_trunc"),
+                    x["doc_id"].cast("long").alias("first_doc"),
+                    x["doc_id"].cast("long").alias("last_doc"),
+                )
+            ),
+        )
+        return F.when(fidx.isNotNull(), joined).otherwise(fresh)
+
+    return F.aggregate(lst, F.array().cast(_SEQ_TYPE), step)
+
+
+def _packed_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _doc_tokens(spark, sf_dir)
+    shards = (
+        toks.select(
+            F.floor(F.col("doc_id") / F.lit(DOCS_PER_SHARD))
+            .cast("long")
+            .alias("shard"),
+            F.struct(F.col("doc_id"), F.col("tok")).alias("s"),
+        )
+        .groupBy("shard")
+        .agg(F.array_sort(F.collect_list("s")).alias("lst"))
+    )
+    return shards.select(
+        "shard", F.explode(_firstfit_fold(F.col("lst"))).alias("q")
+    )
+
+
+def pack_sequences_firstfit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The first-fit manifest: same columns as
+    ``pack_training_sequences`` except ``last_doc_id`` is the last
+    doc ASSIGNED (first-fit doc spans interleave across sequences,
+    so [first_doc_id, last_doc_id] is an assignment span, not a
+    contiguous range)."""
+    return _packed_ff(spark, sf_dir).select(
+        "shard",
+        F.col("q.seq_idx").alias("seq_idx"),
+        F.col("q.n_docs").alias("n_docs"),
+        F.col("q.n_tokens").alias("n_tokens"),
+        F.col("q.n_trunc").alias("n_trunc_tokens"),
+        F.floor(
+            F.col("q.n_tokens") * F.lit(1000000.0) / F.lit(SEQ_BUDGET)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("fill_ppm"),
+        F.col("q.first_doc").alias("first_doc_id"),
+        F.col("q.last_doc").alias("last_doc_id"),
+    )
+
+
+def packing_fill_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One audit row: next-fit vs first-fit on the identical corpus —
+    sequence counts, average fills, and the sequences first-fit saves
+    (the number that justifies carrying open-bin state). Token totals
+    are conserved identically by construction (same truncation rule),
+    so only one pair of token columns is emitted."""
+    nf = _packed(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("nf_sequences"),
+        F.floor(
+            F.sum("q.n_tokens") * F.lit(1000000.0)
+            / (F.count(F.lit(1)) * F.lit(SEQ_BUDGET))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nf_avg_fill_ppm"),
+        F.sum("q.n_tokens").cast("long").alias("n_packed_tokens"),
+    )
+    ff = _packed_ff(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("long").alias("ff_sequences"),
+        F.floor(
+            F.sum("q.n_tokens") * F.lit(1000000.0)
+            / (F.count(F.lit(1)) * F.lit(SEQ_BUDGET))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ff_avg_fill_ppm"),
+        F.sum("q.n_tokens").cast("long").alias("ff_packed_tokens"),
+    )
+    # 1-row x 1-row scalar crossJoin (the packing_stats shape).
+    return nf.crossJoin(ff).select(
+        "nf_sequences",
+        "ff_sequences",
+        (F.col("nf_sequences") - F.col("ff_sequences"))
+        .cast("long")
+        .alias("sequences_saved"),
+        "nf_avg_fill_ppm",
+        "ff_avg_fill_ppm",
+        "n_packed_tokens",
+        (F.col("ff_packed_tokens") == F.col("n_packed_tokens")).alias(
+            "tokens_conserved"
+        ),
+    )
 
 
 # ------------------------------------------------ DuckDB twins
@@ -345,6 +500,139 @@ FROM ia, sa
 )
 
 
+#: first-fit chain start: same empty accumulator off the shared sh.
+_FF_START = """m0 AS MATERIALIZED (
+    SELECT shard, lst,
+           CAST([] AS STRUCT(seq_idx INT, n_docs INT, n_tokens INT,
+                             n_trunc INT, first_doc BIGINT,
+                             last_doc BIGINT)[]) AS seqs
+    FROM sh
+)"""
+
+
+def _ff_step(i: int) -> str:
+    """One unrolled FIRST-FIT step (three CTEs: extract element,
+    find the first open sequence with room, update it in place)."""
+    b = SEQ_BUDGET
+    return f"""g{i} AS MATERIALIZED (
+    SELECT shard, lst, seqs,
+        CASE WHEN len(lst) >= {i}
+             THEN struct_extract(lst[{i}], 'doc_id') END AS did,
+        CASE WHEN len(lst) >= {i}
+             THEN CAST(least(struct_extract(lst[{i}], 'tok'), {b})
+                       AS INT) END AS ctok,
+        CASE WHEN len(lst) >= {i}
+             THEN CAST(struct_extract(lst[{i}], 'tok')
+                       - least(struct_extract(lst[{i}], 'tok'), {b})
+                       AS INT) END AS tr
+    FROM m{i - 1}
+),
+h{i} AS MATERIALIZED (
+    SELECT shard, lst, seqs, did, ctok, tr,
+        (list_filter(list_transform(range(1, len(seqs) + 1),
+             j -> CASE WHEN struct_extract(seqs[j], 'n_tokens') + ctok
+                            <= {b} THEN j END),
+             v -> v IS NOT NULL))[1] AS fidx
+    FROM g{i}
+),
+m{i} AS MATERIALIZED (
+    SELECT shard, lst,
+        CASE
+        WHEN did IS NULL THEN seqs
+        WHEN fidx IS NOT NULL THEN
+            list_transform(range(1, len(seqs) + 1), j ->
+                CASE WHEN j = fidx THEN struct_pack(
+                    seq_idx := struct_extract(seqs[j], 'seq_idx'),
+                    n_docs := CAST(struct_extract(seqs[j], 'n_docs')
+                                   + 1 AS INT),
+                    n_tokens := CAST(struct_extract(seqs[j], 'n_tokens')
+                                     + ctok AS INT),
+                    n_trunc := CAST(struct_extract(seqs[j], 'n_trunc')
+                                    + tr AS INT),
+                    first_doc := struct_extract(seqs[j], 'first_doc'),
+                    last_doc := CAST(did AS BIGINT))
+                ELSE seqs[j] END)
+        ELSE list_append(seqs, struct_pack(
+             seq_idx := CAST(len(seqs) + 1 AS INT),
+             n_docs := CAST(1 AS INT),
+             n_tokens := ctok,
+             n_trunc := tr,
+             first_doc := CAST(did AS BIGINT),
+             last_doc := CAST(did AS BIGINT)))
+        END AS seqs
+    FROM h{i}
+)"""
+
+
+_FF_CTES = (
+    "WITH "
+    + ",\n".join(_bpe_ctes())
+    + ",\n"
+    + _DTOK_CTE
+    + ",\n"
+    + _FF_START
+    + ",\n"
+    + ",\n".join(_ff_step(i) for i in range(1, DOCS_PER_SHARD + 1))
+)
+
+
+PACK_FF_ORACLE = (
+    _FF_CTES
+    + f""",
+seq AS (SELECT shard, unnest(seqs) AS q FROM m{DOCS_PER_SHARD})
+SELECT shard,
+       struct_extract(q, 'seq_idx') AS seq_idx,
+       struct_extract(q, 'n_docs') AS n_docs,
+       struct_extract(q, 'n_tokens') AS n_tokens,
+       struct_extract(q, 'n_trunc') AS n_trunc_tokens,
+       CAST(floor(struct_extract(q, 'n_tokens') * 1000000.0
+                  / {SEQ_BUDGET} + 0.5) AS BIGINT) AS fill_ppm,
+       struct_extract(q, 'first_doc') AS first_doc_id,
+       struct_extract(q, 'last_doc') AS last_doc_id
+FROM seq
+"""
+)
+
+
+#: both chains share the BPE replay + dtok/sh, then aggregate each.
+FILL_COMPARE_ORACLE = (
+    _PACK_CTES
+    + ",\n"
+    + _FF_START
+    + ",\n"
+    + ",\n".join(_ff_step(i) for i in range(1, DOCS_PER_SHARD + 1))
+    + f""",
+nfq AS (SELECT unnest(seqs) AS q FROM k{DOCS_PER_SHARD}),
+ffq AS (SELECT unnest(seqs) AS q FROM m{DOCS_PER_SHARD}),
+nfa AS (
+    SELECT CAST(count(*) AS BIGINT) AS nf_sequences,
+           CAST(floor(sum(struct_extract(q, 'n_tokens')) * 1000000.0
+                      / (count(*) * {SEQ_BUDGET}) + 0.5) AS BIGINT)
+               AS nf_avg_fill_ppm,
+           CAST(sum(struct_extract(q, 'n_tokens')) AS BIGINT)
+               AS n_packed_tokens
+    FROM nfq
+),
+ffa AS (
+    SELECT CAST(count(*) AS BIGINT) AS ff_sequences,
+           CAST(floor(sum(struct_extract(q, 'n_tokens')) * 1000000.0
+                      / (count(*) * {SEQ_BUDGET}) + 0.5) AS BIGINT)
+               AS ff_avg_fill_ppm,
+           CAST(sum(struct_extract(q, 'n_tokens')) AS BIGINT)
+               AS ff_packed_tokens
+    FROM ffq
+)
+SELECT nfa.nf_sequences, ffa.ff_sequences,
+       CAST(nfa.nf_sequences - ffa.ff_sequences AS BIGINT)
+           AS sequences_saved,
+       nfa.nf_avg_fill_ppm, ffa.ff_avg_fill_ppm,
+       nfa.n_packed_tokens,
+       ffa.ff_packed_tokens = nfa.n_packed_tokens AS tokens_conserved
+FROM nfa, ffa
+"""
+)
+
+
 def _register() -> None:
     registry.register(
         "pack_training_sequences",
@@ -352,3 +640,9 @@ def _register() -> None:
         PACK_SEQUENCES_ORACLE,
     )
     registry.register("packing_stats", packing_stats, PACKING_STATS_ORACLE)
+    registry.register(
+        "pack_sequences_firstfit", pack_sequences_firstfit, PACK_FF_ORACLE
+    )
+    registry.register(
+        "packing_fill_compare", packing_fill_compare, FILL_COMPARE_ORACLE
+    )

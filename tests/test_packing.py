@@ -1,4 +1,4 @@
-"""Sequence packing: greedy first-fit semantics, truncation, token
+"""Sequence packing: greedy next-fit/first-fit semantics, truncation, token
 conservation, and a seeded random replay of the JVM fold against a
 pure-python reference."""
 
@@ -37,7 +37,7 @@ def _fold(spark, pairs):
 
 
 def _py_greedy(pairs, budget):
-    """Pure-python reference of the greedy first-fit recurrence."""
+    """Pure-python reference of the greedy next-fit recurrence."""
     seqs = []
     for d, t in pairs:
         ctok = min(t, budget)
@@ -131,3 +131,101 @@ def test_corpus_conservation_and_bounds(spark, sf_dir):
         for s in group:
             assert s["first_doc_id"] // DOCS_PER_SHARD == shard
             assert s["last_doc_id"] // DOCS_PER_SHARD == shard
+
+
+def _ff_fold(spark, pairs):
+    from bigdata_pipelines_aws_glue_spark.operators.packing import (
+        _firstfit_fold,
+    )
+
+    df = spark.createDataFrame(
+        [([{"doc_id": d, "tok": t} for d, t in pairs],)],
+        "lst array<struct<doc_id:bigint,tok:bigint>>",
+    )
+    row = df.select(_firstfit_fold(F.col("lst")).alias("q")).collect()[0]
+    return [
+        (
+            s["seq_idx"],
+            s["n_docs"],
+            s["n_tokens"],
+            s["n_trunc"],
+            s["first_doc"],
+            s["last_doc"],
+        )
+        for s in row["q"]
+    ]
+
+
+def _py_firstfit(pairs, budget):
+    """Pure-python reference of greedy first-fit (all bins open)."""
+    seqs = []
+    for d, t in pairs:
+        ctok = min(t, budget)
+        trunc = t - ctok
+        for k, (i, n, tok, tr, fd, _) in enumerate(seqs):
+            if tok + ctok <= budget:
+                seqs[k] = (i, n + 1, tok + ctok, tr + trunc, fd, d)
+                break
+        else:
+            seqs.append((len(seqs) + 1, 1, ctok, trunc, d, d))
+    return seqs
+
+
+def test_firstfit_beats_nextfit_pinned(spark):
+    B = SEQ_BUDGET
+    # [300,300,200,200]-shaped (scaled to B): next-fit needs 3 bins,
+    # first-fit packs into 2 by reopening bin 1.
+    a, b, c = (B * 3) // 5, (B * 2) // 5, B // 5
+    pairs = [(0, a), (1, a), (2, b), (3, b)]
+    nf = _fold(spark, pairs)
+    ff = _ff_fold(spark, pairs)
+    assert len(nf) == 3 and len(ff) == 2
+    assert ff == _py_firstfit(pairs, B)
+    # conservation identical across strategies
+    assert sum(s[2] + s[3] for s in nf) == sum(s[2] + s[3] for s in ff)
+
+
+def test_firstfit_matches_python_reference_random(spark):
+    rng = np.random.RandomState(11)
+    cases = []
+    for _ in range(40):
+        n = rng.randint(1, DOCS_PER_SHARD + 1)
+        toks = rng.randint(1, SEQ_BUDGET + 200, size=n)
+        base = rng.randint(0, 10_000)
+        cases.append([(base + i, int(t)) for i, t in enumerate(toks)])
+    from bigdata_pipelines_aws_glue_spark.operators.packing import (
+        _firstfit_fold,
+    )
+
+    df = spark.createDataFrame(
+        [([{"doc_id": d, "tok": t} for d, t in c],) for c in cases],
+        "lst array<struct<doc_id:bigint,tok:bigint>>",
+    )
+    rows = df.select(_firstfit_fold(F.col("lst")).alias("q")).collect()
+    for case, row in zip(cases, rows):
+        got = [
+            (
+                s["seq_idx"],
+                s["n_docs"],
+                s["n_tokens"],
+                s["n_trunc"],
+                s["first_doc"],
+                s["last_doc"],
+            )
+            for s in row["q"]
+        ]
+        assert got == _py_firstfit(case, SEQ_BUDGET), case
+        # first-fit never uses more bins than next-fit
+        assert len(got) <= len(_py_greedy(case, SEQ_BUDGET))
+
+
+def test_corpus_fill_compare(spark, sf_dir):
+    from bigdata_pipelines_aws_glue_spark.operators.packing import (
+        packing_fill_compare,
+    )
+
+    row = packing_fill_compare(spark, sf_dir).collect()[0]
+    assert row["tokens_conserved"] is True
+    assert row["ff_sequences"] <= row["nf_sequences"]
+    assert row["sequences_saved"] == row["nf_sequences"] - row["ff_sequences"]
+    assert row["ff_avg_fill_ppm"] >= row["nf_avg_fill_ppm"]

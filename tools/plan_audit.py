@@ -257,6 +257,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoin for the single conservation-audit row — scalar join "
         "(the warc_roundtrip_audit shape)",
     },
+    "packing_fill_compare": {
+        "BroadcastNestedLoopJoin": "1-row next-fit totals x 1-row first-fit totals "
+        "crossJoin for the single comparison row — scalar join "
+        "(the packing_stats shape)",
+    },
     "hll_vocab_rollup": {
         "BroadcastNestedLoopJoin": "1-row global-exact x 1-row union-estimate crossJoin for the ALL "
         "row — scalar join",
