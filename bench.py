@@ -59,6 +59,12 @@ EXTENDED = [
     "extract_links",
     "bloom_semijoin_revenue",
     "warc_parse_records",
+    # r13 families (VERDICT r12 items 2-4): the BPE-train + greedy-fold
+    # packing chain, the map-only URL normalizer, and the gz codec
+    # (the one genuinely byte-linear Python path in the bench).
+    "pack_training_sequences",
+    "url_canonicalize",
+    "warc_gz_parse_records",
 ]
 
 
