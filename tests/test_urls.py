@@ -91,3 +91,54 @@ def test_corpus_dedup_and_hostcap(spark, sf_dir):
         # host-cap keep-first: ranks follow ascending doc_id
         doc_ids = [r["doc_id"] for r in rows]
         assert doc_ids == sorted(doc_ids)
+
+
+def test_canonicalization_idempotent_hypothesis(spark):
+    """canonical(canonical(u)) == canonical(u) over randomized messy
+    URLs — the fixed-point property that makes canonical URLs safe
+    as dedup keys (a second normalization pass can never split a
+    group). One Spark job over the whole example batch."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    label = st.text(alphabet="abcXYZ09", min_size=1, max_size=6)
+    param = st.sampled_from(
+        ["a=1", "z=9", "q=x", "utm_source=f", "fbclid=k", "gclid=g"]
+    )
+    urls = st.builds(
+        lambda scheme, host, port, segs, params, frag: (
+            scheme
+            + "://"
+            + host
+            + port
+            + ("/" + "/".join(segs) if segs else "")
+            + ("?" + "&".join(params) if params else "")
+            + frag
+        ),
+        st.sampled_from(["http", "https", "HTTP", "HTTPS", "Https"]),
+        st.builds(lambda a, b: a + "." + b, label, label),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.lists(label, max_size=3),
+        st.lists(param, max_size=4),
+        st.sampled_from(["", "#top", "#s1"]),
+    )
+
+    collected = []
+
+    @settings(max_examples=150, deadline=None)
+    @given(urls)
+    def _collect(u):
+        collected.append(u)
+
+    _collect()
+    df = spark.createDataFrame([(u,) for u in collected], "url string")
+    rows = df.select(
+        "url",
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+        canonical_host(F.col("url")).alias("h1"),
+        canonical_host(canonical_url(F.col("url"))).alias("h2"),
+    ).collect()
+    for r in rows:
+        assert r["c1"] == r["c2"], r["url"]
+        assert r["h1"] == r["h2"], r["url"]
