@@ -24,7 +24,7 @@ Python workers anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
@@ -380,9 +380,112 @@ FROM ranked WHERE pos <= {PR_TOPN}
 )
 
 
+def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that closes the crawl loop (WARC -> HTML -> links ->
+    FRONTIER): every http URL referenced by the corpus but not in it,
+    with reference counts and a per-host politeness rank — the queue
+    a crawler actually consumes, ordered so each host is fetched
+    most-wanted-first while hosts proceed independently (politeness =
+    one queue per host).
+
+    Visited = the corpus's own doc URLs, so an internal ``/doc/{t}``
+    link is frontier iff target ``t`` is NOT a corpus doc_id (at
+    sf0.01 roughly half the mod-997 targets are unvisited; at sf0.1
+    every target exists and the internal frontier is empty — the
+    external CDN assets remain). The existence check is a LEFT ANTI
+    join on doc_id (the complement of ``_doc_edges``' semi join);
+    externals are never visited. One explode + one anti join + one
+    hash agg + one per-host window — no Python, nothing all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
+    own_host = F.concat(F.col("lang"), F.lit(".example.test"))
+    refs = docs.select(
+        "doc_id",
+        own_host.alias("own_host"),
+        F.explode(_http_links(html)).alias("url"),
+    ).select(
+        "doc_id",
+        "url",
+        F.regexp_extract(F.col("url"), _HOST_RE, 1).alias("host"),
+        F.regexp_extract(F.col("url"), _DOC_TARGET_RE, 1).alias("t_raw"),
+        (
+            F.regexp_extract(F.col("url"), _HOST_RE, 1)
+            == F.col("own_host")
+        ).alias("internal"),
+    )
+    internal = refs.filter(F.col("internal")).withColumn(
+        "target", F.col("t_raw").cast("long")
+    )
+    unvisited_internal = internal.join(
+        docs.select(F.col("doc_id").alias("target")),
+        "target",
+        "left_anti",
+    )
+    external = refs.filter(~F.col("internal"))
+    frontier = unvisited_internal.select(
+        "doc_id", "url", "host"
+    ).unionByName(external.select("doc_id", "url", "host"))
+    agg = frontier.groupBy("host", "url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+        F.min("doc_id").alias("first_ref_doc"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_refs").desc(), F.col("url").asc()
+    )
+    return agg.select(
+        "host",
+        F.row_number().over(w).cast("int").alias("fetch_rank"),
+        "url",
+        "n_refs",
+        "first_ref_doc",
+    )
+
+
+CRAWL_FRONTIER_ORACLE = (
+    _LINKED_CTE
+    + f""",
+refs AS (
+    SELECT doc_id, u.url,
+           regexp_extract(u.url, '{_HOST_RE}', 1) AS host,
+           regexp_extract(u.url, '{_DOC_TARGET_RE}', 1) AS t_raw,
+           regexp_extract(u.url, '{_HOST_RE}', 1)
+               = u.lang || '.example.test' AS internal
+    FROM (
+        SELECT doc_id, lang,
+               unnest(list_filter(
+                   regexp_extract_all(lhtml, '{_HREF_RE}', 1),
+                   x -> regexp_matches(x, '{_HTTP_RE}'))) AS url
+        FROM lh
+    ) u
+),
+frontier AS (
+    SELECT doc_id, url, host FROM refs
+    WHERE internal
+      AND CAST(t_raw AS BIGINT) NOT IN (SELECT doc_id FROM documents)
+    UNION ALL
+    SELECT doc_id, url, host FROM refs WHERE NOT internal
+),
+agg AS (
+    SELECT host, url,
+           CAST(count(*) AS BIGINT) AS n_refs,
+           min(doc_id) AS first_ref_doc
+    FROM frontier
+    GROUP BY host, url
+)
+SELECT host,
+       CAST(row_number() OVER (
+            PARTITION BY host ORDER BY n_refs DESC, url ASC
+       ) AS INT) AS fetch_rank,
+       url, n_refs, first_ref_doc
+FROM agg
+"""
+)
+
+
 def _register() -> None:
     registry.register("extract_links", extract_links, EXTRACT_LINKS_ORACLE)
     registry.register(
         "link_host_degree", link_host_degree, HOST_DEGREE_ORACLE
     )
     registry.register("link_pagerank", link_pagerank, LINK_PAGERANK_ORACLE)
+    registry.register("crawl_frontier", crawl_frontier, CRAWL_FRONTIER_ORACLE)

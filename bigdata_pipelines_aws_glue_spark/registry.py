@@ -31,24 +31,25 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: generated this window). Round-13 window (VERDICT_r12 item 1 —
 #: executed exactly as the r12 comment's arithmetic planned, plus
 #: the standing forced-first rule for new/behavior-changed rows):
-#: (a) the 7 round-13 additions (next-fit sequence-packing pair,
+#: (a) the 8 round-13 additions (next-fit sequence-packing pair,
 #: then — landed late, window RE-CUT per the r11/r12 precedent,
 #: trading the two newest oldest-fill slots — the FIRST-FIT packing
 #: pair; the URL canonicalization/dedup pair; gzip-member WARC
-#: framing) plus the
+#: framing; then — third cut — ``crawl_frontier``, closing the
+#: WARC -> HTML -> links -> frontier loop) plus the
 #: 6 rows whose ORACLE TEXT changed this round (the BPE pair and
 #: the four closure-embedding cluster queries — ``AS MATERIALIZED``
 #: on their replay CTEs, results verified identical but the changed
 #: twin must re-attest); (b) the 29 remaining r7-last-green rows;
-#: (c) the 8 oldest r8-last-green rows, filling 50 exactly. Every
+#: (c) the 7 oldest r8-last-green rows, filling 50 exactly. Every
 #: name in this window was verified green in PLAIN_SESSION at
-#: sf0.01 this round before every rotation commit (the 13 forced
+#: sf0.01 this round before every rotation commit (the 14 forced
 #: rows also at sf0.1).
 #:
 #: Round-14 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 235 oracled
-#: rows — 42 still-r8, then r9 (49), r10 (49), r11 (46), r12 (49).
-#: So the r14 window = any r14 additions + those 42 r8 rows +
+#: after this window attests, the deferred remainder is 236 oracled
+#: rows — 43 still-r8, then r9 (49), r10 (49), r11 (46), r12 (49).
+#: So the r14 window = any r14 additions + those 43 r8 rows +
 #: oldest-r9 to fill 50. Steady state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
     "pack_training_sequences",
@@ -58,6 +59,7 @@ PRIORITY: tuple[str, ...] = (
     "warc_gz_parse_records",
     "pack_sequences_firstfit",
     "packing_fill_compare",
+    "crawl_frontier",
     "bpe_train_merges",
     "bpe_encode_corpus",
     "dedup_clusters",
@@ -100,7 +102,6 @@ PRIORITY: tuple[str, ...] = (
     "equidepth_histogram",
     "inventory_balance_resets",
     "interp_asof_rates",
-    "asof_join_forward",
 )
 
 

@@ -3,6 +3,8 @@ internal-vs-external split, and fixture composition."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark.operators.links import (
@@ -90,3 +92,37 @@ def test_link_pagerank_invariants(spark, sf_dir):
     # total mass over ALL nodes stays <= 1 (mass leaks at dangling
     # nodes, never appears from nowhere); top-20 certainly <= 1
     assert sum(ranks) <= 1.0 + 1e-9
+
+
+def test_crawl_frontier_semantics(spark, sf_dir):
+    from bigdata_pipelines_aws_glue_spark.operators.links import (
+        crawl_frontier,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    doc_ids = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    }
+    rows = crawl_frontier(spark, sf_dir).collect()
+    assert rows
+    per_host = {}
+    for r in rows:
+        # nothing visited ever reaches the frontier
+        m = re.search(r"/doc/(\d+)$", r["url"])
+        if m and r["host"].endswith(".example.test"):
+            assert int(m.group(1)) not in doc_ids, r["url"]
+        assert r["n_refs"] >= 1
+        per_host.setdefault(r["host"], []).append(r)
+    for host, group in per_host.items():
+        group.sort(key=lambda r: r["fetch_rank"])
+        # dense politeness ranks, most-referenced first
+        assert [r["fetch_rank"] for r in group] == list(
+            range(1, len(group) + 1)
+        )
+        refs = [r["n_refs"] for r in group]
+        assert refs == sorted(refs, reverse=True)
+    # the CDN asset hosts are always unvisited -> always present
+    assert any(h.endswith(".assets.test") for h in per_host)
