@@ -8,16 +8,21 @@ normalizing every URL to one canonical form, then keeps ONE document
 per canonical URL and caps how many documents any single host may
 contribute (source diversity).
 
-Fixture: every document gets a deterministic "crawl URL" —
-canonical identity ``https://site{h}.example.test/page/{p}`` with
+Fixture: every document gets a deterministic "crawl URL" — base
+identity ``https://site{h}.example.test/page/{p}`` with
 ``p = doc_id % PAGE_MOD`` and ``h = p % N_HOSTS`` — spelled through
 one of six messy variants cycled by ``doc_id % 6``: plain,
 UPPERCASE scheme+host (path case must be preserved), explicit
 ``:443`` default port, tracking params mixed UNSORTED with real
 params (``?z=1&utm_source=...&q={p}`` — the kept set must come back
-sorted), a ``#fragment``, and a trailing slash. The pigeonhole on
-``PAGE_MOD`` guarantees real cross-document collisions that only
-appear AFTER canonicalization.
+sorted), a ``#fragment``, and a trailing slash. Variants 0/1/2/4/5
+all canonicalize to the bare base identity; variant 3 KEEPS its
+real params and canonicalizes to ``.../page/{p}?q={p}&z=1`` — a
+second, distinct canonical identity per page (ADVICE r13: group
+multiplicities are per (page, kept-params) pair, not per page).
+The pigeonhole on ``PAGE_MOD`` still guarantees real
+cross-document collisions that only appear AFTER canonicalization
+— every doc sharing (p, variant-class) collides.
 
 Canonicalization (RFC 3986 normalization + the tracking-param strip
 every crawl pipeline layers on top): lowercase scheme and host, drop

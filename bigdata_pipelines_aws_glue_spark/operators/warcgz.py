@@ -109,11 +109,15 @@ def split_members(blob: bytes) -> list[tuple[int, str]]:
         # bounded inflate (tiff.py:565 discipline): never allocate
         # more than the declared size, whatever the stream claims.
         raw = d.decompress(comp, ulen)
-        if len(raw) != ulen or not d.eof or d.unconsumed_tail:
+        # d.unused_data catches an over-declared clen: a valid zlib
+        # stream that ENDS before the declared span, leaving junk
+        # bytes inside it (ADVICE r13 — eof alone would accept that).
+        if len(raw) != ulen or not d.eof or d.unconsumed_tail or d.unused_data:
             raise ValueError(
                 f"member inflate mismatch: declared {ulen}, got "
                 f"{len(raw)}, eof={d.eof}, "
-                f"unconsumed={len(d.unconsumed_tail)}"
+                f"unconsumed={len(d.unconsumed_tail)}, "
+                f"unused={len(d.unused_data)}"
             )
         out.append((ulen, raw.decode("utf-8")))
     if off != n:

@@ -60,6 +60,12 @@ def test_bad_clen_and_trailing_garbage_are_loud():
     struct.pack_into(">I", short, 0, struct.unpack(">I", m[:4])[0] - 2)
     with pytest.raises(ValueError):
         split_members(bytes(short) + b"xx")
+    # clen OVER-declared: valid zlib stream followed by junk still
+    # inside the declared span — d.unused_data must trip (ADVICE r13)
+    over = bytearray(m + b"JU")
+    struct.pack_into(">I", over, 0, struct.unpack(">I", m[:4])[0] + 2)
+    with pytest.raises(ValueError, match="inflate mismatch"):
+        split_members(bytes(over))
 
 
 def test_bounded_inflate_refuses_bomb():
