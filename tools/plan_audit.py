@@ -258,9 +258,9 @@ WHITELIST: dict[str, dict[str, str]] = {
         "(the warc_roundtrip_audit shape)",
     },
     "packing_fill_compare": {
-        "BroadcastNestedLoopJoin": "1-row next-fit totals x 1-row first-fit totals "
-        "crossJoin for the single comparison row — scalar join "
-        "(the packing_stats shape)",
+        "BroadcastNestedLoopJoin": "1-row next-fit x 1-row first-fit x 1-row "
+        "first-fit-decreasing totals chained crossJoins for the single "
+        "comparison row — scalar joins (the packing_stats shape)",
     },
     "hll_vocab_rollup": {
         "BroadcastNestedLoopJoin": "1-row global-exact x 1-row union-estimate crossJoin for the ALL "
