@@ -324,6 +324,124 @@ WHERE host_rank <= {MAX_PER_HOST}
 """
 
 
+# ------------------------------------------ RFC 3986 §5 resolution
+
+#: a reference that starts with a scheme is already absolute.
+_REF_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
+
+#: rewriting passes for ``remove_dot_segments`` (RFC 3986 §5.2.4),
+#: run IDENTICALLY on both engines (Java regex and RE2 share these
+#: patterns and the global-replace resume-after-replacement rule, so
+#: every intermediate string is engine-identical). Phase order
+#: matters for confluence: "." segments vanish FIRST, then "x/../"
+#: pairs cancel — the cancel pattern requires the popped segment to
+#: contain a non-dot char so it can never consume a ".." itself —
+#: then leading "/../" runs clamp at the root. Pass counts bound the
+#: dot-segment depth handled (3 "." / 6 ".." — far past the href
+#: fixture); deeper inputs would be reduced identically-incompletely
+#: on both engines, never divergently.
+_RDS_DOT_PASSES = 3
+_RDS_POP_PASSES = 6
+_RDS_TRAIL_DOT = (r"/\.$", "/")
+_RDS_DOT = (r"/\./", "/")
+_RDS_TRAIL_POP = (r"/\.\.$", "/../")
+_RDS_POP = (r"/([^/]*[^/.][^/]*)/\.\./", "/")
+_RDS_CLAMP = (r"^(/\.\.)+/", "/")
+
+
+def remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over a path that starts with ``/`` (all merge
+    outputs do), as the iterated-rewrite above. Empty result -> /."""
+    out = F.regexp_replace(path, *_RDS_TRAIL_DOT)
+    for _ in range(_RDS_DOT_PASSES):
+        out = F.regexp_replace(out, *_RDS_DOT)
+    out = F.regexp_replace(out, *_RDS_TRAIL_POP)
+    for _ in range(_RDS_POP_PASSES):
+        out = F.regexp_replace(out, *_RDS_POP)
+        out = F.regexp_replace(out, *_RDS_CLAMP)
+    return F.when(out == F.lit(""), F.lit("/")).otherwise(out)
+
+
+def _rds_sql(x: str) -> str:
+    """DuckDB twin of :func:`remove_dot_segments` — the same passes
+    in the same order."""
+    out = f"regexp_replace({x}, '{_RDS_TRAIL_DOT[0]}', '/', 'g')"
+    for _ in range(_RDS_DOT_PASSES):
+        out = f"regexp_replace({out}, '{_RDS_DOT[0]}', '/', 'g')"
+    out = f"regexp_replace({out}, '{_RDS_TRAIL_POP[0]}', '/../', 'g')"
+    for _ in range(_RDS_POP_PASSES):
+        out = f"regexp_replace({out}, '{_RDS_POP[0]}', '/', 'g')"
+        out = f"regexp_replace({out}, '{_RDS_CLAMP[0]}', '/', 'g')"
+    return f"CASE WHEN {out} = '' THEN '/' ELSE {out} END"
+
+
+def resolve_ref(
+    scheme: Column, host: Column, base_path: Column, ref: Column
+) -> Column:
+    """RFC 3986 §5.2 reference resolution against an http(s) base,
+    emitting the target URL WITHOUT its fragment (the resolver feeds
+    :func:`canonical_url`, which drops fragments regardless).
+
+    Branches, in spec order: a ref with a scheme is already absolute
+    (passed through minus fragment; the fixture's absolutes carry no
+    dot segments, so §5.2.2's path cleanup is a no-op on them); a
+    ``//host/...`` network-path ref inherits only the scheme; a
+    ``/...`` ref inherits scheme+authority with its path dot-cleaned;
+    an empty or fragment-only ref is the base itself (the base
+    carries no query); a ``?q`` ref keeps the base path with the new
+    query; anything else merges onto the base directory (base path up
+    to its last ``/``) and dot-cleans. Pure string/regex column work
+    — zero shuffle, whole-stage codegen."""
+    nofrag = F.substring_index(ref, "#", 1)
+    rpath = F.regexp_extract(nofrag, r"^([^?]*)", 1)
+    rq = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    q = F.when(rq == F.lit(""), F.lit("")).otherwise(
+        F.concat(F.lit("?"), rq)
+    )
+    base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
+    origin = F.concat(scheme, F.lit("://"), host)
+    return (
+        F.when(nofrag.rlike(_REF_SCHEME_RE), nofrag)
+        .when(nofrag.startswith("//"), F.concat(scheme, F.lit(":"), nofrag))
+        .when(
+            rpath.startswith("/"),
+            F.concat(origin, remove_dot_segments(rpath), q),
+        )
+        .when(
+            (rpath == F.lit("")) & (rq == F.lit("")),
+            F.concat(origin, base_path),
+        )
+        .when(rpath == F.lit(""), F.concat(origin, base_path, q))
+        .otherwise(
+            F.concat(
+                origin,
+                remove_dot_segments(F.concat(base_dir, rpath)),
+                q,
+            )
+        )
+    )
+
+
+def _resolve_sql(scheme: str, host: str, base_path: str, ref: str) -> str:
+    """DuckDB twin of :func:`resolve_ref` — same branches, same
+    helpers. Arguments are SQL expressions (columns or literals)."""
+    nofrag = f"split_part({ref}, '#', 1)"
+    rpath = f"regexp_extract({nofrag}, '^([^?]*)', 1)"
+    rq = f"regexp_extract({nofrag}, '\\?(.*)$', 1)"
+    q = f"CASE WHEN {rq} = '' THEN '' ELSE '?' || {rq} END"
+    base_dir = f"regexp_replace({base_path}, '[^/]*$', '')"
+    origin = f"({scheme} || '://' || {host})"
+    return f"""CASE
+        WHEN regexp_matches({nofrag}, '{_REF_SCHEME_RE}') THEN {nofrag}
+        WHEN {nofrag} LIKE '//%' THEN {scheme} || ':' || {nofrag}
+        WHEN {rpath} LIKE '/%'
+            THEN {origin} || {_rds_sql(rpath)} || {q}
+        WHEN {rpath} = '' AND {rq} = '' THEN {origin} || {base_path}
+        WHEN {rpath} = '' THEN {origin} || {base_path} || {q}
+        ELSE {origin} || {_rds_sql(f"({base_dir} || {rpath})")} || {q}
+    END"""
+
+
 def _register() -> None:
     registry.register(
         "url_canonicalize", url_canonicalize, URL_CANONICALIZE_ORACLE
