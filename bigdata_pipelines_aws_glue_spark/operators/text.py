@@ -393,16 +393,12 @@ GOPHER_MIN_STOP_HITS = 2
 GOPHER_STOPWORDS = ("the", "a", "and", "of", "to")
 
 
-def gopher_flags(docs: DataFrame) -> DataFrame:
-    """Gopher-rule document filter — the composed keep/drop gate a
-    pretraining pipeline runs after dedup: word-count bounds, mean
-    word length, symbol-to-word ratio (# and ellipsis), bullet-line
-    and ellipsis-line ratios, alphabetic-word ratio, and a minimum
-    count of distinct stopwords present. Pure column expressions
-    (split + higher-order filters + regexp_count), one scan, no
-    shuffle — at 100 TB this is a map-only pass whose flags write
-    beside the corpus for later mix-weighting."""
-    tokens = _tokens(F.col("text"))
+def gopher_rules(text: Column) -> "tuple[Column, dict[str, Column]]":
+    """(n_words, rule-name -> boolean) for ANY text column — the
+    Gopher heuristics as reusable expressions, so composed pipelines
+    (``operators/funnel.py``) apply the identical gate the attested
+    ``gopher_quality_filter`` emits."""
+    tokens = _tokens(text)
     n_words = F.size(tokens)
     mean_wl = (
         F.aggregate(
@@ -410,7 +406,7 @@ def gopher_flags(docs: DataFrame) -> DataFrame:
         ).cast("double")
         / n_words
     )
-    lines = F.split(F.col("text"), "\n")
+    lines = F.split(text, "\n")
     n_lines = F.size(lines)
     bullet_ratio = (
         F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
@@ -428,7 +424,7 @@ def gopher_flags(docs: DataFrame) -> DataFrame:
         / n_words
     )
     symbol_ratio = (
-        F.regexp_count(F.col("text"), F.lit(r"(#|\.\.\.)")).cast("double")
+        F.regexp_count(text, F.lit(r"(#|\.\.\.)")).cast("double")
         / n_words
     )
     stop_hits = sum(
@@ -449,6 +445,28 @@ def gopher_flags(docs: DataFrame) -> DataFrame:
         "r_alpha_words": alpha_ratio >= GOPHER_MIN_ALPHA_RATIO,
         "r_stopwords": stop_hits >= GOPHER_MIN_STOP_HITS,
     }
+    return n_words, rules
+
+
+def gopher_keep(text: Column) -> Column:
+    """The composed keep/drop gate: AND of every Gopher rule."""
+    _, rules = gopher_rules(text)
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return keep
+
+
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """Gopher-rule document filter — the composed keep/drop gate a
+    pretraining pipeline runs after dedup: word-count bounds, mean
+    word length, symbol-to-word ratio (# and ellipsis), bullet-line
+    and ellipsis-line ratios, alphabetic-word ratio, and a minimum
+    count of distinct stopwords present. Pure column expressions
+    (split + higher-order filters + regexp_count), one scan, no
+    shuffle — at 100 TB this is a map-only pass whose flags write
+    beside the corpus for later mix-weighting."""
+    n_words, rules = gopher_rules(F.col("text"))
     keep = None
     for c in rules.values():
         keep = c if keep is None else (keep & c)

@@ -191,6 +191,7 @@ def _load_all() -> None:
         "urls",
         "warc",
         "warcgz",
+        "funnel",
         "spatial",
         "stattests",
         "cohorts",

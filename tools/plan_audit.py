@@ -262,6 +262,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "first-fit-decreasing totals chained crossJoins for the single "
         "comparison row — scalar joins (the packing_stats shape)",
     },
+    "corpus_funnel_stats": {
+        "BroadcastNestedLoopJoin": "five 1-row stage-count aggregates chained by scalar "
+        "crossJoins into the single funnel-audit row — metadata-sized "
+        "by construction (the packing_stats shape)",
+    },
     "hll_vocab_rollup": {
         "BroadcastNestedLoopJoin": "1-row global-exact x 1-row union-estimate crossJoin for the ALL "
         "row — scalar join",
