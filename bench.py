@@ -65,6 +65,12 @@ EXTENDED = [
     "pack_training_sequences",
     "url_canonicalize",
     "warc_gz_parse_records",
+    # r14 families (VERDICT r13 items 1/3/4): the end-to-end corpus
+    # funnel (the composition flagship — its time is roughly the gz
+    # codec + BPE train + curation windows), and the RFC 3986
+    # resolution layer (map-only regex work at 17 refs/doc).
+    "corpus_funnel_stats",
+    "resolve_links",
 ]
 
 

@@ -28,80 +28,74 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy in ``tools/rotate_priority.py``, which
-#: generated this window). Round-13 window (VERDICT_r12 item 1 —
-#: executed exactly as the r12 comment's arithmetic planned, plus
-#: the standing forced-first rule for new/behavior-changed rows):
-#: (a) the 8 round-13 additions (next-fit sequence-packing pair,
-#: then — landed late, window RE-CUT per the r11/r12 precedent,
-#: trading the two newest oldest-fill slots — the FIRST-FIT packing
-#: pair; the URL canonicalization/dedup pair; gzip-member WARC
-#: framing; then — third cut — ``crawl_frontier``, closing the
-#: WARC -> HTML -> links -> frontier loop) plus the
-#: 6 rows whose ORACLE TEXT changed this round (the BPE pair and
-#: the four closure-embedding cluster queries — ``AS MATERIALIZED``
-#: on their replay CTEs, results verified identical but the changed
-#: twin must re-attest); (b) the 29 remaining r7-last-green rows;
-#: (c) the 7 oldest r8-last-green rows, filling 50 exactly. Every
-#: name in this window was verified green in PLAIN_SESSION at
-#: sf0.01 this round before every rotation commit (the 14 forced
-#: rows also at sf0.1).
+#: generated this window). Round-14 window (VERDICT_r13 item 2 —
+#: executed exactly as the r13 comment's arithmetic planned, plus the
+#: standing forced-first rule for new/behavior-changed rows):
+#: (a) the 6 forced rows — the 5 round-14 additions (the two
+#: corpus-funnel queries chaining warc.gz -> content -> URL curation
+#: -> quality -> BPE -> packing; first-fit-decreasing packing; the
+#: RFC 3986 resolution pair ``resolve_links`` /
+#: ``crawl_frontier_resolved``) plus ``packing_fill_compare``, whose
+#: SCHEMA changed to the three-way comparison; (b) all 43 remaining
+#: r8-last-green rows; (c) the single oldest r9 row
+#: (``flagship_pipeline``), filling 50 exactly.
 #:
-#: Round-14 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 236 oracled
-#: rows — 43 still-r8, then r9 (49), r10 (49), r11 (46), r12 (49).
-#: So the r14 window = any r14 additions + those 43 r8 rows +
-#: oldest-r9 to fill 50. Steady state, purely age-driven.
+#: Round-15 arithmetic (from tools/rotate_priority.py this round):
+#: after this window attests, the deferred remainder is 241 oracled
+#: rows — 48 still-r9, then r10 (49), r11 (46), r12 (49), r13 (49).
+#: So the r15 window = any r15 additions + those 48 r9 rows +
+#: oldest-r10 to fill 50. Steady state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
-    "pack_training_sequences",
-    "packing_stats",
-    "url_canonicalize",
-    "url_dedup_hostcap",
-    "warc_gz_parse_records",
-    "pack_sequences_firstfit",
+    "corpus_funnel_manifest",
+    "corpus_funnel_stats",
+    "pack_sequences_ffd",
     "packing_fill_compare",
-    "crawl_frontier",
-    "bpe_train_merges",
-    "bpe_encode_corpus",
-    "dedup_clusters",
-    "dedup_simhash_clusters",
-    "dedup_clusters_star",
-    "corpus_curation_summary",
-    "deterministic_shuffle",
-    "train_val_test_split",
-    "source_cap_sample",
-    "sql_udf_revenue",
-    "safe_arithmetic",
-    "map_functions",
-    "xml_roundtrip_orders",
-    "string_functions",
-    "date_functions",
-    "array_functions",
-    "sql_correlated_delta",
-    "zorder_layout_key",
-    "events_rolling_avg_time",
-    "events_outlier_mad",
-    "hll_vocab_rollup",
-    "token_budget_allocation",
-    "sales_trend_slope",
-    "rolling_7d_active_users",
-    "recursive_trade_reach",
-    "trade_reach_frontier",
-    "triangle_count_parts",
-    "quality_classifier_score",
-    "join_size_estimate",
-    "theta_set_algebra",
-    "kll_quantile_merge",
-    "approx_top_terms",
-    "chunk_documents_udtf",
-    "pysource_lang_rollup",
-    "sessions_stateful",
-    "rollup_sales",
-    "q3_top_unshipped",
-    "percentile_by_status",
-    "trimmed_mean_price",
-    "equidepth_histogram",
-    "inventory_balance_resets",
-    "interp_asof_rates",
+    "resolve_links",
+    "crawl_frontier_resolved",
+    "asof_join_forward",
+    "snapshot_diff_orders",
+    "cdc_apply_changes",
+    "markov_event_transitions",
+    "dsir_domain_weights",
+    "greedy_coverage_select",
+    "pmi_collocations",
+    "textrank_keywords",
+    "poisson_bootstrap_ci",
+    "benford_first_digit",
+    "key_continuity_audit",
+    "table_checksum_audit",
+    "isotonic_daily_revenue",
+    "acf_daily_revenue",
+    "theil_sen_trend",
+    "max_concurrent_orders",
+    "changepoint_daily_revenue",
+    "zipf_fit_terms",
+    "hybrid_search_rrf",
+    "bellman_ford_trade_cost",
+    "classifier_calibration",
+    "psi_order_value_drift",
+    "observed_metrics_q6",
+    "arrow_doc_stats",
+    "multimodal_gif_frames",
+    "l_diversity_audit",
+    "bloom_membership_audit",
+    "udtf_parse_fields",
+    "allpairs_prefix_join",
+    "spatial_nearest_grid",
+    "spatial_point_in_polygon",
+    "ols_revenue_model",
+    "kaplan_meier_repeat",
+    "ks_test_price",
+    "mann_whitney_orders",
+    "welch_t_test",
+    "chi2_independence_docs",
+    "conformal_interval_orders",
+    "logrank_segments",
+    "cohort_retention",
+    "rfm_segments",
+    "gini_customer_revenue",
+    "abc_classification_parts",
+    "flagship_pipeline",
 )
 
 
