@@ -1,0 +1,225 @@
+"""robots.txt exclusion over the crawl frontier ([north-star] N5
+adjacency; public spec RFC 9309, Robots Exclusion Protocol; no
+reference citation — the reference has no crawler). The last gate
+before a frontier URL is actually fetched: parse the host's
+robots.txt, find the LONGEST rule whose path-prefix matches the URL's
+path (Allow wins length ties, RFC 9309 §2.2.2), default-allow when
+nothing matches, and re-rank the surviving queue per host.
+
+Fixture: every frontier host serves a deterministic robots.txt built
+from one template parameterized by ``k = length(host) % 3`` — so
+both engines rebuild it byte-identically from the host string alone,
+no extra table. The template exercises every decision class the
+spec's precedence rule has: a short Disallow (``/doc/1`` — prefix
+semantics block /doc/1, /doc/12, /doc/199…), a LONGER Allow carve-out
+(``/doc/1{k}`` — re-allows a subtree inside the block), a directory
+Disallow that bites the CDN assets (``/img/``) with its own carve-out
+(``/img/4``), a resolved-path Disallow (``/s{k}/``), and a
+Crawl-delay field (parsed and emitted — the politeness knob real
+crawlers read even though RFC 9309 leaves it out).
+
+Emitted per frontier URL: the matched rule (``A:<path>`` /
+``D:<path>`` / '' for default-allow) so the longest-match decision is
+auditable row by row, the allow verdict, the host's crawl delay, and
+``fetch_rank`` — the politeness rank among ALLOWED URLs only (NULL
+for blocked rows): the queue a polite fetcher actually pops.
+
+Scale posture: robots synthesis + parsing + matching are per-row JVM
+expressions (split / filter / transform / array_max over the
+bounded rule list — no explode, no shuffle beyond what the frontier
+itself pays); the re-rank is one window over (host, allowed). At
+100 TB the robots table is per-HOST (bounded, broadcastable) — here
+it is derived per row, which is the same cost shape without the
+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.operators.links import (
+    CRAWL_FRONTIER_RESOLVED_ORACLE,
+    crawl_frontier_resolved,
+)
+
+#: rule-line extraction (the group-2 capture is the path prefix; an
+#: empty Disallow path means allow-all and is dropped by the matcher
+#: because '' prefix-matches nothing under the non-empty guard).
+_RULE_RE = r"^(Allow|Disallow): (.*)$"
+_PATH_RE = r"^https?://[^/]*(/.*)?$"
+
+
+def synth_robots(host: Column) -> Column:
+    """The host's deterministic robots.txt (module doc)."""
+    k = (F.length(host) % F.lit(3)).cast("string")
+    return F.concat(
+        F.lit("User-agent: *\nDisallow: /doc/1\nAllow: /doc/1"),
+        k,
+        F.lit("\nDisallow: /img/\nAllow: /img/4\nDisallow: /s"),
+        k,
+        F.lit("/\nCrawl-delay: "),
+        (F.length(host) % F.lit(5) + F.lit(1)).cast("string"),
+        F.lit("\n"),
+    )
+
+
+#: DuckDB twin over a column named ``host``.
+_ROBOTS_SQL = """
+    'User-agent: *' || chr(10)
+    || 'Disallow: /doc/1' || chr(10)
+    || 'Allow: /doc/1' || CAST(length(host) % 3 AS VARCHAR) || chr(10)
+    || 'Disallow: /img/' || chr(10)
+    || 'Allow: /img/4' || chr(10)
+    || 'Disallow: /s' || CAST(length(host) % 3 AS VARCHAR) || '/' || chr(10)
+    || 'Crawl-delay: ' || CAST(length(host) % 5 + 1 AS VARCHAR) || chr(10)
+"""
+
+
+def _rules(robots: Column) -> Column:
+    """array<struct<l:int,a:int,p:string>> of parsed rules — length
+    first and allow-as-int second so a struct max IS the RFC 9309
+    longest-match-Allow-wins precedence."""
+    lines = F.split(robots, "\n")
+    rule_lines = F.filter(lines, lambda l: l.rlike(_RULE_RE))
+    return F.transform(
+        rule_lines,
+        lambda l: F.struct(
+            F.length(F.regexp_extract(l, _RULE_RE, 2))
+            .cast("int")
+            .alias("l"),
+            l.startswith("Allow:").cast("int").alias("a"),
+            F.regexp_extract(l, _RULE_RE, 2).alias("p"),
+        ),
+    )
+
+
+def _verdict(rules: Column, path: Column) -> Column:
+    """struct(matched_rule, allowed): the max matching rule under
+    (length, allow) ordering; no match -> default allow."""
+    matched = F.filter(
+        rules,
+        lambda r: (r["p"] != F.lit("")) & path.startswith(r["p"]),
+    )
+    win = F.array_max(matched)
+    return F.struct(
+        F.when(win.isNull(), F.lit(""))
+        .otherwise(
+            F.concat(
+                F.when(win["a"] == 1, F.lit("A:")).otherwise(F.lit("D:")),
+                win["p"],
+            )
+        )
+        .alias("matched_rule"),
+        (win.isNull() | (win["a"] == 1)).alias("allowed"),
+    )
+
+
+def frontier_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``crawl_frontier_resolved`` pushed through each host's robots
+    gate: per URL the matched rule, the allow verdict, the host's
+    crawl delay, and the politeness rank recomputed over ALLOWED URLs
+    only (NULL for blocked)."""
+    fr = crawl_frontier_resolved(spark, sf_dir).drop("fetch_rank")
+    path = F.coalesce(
+        F.nullif(F.regexp_extract(F.col("url"), _PATH_RE, 1), F.lit("")),
+        F.lit("/"),
+    )
+    v = _verdict(_rules(synth_robots(F.col("host"))), path)
+    d = fr.select(
+        "host",
+        "url",
+        "n_refs",
+        "first_ref_doc",
+        v["matched_rule"].alias("matched_rule"),
+        v["allowed"].alias("allowed"),
+        F.regexp_extract(
+            synth_robots(F.col("host")), r"Crawl-delay: ([0-9]+)", 1
+        )
+        .cast("int")
+        .alias("crawl_delay"),
+    )
+    return d.withColumn(
+        "fetch_rank",
+        F.when(
+            F.col("allowed"),
+            F.row_number().over(
+                Window.partitionBy("host", "allowed").orderBy(
+                    F.col("n_refs").desc(), F.col("url").asc()
+                )
+            ),
+        ).cast("int"),
+    ).select(
+        "host",
+        "url",
+        "n_refs",
+        "first_ref_doc",
+        "matched_rule",
+        "allowed",
+        "crawl_delay",
+        "fetch_rank",
+    )
+
+
+#: the frontier oracle is reused as a CTE; rules are parsed and
+#: matched with the same list operations, the winner picked by a
+#: DESC struct sort (identical (l, a, p) ordering).
+FRONTIER_ROBOTS_ORACLE = f"""
+WITH frx AS MATERIALIZED (
+    {CRAWL_FRONTIER_RESOLVED_ORACLE}
+),
+rb AS (
+    SELECT host, url, n_refs, first_ref_doc,
+           coalesce(nullif(regexp_extract(url, '{_PATH_RE}', 1), ''),
+                    '/') AS path,
+           list_filter(
+               list_transform(
+                   list_filter(string_split({_ROBOTS_SQL}, chr(10)),
+                       l -> regexp_matches(l, '{_RULE_RE}')),
+                   l -> struct_pack(
+                       l := CAST(length(regexp_extract(l, '{_RULE_RE}', 2))
+                                 AS INT),
+                       a := CAST(CASE WHEN l LIKE 'Allow:%' THEN 1
+                                 ELSE 0 END AS INT),
+                       p := regexp_extract(l, '{_RULE_RE}', 2))),
+               r -> struct_extract(r, 'p') <> ''
+                    AND starts_with(
+                        coalesce(nullif(regexp_extract(url,
+                            '{_PATH_RE}', 1), ''), '/'),
+                        struct_extract(r, 'p'))) AS matched,
+           CAST(regexp_extract({_ROBOTS_SQL}, 'Crawl-delay: ([0-9]+)', 1)
+                AS INT) AS crawl_delay
+    FROM frx
+),
+rv AS (
+    SELECT host, url, n_refs, first_ref_doc, crawl_delay,
+           (list_sort(matched, 'DESC'))[1] AS win
+    FROM rb
+),
+dec AS (
+    SELECT host, url, n_refs, first_ref_doc,
+           CASE WHEN win IS NULL THEN ''
+                ELSE (CASE WHEN struct_extract(win, 'a') = 1
+                      THEN 'A:' ELSE 'D:' END) || struct_extract(win, 'p')
+           END AS matched_rule,
+           (win IS NULL OR struct_extract(win, 'a') = 1) AS allowed,
+           crawl_delay
+    FROM rv
+)
+SELECT host, url, n_refs, first_ref_doc, matched_rule, allowed,
+       crawl_delay,
+       CASE WHEN allowed THEN CAST(row_number() OVER (
+            PARTITION BY host, allowed
+            ORDER BY n_refs DESC, url ASC) AS INT) END AS fetch_rank
+FROM dec
+"""
+
+
+def _register() -> None:
+    registry.register(
+        "frontier_robots_filter",
+        frontier_robots_filter,
+        FRONTIER_ROBOTS_ORACLE,
+    )
