@@ -174,6 +174,70 @@ def run_foreach_batch_upsert(
     )
 
 
+#: Documents schema for the streaming crawl reader (streams cannot
+#: infer; matches documents.parquet).
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+#: deterministic crawl-fetch epoch: the documents table carries no
+#: timestamp, so the stream derives ``fetch_ts = epoch + doc_id``
+#: seconds — a monotone deterministic fixture (the synthesized-column
+#: convention of the batch fixtures) that makes watermark semantics
+#: testable without adding a column to the shared table.
+CRAWL_EPOCH = 1_700_000_000
+
+
+def read_document_stream(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "4 hours",
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """readStream over a crawled-documents file source with a derived
+    ``fetch_ts`` event time and a watermark for late fetches. The
+    default watermark covers the fixture's full doc_id span at every
+    test SF (sf0.1 spans ~83 minutes of synthetic fetch time); a real
+    crawl sets it to its re-fetch horizon."""
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(input_dir)
+    )
+    fetch_ts = F.timestamp_seconds(F.lit(CRAWL_EPOCH) + F.col("doc_id"))
+    return stream.withColumn("fetch_ts", fetch_ts).withWatermark(
+        "fetch_ts", watermark
+    )
+
+
+def url_deduped_stream(docs: DataFrame) -> DataFrame:
+    """Streaming URL-level dedup — the streaming form of
+    ``url_dedup_hostcap``'s first stage (N1/N5 over the crawl): each
+    document's messy crawl URL is canonicalized with the SAME
+    ``urls.canonical_url`` expressions the oracle-checked batch
+    operator uses (zero duplicated logic, per the module design
+    rule), then later re-fetches of the same canonical URL arriving
+    within the watermark are dropped
+    (``dropDuplicatesWithinWatermark`` — bounded state: one key per
+    canonical URL inside the watermark horizon, evicted as event time
+    advances; the only state a 100 TB/day crawl ingest needs)."""
+    from bigdata_pipelines_aws_glue_spark.operators.urls import (
+        canonical_host,
+        canonical_url,
+        synth_crawl_url,
+    )
+
+    raw = synth_crawl_url(F.col("doc_id"))
+    d = docs.select(
+        "doc_id",
+        "fetch_ts",
+        canonical_url(raw).alias("canonical_url"),
+        canonical_host(raw).alias("host"),
+    )
+    return d.dropDuplicatesWithinWatermark(["canonical_url"])
+
+
 def read_transaction_stream(
     spark: SparkSession, input_dir: str, schema
 ) -> DataFrame:

@@ -316,3 +316,49 @@ def test_streaming_observed_metrics_report_scan_totals(
     assert seen == want
     got = spark.table("obs_stream").agg(F.sum("count")).collect()[0][0]
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, sf_dir, tmp_path_factory):
+    """Documents re-materialized as a multi-file parquet dir so the
+    crawl stream sees several micro-batches."""
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    shutil.rmtree(d, ignore_errors=True)
+    load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_stream_url_dedup_matches_batch(spark, sf_dir, docs_dir):
+    """The streaming URL dedup agrees with the oracle-checked batch
+    operator on the kept canonical-URL SET (the kept doc per URL is
+    arrival-order-dependent in the stream, min-doc_id in the batch —
+    the set is the contract both share)."""
+    from bigdata_pipelines_aws_glue_spark.operators.urls import (
+        canonical_url,
+        synth_crawl_url,
+    )
+    from bigdata_pipelines_aws_glue_spark.streaming.jobs import (
+        read_document_stream,
+        url_deduped_stream,
+    )
+
+    stream = read_document_stream(spark, docs_dir)
+    q = run_to_memory(
+        url_deduped_stream(stream), "url_dedup_stream", "append"
+    )
+    q.awaitTermination(120)
+    out = spark.table("url_dedup_stream")
+    total = out.count()
+    got_urls = {
+        r["canonical_url"]
+        for r in out.select("canonical_url").distinct().collect()
+    }
+    # exactly one row per canonical URL
+    assert total == len(got_urls) > 0
+    batch = load_table(spark, sf_dir, "documents").select(
+        canonical_url(synth_crawl_url(F.col("doc_id"))).alias("u")
+    )
+    want_urls = {r["u"] for r in batch.distinct().collect()}
+    assert got_urls == want_urls
