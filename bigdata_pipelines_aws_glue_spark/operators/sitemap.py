@@ -234,5 +234,118 @@ FROM marked
 """
 
 
+# ------------------------------------------ the combined fetch queue
+
+
+def crawl_queue_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The queue a crawler's scheduler actually pops: BOTH discovery
+    channels merged — unvisited sitemap seeds and robots-allowed
+    frontier URLs — deduped on (host, url) with the channel recorded
+    (``both`` when a URL is publisher-declared AND link-discovered —
+    the strongest fetch signal, ranked first). Per-host order:
+    channel strength (both > sitemap > frontier), then link demand
+    (``n_refs`` DESC), then the publisher hint (``priority`` DESC),
+    then url — deterministic and replayed identically by the oracle.
+
+    Composition query (the ``corpus_funnel`` discipline applied to
+    the discovery side): every input is an individually attested
+    query — ``sitemap_seeds`` and ``frontier_robots_filter`` — so a
+    schema drift in either channel fails this hash check immediately.
+    The merge itself is one full-outer join on (host, url) between
+    two bounded-per-host frames plus one politeness window."""
+    from bigdata_pipelines_aws_glue_spark.operators.robots import (
+        frontier_robots_filter,
+    )
+
+    sm = (
+        sitemap_seeds(spark, sf_dir)
+        .filter(~F.col("visited"))
+        .select("host", "url", F.col("priority").alias("sm_priority"))
+    )
+    fr = (
+        frontier_robots_filter(spark, sf_dir)
+        .filter(F.col("allowed"))
+        .select("host", "url", "n_refs")
+    )
+    merged = sm.join(fr, ["host", "url"], "full_outer").select(
+        "host",
+        "url",
+        F.when(
+            F.col("sm_priority").isNotNull() & F.col("n_refs").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("sm_priority").isNotNull(), F.lit("sitemap"))
+        .otherwise(F.lit("frontier"))
+        .alias("channel"),
+        "n_refs",
+        "sm_priority",
+    )
+    strength = (
+        F.when(F.col("channel") == "both", 0)
+        .when(F.col("channel") == "sitemap", 1)
+        .otherwise(2)
+    )
+    w = Window.partitionBy("host").orderBy(
+        strength.asc(),
+        F.coalesce(F.col("n_refs"), F.lit(0)).desc(),
+        F.coalesce(F.col("sm_priority"), F.lit(-1.0)).desc(),
+        F.col("url").asc(),
+    )
+    return merged.select(
+        "host",
+        F.row_number().over(w).cast("int").alias("fetch_rank"),
+        "url",
+        "channel",
+        "n_refs",
+        "sm_priority",
+    )
+
+
+def _queue_oracle() -> str:
+    from bigdata_pipelines_aws_glue_spark.operators.robots import (
+        FRONTIER_ROBOTS_ORACLE,
+    )
+
+    return f"""
+WITH smq AS MATERIALIZED (
+    {SITEMAP_SEEDS_ORACLE}
+),
+frq AS MATERIALIZED (
+    {FRONTIER_ROBOTS_ORACLE}
+),
+sm AS (
+    SELECT host, url, priority AS sm_priority FROM smq WHERE NOT visited
+),
+fr AS (
+    SELECT host, url, n_refs FROM frq WHERE allowed
+),
+merged AS (
+    SELECT coalesce(sm.host, fr.host) AS host,
+           coalesce(sm.url, fr.url) AS url,
+           CASE WHEN sm.sm_priority IS NOT NULL AND fr.n_refs IS NOT NULL
+                THEN 'both'
+                WHEN sm.sm_priority IS NOT NULL THEN 'sitemap'
+                ELSE 'frontier' END AS channel,
+           fr.n_refs, sm.sm_priority
+    FROM sm FULL OUTER JOIN fr
+      ON sm.host = fr.host AND sm.url = fr.url
+)
+SELECT host,
+       CAST(row_number() OVER (
+            PARTITION BY host
+            ORDER BY CASE channel WHEN 'both' THEN 0
+                     WHEN 'sitemap' THEN 1 ELSE 2 END ASC,
+                     coalesce(n_refs, 0) DESC,
+                     coalesce(sm_priority, -1.0) DESC,
+                     url ASC
+       ) AS INT) AS fetch_rank,
+       url, channel, n_refs, sm_priority
+FROM merged
+"""
+
+
 def _register() -> None:
     registry.register("sitemap_seeds", sitemap_seeds, SITEMAP_SEEDS_ORACLE)
+    registry.register(
+        "crawl_queue_combined", crawl_queue_combined, _queue_oracle()
+    )

@@ -31,25 +31,28 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: generated this window). Round-14 window (VERDICT_r13 item 2 —
 #: executed exactly as the r13 comment's arithmetic planned, plus the
 #: standing forced-first rule for new/behavior-changed rows):
-#: (a) the 8 forced rows — the 7 round-14 additions (the two
+#: (a) the 9 forced rows — the 8 round-14 additions (the two
 #: corpus-funnel queries chaining warc.gz -> content -> URL curation
 #: -> quality -> BPE -> packing; first-fit-decreasing packing; the
 #: RFC 3986 resolution pair ``resolve_links`` /
 #: ``crawl_frontier_resolved``; and — landed late, window RE-CUT
-#: twice per the r11/r12/r13 precedent, trading first the single
-#: oldest-r9 fill slot (``flagship_pipeline``) and then the newest
-#: r8 slot (``abc_classification_parts``) — the RFC 9309 robots gate
-#: ``frontier_robots_filter`` and the sitemap discovery channel
-#: ``sitemap_seeds``) plus ``packing_fill_compare``, whose SCHEMA
-#: changed to the three-way comparison; (b) the 42 oldest remaining
-#: r8-last-green rows, filling 50 exactly.
+#: three times per the r11/r12/r13 precedent, trading the single
+#: oldest-r9 fill slot (``flagship_pipeline``) and then the two
+#: newest r8 slots (``abc_classification_parts``,
+#: ``gini_customer_revenue``) — the RFC 9309 robots gate
+#: ``frontier_robots_filter``, the sitemap discovery channel
+#: ``sitemap_seeds``, and the combined fetch queue
+#: ``crawl_queue_combined``) plus ``packing_fill_compare``, whose
+#: SCHEMA changed to the three-way comparison; (b) the 41 oldest
+#: remaining r8-last-green rows, filling 50 exactly.
 #:
 #: Round-15 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 243 oracled
-#: rows — 1 still-r8 (``abc_classification_parts``), then r9 (49),
-#: r10 (49), r11 (46), r12 (49), r13 (49). So the r15 window = any
-#: r15 additions + that r8 row + the 49 r9 rows + oldest-r10 to
-#: fill 50. Steady state, purely age-driven.
+#: after this window attests, the deferred remainder is 244 oracled
+#: rows — 2 still-r8 (``gini_customer_revenue``,
+#: ``abc_classification_parts``), then r9 (49), r10 (49), r11 (46),
+#: r12 (49), r13 (49). So the r15 window = any r15 additions +
+#: those 2 r8 rows + the 49 r9 rows + oldest-r10 to fill 50.
+#: Steady state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
     "corpus_funnel_manifest",
     "corpus_funnel_stats",
@@ -59,6 +62,7 @@ PRIORITY: tuple[str, ...] = (
     "crawl_frontier_resolved",
     "frontier_robots_filter",
     "sitemap_seeds",
+    "crawl_queue_combined",
     "asof_join_forward",
     "snapshot_diff_orders",
     "cdc_apply_changes",
@@ -100,7 +104,6 @@ PRIORITY: tuple[str, ...] = (
     "logrank_segments",
     "cohort_retention",
     "rfm_segments",
-    "gini_customer_revenue",
 )
 
 

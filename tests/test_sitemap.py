@@ -72,3 +72,44 @@ def test_seed_queue_order(spark, sf_dir):
                 -b["lastmod"].toordinal(),
                 b["url"],
             )
+
+
+def test_combined_queue_channels_and_order(spark, sf_dir):
+    from bigdata_pipelines_aws_glue_spark.operators.sitemap import (
+        crawl_queue_combined,
+    )
+
+    rows = crawl_queue_combined(spark, sf_dir).collect()
+    assert rows
+    channels = {r["channel"] for r in rows}
+    assert channels == {"both", "sitemap", "frontier"}
+    strength = {"both": 0, "sitemap": 1, "frontier": 2}
+    by_host: dict[str, list] = {}
+    for r in rows:
+        # channel metadata is present exactly per channel
+        assert (r["sm_priority"] is not None) == (
+            r["channel"] in ("both", "sitemap")
+        )
+        assert (r["n_refs"] is not None) == (
+            r["channel"] in ("both", "frontier")
+        )
+        by_host.setdefault(r["host"], []).append(r)
+    for group in by_host.values():
+        group.sort(key=lambda r: r["fetch_rank"])
+        assert [r["fetch_rank"] for r in group] == list(
+            range(1, len(group) + 1)
+        )
+        for a, b in zip(group, group[1:]):
+            ka = (
+                strength[a["channel"]],
+                -(a["n_refs"] or 0),
+                -(a["sm_priority"] if a["sm_priority"] is not None else -1.0),
+                a["url"],
+            )
+            kb = (
+                strength[b["channel"]],
+                -(b["n_refs"] or 0),
+                -(b["sm_priority"] if b["sm_priority"] is not None else -1.0),
+                b["url"],
+            )
+            assert ka <= kb
