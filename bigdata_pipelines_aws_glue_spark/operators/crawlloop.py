@@ -1,0 +1,517 @@
+"""The closed crawl loop ([north-star] N5 adjacency; no reference
+citation — the reference has no crawler). Round 14 left the discovery
+side as attested PIECES: a combined fetch queue
+(``sitemap.crawl_queue_combined``), a robots gate
+(``robots.frontier_robots_filter``), and two discovery channels.
+This module composes them into the three artifacts a crawler
+OPERATOR actually runs:
+
+- ``fetch_schedule`` — the politeness schedule: per queued URL the
+  earliest fetch offset implied by its host's Crawl-delay and its
+  rank (VERDICT_r14 item 5 — makes the parsed ``crawl_delay`` field
+  load-bearing).
+- ``sitemap_recrawl`` — the recrawl policy: compare each sitemap
+  entry's ``lastmod`` against the stored fetch date and queue STALE
+  pages for re-fetch alongside the unvisited seeds (VERDICT_r14
+  item 6).
+- ``crawl_rounds_audit`` — the closed loop itself (VERDICT_r14
+  item 1): ``CRAWL_ROUNDS`` bounded rounds of pop-the-queue ->
+  "fetch" -> extract links -> robots-gate -> update visited ->
+  re-rank, emitting one audit row per round (fetched / discovered /
+  blocked / new-frontier / queue / visited counts plus an md5 over
+  the round's fetched URL set). The BFS-style driver loop with
+  eager ``localCheckpoint`` between rounds is the
+  ``link_pagerank``/``recursive_trade_reach`` pattern
+  (``operators/graph.py``); the DuckDB twin replays every round as
+  unrolled MATERIALIZED CTEs.
+
+Fetch model (deterministic, replayed byte-identically by the
+oracle): every fetched URL on a CONTENT host (``*.example.test``) is
+an HTML page; with ``t`` = the last numeric run in the URL (the doc
+id for ``/doc/{t}`` pages, the section/param number for resolved
+section paths), the page's two outlinks are ``/doc/{(t*7) % 997}``
+and ``/doc/{(t*13) % 997}`` on the same host — the SAME
+internal-link arithmetic ``links.synth_linked_html`` gives corpus
+pages, so the simulated frontier grows the way the corpus's own
+link graph does. CDN-host URLs (``*.assets.test`` images/scripts)
+fetch as leaves: no links.
+
+Scale posture: the queue and visited frames are metadata-width
+(host, url, refs); every round is one window (rank), one regex map
+(link synthesis), one hash agg (ref counts), two anti joins
+(visited / already-queued) and one full-outer merge — all keyed on
+(host, url), nothing all-pairs, no driver materialization beyond
+the K audit rows. The robots gate is applied ONCE per URL at queue
+ENTRY (q0 and each round's candidates), so per-round work scales
+with the fetch budget x host count, not with corpus size. At 100 TB
+the loop state (queue + visited) is exactly a crawler's store:
+hash-partitioned by URL, refreshed per round via co-located joins.
+"""
+
+from __future__ import annotations
+
+import datetime
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.operators.robots import (
+    CRAWL_DELAY_SQL,
+    URL_PATH_SQL,
+    crawl_delay,
+    robots_allowed,
+    robots_win_sql,
+)
+from bigdata_pipelines_aws_glue_spark.operators.sitemap import (
+    SITEMAP_SEEDS_ORACLE,
+    _queue_oracle,
+    crawl_queue_combined,
+    sitemap_seeds,
+)
+from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+# ------------------------------------------------- fetch_schedule
+
+#: schedule wave width (seconds): the per-host time bucket a
+#: scheduler would dispatch together.
+WAVE_S = 60
+
+
+def fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The politeness schedule over the combined queue: per URL its
+    host's Crawl-delay (parsed from the synthesized robots.txt — the
+    same derivation ``frontier_robots_filter`` emits) and the
+    earliest fetch offset a polite single-connection fetcher may
+    issue it at: ``(fetch_rank - 1) * crawl_delay`` seconds, plus
+    the ``WAVE_S``-second dispatch bucket that offset lands in.
+    Pure per-row expressions over an attested input — no new
+    shuffle."""
+    q = crawl_queue_combined(spark, sf_dir)
+    delay = crawl_delay(F.col("host"))
+    offset = (
+        (F.col("fetch_rank") - F.lit(1)).cast("long")
+        * delay.cast("long")
+    )
+    return q.select(
+        "host",
+        "url",
+        "channel",
+        "fetch_rank",
+        delay.alias("crawl_delay"),
+        offset.alias("earliest_fetch_offset_s"),
+        F.floor(offset / F.lit(WAVE_S)).cast("int").alias("fetch_wave"),
+    )
+
+
+def _fetch_schedule_oracle() -> str:
+    return f"""
+WITH cqx AS MATERIALIZED (
+    {_queue_oracle()}
+)
+SELECT host, url, channel, fetch_rank,
+       {CRAWL_DELAY_SQL} AS crawl_delay,
+       CAST(fetch_rank - 1 AS BIGINT) * CAST({CRAWL_DELAY_SQL} AS BIGINT)
+           AS earliest_fetch_offset_s,
+       CAST(floor((CAST(fetch_rank - 1 AS BIGINT)
+                   * CAST({CRAWL_DELAY_SQL} AS BIGINT)) / {WAVE_S}.0)
+            AS INT) AS fetch_wave
+FROM cqx
+"""
+
+
+# ------------------------------------------------ sitemap_recrawl
+
+#: the crawl's epoch: stored fetch dates are
+#: ``_FETCH_EPOCH + (doc_id * 31) % 365`` days — coprime stride, so
+#: stored dates spread over the whole year while ``lastmod`` (month
+#: ``t % 12``, day ``t % 28``) spreads independently: both the stale
+#: and fresh branches bite at every SF.
+_FETCH_EPOCH = datetime.date(2024, 1, 1)
+_DOC_T_RE = r"/doc/([0-9]+)$"
+
+
+def sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sitemap RECRAWL policy (VERDICT_r14 item 6): for visited
+    entries, compare the publisher's ``lastmod`` against the stored
+    fetch date; a page modified AFTER we fetched it is STALE and
+    joins the re-fetch queue. Emits every sitemap entry with its
+    action — ``seed`` (unvisited), ``recrawl`` (visited, stale) or
+    ``skip`` (visited, fresh) — and the per-(host, action) fetch
+    order (NULL for skips). Makes ``lastmod`` load-bearing beyond
+    rank ordering: it now drives a decision boundary."""
+    sm = sitemap_seeds(spark, sf_dir)
+    t = F.regexp_extract(F.col("url"), _DOC_T_RE, 1).cast("long")
+    fetched_on = F.when(
+        F.col("visited"),
+        F.date_add(F.lit(_FETCH_EPOCH), ((t * 31) % 365).cast("int")),
+    )
+    base = sm.select(
+        "host",
+        "url",
+        "lastmod",
+        "priority",
+        "visited",
+        fetched_on.alias("fetched_on"),
+    ).withColumn(
+        "action",
+        F.when(~F.col("visited"), F.lit("seed"))
+        .when(F.col("lastmod") > F.col("fetched_on"), F.lit("recrawl"))
+        .otherwise(F.lit("skip")),
+    )
+    w = Window.partitionBy("host", "action").orderBy(
+        F.col("priority").desc(),
+        F.col("lastmod").desc(),
+        F.col("url").asc(),
+    )
+    return base.select(
+        "host",
+        "url",
+        "lastmod",
+        "fetched_on",
+        "priority",
+        "action",
+        F.when(F.col("action") != "skip", F.row_number().over(w))
+        .cast("int")
+        .alias("fetch_order"),
+    )
+
+
+SITEMAP_RECRAWL_ORACLE = f"""
+WITH smx AS MATERIALIZED (
+    {SITEMAP_SEEDS_ORACLE}
+),
+b AS (
+    SELECT host, url, lastmod, priority, visited,
+           CASE WHEN visited THEN DATE '2024-01-01'
+                + CAST((CAST(regexp_extract(url, '{_DOC_T_RE}', 1)
+                             AS BIGINT) * 31) % 365 AS INT)
+           END AS fetched_on
+    FROM smx
+),
+c AS (
+    SELECT host, url, lastmod, priority, fetched_on,
+           CASE WHEN NOT visited THEN 'seed'
+                WHEN lastmod > fetched_on THEN 'recrawl'
+                ELSE 'skip' END AS action
+    FROM b
+)
+SELECT host, url, lastmod, fetched_on, priority, action,
+       CASE WHEN action <> 'skip' THEN CAST(row_number() OVER (
+            PARTITION BY host, action
+            ORDER BY priority DESC, lastmod DESC, url ASC) AS INT)
+       END AS fetch_order
+FROM c
+"""
+
+
+# --------------------------------------------- crawl_rounds_audit
+
+#: bounded crawl simulation geometry: rounds and the per-host,
+#: per-round fetch budget (politeness: a crawler fetches at most
+#: ``FETCH_BUDGET`` URLs per host per scheduling round).
+CRAWL_ROUNDS = 4
+FETCH_BUDGET = 4
+
+#: the page's "content id": the LAST numeric run in the URL.
+_LAST_NUM_RE = r"([0-9]+)[^0-9]*$"
+
+
+def _fetched_links(fetched: DataFrame) -> DataFrame:
+    """The deterministic "fetch": each fetched content-host URL
+    yields its two same-host outlinks (module doc); CDN-host URLs
+    and numberless URLs are leaves. One raw link row per outlink
+    occurrence."""
+    t = F.regexp_extract(F.col("url"), _LAST_NUM_RE, 1).cast("long")
+    return (
+        fetched.filter(
+            F.col("host").endswith(".example.test")
+            & F.col("url").rlike("[0-9]")
+        )
+        .select(
+            "host",
+            F.explode(
+                F.array((t * 7) % 997, (t * 13) % 997)
+            ).alias("t"),
+        )
+        .select(
+            "host",
+            F.concat(
+                F.lit("https://"),
+                F.col("host"),
+                F.lit("/doc/"),
+                F.col("t").cast("string"),
+            ).alias("url"),
+        )
+    )
+
+
+def _crawl_round(
+    k: int, q: DataFrame, v: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One crawl round over state ``(q, v)`` -> the new state plus
+    the round's 1-row audit frame. Factored out of
+    :func:`crawl_rounds_audit` so pytest can drive the loop to
+    frontier exhaustion on a small closed fixture."""
+    ranked = q.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("host").orderBy(
+                F.col("refs").desc(), F.col("url").asc()
+            )
+        ),
+    )
+    fetched = (
+        ranked.filter(F.col("rk") <= FETCH_BUDGET)
+        .select("host", "url")
+        .localCheckpoint(eager=True)
+    )
+    rem = ranked.filter(F.col("rk") > FETCH_BUDGET).select(
+        "host", "url", "refs"
+    )
+    links = _fetched_links(fetched).localCheckpoint(eager=True)
+    disc = (
+        links.groupBy("host", "url")
+        .agg(F.count(F.lit(1)).cast("long").alias("refs2"))
+        .withColumn(
+            "allowed", robots_allowed(F.col("host"), F.col("url"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = v.unionByName(fetched.select("url")).localCheckpoint(eager=True)
+    cand = (
+        disc.filter(F.col("allowed"))
+        .select("host", "url", "refs2")
+        .join(v, "url", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    new_entrants = cand.join(
+        rem.select("host", "url"), ["host", "url"], "left_anti"
+    )
+    q = (
+        rem.join(cand, ["host", "url"], "full_outer")
+        .select(
+            "host",
+            "url",
+            (
+                F.coalesce(F.col("refs"), F.lit(0))
+                + F.coalesce(F.col("refs2"), F.lit(0))
+            )
+            .cast("long")
+            .alias("refs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # one audit row: chained 1-row scalar crossJoins (the
+    # corpus_funnel_stats / packing_stats shape)
+    audit = (
+        fetched.agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetched"),
+            F.md5(
+                F.concat_ws("|", F.array_sort(F.collect_list("url")))
+            ).alias("fetched_md5"),
+        )
+        .crossJoin(
+            links.agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+        )
+        .crossJoin(
+            disc.filter(~F.col("allowed")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_blocked")
+            )
+        )
+        .crossJoin(
+            new_entrants.agg(
+                F.count(F.lit(1)).cast("long").alias("n_new")
+            )
+        )
+        .crossJoin(
+            q.agg(F.count(F.lit(1)).cast("long").alias("queue_size"))
+        )
+        .crossJoin(
+            v.agg(F.count(F.lit(1)).cast("long").alias("visited_size"))
+        )
+        .select(
+            F.lit(k).cast("int").alias("round"),
+            "n_fetched",
+            "n_links",
+            "n_blocked",
+            "n_new",
+            "queue_size",
+            "visited_size",
+            "fetched_md5",
+        )
+    )
+    return q, v, audit
+
+
+def _initial_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(q0, v0): the robots-allowed combined queue with ref counts,
+    and the corpus's own URLs as the seed visited set."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        crawl_queue_combined(spark, sf_dir)
+        .select(
+            "host",
+            "url",
+            F.coalesce(F.col("n_refs"), F.lit(0)).cast("long").alias(
+                "refs"
+            ),
+        )
+        .filter(robots_allowed(F.col("host"), F.col("url")))
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        docs.select(
+            F.concat(
+                F.lit("https://"),
+                F.col("lang"),
+                F.lit(".example.test/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return q, v
+
+
+def crawl_rounds_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CRAWL_ROUNDS`` rounds of the crawl steady state, one audit
+    row per round. State: ``q`` (the robots-allowed queue with
+    accumulated ref counts) and ``v`` (visited URLs, seeded with the
+    corpus's own). Each round fetches the ``FETCH_BUDGET``
+    top-ranked URLs per host (refs DESC, url ASC), synthesizes
+    their outlinks, gates NEW URLs through robots + the visited
+    check, folds surviving candidates into the remaining queue
+    (ref counts summed — link demand accumulates across rounds),
+    and re-ranks.
+
+    Invariant (both engines, by construction): queue and visited
+    are disjoint — URLs enter the queue only via an anti join
+    against visited, and leave it exactly when fetched (= added to
+    visited), so no URL is fetched twice. pytest pins monotone
+    visited growth, the per-round count identities, queue/visited
+    disjointness, and frontier exhaustion on a closed fixture."""
+    q, v = _initial_state(spark, sf_dir)
+    audits: list[DataFrame] = []
+    for k in range(1, CRAWL_ROUNDS + 1):
+        q, v, audit = _crawl_round(k, q, v)
+        audits.append(audit)
+    return reduce(DataFrame.unionByName, audits)
+
+
+def _cr_round_sql(k: int) -> str:
+    """One unrolled crawl round as DuckDB CTEs (replays the Spark
+    round body exactly; ``AS MATERIALIZED`` throughout — DuckDB
+    re-inlines chained CTEs otherwise)."""
+    return f"""rank{k} AS MATERIALIZED (
+    SELECT host, url, refs,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY refs DESC, url ASC) AS rk
+    FROM q{k - 1}
+),
+fetched{k} AS MATERIALIZED (
+    SELECT host, url FROM rank{k} WHERE rk <= {FETCH_BUDGET}
+),
+links{k} AS MATERIALIZED (
+    SELECT f.host,
+           'https://' || f.host || '/doc/'
+           || CAST((CAST(regexp_extract(f.url, '{_LAST_NUM_RE}', 1)
+                         AS BIGINT) * m.m) % 997 AS VARCHAR) AS url
+    FROM fetched{k} f
+    CROSS JOIN (SELECT unnest([7, 13]) AS m) m
+    WHERE f.host LIKE '%.example.test'
+      AND regexp_matches(f.url, '[0-9]')
+),
+disc{k} AS MATERIALIZED (
+    SELECT host, url, CAST(count(*) AS BIGINT) AS refs2
+    FROM links{k} GROUP BY host, url
+),
+dw{k} AS MATERIALIZED (
+    SELECT host, url, refs2,
+           {robots_win_sql(URL_PATH_SQL)} AS win
+    FROM disc{k}
+),
+v{k} AS MATERIALIZED (
+    SELECT url FROM v{k - 1}
+    UNION ALL SELECT url FROM fetched{k}
+),
+cand{k} AS MATERIALIZED (
+    SELECT host, url, refs2 FROM dw{k}
+    WHERE (win IS NULL OR struct_extract(win, 'a') = 1)
+      AND url NOT IN (SELECT url FROM v{k})
+),
+rem{k} AS MATERIALIZED (
+    SELECT host, url, refs FROM rank{k} WHERE rk > {FETCH_BUDGET}
+),
+q{k} AS MATERIALIZED (
+    SELECT coalesce(r.host, c.host) AS host,
+           coalesce(r.url, c.url) AS url,
+           CAST(coalesce(r.refs, 0) + coalesce(c.refs2, 0) AS BIGINT)
+               AS refs
+    FROM rem{k} r FULL OUTER JOIN cand{k} c
+      ON r.host = c.host AND r.url = c.url
+),
+audit{k} AS MATERIALIZED (
+    SELECT CAST({k} AS INT) AS round,
+           (SELECT CAST(count(*) AS BIGINT) FROM fetched{k})
+               AS n_fetched,
+           (SELECT CAST(count(*) AS BIGINT) FROM links{k}) AS n_links,
+           (SELECT CAST(count(*) AS BIGINT) FROM dw{k}
+            WHERE NOT (win IS NULL OR struct_extract(win, 'a') = 1))
+               AS n_blocked,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand{k} c
+            WHERE NOT EXISTS (SELECT 1 FROM rem{k} r
+                              WHERE r.host = c.host AND r.url = c.url))
+               AS n_new,
+           (SELECT CAST(count(*) AS BIGINT) FROM q{k}) AS queue_size,
+           (SELECT CAST(count(*) AS BIGINT) FROM v{k}) AS visited_size,
+           (SELECT md5(coalesce(array_to_string(list_sort(list(url)),
+                                                '|'), ''))
+            FROM fetched{k}) AS fetched_md5
+)"""
+
+
+def _crawl_rounds_oracle() -> str:
+    rounds = ",\n".join(
+        _cr_round_sql(k) for k in range(1, CRAWL_ROUNDS + 1)
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT * FROM audit{k}" for k in range(1, CRAWL_ROUNDS + 1)
+    )
+    return f"""
+WITH cqx AS MATERIALIZED (
+    {_queue_oracle()}
+),
+q0w AS MATERIALIZED (
+    SELECT host, url, CAST(coalesce(n_refs, 0) AS BIGINT) AS refs,
+           {robots_win_sql(URL_PATH_SQL)} AS win
+    FROM cqx
+),
+q0 AS MATERIALIZED (
+    SELECT host, url, refs FROM q0w
+    WHERE win IS NULL OR struct_extract(win, 'a') = 1
+),
+v0 AS MATERIALIZED (
+    SELECT DISTINCT 'https://' || lang || '.example.test/doc/'
+           || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+),
+{rounds}
+{unions}
+"""
+
+
+def _register() -> None:
+    registry.register(
+        "fetch_schedule", fetch_schedule, _fetch_schedule_oracle()
+    )
+    registry.register(
+        "sitemap_recrawl", sitemap_recrawl, SITEMAP_RECRAWL_ORACLE
+    )
+    registry.register(
+        "crawl_rounds_audit", crawl_rounds_audit, _crawl_rounds_oracle()
+    )

@@ -48,6 +48,18 @@ from bigdata_pipelines_aws_glue_spark.operators.links import (
 #: rule-line extraction (the group-2 capture is the path prefix; an
 #: empty Disallow path means allow-all and is dropped by the matcher
 #: because '' prefix-matches nothing under the non-empty guard).
+#:
+#: SCOPE (ADVICE r14): this matcher implements PLAIN PATH-PREFIX
+#: matching only — the '*' and '$' special characters of RFC 9309
+#: §2.2.3 are NOT supported, and a rule line must have exactly one
+#: space after the 'Allow:'/'Disallow:' field name. That is exact for
+#: every robots.txt this engine synthesizes (``synth_robots`` emits
+#: neither wildcards nor loose whitespace — both engines parse the
+#: SAME bytes, so the attested semantics are parity-by-construction),
+#: but the helpers are NOT full RFC 9309 evaluators: a real-world
+#: robots.txt using '*'/'$' or tab-separated fields would be
+#: mis-evaluated. Extend ``_RULE_RE``/``_verdict`` (mirrored in the
+#: oracle) before pointing a fixture at wildcard rules.
 _RULE_RE = r"^(Allow|Disallow): (.*)$"
 _PATH_RE = r"^https?://[^/]*(/.*)?$"
 
@@ -114,6 +126,68 @@ def _verdict(rules: Column, path: Column) -> Column:
         )
         .alias("matched_rule"),
         (win.isNull() | (win["a"] == 1)).alias("allowed"),
+    )
+
+
+def url_path(url: Column) -> Column:
+    """The URL's path component for rule matching ('/' when absent)."""
+    return F.coalesce(
+        F.nullif(F.regexp_extract(url, _PATH_RE, 1), F.lit("")),
+        F.lit("/"),
+    )
+
+
+def robots_allowed(host: Column, url: Column) -> Column:
+    """Boolean: does ``host``'s synthesized robots.txt allow ``url``?
+    The same parse+longest-match expression ``frontier_robots_filter``
+    uses, packaged for reuse by the crawl-loop queries."""
+    return _verdict(_rules(synth_robots(host)), url_path(url))["allowed"]
+
+
+#: DuckDB twin of :func:`url_path` over a column named ``url``.
+URL_PATH_SQL = (
+    f"coalesce(nullif(regexp_extract(url, '{_PATH_RE}', 1), ''), '/')"
+)
+
+
+def robots_win_sql(path_sql: str) -> str:
+    """DuckDB expression for the WINNING robots rule struct (or NULL
+    for default-allow) over a relation exposing a ``host`` column —
+    the (length, allow)-max matching rule, identical to the
+    ``FRONTIER_ROBOTS_ORACLE`` machinery. Allowed iff
+    ``win IS NULL OR struct_extract(win, 'a') = 1``."""
+    return f"""(list_sort(list_filter(
+        list_transform(
+            list_filter(string_split({_ROBOTS_SQL}, chr(10)),
+                l -> regexp_matches(l, '{_RULE_RE}')),
+            l -> struct_pack(
+                l := CAST(length(regexp_extract(l, '{_RULE_RE}', 2))
+                          AS INT),
+                a := CAST(CASE WHEN l LIKE 'Allow:%' THEN 1
+                          ELSE 0 END AS INT),
+                p := regexp_extract(l, '{_RULE_RE}', 2))),
+        r -> struct_extract(r, 'p') <> ''
+             AND starts_with({path_sql}, struct_extract(r, 'p'))),
+        'DESC'))[1]"""
+
+
+#: DuckDB expression for the per-host crawl delay (the
+#: ``synth_robots`` Crawl-delay field, parsed — mirrors the Spark
+#: side's regexp over the synthesized bytes).
+CRAWL_DELAY_SQL = (
+    f"CAST(regexp_extract({_ROBOTS_SQL}, 'Crawl-delay: ([0-9]+)', 1) "
+    "AS INT)"
+)
+
+
+def crawl_delay(host: Column) -> Column:
+    """The host's Crawl-delay, parsed from its synthesized robots.txt
+    (same derivation as ``frontier_robots_filter``'s column)."""
+    return (
+        F.regexp_extract(
+            synth_robots(host), r"Crawl-delay: ([0-9]+)", 1
+        )
+        .cast("int")
     )
 
 

@@ -196,6 +196,7 @@ def _load_all() -> None:
         "funnel",
         "robots",
         "sitemap",
+        "crawlloop",
         "spatial",
         "stattests",
         "cohorts",

@@ -302,8 +302,15 @@ def test_corpus_ffd_manifest(spark, sf_dir):
         pack_sequences_ffd,
     )
 
+    from bigdata_pipelines_aws_glue_spark.operators.packing import (
+        _doc_tokens,
+    )
+
     seqs = pack_sequences_ffd(spark, sf_dir).collect()
     assert seqs
+    tok_by_doc = {
+        r["doc_id"]: r["tok"] for r in _doc_tokens(spark, sf_dir).collect()
+    }
     by_shard: dict[int, list] = {}
     for s in seqs:
         assert 0 < s["n_tokens"] <= SEQ_BUDGET
@@ -317,9 +324,13 @@ def test_corpus_ffd_manifest(spark, sf_dir):
         assert [s["seq_idx"] for s in group] == list(
             range(1, len(group) + 1)
         )
-        # decreasing order: the first doc assigned to a LATER bin
-        # never out-sizes an earlier bin's first (first tokens are
-        # non-increasing across seq_idx — each new bin opens only
-        # when its doc fits no earlier bin)
-        firsts = [g["n_docs"] for g in group]
-        assert all(n >= 1 for n in firsts)
+        # decreasing order: a bin's first assigned doc is its OPENER
+        # (bins are created with their first doc), and in decreasing
+        # visit order each later opener is no larger than any earlier
+        # one — opening ctoks are non-increasing across seq_idx
+        opening_ctoks = [
+            min(tok_by_doc[g["first_doc_id"]], SEQ_BUDGET) for g in group
+        ]
+        assert all(
+            a >= b for a, b in zip(opening_ctoks, opening_ctoks[1:])
+        )

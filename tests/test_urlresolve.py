@@ -240,3 +240,37 @@ def test_frontier_resolved_invariants(spark, sf_dir):
         # politeness order: most-referenced first, url tiebreak
         for a, b in zip(group, group[1:]):
             assert (-a["n_refs"], a["url"]) < (-b["n_refs"], b["url"])
+
+
+def test_fixture_dot_depth_within_pass_bounds(spark, sf_dir):
+    """ADVICE r14: ``remove_dot_segments`` is a bounded-pass rewrite
+    (``_RDS_DOT_PASSES`` '.' passes / ``_RDS_POP_PASSES`` '..'
+    passes) and never pops an ALL-DOT segment like '...'. Tie the
+    fixture to those bounds: every href the corpus fixture actually
+    emits must stay inside them, so a future fixture exceeding the
+    bound fails HERE instead of silently resolving to non-RFC
+    results."""
+    import re
+
+    from bigdata_pipelines_aws_glue_spark.operators.links import (
+        _exploded_hrefs,
+    )
+    from bigdata_pipelines_aws_glue_spark.operators.urls import (
+        _RDS_DOT_PASSES,
+        _RDS_POP_PASSES,
+    )
+
+    hrefs = {
+        r["href"] for r in _exploded_hrefs(spark, sf_dir).collect()
+    }
+    assert hrefs
+    for href in hrefs:
+        path = href.split("#", 1)[0].split("?", 1)[0]
+        segs = path.split("/")
+        # each global-replace pass removes at least one '.' / one
+        # 'x/../' pair, so segment COUNTS bound the passes needed
+        assert segs.count(".") <= _RDS_DOT_PASSES, href
+        assert segs.count("..") <= _RDS_POP_PASSES, href
+        # the pop pattern requires a non-dot char in the popped
+        # segment: no fixture segment may be all-dots (depth >= 3)
+        assert not any(re.fullmatch(r"\.{3,}", s) for s in segs), href

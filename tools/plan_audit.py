@@ -267,6 +267,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoins into the single funnel-audit row — metadata-sized "
         "by construction (the packing_stats shape)",
     },
+    "crawl_rounds_audit": {
+        "BroadcastNestedLoopJoin": "per-round 1-row fetched/links/blocked/new/queue/"
+        "visited aggregates chained by scalar crossJoins into the "
+        "round's single audit row — metadata-sized by construction "
+        "(the corpus_funnel_stats shape)",
+    },
     "hll_vocab_rollup": {
         "BroadcastNestedLoopJoin": "1-row global-exact x 1-row union-estimate crossJoin for the ALL "
         "row — scalar join",
