@@ -71,6 +71,10 @@ EXTENDED = [
     # resolution layer (map-only regex work at 17 refs/doc).
     "corpus_funnel_stats",
     "resolve_links",
+    # r15 family (VERDICT r14 item 1): the closed crawl loop — its
+    # time is the combined-queue derivation plus 4 rounds of
+    # rank/fetch/gate/merge over metadata-width state.
+    "crawl_rounds_audit",
 ]
 
 
@@ -101,6 +105,55 @@ def _host_canary() -> float:
     return round(best, 3)
 
 
+def _host_canary_mt(n_threads: int = 32) -> float:
+    """Multi-core companion to ``_host_canary`` (VERDICT_r14 item 3):
+    the SAME LCG+xorshift sweep run simultaneously on ``n_threads``
+    threads (numpy ufuncs release the GIL), each on its own 8 MiB
+    array, synchronized start, best-of-3 wall for ALL threads to
+    finish. The single-thread canary bounds single-CORE state only —
+    r14's afternoon EXT drift (33.5 -> 47.6 s) happened at FLAT
+    single-thread canary, so whatever degrades multi-core throughput
+    (co-tenant load, thermal, scheduler) was invisible. This canary
+    makes it a measurement: same-code EXT columns normalize against
+    ``canary32_sec`` the way single-query columns normalize against
+    ``canary_sec``. Idle-host reference recorded alongside each
+    reading in BENCH_LOCAL.jsonl / BENCH_TREND."""
+    import threading
+
+    import numpy as np
+
+    mul = np.uint64(6364136223846793005)
+    add = np.uint64(1442695040888963407)
+    sh = np.uint64(17)
+    base = np.arange(1 << 20, dtype=np.uint64)
+
+    def work(barrier: threading.Barrier) -> None:
+        y = base.copy()
+        barrier.wait()
+        for _ in range(100):
+            y = y * mul + add
+            y ^= y >> sh
+
+    best = float("inf")
+    # best-of-5 (vs the single-thread canary's 3): the first
+    # replicates pay page-zeroing on the fresh per-thread arrays and
+    # the spread is inherently wider multi-core
+    for _ in range(5):
+        barrier = threading.Barrier(n_threads + 1)
+        threads = [
+            threading.Thread(target=work, args=(barrier,))
+            for _ in range(n_threads)
+        ]
+        for t in threads:
+            t.start()
+        barrier.wait()  # all threads copied their array and are ready
+        t0 = time.perf_counter()
+        for t in threads:
+            t.join()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -111,6 +164,7 @@ def main() -> None:
     # was doing at bench time.
     loadavg = [round(x, 2) for x in os.getloadavg()]
     canary = _host_canary()
+    canary32 = _host_canary_mt()
     t0 = time.time()
     spark = get_spark("bench")
     # Warm the engine's one-time machinery outside any measured query:
@@ -179,6 +233,7 @@ def main() -> None:
                 "rel_spread": spreads,
                 "loadavg_1_5_15": loadavg,
                 "canary_sec": canary,
+                "canary32_sec": canary32,
             }
         )
     )
