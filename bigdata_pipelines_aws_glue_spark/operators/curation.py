@@ -876,11 +876,137 @@ GROUP BY source
 """
 
 
+# --------------------------------- temperature-scaled domain mixing
+
+#: documents to sample across domains (the mixture budget).
+MIX_BUDGET = 100_000
+
+
+def domain_mixture_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled domain sampling allocation — the standard
+    multilingual-LLM mixing step (public method: temperature-based
+    sampling over per-domain counts, e.g. mBERT/XLM-R exponentiated
+    sampling, alpha = 0.5): per language domain, weight
+    ``n_docs ** 0.5`` (= sqrt — IEEE-exactly-rounded on BOTH
+    engines, unlike a general ``pow``), normalize, and allocate
+    ``MIX_BUDGET`` document draws by LARGEST-REMAINDER (Hamilton)
+    rounding so the allocations sum to the budget EXACTLY. The
+    temperature flattens the mixture: low-resource domains are
+    oversampled relative to their raw share (``oversample_ppm`` >
+    ``1e6`` exactly for the below-average domains), the knob a
+    training-data pipeline turns to keep small languages represented.
+
+    Numerics: weights quantize to integer micro-units
+    (``floor(sqrt(n)*1e6 + 0.5)``) BEFORE any normalization, and
+    every share/quota is integer ``DIV``/``%`` arithmetic from there
+    — no cross-engine float drift is possible. Distribution shape:
+    one hash aggregation over documents, then all arithmetic on the
+    BOUNDED domain list (one row per language) — the two 1-row
+    totals crossJoins and the largest-remainder rank window are
+    metadata-sized by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    dom = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn(
+            "wq",
+            F.floor(
+                F.sqrt(F.col("n_docs").cast("double")) * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    tot = dom.agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("wq").alias("w_tot")
+    )
+    j = dom.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr("(n_docs * 1000000) DIV tot_docs").alias("raw_share_ppm"),
+        F.expr("(wq * 1000000) DIV w_tot").alias("temp_share_ppm"),
+        F.expr(f"({MIX_BUDGET} * wq) DIV w_tot").alias("base"),
+        F.expr(f"({MIX_BUDGET} * wq) % w_tot").alias("rem"),
+    )
+    t2 = j.agg(F.sum("base").alias("base_sum"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col("lang").asc())
+    )
+    return (
+        j.crossJoin(F.broadcast(t2))
+        .withColumn("rk", rk)
+        .select(
+            "lang",
+            "n_docs",
+            "raw_share_ppm",
+            "temp_share_ppm",
+            F.expr(
+                f"base + CASE WHEN rk <= {MIX_BUDGET} - base_sum"
+                " THEN 1 ELSE 0 END"
+            )
+            .cast("long")
+            .alias("alloc_docs"),
+        )
+        .withColumn(
+            "oversample_ppm",
+            F.expr("(alloc_docs * 1000000) DIV n_docs"),
+        )
+    )
+
+
+MIXTURE_ORACLE = f"""
+WITH dom AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+),
+w AS (
+    SELECT lang, n_docs,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) AS wq
+    FROM dom
+),
+tot AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+           CAST(sum(wq) AS BIGINT) AS w_tot
+    FROM w
+),
+j AS (
+    SELECT lang, n_docs,
+           (n_docs * 1000000) // tot_docs AS raw_share_ppm,
+           (wq * 1000000) // w_tot AS temp_share_ppm,
+           ({MIX_BUDGET} * wq) // w_tot AS base,
+           ({MIX_BUDGET} * wq) % w_tot AS rem
+    FROM w, tot
+),
+t2 AS (SELECT CAST(sum(base) AS BIGINT) AS base_sum FROM j),
+r AS (
+    SELECT j.*, t2.base_sum,
+           row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+    FROM j, t2
+)
+SELECT lang, n_docs,
+       CAST(raw_share_ppm AS BIGINT) AS raw_share_ppm,
+       CAST(temp_share_ppm AS BIGINT) AS temp_share_ppm,
+       CAST(base + CASE WHEN rk <= {MIX_BUDGET} - base_sum
+            THEN 1 ELSE 0 END AS BIGINT) AS alloc_docs,
+       CAST(((base + CASE WHEN rk <= {MIX_BUDGET} - base_sum
+              THEN 1 ELSE 0 END) * 1000000) // n_docs AS BIGINT)
+           AS oversample_ppm
+FROM r
+"""
+
+
 def _register() -> None:
     registry.register(
         "quality_quantile_normalize",
         quality_quantile_normalize,
         QUANTILE_NORM_ORACLE,
+    )
+    registry.register(
+        "domain_mixture_temperature",
+        domain_mixture_temperature,
+        MIXTURE_ORACLE,
     )
     registry.register(
         "sequence_pack_chunks", sequence_pack_chunks, SEQUENCE_PACK_ORACLE

@@ -28,82 +28,79 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: verifies exactly the first 50 dict entries per round, so ordering
 #: is the verification budget — rotate it every round toward the
 #: OLDEST evidence (policy in ``tools/rotate_priority.py``, which
-#: generated this window). Round-14 window (VERDICT_r13 item 2 —
-#: executed exactly as the r13 comment's arithmetic planned, plus the
+#: generated this window). Round-15 window (VERDICT_r14 item 2 —
+#: executed exactly as the r14 comment's arithmetic planned, plus the
 #: standing forced-first rule for new/behavior-changed rows):
-#: (a) the 9 forced rows — the 8 round-14 additions (the two
-#: corpus-funnel queries chaining warc.gz -> content -> URL curation
-#: -> quality -> BPE -> packing; first-fit-decreasing packing; the
-#: RFC 3986 resolution pair ``resolve_links`` /
-#: ``crawl_frontier_resolved``; and — landed late, window RE-CUT
-#: three times per the r11/r12/r13 precedent, trading the single
-#: oldest-r9 fill slot (``flagship_pipeline``) and then the two
-#: newest r8 slots (``abc_classification_parts``,
-#: ``gini_customer_revenue``) — the RFC 9309 robots gate
-#: ``frontier_robots_filter``, the sitemap discovery channel
-#: ``sitemap_seeds``, and the combined fetch queue
-#: ``crawl_queue_combined``) plus ``packing_fill_compare``, whose
-#: SCHEMA changed to the three-way comparison; (b) the 41 oldest
-#: remaining r8-last-green rows, filling 50 exactly.
+#: (a) the 4 forced rows — the round-15 additions closing the crawl
+#: loop (``crawl_rounds_audit``, the K-round fetch/resolve/re-rank
+#: simulation; ``fetch_schedule``, the Crawl-delay politeness
+#: schedule; ``sitemap_recrawl``, the lastmod-vs-stored-fetch
+#: staleness policy) plus the temperature-mixing allocation
+#: ``domain_mixture_temperature`` (landed late, window RE-CUT once
+#: per the r11-r14 precedent, trading the newest r9 fill slot
+#: ``dedup_span_clean_text``); (b) the 2 remaining r8-last-green
+#: rows (``gini_customer_revenue``, ``abc_classification_parts``);
+#: (c) the 44 oldest r9-last-green rows, filling 50 exactly.
 #:
-#: Round-15 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 244 oracled
-#: rows — 2 still-r8 (``gini_customer_revenue``,
-#: ``abc_classification_parts``), then r9 (49), r10 (49), r11 (46),
-#: r12 (49), r13 (49). So the r15 window = any r15 additions +
-#: those 2 r8 rows + the 49 r9 rows + oldest-r10 to fill 50.
-#: Steady state, purely age-driven.
+#: Round-16 arithmetic (from tools/rotate_priority.py this round):
+#: after this window attests, the deferred remainder is 248 oracled
+#: rows — 5 still-r9 (``dedup_span_clean_text``, ``cdc_chunk_dedup``,
+#: ``cdc_store_savings``, ``cdc_clamped_chunks``,
+#: ``events_cusum_drift``), then r10 (49), r11 (46), r12 (49),
+#: r13 (49), r14 (50). So the r16 window = any r16 additions +
+#: those 5 r9 rows + oldest-r10 to fill 50. Steady state, purely
+#: age-driven.
 PRIORITY: tuple[str, ...] = (
-    "corpus_funnel_manifest",
-    "corpus_funnel_stats",
-    "pack_sequences_ffd",
-    "packing_fill_compare",
-    "resolve_links",
-    "crawl_frontier_resolved",
-    "frontier_robots_filter",
-    "sitemap_seeds",
-    "crawl_queue_combined",
-    "asof_join_forward",
-    "snapshot_diff_orders",
-    "cdc_apply_changes",
-    "markov_event_transitions",
-    "dsir_domain_weights",
-    "greedy_coverage_select",
-    "pmi_collocations",
-    "textrank_keywords",
-    "poisson_bootstrap_ci",
-    "benford_first_digit",
-    "key_continuity_audit",
-    "table_checksum_audit",
-    "isotonic_daily_revenue",
-    "acf_daily_revenue",
-    "theil_sen_trend",
-    "max_concurrent_orders",
-    "changepoint_daily_revenue",
-    "zipf_fit_terms",
-    "hybrid_search_rrf",
-    "bellman_ford_trade_cost",
-    "classifier_calibration",
-    "psi_order_value_drift",
-    "observed_metrics_q6",
-    "arrow_doc_stats",
-    "multimodal_gif_frames",
-    "l_diversity_audit",
-    "bloom_membership_audit",
-    "udtf_parse_fields",
-    "allpairs_prefix_join",
-    "spatial_nearest_grid",
-    "spatial_point_in_polygon",
-    "ols_revenue_model",
-    "kaplan_meier_repeat",
-    "ks_test_price",
-    "mann_whitney_orders",
-    "welch_t_test",
-    "chi2_independence_docs",
-    "conformal_interval_orders",
-    "logrank_segments",
-    "cohort_retention",
-    "rfm_segments",
+    "crawl_rounds_audit",
+    "fetch_schedule",
+    "sitemap_recrawl",
+    "domain_mixture_temperature",
+    "gini_customer_revenue",
+    "abc_classification_parts",
+    "flagship_pipeline",
+    "distinct_agg",
+    "approx_distinct",
+    "cube_status",
+    "q5_local_revenue",
+    "pivot_revenue",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "q10_returned_items",
+    "q2_top_supplier_per_nation",
+    "monthly_revenue_gapfill",
+    "topk_orders",
+    "global_sorted_sample",
+    "window_rank_orders",
+    "window_distribution_ranks",
+    "scd2_rate_history",
+    "window_running_total",
+    "window_lead_lag",
+    "full_outer_reconciliation",
+    "incremental_monthly_revenue",
+    "greedy_coverage_batched",
+    "doc_readability",
+    "doc_compression_ratio",
+    "kmeans_convergence",
+    "pq_topk",
+    "ivfpq_topk",
+    "pq_recall_at10",
+    "ivfpq_recall_at10",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
+    "catalog_roundtrip_orders",
+    "jsonl_roundtrip_events",
+    "orc_roundtrip_lineitem",
+    "csv_roundtrip_customer",
+    "lm_perplexity_filter",
+    "semdedup_prune",
+    "correlation_matrix",
+    "pca_power_iteration",
+    "dedup_substring_spans",
+    "dedup_substring_pairs",
+    "dedup_span_dropstats",
+    "dedup_span_removal",
 )
 
 

@@ -302,3 +302,38 @@ def test_quantile_normalize_equalizes_keep_rates(spark, sf_dir):
         expect = r["n_docs"] - int((r["n_docs"] - 1) * QN_PCT_THRESHOLD)
         assert abs(r["n_keep_norm"] - expect) <= 1
         assert r["min_raw"] <= r["max_raw"]
+
+
+def test_mixture_temperature_allocation(spark, sf_dir):
+    """Largest-remainder conservation, quota accuracy, and the
+    flattening property the temperature knob exists for."""
+    import math
+
+    from bigdata_pipelines_aws_glue_spark.operators.curation import (
+        MIX_BUDGET,
+        domain_mixture_temperature,
+    )
+
+    rows = domain_mixture_temperature(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert sum(r["alloc_docs"] for r in rows) == MIX_BUDGET  # exact
+    # each allocation is within 1 of its exact (unrounded) quota —
+    # the Hamilton-rounding guarantee
+    wq = {r["lang"]: math.floor(math.sqrt(r["n_docs"]) * 1e6 + 0.5) for r in rows}
+    w_tot = sum(wq.values())
+    for r in rows:
+        exact = MIX_BUDGET * wq[r["lang"]] / w_tot
+        assert abs(r["alloc_docs"] - exact) < 1.0
+        assert r["alloc_docs"] > 0
+    # flattening: the temperature compresses the share spread, and
+    # below-raw-average domains are oversampled (alloc/n_docs above
+    # the global draw rate) while the largest domain is undersampled
+    raw = [r["raw_share_ppm"] for r in rows]
+    temp = [r["temp_share_ppm"] for r in rows]
+    assert max(temp) / min(temp) < max(raw) / min(raw)
+    global_rate_ppm = MIX_BUDGET * 1_000_000 // sum(r["n_docs"] for r in rows)
+    for r in rows:
+        if r["raw_share_ppm"] == min(raw):
+            assert r["oversample_ppm"] > global_rate_ppm
+        if r["raw_share_ppm"] == max(raw):
+            assert r["oversample_ppm"] < global_rate_ppm

@@ -267,6 +267,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "crossJoins into the single funnel-audit row — metadata-sized "
         "by construction (the packing_stats shape)",
     },
+    "domain_mixture_temperature": {
+        "BroadcastNestedLoopJoin": "two 1-row totals crossJoins onto the bounded domain "
+        "list (one row per language) — scalar joins",
+        "SinglePartition": "largest-remainder rank window over the bounded domain "
+        "list — one row per language regardless of corpus size",
+    },
     "crawl_rounds_audit": {
         "BroadcastNestedLoopJoin": "per-round 1-row fetched/links/blocked/new/queue/"
         "visited aggregates chained by scalar crossJoins into the "
