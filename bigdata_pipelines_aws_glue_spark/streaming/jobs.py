@@ -238,6 +238,47 @@ def url_deduped_stream(docs: DataFrame) -> DataFrame:
     return d.dropDuplicatesWithinWatermark(["canonical_url"])
 
 
+def frontier_refs_stream(docs: DataFrame) -> DataFrame:
+    """Streaming link-demand aggregation — the streaming form of the
+    crawl frontier's ref counting (round 15's `crawlloop` theme):
+    each fetched document's outlinks (the SAME
+    ``links.synth_linked_html`` + ``_http_links`` expressions the
+    oracle-checked batch extractor uses — zero duplicated logic)
+    explode, and reference counts aggregate per (10-minute fetch
+    window, host, url) under the watermark. This is the incremental
+    feed a steady-state crawler merges into its queue
+    (``crawl_rounds_audit``'s refs accumulation) without rescanning
+    the corpus: state is bounded by (windows inside the watermark
+    horizon) x (URLs referenced within a window), evicted as event
+    time advances; append mode emits each window exactly once when
+    it closes."""
+    from bigdata_pipelines_aws_glue_spark.operators.links import (
+        _HOST_RE,
+        _http_links,
+        synth_linked_html,
+    )
+
+    html = synth_linked_html(
+        F.col("doc_id"), F.col("lang"), F.col("text")
+    )
+    refs = docs.select(
+        "fetch_ts", F.explode(_http_links(html)).alias("url")
+    ).select(
+        "fetch_ts",
+        F.regexp_extract(F.col("url"), _HOST_RE, 1).alias("host"),
+        "url",
+    )
+    return (
+        refs.groupBy(
+            F.window("fetch_ts", "10 minutes").alias("w"), "host", "url"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_refs"))
+        .select(
+            F.col("w.start").alias("window_start"), "host", "url", "n_refs"
+        )
+    )
+
+
 def read_transaction_stream(
     spark: SparkSession, input_dir: str, schema
 ) -> DataFrame:

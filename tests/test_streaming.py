@@ -362,3 +362,58 @@ def test_stream_url_dedup_matches_batch(spark, sf_dir, docs_dir):
     )
     want_urls = {r["u"] for r in batch.distinct().collect()}
     assert got_urls == want_urls
+
+
+def test_stream_frontier_refs_matches_batch(spark, sf_dir, docs_dir):
+    """The streaming link-demand aggregation agrees EXACTLY with the
+    batch equivalent: same (window, host, url, n_refs) multiset —
+    windowed counts are arrival-order independent, so unlike the
+    dedup stream the full rows match, not just a key set."""
+    from bigdata_pipelines_aws_glue_spark.operators.links import (
+        _HOST_RE,
+        _http_links,
+        synth_linked_html,
+    )
+    from bigdata_pipelines_aws_glue_spark.streaming.jobs import (
+        CRAWL_EPOCH,
+        frontier_refs_stream,
+        read_document_stream,
+    )
+
+    # complete mode: append emission waits for the watermark to pass
+    # each window's end, and availableNow leaves the trailing windows
+    # (everything inside the 4h horizon) in state — complete exposes
+    # the full aggregate state, which is the parity contract here;
+    # production uses append and emits each window once it closes
+    stream = read_document_stream(spark, docs_dir)
+    q = run_to_memory(
+        frontier_refs_stream(stream), "frontier_refs_stream", "complete"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["host"], r["url"], r["n_refs"])
+        for r in spark.table("frontier_refs_stream").collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    html = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
+    batch = (
+        docs.select(
+            F.timestamp_seconds(
+                F.lit(CRAWL_EPOCH) + F.col("doc_id")
+            ).alias("fetch_ts"),
+            F.explode(_http_links(html)).alias("url"),
+        )
+        .select(
+            F.window("fetch_ts", "10 minutes").alias("w"),
+            F.regexp_extract(F.col("url"), _HOST_RE, 1).alias("host"),
+            "url",
+        )
+        .groupBy("w", "host", "url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_refs"))
+        .select(F.col("w.start").alias("ws"), "host", "url", "n_refs")
+    )
+    want = {
+        (r["ws"], r["host"], r["url"], r["n_refs"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0

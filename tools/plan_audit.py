@@ -633,6 +633,9 @@ def _streaming_plans(spark, sf_dir):
         "stream:url_deduped": lambda: jobs.url_deduped_stream(
             jobs.read_document_stream(spark, empty)
         ),
+        "stream:frontier_refs": lambda: jobs.frontier_refs_stream(
+            jobs.read_document_stream(spark, empty)
+        ),
         "stream:ewma": lambda: stateful.ewma_stream(ev),
         "stream:cusum": lambda: stateful.cusum_stream(ev),
         "stream:sessions_stateful": lambda: stateful.session_stream(ev),
