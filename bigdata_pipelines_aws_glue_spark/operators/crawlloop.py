@@ -512,9 +512,83 @@ v0 AS MATERIALIZED (
 """
 
 
+# ------------------------------------------ frontier_refs_windowed
+
+#: streaming twin geometry (streaming/jobs.py: CRAWL_EPOCH /
+#: frontier_refs_stream's 10-minute windows).
+_CRAWL_EPOCH = 1_700_000_000
+_WINDOW_S = 600
+
+
+def frontier_refs_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.jobs.frontier_refs_stream`` (the
+    ewma/cusum batch-twin pattern): link-demand counts per (10-minute
+    fetch window, host, url) over the whole corpus — the incremental
+    frontier feed, hash-attested. ``window_epoch`` is the epoch
+    second of the stream's ``window.start`` (integer DIV bucketing of
+    the derived ``fetch_ts = CRAWL_EPOCH + doc_id`` — emitted as a
+    LONG so the cross-engine hash never touches timezone semantics;
+    pytest pins twin == stream modulo the epoch conversion). One
+    narrow explode + one hash aggregation; at 100 TB this is the
+    map-side-combinable shape the streaming state stores per window."""
+    from bigdata_pipelines_aws_glue_spark.operators.links import (
+        _HOST_RE,
+        _http_links,
+        synth_linked_html,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
+    refs = docs.select(
+        F.expr(
+            f"(({_CRAWL_EPOCH} + doc_id) DIV {_WINDOW_S}) * {_WINDOW_S}"
+        ).alias("window_epoch"),
+        F.explode(_http_links(html)).alias("url"),
+    ).select(
+        "window_epoch",
+        F.regexp_extract(F.col("url"), _HOST_RE, 1).alias("host"),
+        "url",
+    )
+    return refs.groupBy("window_epoch", "host", "url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs")
+    )
+
+
+def _frontier_refs_windowed_oracle() -> str:
+    from bigdata_pipelines_aws_glue_spark.operators.links import (
+        _HOST_RE,
+        _HTTP_RE,
+        _LINKED_CTE,
+    )
+
+    return (
+        _LINKED_CTE
+        + f"""
+SELECT CAST((({_CRAWL_EPOCH} + doc_id) // {_WINDOW_S}) * {_WINDOW_S}
+            AS BIGINT) AS window_epoch,
+       regexp_extract(u.url, '{_HOST_RE}', 1) AS host,
+       u.url,
+       CAST(count(*) AS BIGINT) AS n_refs
+FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+               regexp_extract_all(lhtml, 'href="([^"]*)"', 1),
+               x -> regexp_matches(x, '{_HTTP_RE}'))) AS url
+    FROM lh
+) u
+GROUP BY 1, 2, 3
+"""
+    )
+
+
 def _register() -> None:
     registry.register(
         "fetch_schedule", fetch_schedule, _fetch_schedule_oracle()
+    )
+    registry.register(
+        "frontier_refs_windowed",
+        frontier_refs_windowed,
+        _frontier_refs_windowed_oracle(),
     )
     registry.register(
         "sitemap_recrawl", sitemap_recrawl, SITEMAP_RECRAWL_ORACLE

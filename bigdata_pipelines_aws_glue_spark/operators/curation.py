@@ -997,6 +997,245 @@ FROM r
 """
 
 
+# --------------------------- data-constrained capped water-filling
+
+#: repetition cap: at most 1.2 epochs of any domain may be drawn
+#: (data-constrained training caps repeats; public basis: repeated
+#: epochs beyond a few stop helping — Muennighoff et al.,
+#: "Scaling Data-Constrained Language Models", NeurIPS 2023). The
+#: 1.2 value is picked so BOTH branches bite at every test SF (the
+#: sqrt-temperature epochs cluster at 1.13-1.29 for the non-en
+#: domains and ~0.7 for en).
+R_MAX_PPM = 1_200_000
+#: unrolled redistribution rounds; with one dominant uncapped domain
+#: the fixture converges in round 1 and round 2 verifies the no-op,
+#: but a redistribution CAN tip a borderline domain over its cap, so
+#: two clip+redistribute passes are genuinely exercised.
+WF_ROUNDS = 2
+
+
+def domain_mixture_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``domain_mixture_temperature`` under a repetition cap —
+    water-filling: allocate a one-epoch budget (``sum(n_docs)``
+    draws) by sqrt-temperature Hamilton rounding, CLIP each domain at
+    ``cap = n_docs * R_MAX_PPM / 1e6`` draws, redistribute the
+    clipped surplus across the still-uncapped domains by the same
+    Hamilton rounding on their weights, and repeat ``WF_ROUNDS``
+    times (a redistribution can push a borderline domain over ITS
+    cap). Emits the final per-domain allocation, its epochs, the
+    capped flag, and the globally-unallocated surplus (0 when the
+    water-filling converged inside the round budget — pytest pins
+    convergence and conservation). All arithmetic is integer DIV/%
+    over quantized sqrt weights — engine-exact like the uncapped
+    form; every frame is the bounded domain list."""
+    docs = load_table(spark, sf_dir, "documents")
+    dom = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn(
+            "wq",
+            F.floor(
+                F.sqrt(F.col("n_docs").cast("double")) * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .withColumn(
+            "cap", F.expr(f"(n_docs * {R_MAX_PPM}) DIV 1000000")
+        )
+    )
+    tot = dom.agg(
+        F.sum("n_docs").alias("b2"), F.sum("wq").alias("w_tot")
+    )
+    j = dom.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "wq",
+        "cap",
+        "b2",
+        F.expr("(b2 * wq) DIV w_tot").alias("base"),
+        F.expr("(b2 * wq) % w_tot").alias("rem"),
+    )
+    t0 = j.agg(F.sum("base").alias("bsum"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col("lang").asc())
+    )
+    s = (
+        j.crossJoin(F.broadcast(t0))
+        .withColumn("rk", rk)
+        .select(
+            "lang",
+            "n_docs",
+            "wq",
+            "cap",
+            "b2",
+            F.expr(
+                "base + CASE WHEN rk <= b2 - bsum THEN 1 ELSE 0 END"
+            )
+            .cast("long")
+            .alias("a"),
+        )
+    )
+    for _ in range(WF_ROUNDS):
+        s = s.withColumn("over", F.col("a") - F.least("a", "cap"))
+        s = s.withColumn("a", F.least("a", "cap"))
+        t = s.agg(
+            F.coalesce(F.sum("over"), F.lit(0)).alias("surp"),
+            F.coalesce(
+                F.sum(F.when(F.col("a") < F.col("cap"), F.col("wq"))),
+                F.lit(0),
+            ).alias("wu"),
+        )
+        s = s.crossJoin(F.broadcast(t)).select(
+            "lang",
+            "n_docs",
+            "wq",
+            "cap",
+            "b2",
+            "a",
+            F.expr(
+                "CASE WHEN a < cap AND wu > 0"
+                " THEN (surp * wq) DIV wu ELSE 0 END"
+            ).alias("base"),
+            F.expr(
+                "CASE WHEN a < cap AND wu > 0"
+                " THEN (surp * wq) % wu ELSE -1 END"
+            ).alias("rem"),
+            "surp",
+        )
+        t2 = s.agg(F.sum("base").alias("bsum"))
+        s = (
+            s.crossJoin(F.broadcast(t2))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.orderBy(
+                        F.col("rem").desc(), F.col("lang").asc()
+                    )
+                ),
+            )
+            .select(
+                "lang",
+                "n_docs",
+                "wq",
+                "cap",
+                "b2",
+                F.expr(
+                    "a + base + CASE WHEN rem >= 0"
+                    " AND rk <= surp - bsum THEN 1 ELSE 0 END"
+                )
+                .cast("long")
+                .alias("a"),
+            )
+        )
+    fin = s.withColumn(
+        "alloc_docs", F.least("a", "cap").cast("long")
+    ).withColumn("over", F.col("a") - F.col("alloc_docs"))
+    g = fin.agg(
+        (F.first("b2") - F.sum("alloc_docs"))
+        .cast("long")
+        .alias("surplus_unallocated")
+    )
+    return fin.crossJoin(F.broadcast(g)).select(
+        "lang",
+        "n_docs",
+        F.col("cap").cast("long").alias("cap_docs"),
+        "alloc_docs",
+        F.expr("(alloc_docs * 1000000) DIV n_docs").alias("epochs_ppm"),
+        (F.col("alloc_docs") >= F.col("cap")).alias("capped"),
+        "surplus_unallocated",
+    )
+
+
+def _wf_round_sql(k: int) -> str:
+    return f"""c{k} AS (
+    SELECT lang, n_docs, wq, cap, b2,
+           LEAST(a, cap) AS a, a - LEAST(a, cap) AS over
+    FROM s{k - 1}
+),
+t{k} AS (
+    SELECT CAST(coalesce(sum(over), 0) AS BIGINT) AS surp,
+           CAST(coalesce(sum(CASE WHEN a < cap THEN wq END), 0)
+                AS BIGINT) AS wu
+    FROM c{k}
+),
+b{k} AS (
+    SELECT c.lang, c.n_docs, c.wq, c.cap, c.b2, c.a, t.surp,
+           CASE WHEN c.a < c.cap AND t.wu > 0
+                THEN (t.surp * c.wq) // t.wu ELSE 0 END AS base,
+           CASE WHEN c.a < c.cap AND t.wu > 0
+                THEN (t.surp * c.wq) % t.wu ELSE -1 END AS rem
+    FROM c{k} c, t{k} t
+),
+e{k} AS (SELECT CAST(sum(base) AS BIGINT) AS bsum FROM b{k}),
+r{k} AS (
+    SELECT b.*, e.bsum,
+           row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+    FROM b{k} b, e{k} e
+),
+s{k} AS (
+    SELECT lang, n_docs, wq, cap, b2,
+           CAST(a + base + CASE WHEN rem >= 0 AND rk <= surp - bsum
+                THEN 1 ELSE 0 END AS BIGINT) AS a
+    FROM r{k}
+)"""
+
+
+def _capped_oracle() -> str:
+    rounds = ",\n".join(_wf_round_sql(k) for k in range(1, WF_ROUNDS + 1))
+    return f"""
+WITH dom AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+),
+w AS (
+    SELECT lang, n_docs,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) AS wq,
+           (n_docs * {R_MAX_PPM}) // 1000000 AS cap
+    FROM dom
+),
+tot AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS b2,
+           CAST(sum(wq) AS BIGINT) AS w_tot
+    FROM w
+),
+j AS (
+    SELECT lang, n_docs, wq, cap, b2,
+           (b2 * wq) // w_tot AS base,
+           (b2 * wq) % w_tot AS rem
+    FROM w, tot
+),
+t0 AS (SELECT CAST(sum(base) AS BIGINT) AS bsum FROM j),
+s0 AS (
+    SELECT lang, n_docs, wq, cap, b2,
+           CAST(base + CASE WHEN row_number() OVER
+                    (ORDER BY rem DESC, lang ASC) <= b2 - bsum
+                THEN 1 ELSE 0 END AS BIGINT) AS a
+    FROM j, t0
+),
+{rounds},
+fin AS (
+    SELECT lang, n_docs, cap, b2,
+           LEAST(a, cap) AS alloc_docs
+    FROM s{WF_ROUNDS}
+),
+g AS (
+    SELECT CAST(any_value(b2) - sum(alloc_docs) AS BIGINT)
+               AS surplus_unallocated
+    FROM fin
+)
+SELECT lang, n_docs,
+       CAST(cap AS BIGINT) AS cap_docs,
+       CAST(alloc_docs AS BIGINT) AS alloc_docs,
+       CAST((alloc_docs * 1000000) // n_docs AS BIGINT) AS epochs_ppm,
+       alloc_docs >= cap AS capped,
+       g.surplus_unallocated
+FROM fin, g
+"""
+
+
 def _register() -> None:
     registry.register(
         "quality_quantile_normalize",
@@ -1007,6 +1246,11 @@ def _register() -> None:
         "domain_mixture_temperature",
         domain_mixture_temperature,
         MIXTURE_ORACLE,
+    )
+    registry.register(
+        "domain_mixture_capped",
+        domain_mixture_capped,
+        _capped_oracle(),
     )
     registry.register(
         "sequence_pack_chunks", sequence_pack_chunks, SEQUENCE_PACK_ORACLE

@@ -31,30 +31,37 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: generated this window). Round-15 window (VERDICT_r14 item 2 —
 #: executed exactly as the r14 comment's arithmetic planned, plus the
 #: standing forced-first rule for new/behavior-changed rows):
-#: (a) the 4 forced rows — the round-15 additions closing the crawl
+#: (a) the 6 forced rows — the round-15 additions: the closed crawl
 #: loop (``crawl_rounds_audit``, the K-round fetch/resolve/re-rank
 #: simulation; ``fetch_schedule``, the Crawl-delay politeness
 #: schedule; ``sitemap_recrawl``, the lastmod-vs-stored-fetch
-#: staleness policy) plus the temperature-mixing allocation
-#: ``domain_mixture_temperature`` (landed late, window RE-CUT once
-#: per the r11-r14 precedent, trading the newest r9 fill slot
-#: ``dedup_span_clean_text``); (b) the 2 remaining r8-last-green
+#: staleness policy), the mixing pair
+#: (``domain_mixture_temperature`` and its data-constrained capped
+#: water-filling form ``domain_mixture_capped``), and the streaming
+#: frontier feed's batch twin ``frontier_refs_windowed``. The
+#: window was RE-CUT twice for the late additions per the r11-r14
+#: precedent, trading the three newest r9 fill slots
+#: (``dedup_span_clean_text``, ``dedup_span_removal``,
+#: ``dedup_span_dropstats``); (b) the 2 remaining r8-last-green
 #: rows (``gini_customer_revenue``, ``abc_classification_parts``);
-#: (c) the 44 oldest r9-last-green rows, filling 50 exactly.
+#: (c) the 42 oldest r9-last-green rows, filling 50 exactly.
 #:
 #: Round-16 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 248 oracled
-#: rows — 5 still-r9 (``dedup_span_clean_text``, ``cdc_chunk_dedup``,
-#: ``cdc_store_savings``, ``cdc_clamped_chunks``,
-#: ``events_cusum_drift``), then r10 (49), r11 (46), r12 (49),
-#: r13 (49), r14 (50). So the r16 window = any r16 additions +
-#: those 5 r9 rows + oldest-r10 to fill 50. Steady state, purely
-#: age-driven.
+#: after this window attests, the deferred remainder is 250 oracled
+#: rows — 7 still-r9 (``dedup_span_dropstats``,
+#: ``dedup_span_removal``, ``dedup_span_clean_text``,
+#: ``cdc_chunk_dedup``, ``cdc_store_savings``,
+#: ``cdc_clamped_chunks``, ``events_cusum_drift``), then r10 (49),
+#: r11 (46), r12 (49), r13 (49), r14 (50). So the r16 window = any
+#: r16 additions + those 7 r9 rows + oldest-r10 to fill 50. Steady
+#: state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
     "crawl_rounds_audit",
     "fetch_schedule",
     "sitemap_recrawl",
     "domain_mixture_temperature",
+    "domain_mixture_capped",
+    "frontier_refs_windowed",
     "gini_customer_revenue",
     "abc_classification_parts",
     "flagship_pipeline",
@@ -99,8 +106,6 @@ PRIORITY: tuple[str, ...] = (
     "pca_power_iteration",
     "dedup_substring_spans",
     "dedup_substring_pairs",
-    "dedup_span_dropstats",
-    "dedup_span_removal",
 )
 
 

@@ -337,3 +337,31 @@ def test_mixture_temperature_allocation(spark, sf_dir):
             assert r["oversample_ppm"] > global_rate_ppm
         if r["raw_share_ppm"] == max(raw):
             assert r["oversample_ppm"] < global_rate_ppm
+
+
+def test_mixture_capped_waterfilling(spark, sf_dir):
+    """Cap respect, exact conservation (alloc + surplus = budget),
+    convergence on the fixture, and both cap branches biting."""
+    from bigdata_pipelines_aws_glue_spark.operators.curation import (
+        R_MAX_PPM,
+        domain_mixture_capped,
+    )
+
+    rows = domain_mixture_capped(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    budget = sum(r["n_docs"] for r in rows)  # one-epoch budget
+    surplus = rows[0]["surplus_unallocated"]
+    assert all(r["surplus_unallocated"] == surplus for r in rows)
+    assert sum(r["alloc_docs"] for r in rows) + surplus == budget
+    assert surplus == 0  # the fixture converges inside WF_ROUNDS
+    flags = {r["capped"] for r in rows}
+    assert flags == {True, False}  # both branches bite
+    for r in rows:
+        assert 0 < r["alloc_docs"] <= r["cap_docs"]
+        assert r["epochs_ppm"] <= R_MAX_PPM
+        assert r["capped"] == (r["alloc_docs"] >= r["cap_docs"])
+    # the cap binds where the uncapped mixture would overshoot: every
+    # capped domain sits exactly at (integer) capacity
+    for r in rows:
+        if r["capped"]:
+            assert r["alloc_docs"] == r["cap_docs"]

@@ -417,3 +417,20 @@ def test_stream_frontier_refs_matches_batch(spark, sf_dir, docs_dir):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+    # the hash-oracled registry twin agrees too, modulo the epoch
+    # conversion (window_epoch = epoch second of window.start)
+    import calendar
+
+    from bigdata_pipelines_aws_glue_spark.operators.crawlloop import (
+        frontier_refs_windowed,
+    )
+
+    twin = {
+        (r["window_epoch"], r["host"], r["url"], r["n_refs"])
+        for r in frontier_refs_windowed(spark, sf_dir).collect()
+    }
+    got_epochs = {
+        (calendar.timegm(ws.utctimetuple()), h, u, n)
+        for ws, h, u, n in got
+    }
+    assert twin == got_epochs

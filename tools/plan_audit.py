@@ -273,6 +273,13 @@ WHITELIST: dict[str, dict[str, str]] = {
         "SinglePartition": "largest-remainder rank window over the bounded domain "
         "list — one row per language regardless of corpus size",
     },
+    "domain_mixture_capped": {
+        "BroadcastNestedLoopJoin": "per-water-filling-round 1-row surplus/weight totals "
+        "crossJoined onto the bounded domain list — scalar joins "
+        "(the mixture shape, unrolled WF_ROUNDS times)",
+        "SinglePartition": "largest-remainder rank windows over the bounded domain "
+        "list — one row per language regardless of corpus size",
+    },
     "crawl_rounds_audit": {
         "BroadcastNestedLoopJoin": "per-round 1-row fetched/links/blocked/new/queue/"
         "visited aggregates chained by scalar crossJoins into the "
