@@ -109,7 +109,7 @@ def _host_canary_mt(n_threads: int = 32) -> float:
     """Multi-core companion to ``_host_canary`` (VERDICT_r14 item 3):
     the SAME LCG+xorshift sweep run simultaneously on ``n_threads``
     threads (numpy ufuncs release the GIL), each on its own 8 MiB
-    array, synchronized start, best-of-3 wall for ALL threads to
+    array, synchronized start, best-of-5 wall for ALL threads to
     finish. The single-thread canary bounds single-CORE state only —
     r14's afternoon EXT drift (33.5 -> 47.6 s) happened at FLAT
     single-thread canary, so whatever degrades multi-core throughput

@@ -80,18 +80,36 @@ WAVE_S = 60
 
 
 def fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The politeness schedule over the combined queue: per URL its
-    host's Crawl-delay (parsed from the synthesized robots.txt — the
-    same derivation ``frontier_robots_filter`` emits) and the
-    earliest fetch offset a polite single-connection fetcher may
-    issue it at: ``(fetch_rank - 1) * crawl_delay`` seconds, plus
-    the ``WAVE_S``-second dispatch bucket that offset lands in.
-    Pure per-row expressions over an attested input — no new
-    shuffle."""
-    q = crawl_queue_combined(spark, sf_dir)
+    """The politeness schedule a fetcher can actually EXECUTE: the
+    combined queue gated by each host's robots.txt (the sitemap
+    channel enters ``crawl_queue_combined`` robots-unfiltered, so a
+    blocked seed must not consume a schedule slot — review r15
+    finding), re-ranked per host in the queue's own order
+    (``sched_rank``), with the host's Crawl-delay (parsed from the
+    synthesized robots.txt — the same derivation
+    ``frontier_robots_filter`` emits) and the earliest offset a
+    polite single-connection fetcher may issue each URL at:
+    ``(sched_rank - 1) * crawl_delay`` seconds, plus the
+    ``WAVE_S``-second dispatch bucket. The allowed set equals the
+    crawl loop's ``q0`` (``_initial_state`` applies the identical
+    gate). Per-row expressions + one re-rank window over the
+    attested input."""
+    q = crawl_queue_combined(spark, sf_dir).filter(
+        robots_allowed(F.col("host"), F.col("url"))
+    )
+    sched_rank = F.row_number().over(
+        Window.partitionBy("host").orderBy(F.col("fetch_rank").asc())
+    )
+    q = q.select(
+        "host",
+        "url",
+        "channel",
+        "fetch_rank",
+        sched_rank.cast("int").alias("sched_rank"),
+    )
     delay = crawl_delay(F.col("host"))
     offset = (
-        (F.col("fetch_rank") - F.lit(1)).cast("long")
+        (F.col("sched_rank") - F.lit(1)).cast("long")
         * delay.cast("long")
     )
     return q.select(
@@ -99,6 +117,7 @@ def fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         "channel",
         "fetch_rank",
+        "sched_rank",
         delay.alias("crawl_delay"),
         offset.alias("earliest_fetch_offset_s"),
         F.floor(offset / F.lit(WAVE_S)).cast("int").alias("fetch_wave"),
@@ -109,15 +128,28 @@ def _fetch_schedule_oracle() -> str:
     return f"""
 WITH cqx AS MATERIALIZED (
     {_queue_oracle()}
+),
+cw AS MATERIALIZED (
+    SELECT host, url, channel, fetch_rank,
+           {robots_win_sql(URL_PATH_SQL)} AS win
+    FROM cqx
+),
+alw AS MATERIALIZED (
+    SELECT host, url, channel, fetch_rank,
+           CAST(row_number() OVER (
+                PARTITION BY host ORDER BY fetch_rank ASC
+           ) AS INT) AS sched_rank
+    FROM cw
+    WHERE win IS NULL OR struct_extract(win, 'a') = 1
 )
-SELECT host, url, channel, fetch_rank,
+SELECT host, url, channel, fetch_rank, sched_rank,
        {CRAWL_DELAY_SQL} AS crawl_delay,
-       CAST(fetch_rank - 1 AS BIGINT) * CAST({CRAWL_DELAY_SQL} AS BIGINT)
+       CAST(sched_rank - 1 AS BIGINT) * CAST({CRAWL_DELAY_SQL} AS BIGINT)
            AS earliest_fetch_offset_s,
-       CAST(floor((CAST(fetch_rank - 1 AS BIGINT)
+       CAST(floor((CAST(sched_rank - 1 AS BIGINT)
                    * CAST({CRAWL_DELAY_SQL} AS BIGINT)) / {WAVE_S}.0)
             AS INT) AS fetch_wave
-FROM cqx
+FROM alw
 """
 
 
@@ -514,10 +546,18 @@ v0 AS MATERIALIZED (
 
 # ------------------------------------------ frontier_refs_windowed
 
-#: streaming twin geometry (streaming/jobs.py: CRAWL_EPOCH /
-#: frontier_refs_stream's 10-minute windows).
-_CRAWL_EPOCH = 1_700_000_000
-_WINDOW_S = 600
+
+def _stream_geometry() -> tuple[int, int]:
+    """(CRAWL_EPOCH, FRONTIER_WINDOW_S) imported from the streaming
+    module so the batch twin can never silently diverge from
+    ``frontier_refs_stream`` (review r15 finding). Imported lazily —
+    streaming.jobs pulls in operator modules at import time."""
+    from bigdata_pipelines_aws_glue_spark.streaming.jobs import (
+        CRAWL_EPOCH,
+        FRONTIER_WINDOW_S,
+    )
+
+    return CRAWL_EPOCH, FRONTIER_WINDOW_S
 
 
 def frontier_refs_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,11 +577,12 @@ def frontier_refs_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_linked_html,
     )
 
+    epoch, win_s = _stream_geometry()
     docs = load_table(spark, sf_dir, "documents")
     html = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
     refs = docs.select(
         F.expr(
-            f"(({_CRAWL_EPOCH} + doc_id) DIV {_WINDOW_S}) * {_WINDOW_S}"
+            f"(({epoch} + doc_id) DIV {win_s}) * {win_s}"
         ).alias("window_epoch"),
         F.explode(_http_links(html)).alias("url"),
     ).select(
@@ -557,14 +598,16 @@ def frontier_refs_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _frontier_refs_windowed_oracle() -> str:
     from bigdata_pipelines_aws_glue_spark.operators.links import (
         _HOST_RE,
+        _HREF_RE,
         _HTTP_RE,
         _LINKED_CTE,
     )
 
+    epoch, win_s = _stream_geometry()
     return (
         _LINKED_CTE
         + f"""
-SELECT CAST((({_CRAWL_EPOCH} + doc_id) // {_WINDOW_S}) * {_WINDOW_S}
+SELECT CAST((({epoch} + doc_id) // {win_s}) * {win_s}
             AS BIGINT) AS window_epoch,
        regexp_extract(u.url, '{_HOST_RE}', 1) AS host,
        u.url,
@@ -572,7 +615,7 @@ SELECT CAST((({_CRAWL_EPOCH} + doc_id) // {_WINDOW_S}) * {_WINDOW_S}
 FROM (
     SELECT doc_id,
            unnest(list_filter(
-               regexp_extract_all(lhtml, 'href="([^"]*)"', 1),
+               regexp_extract_all(lhtml, '{_HREF_RE}', 1),
                x -> regexp_matches(x, '{_HTTP_RE}'))) AS url
     FROM lh
 ) u

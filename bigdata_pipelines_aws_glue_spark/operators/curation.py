@@ -1077,6 +1077,12 @@ def domain_mixture_capped(
             .alias("a"),
         )
     )
+    # eager checkpoint per round: each round consumes `s` 3-4 times
+    # (two scalar aggs + two crossJoins), so without the lineage cut
+    # the whole upstream plan re-executes per consumer per round
+    # (measured 31 s -> ~2 s Spark wall at sf0.001; the
+    # crawl_rounds_audit discipline)
+    s = s.localCheckpoint(eager=True)
     for _ in range(WF_ROUNDS):
         s = s.withColumn("over", F.col("a") - F.least("a", "cap"))
         s = s.withColumn("a", F.least("a", "cap"))
@@ -1128,10 +1134,9 @@ def domain_mixture_capped(
                 .cast("long")
                 .alias("a"),
             )
+            .localCheckpoint(eager=True)
         )
-    fin = s.withColumn(
-        "alloc_docs", F.least("a", "cap").cast("long")
-    ).withColumn("over", F.col("a") - F.col("alloc_docs"))
+    fin = s.withColumn("alloc_docs", F.least("a", "cap").cast("long"))
     g = fin.agg(
         (F.first("b2") - F.sum("alloc_docs"))
         .cast("long")
@@ -1149,18 +1154,18 @@ def domain_mixture_capped(
 
 
 def _wf_round_sql(k: int) -> str:
-    return f"""c{k} AS (
+    return f"""c{k} AS MATERIALIZED (
     SELECT lang, n_docs, wq, cap, b2,
            LEAST(a, cap) AS a, a - LEAST(a, cap) AS over
     FROM s{k - 1}
 ),
-t{k} AS (
+t{k} AS MATERIALIZED (
     SELECT CAST(coalesce(sum(over), 0) AS BIGINT) AS surp,
            CAST(coalesce(sum(CASE WHEN a < cap THEN wq END), 0)
                 AS BIGINT) AS wu
     FROM c{k}
 ),
-b{k} AS (
+b{k} AS MATERIALIZED (
     SELECT c.lang, c.n_docs, c.wq, c.cap, c.b2, c.a, t.surp,
            CASE WHEN c.a < c.cap AND t.wu > 0
                 THEN (t.surp * c.wq) // t.wu ELSE 0 END AS base,
@@ -1168,13 +1173,14 @@ b{k} AS (
                 THEN (t.surp * c.wq) % t.wu ELSE -1 END AS rem
     FROM c{k} c, t{k} t
 ),
-e{k} AS (SELECT CAST(sum(base) AS BIGINT) AS bsum FROM b{k}),
-r{k} AS (
+e{k} AS MATERIALIZED (SELECT CAST(sum(base) AS BIGINT) AS bsum
+          FROM b{k}),
+r{k} AS MATERIALIZED (
     SELECT b.*, e.bsum,
            row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
     FROM b{k} b, e{k} e
 ),
-s{k} AS (
+s{k} AS MATERIALIZED (
     SELECT lang, n_docs, wq, cap, b2,
            CAST(a + base + CASE WHEN rem >= 0 AND rk <= surp - bsum
                 THEN 1 ELSE 0 END AS BIGINT) AS a
@@ -1185,30 +1191,30 @@ s{k} AS (
 def _capped_oracle() -> str:
     rounds = ",\n".join(_wf_round_sql(k) for k in range(1, WF_ROUNDS + 1))
     return f"""
-WITH dom AS (
+WITH dom AS MATERIALIZED (
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
     FROM documents GROUP BY lang
 ),
-w AS (
+w AS MATERIALIZED (
     SELECT lang, n_docs,
            CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5)
                 AS BIGINT) AS wq,
            (n_docs * {R_MAX_PPM}) // 1000000 AS cap
     FROM dom
 ),
-tot AS (
+tot AS MATERIALIZED (
     SELECT CAST(sum(n_docs) AS BIGINT) AS b2,
            CAST(sum(wq) AS BIGINT) AS w_tot
     FROM w
 ),
-j AS (
+j AS MATERIALIZED (
     SELECT lang, n_docs, wq, cap, b2,
            (b2 * wq) // w_tot AS base,
            (b2 * wq) % w_tot AS rem
     FROM w, tot
 ),
-t0 AS (SELECT CAST(sum(base) AS BIGINT) AS bsum FROM j),
-s0 AS (
+t0 AS MATERIALIZED (SELECT CAST(sum(base) AS BIGINT) AS bsum FROM j),
+s0 AS MATERIALIZED (
     SELECT lang, n_docs, wq, cap, b2,
            CAST(base + CASE WHEN row_number() OVER
                     (ORDER BY rem DESC, lang ASC) <= b2 - bsum
@@ -1216,12 +1222,12 @@ s0 AS (
     FROM j, t0
 ),
 {rounds},
-fin AS (
+fin AS MATERIALIZED (
     SELECT lang, n_docs, cap, b2,
            LEAST(a, cap) AS alloc_docs
     FROM s{WF_ROUNDS}
 ),
-g AS (
+g AS MATERIALIZED (
     SELECT CAST(any_value(b2) - sum(alloc_docs) AS BIGINT)
                AS surplus_unallocated
     FROM fin

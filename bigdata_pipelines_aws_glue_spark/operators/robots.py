@@ -197,11 +197,9 @@ def frontier_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl delay, and the politeness rank recomputed over ALLOWED URLs
     only (NULL for blocked)."""
     fr = crawl_frontier_resolved(spark, sf_dir).drop("fetch_rank")
-    path = F.coalesce(
-        F.nullif(F.regexp_extract(F.col("url"), _PATH_RE, 1), F.lit("")),
-        F.lit("/"),
+    v = _verdict(
+        _rules(synth_robots(F.col("host"))), url_path(F.col("url"))
     )
-    v = _verdict(_rules(synth_robots(F.col("host"))), path)
     d = fr.select(
         "host",
         "url",
@@ -209,11 +207,7 @@ def frontier_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_ref_doc",
         v["matched_rule"].alias("matched_rule"),
         v["allowed"].alias("allowed"),
-        F.regexp_extract(
-            synth_robots(F.col("host")), r"Crawl-delay: ([0-9]+)", 1
-        )
-        .cast("int")
-        .alias("crawl_delay"),
+        crawl_delay(F.col("host")).alias("crawl_delay"),
     )
     return d.withColumn(
         "fetch_rank",

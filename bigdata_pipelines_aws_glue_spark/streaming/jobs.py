@@ -187,6 +187,11 @@ DOCS_SCHEMA = (
 #: testable without adding a column to the shared table.
 CRAWL_EPOCH = 1_700_000_000
 
+#: frontier-feed window width (seconds) — shared with the
+#: hash-oracled batch twin ``operators.crawlloop.
+#: frontier_refs_windowed`` so the two can never silently diverge.
+FRONTIER_WINDOW_S = 600
+
 
 def read_document_stream(
     spark: SparkSession,
@@ -270,7 +275,11 @@ def frontier_refs_stream(docs: DataFrame) -> DataFrame:
     )
     return (
         refs.groupBy(
-            F.window("fetch_ts", "10 minutes").alias("w"), "host", "url"
+            F.window(
+                "fetch_ts", f"{FRONTIER_WINDOW_S} seconds"
+            ).alias("w"),
+            "host",
+            "url",
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_refs"))
         .select(

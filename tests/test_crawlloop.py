@@ -21,6 +21,13 @@ from bigdata_pipelines_aws_glue_spark.operators.crawlloop import (
 
 
 def test_fetch_schedule_arithmetic(spark, sf_dir):
+    from bigdata_pipelines_aws_glue_spark.operators.robots import (
+        robots_allowed,
+    )
+    from bigdata_pipelines_aws_glue_spark.operators.sitemap import (
+        crawl_queue_combined,
+    )
+
     rows = fetch_schedule(spark, sf_dir).collect()
     assert rows
     by_host: dict[str, list] = {}
@@ -28,17 +35,30 @@ def test_fetch_schedule_arithmetic(spark, sf_dir):
         assert r["crawl_delay"] == len(r["host"]) % 5 + 1
         assert (
             r["earliest_fetch_offset_s"]
-            == (r["fetch_rank"] - 1) * r["crawl_delay"]
+            == (r["sched_rank"] - 1) * r["crawl_delay"]
         )
         assert r["fetch_wave"] == r["earliest_fetch_offset_s"] // WAVE_S
         by_host.setdefault(r["host"], []).append(r)
     for group in by_host.values():
-        group.sort(key=lambda r: r["fetch_rank"])
-        # politeness: offsets strictly increase down the host's queue
+        group.sort(key=lambda r: r["sched_rank"])
+        # sched_rank is dense per host and preserves queue order
+        assert [r["sched_rank"] for r in group] == list(
+            range(1, len(group) + 1)
+        )
         for a, b in zip(group, group[1:]):
+            assert b["fetch_rank"] > a["fetch_rank"]
+            # politeness: offsets strictly increase down the queue
             assert (
                 b["earliest_fetch_offset_s"] > a["earliest_fetch_offset_s"]
             )
+    # the schedule is EXECUTABLE: only robots-allowed URLs get slots
+    # (review r15 finding — the sitemap channel enters the combined
+    # queue ungated), and the allowed set == the crawl loop's q0 gate
+    q = crawl_queue_combined(spark, sf_dir)
+    n_allowed = q.filter(
+        robots_allowed(F.col("host"), F.col("url"))
+    ).count()
+    assert len(rows) == n_allowed < q.count()
 
 
 def test_recrawl_policy_branches(spark, sf_dir):
