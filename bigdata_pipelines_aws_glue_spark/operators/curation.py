@@ -892,7 +892,17 @@ def domain_mixture_temperature(
     ``n_docs ** 0.5`` (= sqrt — IEEE-exactly-rounded on BOTH
     engines, unlike a general ``pow``), normalize, and allocate
     ``MIX_BUDGET`` document draws by LARGEST-REMAINDER (Hamilton)
-    rounding so the allocations sum to the budget EXACTLY. The
+    rounding so the allocations sum to the budget EXACTLY.
+
+    Relationship to the r12 mixing pair (documented adjacency, not
+    duplication): ``corpus_stats.corpus_mix_weights`` /
+    ``token_budget_allocation`` attest the alpha=0.7 ``pow`` form
+    with 9-decimal-quantized doubles over TOKEN quotas; this pair
+    attests a float-free kernel — sqrt weights quantized to integer
+    micro-units, every share/quota integer ``DIV``/``%`` — over DOC
+    draws, and is the base the data-constrained CAPPED water-filling
+    (:func:`domain_mixture_capped`, the genuinely new operation)
+    iterates on. The
     temperature flattens the mixture: low-resource domains are
     oversampled relative to their raw share (``oversample_ppm`` >
     ``1e6`` exactly for the below-average domains), the knob a
