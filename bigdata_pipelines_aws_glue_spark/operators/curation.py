@@ -1041,20 +1041,24 @@ def domain_mixture_capped(
     over quantized sqrt weights — engine-exact like the uncapped
     form; every frame is the bounded domain list."""
     docs = load_table(spark, sf_dir, "documents")
-    dom = (
-        docs.groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .withColumn(
-            "wq",
-            F.floor(
-                F.sqrt(F.col("n_docs").cast("double")) * F.lit(1000000.0)
-                + F.lit(0.5)
-            ).cast("long"),
-        )
-        .withColumn(
-            "cap", F.expr(f"(n_docs * {R_MAX_PPM}) DIV 1000000")
-        )
+    dom = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+    return capped_waterfill(dom)
+
+
+def capped_waterfill(dom: DataFrame) -> DataFrame:
+    """The water-filling kernel over an arbitrary (lang, n_docs)
+    domain frame — factored so pytest can replay it against a pure-
+    Python reference on seeded random domain tables, not just the
+    corpus fixture."""
+    dom = dom.withColumn(
+        "wq",
+        F.floor(
+            F.sqrt(F.col("n_docs").cast("double")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).withColumn("cap", F.expr(f"(n_docs * {R_MAX_PPM}) DIV 1000000"))
     tot = dom.agg(
         F.sum("n_docs").alias("b2"), F.sum("wq").alias("w_tot")
     )

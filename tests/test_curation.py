@@ -365,3 +365,78 @@ def test_mixture_capped_waterfilling(spark, sf_dir):
     for r in rows:
         if r["capped"]:
             assert r["alloc_docs"] == r["cap_docs"]
+
+
+def _py_waterfill(counts: dict[str, int]):
+    """Pure-Python replay of capped_waterfill's exact integer
+    semantics (quantized sqrt weights, Hamilton rounding, WF_ROUNDS
+    clip+redistribute passes, final clip)."""
+    import math
+
+    from bigdata_pipelines_aws_glue_spark.operators.curation import (
+        R_MAX_PPM,
+        WF_ROUNDS,
+    )
+
+    langs = sorted(counts)
+    wq = {l: math.floor(math.sqrt(counts[l]) * 1e6 + 0.5) for l in langs}
+    cap = {l: counts[l] * R_MAX_PPM // 1_000_000 for l in langs}
+    b2 = sum(counts.values())
+    w_tot = sum(wq.values())
+    base = {l: b2 * wq[l] // w_tot for l in langs}
+    rem = {l: b2 * wq[l] % w_tot for l in langs}
+    extra = b2 - sum(base.values())
+    order = sorted(langs, key=lambda l: (-rem[l], l))
+    a = {
+        l: base[l] + (1 if order.index(l) < extra else 0) for l in langs
+    }
+    for _ in range(WF_ROUNDS):
+        over = {l: max(a[l] - cap[l], 0) for l in langs}
+        a = {l: min(a[l], cap[l]) for l in langs}
+        surp = sum(over.values())
+        unc = [l for l in langs if a[l] < cap[l]]
+        wu = sum(wq[l] for l in unc)
+        if wu > 0:
+            base = {l: surp * wq[l] // wu for l in unc}
+            rem2 = {l: surp * wq[l] % wu for l in unc}
+            extra = surp - sum(base.values())
+            order = sorted(unc, key=lambda l: (-rem2[l], l))
+            for i, l in enumerate(order):
+                a[l] += base[l] + (1 if i < extra else 0)
+    alloc = {l: min(a[l], cap[l]) for l in langs}
+    surplus = b2 - sum(alloc.values())
+    return alloc, cap, surplus
+
+
+def test_capped_waterfill_matches_python_replay_random(spark):
+    """20 seeded random domain tables through the Spark kernel vs
+    the pure-Python integer replay — exact equality of allocations,
+    caps, and unallocated surplus (including non-converged cases
+    where every domain caps and surplus remains)."""
+    import random
+
+    from bigdata_pipelines_aws_glue_spark.operators.curation import (
+        capped_waterfill,
+    )
+
+    for seed in range(20):
+        rng = random.Random(seed)
+        n_dom = rng.randint(2, 8)
+        counts = {
+            f"l{i:02d}": rng.randint(1, 10_000) for i in range(n_dom)
+        }
+        dom = spark.createDataFrame(
+            [(l, n) for l, n in sorted(counts.items())],
+            "lang string, n_docs long",
+        )
+        got = {
+            r["lang"]: (
+                r["alloc_docs"],
+                r["cap_docs"],
+                r["surplus_unallocated"],
+            )
+            for r in capped_waterfill(dom).collect()
+        }
+        alloc, cap, surplus = _py_waterfill(counts)
+        want = {l: (alloc[l], cap[l], surplus) for l in counts}
+        assert got == want, f"seed {seed}: {got} != {want}"
