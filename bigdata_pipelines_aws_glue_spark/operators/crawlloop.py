@@ -285,7 +285,14 @@ def _crawl_round(
     """One crawl round over state ``(q, v)`` -> the new state plus
     the round's 1-row audit frame. Factored out of
     :func:`crawl_rounds_audit` so pytest can drive the loop to
-    frontier exhaustion on a small closed fixture."""
+    frontier exhaustion on a small closed fixture.
+
+    PRECONDITION: ``q`` and ``v`` are URL-disjoint (true by
+    construction from ``_initial_state`` and preserved by every
+    round — candidates anti-join ``v``). The visited union below is
+    deliberately multiset (UNION ALL on both engines), so a caller
+    passing overlapping state would double-count ``visited_size``;
+    the seeded-replay pytest pins this contract."""
     ranked = q.withColumn(
         "rk",
         F.row_number().over(

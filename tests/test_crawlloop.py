@@ -148,3 +148,127 @@ def test_frontier_exhaustion_closed_fixture(spark):
     # an empty fetch round still emits a stable attestation hash
     final = audit.collect()[0]
     assert final["fetched_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def _py_robots_allowed(host: str, url: str) -> bool:
+    """Python replay of the synthesized robots.txt + RFC 9309
+    longest-match (Allow wins ties) over the prefix-only rule set."""
+    k = len(host) % 3
+    rules = [
+        (False, "/doc/1"),
+        (True, f"/doc/1{k}"),
+        (False, "/img/"),
+        (True, "/img/4"),
+        (False, f"/s{k}/"),
+    ]
+    rest = url.split("//", 1)[1]
+    path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+    best = None  # (len, allow)
+    for allow, p in rules:
+        if p and path.startswith(p):
+            key = (len(p), 1 if allow else 0)
+            if best is None or key > best:
+                best = key
+    return best is None or best[1] == 1
+
+
+def _py_crawl_round(queue, visited):
+    """Python replay of one _crawl_round over state
+    (queue: {(host, url): refs}, visited: set[url])."""
+    import re
+    from collections import defaultdict
+
+    by_host = defaultdict(list)
+    for (h, u), r in queue.items():
+        by_host[h].append((u, r))
+    fetched = []
+    for h, items in by_host.items():
+        items.sort(key=lambda x: (-x[1], x[0]))
+        fetched += [(h, u) for u, _ in items[:FETCH_BUDGET]]
+    rem = {k: v for k, v in queue.items() if k not in set(fetched)}
+    links = []
+    for h, u in fetched:
+        if h.endswith(".example.test") and re.search(r"[0-9]", u):
+            t = int(re.findall(r"([0-9]+)[^0-9]*$", u)[0])
+            for m in (7, 13):
+                links.append((h, f"https://{h}/doc/{t * m % 997}"))
+    disc = defaultdict(int)
+    for k in links:
+        disc[k] += 1
+    visited = visited | {u for _, u in fetched}
+    cand = {
+        (h, u): r
+        for (h, u), r in disc.items()
+        if _py_robots_allowed(h, u) and u not in visited
+    }
+    n_new = sum(1 for k in cand if k not in rem)
+    n_blocked = sum(
+        1 for (h, u) in disc if not _py_robots_allowed(h, u)
+    )
+    queue = dict(rem)
+    for k, r in cand.items():
+        queue[k] = queue.get(k, 0) + r
+    audit = {
+        "n_fetched": len(fetched),
+        "n_links": len(links),
+        "n_blocked": n_blocked,
+        "n_new": n_new,
+        "queue_size": len(queue),
+        "visited_size": len(visited),
+    }
+    return queue, visited, audit
+
+
+def test_crawl_round_matches_python_replay_random(spark):
+    """Seeded random queues through _crawl_round vs the pure-Python
+    replay — exact state + audit equality for two chained rounds,
+    including refs ACCUMULATION when a discovered link is already
+    queued (mod-997 targets seeded into the queue on purpose)."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(1000 + seed)
+        hosts = ["aa.example.test", "bb.example.test", "cdn7.assets.test"]
+        queue = {}
+        for h in hosts:
+            for _ in range(rng.randint(3, 12)):
+                if "assets" in h:
+                    u = f"https://{h}/img/{rng.randint(0, 60)}.png"
+                else:
+                    # half plain targets, half mod-997 targets so
+                    # discovered links collide with queued entries
+                    t = (
+                        rng.randint(0, 996)
+                        if rng.random() < 0.5
+                        else rng.randint(0, 200) * 7 % 997
+                    )
+                    u = f"https://{h}/doc/{t}"
+                queue[(h, u)] = rng.randint(0, 9)
+        # precondition of _crawl_round (and of the production loop
+        # by construction): queue and visited are DISJOINT — the
+        # visited union is multiset (UNION ALL on both engines), so
+        # a fixture violating the invariant double-counts
+        visited = {
+            f"https://aa.example.test/doc/{rng.randint(0, 996)}"
+            for _ in range(10)
+        } - {u for (_, u) in queue}
+        q = spark.createDataFrame(
+            [(h, u, r) for (h, u), r in sorted(queue.items())],
+            "host string, url string, refs long",
+        )
+        v = spark.createDataFrame(
+            [(u,) for u in sorted(visited)], "url string"
+        )
+        pq, pv = dict(queue), set(visited)
+        for k in (1, 2):
+            q, v, audit_df = _crawl_round(k, q, v)
+            pq, pv, want = _py_crawl_round(pq, pv)
+            row = audit_df.collect()[0]
+            got = {kk: row[kk] for kk in want}
+            assert got == want, f"seed {seed} round {k}: {got} != {want}"
+            got_q = {
+                (r["host"], r["url"]): r["refs"]
+                for r in q.collect()
+            }
+            assert got_q == pq, f"seed {seed} round {k} queue"
+            assert {r["url"] for r in v.collect()} == pv
