@@ -1051,7 +1051,14 @@ def capped_waterfill(dom: DataFrame) -> DataFrame:
     """The water-filling kernel over an arbitrary (lang, n_docs)
     domain frame — factored so pytest can replay it against a pure-
     Python reference on seeded random domain tables, not just the
-    corpus fixture."""
+    corpus fixture.
+
+    Scale limit (latent, documented): ``b2 * wq`` must fit int64 —
+    safe to ~1e10 total docs per mixing run (b2*wq ~ b2^1.5 * 1e6);
+    beyond that Spark's non-ANSI mode would wrap where DuckDB
+    errors, breaking the engine-exactness contract. Far above any
+    attested SF; at 100 TB, mix per shard family or pre-scale
+    counts before crossing that bound."""
     dom = dom.withColumn(
         "wq",
         F.floor(

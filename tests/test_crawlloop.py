@@ -185,7 +185,8 @@ def _py_crawl_round(queue, visited):
     for h, items in by_host.items():
         items.sort(key=lambda x: (-x[1], x[0]))
         fetched += [(h, u) for u, _ in items[:FETCH_BUDGET]]
-    rem = {k: v for k, v in queue.items() if k not in set(fetched)}
+    fset = set(fetched)
+    rem = {k: v for k, v in queue.items() if k not in fset}
     links = []
     for h, u in fetched:
         if h.endswith(".example.test") and re.search(r"[0-9]", u):

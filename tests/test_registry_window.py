@@ -24,7 +24,7 @@ def test_priority_window_invariants():
     assert list(o)[:50] == list(pri)
 
 
-def test_every_query_has_unique_registration():
+def test_no_orphan_oracles():
     q = registry.queries()
     o = registry.oracle_sql()
     # every oracle belongs to a registered query
