@@ -75,6 +75,12 @@ EXTENDED = [
     # time is the combined-queue derivation plus 4 rounds of
     # rank/fetch/gate/merge over metadata-width state.
     "crawl_rounds_audit",
+    # late-r15 compositions: the stride-scheduling dataloader
+    # interleave (water-filling fixed cost + bounded integer
+    # schedule) and the OPIC authority-ordered frontier (PageRank
+    # rounds + the frontier chain + one rank-vector join).
+    "mixture_interleave_schedule",
+    "frontier_authority_rank",
 ]
 
 

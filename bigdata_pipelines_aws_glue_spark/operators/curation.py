@@ -1209,10 +1209,12 @@ s{k} AS MATERIALIZED (
 )"""
 
 
-def _capped_oracle() -> str:
+def _capped_cte() -> str:
+    """The water-filling oracle's WITH chain (through ``fin``/``g``)
+    — factored so :func:`_interleave_oracle` can extend the SAME
+    attested arithmetic instead of restating it."""
     rounds = ",\n".join(_wf_round_sql(k) for k in range(1, WF_ROUNDS + 1))
-    return f"""
-WITH dom AS MATERIALIZED (
+    return f"""WITH dom AS MATERIALIZED (
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
     FROM documents GROUP BY lang
 ),
@@ -1252,7 +1254,12 @@ g AS MATERIALIZED (
     SELECT CAST(any_value(b2) - sum(alloc_docs) AS BIGINT)
                AS surplus_unallocated
     FROM fin
-)
+)"""
+
+
+def _capped_oracle() -> str:
+    return f"""
+{_capped_cte()}
 SELECT lang, n_docs,
        CAST(cap AS BIGINT) AS cap_docs,
        CAST(alloc_docs AS BIGINT) AS alloc_docs,
@@ -1260,6 +1267,122 @@ SELECT lang, n_docs,
        alloc_docs >= cap AS capped,
        g.surplus_unallocated
 FROM fin, g
+"""
+
+
+#: schedule-prefix length emitted by the interleave (the dataloader
+#: pops slots in order; the prefix is what an operator inspects).
+SCHED_SLOTS = 500
+
+
+def mixture_interleave_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dataloader artifact for the mixing pair: the first
+    ``SCHED_SLOTS`` draws of the deterministic domain interleave a
+    sequential trainer consumes, scheduled from
+    :func:`domain_mixture_capped`'s allocations by STRIDE SCHEDULING
+    (public method: Waldspurger & Weihl 1995; equivalently WFQ
+    virtual finish times, Demers et al. 1989): domain ``d`` with
+    allocation ``a_d`` out of ``B = sum(a_d)`` total draws gets its
+    ``i``-th draw at virtual finish time ``i * B / a_d`` — emitted
+    in micro-units as EXACT integers — and the global order is
+    (vft, lang, draw_idx). Proportional by construction: in any
+    prefix of ``S`` slots a domain holds ``round(S * a_d / B) ± 1``
+    draws (pytest pins the empirical bound and an exact pure-Python
+    replay on seeded random allocations).
+
+    This is to the mixing side what ``fetch_schedule`` is to the
+    crawl side (VERDICT_r14 item 5's pattern): the attested
+    allocation turned into the ORDER the executor actually follows.
+
+    Numerics/scale: all integer ``DIV`` arithmetic (engine-exact);
+    ``draw_idx * b_alloc * 1e6`` must fit int64 — safe to
+    ``b_alloc`` ~ 1.8e13/SCHED_SLOTS ≈ 3.6e10 allocated docs per
+    mixing run, the same latent bound class as
+    :func:`capped_waterfill` (documented there). Distribution
+    shape: candidates are ``min(a_d, SCHED_SLOTS)`` rows per domain
+    — bounded by SCHED_SLOTS x |languages|, so the single global
+    rank window is metadata-sized by construction (whitelisted like
+    the mixture pair's domain windows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dom = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    alloc = capped_waterfill(dom).select("lang", "alloc_docs")
+    return interleave_schedule(alloc)
+
+
+def interleave_schedule(
+    alloc: DataFrame, slots: int = SCHED_SLOTS
+) -> DataFrame:
+    """The stride-scheduling kernel over an arbitrary
+    (lang, alloc_docs) frame — factored (the ``capped_waterfill``
+    discipline) so pytest can replay it against a pure-Python WFQ
+    reference on seeded random allocations. Zero-allocation domains
+    are dropped (they hold no draws; ``generate_series(1, 0)`` and
+    ``F.sequence(1, 0)`` would disagree about emptiness otherwise —
+    Spark's sequence(1,0) yields a DESCENDING [1,0] range)."""
+    a = alloc.filter(F.col("alloc_docs") > 0)
+    tot = a.agg(F.sum("alloc_docs").cast("long").alias("b_alloc"))
+    cand = (
+        a.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "alloc_docs",
+            "b_alloc",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.least(
+                        F.col("alloc_docs"), F.lit(slots).cast("long")
+                    ),
+                )
+            ).alias("draw_idx"),
+        )
+        .withColumn(
+            "vft_micro",
+            F.expr("(draw_idx * b_alloc * 1000000) DIV alloc_docs"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("vft_micro").asc(),
+        F.col("lang").asc(),
+        F.col("draw_idx").asc(),
+    )
+    return (
+        cand.withColumn("slot", F.row_number().over(w).cast("int"))
+        .filter(F.col("slot") <= slots)
+        .select("slot", "lang", "draw_idx", "vft_micro", "alloc_docs")
+    )
+
+
+def _interleave_oracle() -> str:
+    return f"""
+{_capped_cte()},
+alloc AS MATERIALIZED (
+    SELECT lang, CAST(alloc_docs AS BIGINT) AS alloc_docs
+    FROM fin WHERE alloc_docs > 0
+),
+ba AS MATERIALIZED (
+    SELECT CAST(sum(alloc_docs) AS BIGINT) AS b_alloc FROM alloc
+),
+cand AS MATERIALIZED (
+    SELECT a.lang, a.alloc_docs, ba.b_alloc,
+           CAST(g.i AS BIGINT) AS draw_idx,
+           (CAST(g.i AS BIGINT) * ba.b_alloc * 1000000)
+               // a.alloc_docs AS vft_micro
+    FROM alloc a, ba,
+         generate_series(1, {SCHED_SLOTS}) AS g(i)
+    WHERE g.i <= a.alloc_docs
+)
+SELECT * FROM (
+    SELECT CAST(row_number() OVER (
+               ORDER BY vft_micro ASC, lang ASC, draw_idx ASC
+           ) AS INT) AS slot,
+           lang, draw_idx, vft_micro, alloc_docs
+    FROM cand
+) WHERE slot <= {SCHED_SLOTS}
 """
 
 
@@ -1278,6 +1401,11 @@ def _register() -> None:
         "domain_mixture_capped",
         domain_mixture_capped,
         _capped_oracle(),
+    )
+    registry.register(
+        "mixture_interleave_schedule",
+        mixture_interleave_schedule,
+        _interleave_oracle(),
     )
     registry.register(
         "sequence_pack_chunks", sequence_pack_chunks, SEQUENCE_PACK_ORACLE

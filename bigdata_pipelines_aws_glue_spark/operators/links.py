@@ -264,21 +264,13 @@ def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.join(targets, "dst", "left_semi")
 
 
-def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-``PR_TOPN`` documents by PageRank over the extracted link
-    graph after ``PR_ITERS`` synchronous rounds — the HTML -> links
-    -> graph -> quality-prior composition a crawl pipeline runs.
-    Same engine-exact kernel as ``pagerank_trade_graph``
-    (``operators/graph.py:72``): contributions quantize to 1e-9
-    before the sum, the oracle unrolls the rounds as CTEs.
-
-    Simplification shared with the trade-graph form (deliberate,
-    replayed identically by the oracle): no dangling-mass
-    redistribution — a node with no surviving out-edges leaks its
-    mass, and nodes without inlinks hold no rank after round 1. At
-    sf<=0.01 about half the mod-997 targets fall outside the corpus
-    (dropped by the existence semi-join), so the graph genuinely
-    exercises both cases."""
+def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full (node, r) PageRank vector after ``PR_ITERS`` rounds
+    — factored out of :func:`link_pagerank` so
+    :func:`frontier_authority_rank` can spend the SAME attested rank
+    mass on frontier ordering instead of re-deriving it. Returns the
+    final round's checkpointed frame (nodes with inlinks; docs
+    outside it hold no rank — the documented leak semantics)."""
     edges = _doc_edges(spark, sf_dir).localCheckpoint(eager=True)
     from bigdata_pipelines_aws_glue_spark.functions.rounding import dec_qsum
 
@@ -316,7 +308,25 @@ def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    from pyspark.sql import Window
+    return rank
+
+
+def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``PR_TOPN`` documents by PageRank over the extracted link
+    graph after ``PR_ITERS`` synchronous rounds — the HTML -> links
+    -> graph -> quality-prior composition a crawl pipeline runs.
+    Same engine-exact kernel as ``pagerank_trade_graph``
+    (``operators/graph.py:72``): contributions quantize to 1e-9
+    before the sum, the oracle unrolls the rounds as CTEs.
+
+    Simplification shared with the trade-graph form (deliberate,
+    replayed identically by the oracle): no dangling-mass
+    redistribution — a node with no surviving out-edges leaks its
+    mass, and nodes without inlinks hold no rank after round 1. At
+    sf<=0.01 about half the mod-997 targets fall outside the corpus
+    (dropped by the existence semi-join), so the graph genuinely
+    exercises both cases."""
+    rank = _pagerank_ranks(spark, sf_dir)
     from bigdata_pipelines_aws_glue_spark.functions.rounding import (
         stable_round,
     )
@@ -341,9 +351,11 @@ def _lpr_round(i: int) -> str:
 )"""
 
 
-LINK_PAGERANK_ORACLE = (
-    _LINKED_CTE
-    + f""",
+#: the PageRank oracle CTE chain (raw_edges .. r{PR_ITERS}) —
+#: shared by ``LINK_PAGERANK_ORACLE`` and the authority-ordered
+#: frontier below, so both replay the identical unrolled kernel.
+_PR_CHAIN = (
+    f""",
 raw_edges AS (
     SELECT DISTINCT doc_id AS src,
            CAST(regexp_extract(u.url, '{_DOC_TARGET_RE}', 1) AS BIGINT)
@@ -371,7 +383,14 @@ nn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM edges),
 r0 AS (
     SELECT DISTINCT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM edges
 ),
-{",".join(_lpr_round(i) for i in range(1, PR_ITERS + 1))},
+{",".join(_lpr_round(i) for i in range(1, PR_ITERS + 1))}"""
+)
+
+
+LINK_PAGERANK_ORACLE = (
+    _LINKED_CTE
+    + _PR_CHAIN
+    + f""",
 ranked AS (
     SELECT node, r,
            row_number() OVER (ORDER BY r DESC, node) AS pos
@@ -768,6 +787,179 @@ FROM agg
 )
 
 
+def frontier_authority_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Authority-driven crawl ordering (public method: OPIC,
+    Abiteboul et al. 2003; importance-first crawl scheduling, Cho,
+    Garcia-Molina & Page 1998): each frontier URL's priority is the
+    PAGERANK MASS flowing into it — sum over referring docs of
+    ``PR(doc) / outdeg(doc)`` — instead of the raw reference count
+    ``crawl_frontier`` ranks by. Makes ``link_pagerank``'s vector
+    load-bearing in the crawl stack: the same attested kernel
+    (:func:`_pagerank_ranks`) feeds the scheduler, and
+    ``rank_shift`` exposes exactly where authority overrules demand
+    (a URL cited once by a high-rank page outranks one cited twice
+    by rank-less leaves).
+
+    Semantics shared with the attested pieces: frontier membership
+    is ``crawl_frontier``'s (unvisited internal + external refs);
+    ``demand_rank`` replays its per-host (n_refs DESC, url) order
+    exactly (pytest joins the two); docs outside the rank vector
+    contribute 0 (the documented leak semantics); outdegree is the
+    doc's FULL http outlink count — OPIC divides a page's cash over
+    every outlink, visited or not. Numerics: per-contribution
+    quantization at 1e-9 + decimal-carried sum (``dec_qsum``), the
+    PageRank kernel's own discipline; the per-host windows order by
+    the exact integer sum, never the double.
+
+    Scale shape: one explode + one anti join + one hash join onto
+    the bounded rank vector + one hash agg + two per-host windows —
+    the ``crawl_frontier`` plan plus a single extra join, nothing
+    all-pairs, no Python."""
+    from bigdata_pipelines_aws_glue_spark.functions.rounding import (
+        dec_qsum,
+    )
+
+    ranks = _pagerank_ranks(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    html = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
+    own_host = F.concat(F.col("lang"), F.lit(".example.test"))
+    http = _http_links(html)
+    refs = docs.select(
+        "doc_id",
+        own_host.alias("own_host"),
+        F.size(http).cast("long").alias("n_http"),
+        F.explode(http).alias("url"),
+    ).select(
+        "doc_id",
+        "n_http",
+        "url",
+        F.regexp_extract(F.col("url"), _HOST_RE, 1).alias("host"),
+        F.regexp_extract(F.col("url"), _DOC_TARGET_RE, 1).alias("t_raw"),
+        (
+            F.regexp_extract(F.col("url"), _HOST_RE, 1)
+            == F.col("own_host")
+        ).alias("internal"),
+    )
+    internal = refs.filter(F.col("internal")).withColumn(
+        "target", F.col("t_raw").cast("long")
+    )
+    unvisited = internal.join(
+        docs.select(F.col("doc_id").alias("target")),
+        "target",
+        "left_anti",
+    )
+    frontier = unvisited.select(
+        "doc_id", "n_http", "url", "host"
+    ).unionByName(
+        refs.filter(~F.col("internal")).select(
+            "doc_id", "n_http", "url", "host"
+        )
+    )
+    contrib = frontier.join(
+        ranks, frontier["doc_id"] == ranks["node"], "left"
+    ).select(
+        "host",
+        "url",
+        (
+            F.coalesce(F.col("r"), F.lit(0.0))
+            / F.col("n_http").cast("double")
+        ).alias("c"),
+    )
+    agg = contrib.groupBy("host", "url").agg(
+        dec_qsum(F.col("c"), _Q9).alias("auth_q"),
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+    )
+    w_auth = Window.partitionBy("host").orderBy(
+        F.col("auth_q").desc(), F.col("n_refs").desc(), F.col("url").asc()
+    )
+    w_dem = Window.partitionBy("host").orderBy(
+        F.col("n_refs").desc(), F.col("url").asc()
+    )
+    return (
+        agg.select(
+            "host",
+            F.row_number().over(w_auth).cast("int").alias("auth_rank"),
+            "url",
+            (F.col("auth_q").cast("double") / F.lit(_Q9)).alias(
+                "authority"
+            ),
+            "n_refs",
+            F.row_number().over(w_dem).cast("int").alias("demand_rank"),
+        )
+        .withColumn(
+            "rank_shift",
+            (F.col("demand_rank") - F.col("auth_rank")).cast("int"),
+        )
+    )
+
+
+FRONTIER_AUTHORITY_ORACLE = (
+    _LINKED_CTE
+    + _PR_CHAIN
+    + f""",
+hb AS (
+    SELECT doc_id, lang,
+           list_filter(regexp_extract_all(lhtml, '{_HREF_RE}', 1),
+                       x -> regexp_matches(x, '{_HTTP_RE}')) AS http
+    FROM lh
+),
+arefs AS (
+    SELECT doc_id, lang, CAST(len(http) AS BIGINT) AS n_http,
+           unnest(http) AS url
+    FROM hb
+),
+arefs2 AS (
+    SELECT doc_id, n_http, url,
+           regexp_extract(url, '{_HOST_RE}', 1) AS host,
+           regexp_extract(url, '{_DOC_TARGET_RE}', 1) AS t_raw,
+           regexp_extract(url, '{_HOST_RE}', 1)
+               = lang || '.example.test' AS internal
+    FROM arefs
+),
+afrontier AS (
+    SELECT doc_id, n_http, url, host FROM arefs2
+    WHERE internal
+      AND CAST(t_raw AS BIGINT) NOT IN (SELECT doc_id FROM documents)
+    UNION ALL
+    SELECT doc_id, n_http, url, host FROM arefs2 WHERE NOT internal
+),
+acontrib AS (
+    SELECT f.host, f.url,
+           COALESCE(r.r, 0.0) / CAST(f.n_http AS DOUBLE) AS c
+    FROM afrontier f
+    LEFT JOIN r{PR_ITERS} r ON r.node = f.doc_id
+),
+aagg AS (
+    SELECT host, url,
+           sum(CAST(floor(c * 1000000000.0 + 0.5) AS BIGINT))
+               AS auth_q,
+           CAST(count(*) AS BIGINT) AS n_refs
+    FROM acontrib GROUP BY host, url
+)
+SELECT host,
+       CAST(row_number() OVER (
+           PARTITION BY host
+           ORDER BY auth_q DESC, n_refs DESC, url ASC
+       ) AS INT) AS auth_rank,
+       url,
+       CAST(auth_q AS DOUBLE) / 1000000000.0 AS authority,
+       n_refs,
+       CAST(row_number() OVER (
+           PARTITION BY host ORDER BY n_refs DESC, url ASC
+       ) AS INT) AS demand_rank,
+       CAST(row_number() OVER (
+           PARTITION BY host ORDER BY n_refs DESC, url ASC
+       ) - row_number() OVER (
+           PARTITION BY host
+           ORDER BY auth_q DESC, n_refs DESC, url ASC
+       ) AS INT) AS rank_shift
+FROM aagg
+"""
+)
+
+
 def _register() -> None:
     registry.register("extract_links", extract_links, EXTRACT_LINKS_ORACLE)
     registry.register(
@@ -775,6 +967,11 @@ def _register() -> None:
     )
     registry.register("link_pagerank", link_pagerank, LINK_PAGERANK_ORACLE)
     registry.register("crawl_frontier", crawl_frontier, CRAWL_FRONTIER_ORACLE)
+    registry.register(
+        "frontier_authority_rank",
+        frontier_authority_rank,
+        FRONTIER_AUTHORITY_ORACLE,
+    )
     registry.register("resolve_links", resolve_links, RESOLVE_LINKS_ORACLE)
     registry.register(
         "crawl_frontier_resolved",

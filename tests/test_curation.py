@@ -440,3 +440,90 @@ def test_capped_waterfill_matches_python_replay_random(spark):
         alloc, cap, surplus = _py_waterfill(counts)
         want = {l: (alloc[l], cap[l], surplus) for l in counts}
         assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_interleave_schedule_stride_properties(spark, sf_dir):
+    """Corpus schedule: exactly SCHED_SLOTS slots, vft monotone
+    nondecreasing in slot order, per-domain draw indices dense from
+    1, and stride-scheduling proportionality — every domain's draw
+    count in the prefix is within 2 of its ideal share
+    S * a_d / B (the stride lag bound, plus 1 for prefix truncation
+    ties)."""
+    from bigdata_pipelines_aws_glue_spark.operators.curation import (
+        SCHED_SLOTS,
+        mixture_interleave_schedule,
+    )
+
+    rows = sorted(
+        mixture_interleave_schedule(spark, sf_dir).collect(),
+        key=lambda r: r["slot"],
+    )
+    assert len(rows) == SCHED_SLOTS
+    assert [r["slot"] for r in rows] == list(range(1, SCHED_SLOTS + 1))
+    vfts = [r["vft_micro"] for r in rows]
+    assert vfts == sorted(vfts)
+    by_lang: dict[str, list[int]] = {}
+    b_alloc = None
+    alloc = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["draw_idx"])
+        alloc[r["lang"]] = r["alloc_docs"]
+    for lang, draws in by_lang.items():
+        assert draws == list(range(1, len(draws) + 1)), lang
+    b_alloc = sum(alloc.values())  # every fixture domain appears
+    for lang, draws in by_lang.items():
+        ideal = SCHED_SLOTS * alloc[lang] / b_alloc
+        assert abs(len(draws) - ideal) <= 2, (lang, len(draws), ideal)
+
+
+def _py_interleave(alloc: dict[str, int], slots: int):
+    """Pure-Python WFQ/stride replay of interleave_schedule's exact
+    integer semantics."""
+    b_alloc = sum(a for a in alloc.values() if a > 0)
+    cand = []
+    for lang in sorted(alloc):
+        a = alloc[lang]
+        if a <= 0:
+            continue
+        for i in range(1, min(a, slots) + 1):
+            cand.append((i * b_alloc * 1_000_000 // a, lang, i, a))
+    cand.sort()
+    return [
+        (s + 1, lang, i, vft, a)
+        for s, (vft, lang, i, a) in enumerate(cand[:slots])
+    ]
+
+
+def test_interleave_matches_python_replay_random(spark):
+    """15 seeded random allocation tables (including zero-allocation
+    domains and totals SMALLER than the slot budget, where the
+    schedule is the complete interleave) through the Spark kernel vs
+    the pure-Python stride replay — exact equality."""
+    import random
+
+    from bigdata_pipelines_aws_glue_spark.operators.curation import (
+        interleave_schedule,
+    )
+
+    for seed in range(15):
+        rng = random.Random(1000 + seed)
+        n_dom = rng.randint(2, 7)
+        slots = rng.choice([17, 53, 120])
+        alloc = {
+            f"l{i:02d}": rng.choice([0, rng.randint(1, 400)])
+            for i in range(n_dom)
+        }
+        if not any(a > 0 for a in alloc.values()):
+            alloc["l00"] = 7
+        df = spark.createDataFrame(
+            [(l, a) for l, a in sorted(alloc.items())],
+            "lang string, alloc_docs long",
+        )
+        got = [
+            tuple(r)
+            for r in interleave_schedule(df, slots=slots)
+            .orderBy("slot")
+            .collect()
+        ]
+        want = _py_interleave(alloc, slots)
+        assert got == want, f"seed {seed}: {got[:5]} != {want[:5]}"

@@ -126,3 +126,100 @@ def test_crawl_frontier_semantics(spark, sf_dir):
         assert refs == sorted(refs, reverse=True)
     # the CDN asset hosts are always unvisited -> always present
     assert any(h.endswith(".assets.test") for h in per_host)
+
+
+def test_frontier_authority_consistency(spark, sf_dir):
+    """Authority ordering vs the attested pieces: (a) the frontier
+    membership and n_refs multiset match crawl_frontier exactly;
+    (b) demand_rank replays crawl_frontier's fetch_rank; (c) both
+    rank columns are dense per-host permutations and rank_shift is
+    their difference; (d) per host, authority is non-increasing in
+    auth_rank; (e) the authority signal BITES: somewhere it
+    overrules raw demand (rank_shift != 0), and authority mass is
+    positive somewhere, zero somewhere (rank-less referrers)."""
+    from bigdata_pipelines_aws_glue_spark.operators.links import (
+        crawl_frontier,
+        frontier_authority_rank,
+    )
+
+    auth = frontier_authority_rank(spark, sf_dir).collect()
+    dem = crawl_frontier(spark, sf_dir).collect()
+    assert {(r["host"], r["url"], r["n_refs"]) for r in auth} == {
+        (r["host"], r["url"], r["n_refs"]) for r in dem
+    }
+    fetch_rank = {(r["host"], r["url"]): r["fetch_rank"] for r in dem}
+    per_host = {}
+    for r in auth:
+        assert r["demand_rank"] == fetch_rank[(r["host"], r["url"])]
+        assert r["rank_shift"] == r["demand_rank"] - r["auth_rank"]
+        assert r["authority"] >= 0.0
+        per_host.setdefault(r["host"], []).append(r)
+    for host, group in per_host.items():
+        group.sort(key=lambda r: r["auth_rank"])
+        assert [r["auth_rank"] for r in group] == list(
+            range(1, len(group) + 1)
+        )
+        assert sorted(r["demand_rank"] for r in group) == list(
+            range(1, len(group) + 1)
+        )
+        a = [r["authority"] for r in group]
+        assert a == sorted(a, reverse=True)
+    assert any(r["rank_shift"] != 0 for r in auth)
+    assert any(r["authority"] > 0 for r in auth)
+    assert any(r["authority"] == 0.0 for r in auth)
+
+
+def test_frontier_authority_matches_rank_vector_replay(spark, sf_dir):
+    """Pure-Python replay of the authority sum from the collected
+    rank vector and the fixture's own link arithmetic: every doc's
+    http outlinks are the two internal /doc/{t1,t2} targets + one
+    CDN asset (+ the markup fixture's absolute links, captured via
+    the Spark-side n_http == len of _http_links — re-derived here
+    from extract_links' n_http attested column), so the frontier's
+    quantized authority is recomputable exactly."""
+    from bigdata_pipelines_aws_glue_spark.operators.links import (
+        _pagerank_ranks,
+        extract_links,
+        frontier_authority_rank,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    ).collect()
+    doc_ids = {r["doc_id"] for r in docs}
+    ranks = {
+        r["node"]: r["r"] for r in _pagerank_ranks(spark, sf_dir).collect()
+    }
+    n_http = {
+        r["doc_id"]: r["n_http"]
+        for r in extract_links(spark, sf_dir).collect()
+    }
+    expect_q: dict[tuple[str, str], int] = {}
+    for d in docs:
+        did, lang = d["doc_id"], d["lang"]
+        cq = int(
+            (ranks.get(did, 0.0) / n_http[did]) * 1_000_000_000 + 0.5
+        )  # floor(x+0.5) for x >= 0
+        urls = []
+        for t in (did * 7 % 997, did * 13 % 997):
+            if t not in doc_ids:
+                urls.append(
+                    (
+                        f"{lang}.example.test",
+                        f"https://{lang}.example.test/doc/{t}",
+                    )
+                )
+        urls.append(
+            (
+                f"cdn{did % 5}.assets.test",
+                f"https://cdn{did % 5}.assets.test/img/{did % 50}.png",
+            )
+        )
+        for key in urls:
+            expect_q[key] = expect_q.get(key, 0) + cq
+    got = {
+        (r["host"], r["url"]): round(r["authority"] * 1_000_000_000)
+        for r in frontier_authority_rank(spark, sf_dir).collect()
+    }
+    assert got == expect_q

@@ -88,6 +88,12 @@ WHITELIST: dict[str, dict[str, str]] = {
     "q15_top_supplier": {
         "BroadcastNestedLoopJoin": "global-max subquery: 1-row broadcast",
     },
+    "mixture_interleave_schedule": {
+        "BroadcastNestedLoopJoin": "water-filling scalar totals + the "
+        "schedule's 1-row b_alloc total — all 1-row broadcasts onto the "
+        "bounded domain list; candidates are <= SCHED_SLOTS x |languages| "
+        "rows so the global stride rank window is metadata-sized",
+    },
     "corpus_mix_weights": {
         "BroadcastNestedLoopJoin": "corpus-total + mix-denominator scalars (1-row broadcasts onto a "
         "|languages|-row aggregate)",
