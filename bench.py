@@ -81,6 +81,14 @@ EXTENDED = [
     # rounds + the frontier chain + one rank-vector join).
     "mixture_interleave_schedule",
     "frontier_authority_rank",
+    # late-r15 second batch, one representative per new family:
+    # label propagation for the doc-graph community ops (k-core
+    # shares its edge frame and round shape), Holt for the
+    # recurrence-forecast family. mixture_sample_manifest is
+    # deliberately NOT here — its time is the interleave chain
+    # already trended above plus one bounded join.
+    "lpa_doc_communities",
+    "holt_forecast_revenue",
 ]
 
 

@@ -1357,9 +1357,11 @@ def interleave_schedule(
     )
 
 
-def _interleave_oracle() -> str:
-    return f"""
-{_capped_cte()},
+def _sched_cte() -> str:
+    """The schedule oracle's WITH chain extended through ``sched``
+    (the interleave's final frame as a CTE) — shared by the
+    interleave oracle and the sample manifest."""
+    return f"""{_capped_cte()},
 alloc AS MATERIALIZED (
     SELECT lang, CAST(alloc_docs AS BIGINT) AS alloc_docs
     FROM fin WHERE alloc_docs > 0
@@ -1375,14 +1377,105 @@ cand AS MATERIALIZED (
     FROM alloc a, ba,
          generate_series(1, {SCHED_SLOTS}) AS g(i)
     WHERE g.i <= a.alloc_docs
+),
+sched AS MATERIALIZED (
+    SELECT * FROM (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY vft_micro ASC, lang ASC, draw_idx ASC
+               ) AS INT) AS slot,
+               lang, draw_idx, vft_micro, alloc_docs
+        FROM cand
+    ) WHERE slot <= {SCHED_SLOTS}
+)"""
+
+
+def _interleave_oracle() -> str:
+    return f"""
+{_sched_cte()}
+SELECT slot, lang, draw_idx, vft_micro, alloc_docs FROM sched
+"""
+
+
+def mixture_sample_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The last mixing-side layer: the schedule's slots resolved to
+    CONCRETE documents — the manifest a dataloader actually reads.
+    Domain ``d``'s ``i``-th draw takes the doc at per-domain
+    shuffled rank ``((i-1) mod n_docs) + 1`` (wraparound = the
+    repetition the cap allows; ``epoch = ((i-1) div n_docs) + 1``
+    exposes it — both epoch values bite at sf0.001 and sf0.01,
+    where the interleave's prefix oversamples the small domains past
+    one full pass; at sf0.1 every domain is larger than its prefix
+    share and the 500-slot manifest stays in epoch 1).
+    The shuffle order is ``md5(doc_id)`` string order — a seeded
+    deterministic permutation both engines produce byte-identically
+    (the standard hash-shuffle every training pipeline uses so a
+    manifest is reproducible from (corpus, seed) alone).
+
+    Scale shape: the per-domain rank window carries an explicit
+    ``doc_rank <= SCHED_SLOTS`` literal filter — only ranks the
+    prefix can reference (``(i-1) mod n_docs + 1 <= min(n_docs,
+    SCHED_SLOTS)``) — which Spark's WindowGroupLimit rewrites into
+    a per-partition top-k instead of a full per-domain sort; the
+    manifest itself is SCHED_SLOTS-bounded metadata joined against
+    that top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    dom = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    alloc = capped_waterfill(dom).select("lang", "alloc_docs")
+    sched = interleave_schedule(alloc)
+    ranked = (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.row_number()
+            .over(
+                Window.partitionBy("lang").orderBy(
+                    F.md5(F.col("doc_id").cast("string").cast("binary")),
+                    F.col("doc_id"),
+                )
+            )
+            .alias("doc_rank"),
+        )
+        .filter(F.col("doc_rank") <= F.lit(SCHED_SLOTS))
+    )
+    j = sched.join(dom, "lang").select(
+        "slot",
+        "lang",
+        "draw_idx",
+        F.expr("((draw_idx - 1) % n_docs) + 1").alias("doc_rank"),
+        F.expr("((draw_idx - 1) DIV n_docs) + 1")
+        .cast("int")
+        .alias("epoch"),
+    )
+    return j.join(ranked, ["lang", "doc_rank"]).select(
+        "slot", "lang", "doc_id", "draw_idx", "doc_rank", "epoch"
+    )
+
+
+def _manifest_oracle() -> str:
+    return f"""
+{_sched_cte()},
+rdocs AS MATERIALIZED (
+    SELECT * FROM (
+        SELECT lang, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS doc_rank
+        FROM documents
+    ) WHERE doc_rank <= {SCHED_SLOTS}
 )
-SELECT * FROM (
-    SELECT CAST(row_number() OVER (
-               ORDER BY vft_micro ASC, lang ASC, draw_idx ASC
-           ) AS INT) AS slot,
-           lang, draw_idx, vft_micro, alloc_docs
-    FROM cand
-) WHERE slot <= {SCHED_SLOTS}
+SELECT s.slot, s.lang, r.doc_id, s.draw_idx,
+       ((s.draw_idx - 1) % d.n_docs) + 1 AS doc_rank,
+       CAST(((s.draw_idx - 1) // d.n_docs) + 1 AS INT) AS epoch
+FROM sched s
+JOIN dom d USING (lang)
+JOIN rdocs r
+  ON r.lang = s.lang
+ AND r.doc_rank = ((s.draw_idx - 1) % d.n_docs) + 1
 """
 
 
@@ -1406,6 +1499,11 @@ def _register() -> None:
         "mixture_interleave_schedule",
         mixture_interleave_schedule,
         _interleave_oracle(),
+    )
+    registry.register(
+        "mixture_sample_manifest",
+        mixture_sample_manifest,
+        _manifest_oracle(),
     )
     registry.register(
         "sequence_pack_chunks", sequence_pack_chunks, SEQUENCE_PACK_ORACLE

@@ -354,12 +354,18 @@ def _lpr_round(i: int) -> str:
 #: the PageRank oracle CTE chain (raw_edges .. r{PR_ITERS}) —
 #: shared by ``LINK_PAGERANK_ORACLE`` and the authority-ordered
 #: frontier below, so both replay the identical unrolled kernel.
-_PR_CHAIN = (
-    f""",
+#: just the extracted+existence-filtered edge list (raw_edges,
+#: edges) — the prefix LPA shares without PageRank's rank CTEs.
+_EDGES_CHAIN = f""",
 raw_edges AS (
     SELECT DISTINCT doc_id AS src,
-           CAST(regexp_extract(u.url, '{_DOC_TARGET_RE}', 1) AS BIGINT)
-               AS dst
+           -- TRY_CAST, not CAST: when a MATERIALIZED consumer keeps
+           -- DuckDB from pushing the own-host filter into the unnest,
+           -- the cast must tolerate the non-/doc/ URLs it then sees
+           -- (identical to CAST on every row the filter keeps; Spark's
+           -- non-ANSI cast already null-tolerates)
+           TRY_CAST(regexp_extract(u.url, '{_DOC_TARGET_RE}', 1)
+                    AS BIGINT) AS dst
     FROM (
         SELECT doc_id, lang,
                unnest(list_filter(
@@ -373,7 +379,12 @@ raw_edges AS (
 edges AS (
     SELECT src, dst FROM raw_edges
     WHERE dst IN (SELECT doc_id FROM documents)
-),
+)"""
+
+
+_PR_CHAIN = (
+    _EDGES_CHAIN
+    + f""",
 outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
 e AS (
     SELECT src, dst, 1.0 / CAST(deg AS DOUBLE) AS p
@@ -960,6 +971,280 @@ FROM aagg
 )
 
 
+#: synchronous label-propagation rounds (bounded, unrolled in the
+#: oracle — the PageRank discipline).
+LPA_ROUNDS = 4
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Directed (src, dst) -> checkpointed undirected distinct edge
+    frame with self-loops dropped (both orientations present) —
+    shared by label propagation and k-core peeling."""
+    e1 = edges.select("src", "dst")
+    e2 = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        e1.unionByName(e2)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def lpa_labels(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Deterministic synchronous label propagation (public method:
+    Raghavan, Albert & Kumara 2007, with the async random-order step
+    replaced by SYNCHRONOUS rounds and a deterministic tie-break —
+    highest neighbour-label count, then SMALLEST label — so both
+    engines replay it exactly) over an arbitrary directed (src, dst)
+    edge frame, treated as undirected with self-loops dropped.
+    Returns (node, label) after ``rounds`` rounds. Factored (the
+    ``capped_waterfill`` discipline) so pytest can replay it against
+    a pure-Python reference on seeded random graphs.
+
+    Known property of the synchronous variant (deliberate, replayed
+    identically by the oracle): bipartite-ish structures can
+    oscillate instead of converging — the bounded round count makes
+    the result well-defined either way. Scale shape: per round one
+    hash join edges x labels, one (node, label) hash agg, one
+    per-node window, one label join — all shuffles on node keys,
+    nothing all-pairs; state is one (node, label) row per node,
+    eagerly checkpointed per round (the PageRank discipline)."""
+    ue = _undirected(edges)
+    lab = (
+        ue.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        cnt = (
+            ue.alias("e")
+            .join(lab.alias("l"), F.col("e.dst") == F.col("l.node"))
+            .groupBy(
+                F.col("e.src").alias("node"),
+                F.col("l.label").alias("lbl"),
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("lbl").asc()
+        )
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+        lab = (
+            lab.alias("p")
+            .join(
+                pick.alias("pk"),
+                F.col("p.node") == F.col("pk.node"),
+                "left",
+            )
+            .select(
+                F.col("p.node").alias("node"),
+                F.coalesce(F.col("pk.lbl"), F.col("p.label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return lab
+
+
+def lpa_doc_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Community detection over the extracted doc link graph — the
+    curation-side use of the link structure PageRank doesn't give:
+    PageRank says which pages matter, label propagation says which
+    pages cluster (topic/host neighbourhoods; the grouping a corpus
+    curator samples across to avoid near-duplicate topical floods).
+    Runs :func:`lpa_labels` for ``LPA_ROUNDS`` synchronous rounds on
+    ``_doc_edges``' undirected form, then aggregates each final
+    label into one community row (size + node-id span). Adjacency
+    note: ``dedup_clusters_star`` attests CONNECTED COMPONENTS
+    (min-id fixpoint over near-dup pairs); LPA is the density-driven
+    refinement — a single component splits into multiple communities
+    where link density does, which the corpus graph exercises
+    (strictly more communities than components at every SF)."""
+    labels = lpa_labels(_doc_edges(spark, sf_dir))
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
+
+
+def _lpa_round_sql(k: int) -> str:
+    return f"""cnt{k} AS MATERIALIZED (
+    SELECT e.src AS node, l.label AS lbl, count(*) AS c
+    FROM ue e JOIN l{k - 1} l ON l.node = e.dst
+    GROUP BY e.src, l.label
+),
+pick{k} AS MATERIALIZED (
+    SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (
+                   PARTITION BY node ORDER BY c DESC, lbl ASC
+               ) AS rn
+        FROM cnt{k}
+    ) WHERE rn = 1
+),
+l{k} AS MATERIALIZED (
+    SELECT p.node, COALESCE(pk.lbl, p.label) AS label
+    FROM l{k - 1} p LEFT JOIN pick{k} pk ON pk.node = p.node
+)"""
+
+
+LPA_COMMUNITIES_ORACLE = (
+    _LINKED_CTE
+    + _EDGES_CHAIN
+    + f""",
+ue AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT dst AS src, src AS dst FROM edges
+    ) WHERE src <> dst
+),
+l0 AS MATERIALIZED (
+    SELECT DISTINCT src AS node, src AS label FROM ue
+),
+{",".join(_lpa_round_sql(i) for i in range(1, LPA_ROUNDS + 1))}
+SELECT label AS community,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       min(node) AS min_node,
+       max(node) AS max_node
+FROM l{LPA_ROUNDS}
+GROUP BY label
+"""
+)
+
+
+#: k-core threshold + bounded peel rounds (unrolled in the oracle).
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def kcore_peel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling over the doc link graph (public
+    method: Seidman 1983 degeneracy cores; the iterative-peel
+    formulation every distributed graph library uses): per round,
+    drop every node whose CURRENT degree is below ``KCORE_K`` and
+    keep only edges between survivors, ``KCORE_ROUNDS`` times — one
+    audit row per round (surviving nodes/edges, nodes dropped, and
+    a converged flag once a round drops nothing). The curation use:
+    the k-core is the link graph's dense backbone — the subgraph
+    PageRank mass concentrates in — while the peeled shells are the
+    weakly-cited long tail a source-quality prior treats
+    differently; the audit trace is the operator's observable
+    (which shell the corpus's mass sits in, and how fast peeling
+    stabilizes).
+
+    Graph/state discipline shared with LPA: ``_undirected``'s
+    checkpointed edge frame, per-round eager checkpoints, each
+    round = one degree aggregation + two node-keyed semi-joins —
+    edge-linear per round, nothing all-pairs. The per-round 1-row
+    count aggregates crossJoin into the audit row (whitelisted, the
+    ``crawl_rounds_audit`` shape). A node that keeps degree >= k
+    but loses all neighbours leaves the edge frame and counts as
+    dropped the SAME round — both engines share this convention by
+    construction (node set = edge endpoints)."""
+    return kcore_peel(_undirected(_doc_edges(spark, sf_dir)))
+
+
+def kcore_peel(e: DataFrame) -> DataFrame:
+    """The peel kernel over an arbitrary checkpointed undirected
+    edge frame — factored (the ``capped_waterfill`` discipline) so
+    pytest can replay it against a pure-Python reference on seeded
+    random graphs."""
+    audits: list[DataFrame] = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        before = e.agg(
+            F.countDistinct("src").cast("long").alias("nodes_before")
+        )
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = (
+            deg.filter(F.col("deg") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        e = (
+            e.join(keep.select(F.col("node").alias("src")), "src")
+            .join(keep.select(F.col("node").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        after = e.agg(
+            F.countDistinct("src").cast("long").alias("n_nodes"),
+            F.expr("CAST(count(1) DIV 2 AS BIGINT)").alias("n_edges"),
+        )
+        audit = (
+            before.crossJoin(F.broadcast(after))
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "n_nodes",
+                "n_edges",
+                (F.col("nodes_before") - F.col("n_nodes"))
+                .cast("long")
+                .alias("n_dropped"),
+            )
+            .withColumn(
+                "converged", F.col("n_dropped") == F.lit(0)
+            )
+        )
+        audits.append(audit)
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, audits)
+
+
+def _kcore_round_sql(r: int) -> str:
+    return f"""d{r} AS MATERIALIZED (
+    SELECT src, count(*) AS deg FROM e{r - 1} GROUP BY src
+),
+kp{r} AS MATERIALIZED (
+    SELECT src AS node FROM d{r} WHERE deg >= {KCORE_K}
+),
+e{r} AS MATERIALIZED (
+    SELECT e.src, e.dst FROM e{r - 1} e
+    JOIN kp{r} a ON a.node = e.src
+    JOIN kp{r} b ON b.node = e.dst
+),
+aud{r} AS MATERIALIZED (
+    SELECT CAST({r} AS INT) AS round,
+           (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM e{r})
+               AS n_nodes,
+           (SELECT CAST(count(*) // 2 AS BIGINT) FROM e{r})
+               AS n_edges,
+           (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM e{r - 1})
+               - (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM e{r})
+               AS n_dropped
+)"""
+
+
+KCORE_ORACLE = (
+    _LINKED_CTE
+    + _EDGES_CHAIN
+    + f""",
+e0 AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT dst AS src, src AS dst FROM edges
+    ) WHERE src <> dst
+),
+{",".join(_kcore_round_sql(r) for r in range(1, KCORE_ROUNDS + 1))}
+SELECT round, n_nodes, n_edges, n_dropped,
+       n_dropped = 0 AS converged
+FROM ({" UNION ALL ".join(f"SELECT * FROM aud{r}" for r in range(1, KCORE_ROUNDS + 1))})
+"""
+)
+
+
 def _register() -> None:
     registry.register("extract_links", extract_links, EXTRACT_LINKS_ORACLE)
     registry.register(
@@ -971,6 +1256,14 @@ def _register() -> None:
         "frontier_authority_rank",
         frontier_authority_rank,
         FRONTIER_AUTHORITY_ORACLE,
+    )
+    registry.register(
+        "lpa_doc_communities",
+        lpa_doc_communities,
+        LPA_COMMUNITIES_ORACLE,
+    )
+    registry.register(
+        "kcore_peel_audit", kcore_peel_audit, KCORE_ORACLE
     )
     registry.register("resolve_links", resolve_links, RESOLVE_LINKS_ORACLE)
     registry.register(

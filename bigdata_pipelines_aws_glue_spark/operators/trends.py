@@ -146,8 +146,151 @@ ORDER BY day
 """
 
 
+#: Holt smoothing constants — EXACT binary fractions deliberately
+#: (the EWMA/CUSUM determinism note, ``streaming/stateful.py:118``):
+#: every recurrence step is then the same IEEE double operation on
+#: both engines, so the unrolled walk is bit-identical with zero
+#: quantization.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+
+_HOLT_SCHEMA = (
+    "nation string, n_months int, level double, trend double, "
+    "forecast_1m double, forecast_3m double"
+)
+
+
+def holt_forecast_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-nation Holt double-exponential smoothing of monthly
+    revenue with 1- and 3-month-ahead forecasts (public method:
+    Holt 1957; Hyndman & Athanasopoulos, FPP §8.2 — the additive
+    linear-trend recurrence)
+
+        l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},   ŷ_{t+h} = l_t + h·b_t
+
+    initialised l_1 = y_1, b_1 = 0 (documented choice, replayed
+    identically by the oracle). Completes the trend family's ladder:
+    ``sales_trend_slope`` fits ONE line to the whole history; the
+    `q6` seasonal-naive forecast repeats last year; Holt tracks a
+    drifting trend and is the first member that actually weighs
+    recent months more.
+
+    Numerics: the monthly series is ``sales_trend_slope``'s exact
+    integer cents (BIGINT sums, exactly representable as doubles),
+    and α, β are exact binary fractions, so every double op in the
+    fold is bit-identical across engines — the EWMA/CUSUM
+    discipline; the DuckDB twin unrolls the recurrence as a
+    WITH RECURSIVE walk over the same per-nation row numbers.
+    Scale shape: one keyed aggregation to months (exactly
+    ``sales_trend_slope``'s shuffle), then an Arrow-batched
+    ``applyInPandas`` fold per nation — state is O(1) per series,
+    work is |months| per series, series count bounds parallelism
+    (at 100 TB you run this per (nation, category) to widen it)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    x = (
+        (F.year("o_orderdate") - F.lit(1992)) * 12
+        + F.month("o_orderdate")
+        - 1
+    ).cast("long")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy(F.col("n_name").alias("nation"), x.alias("x"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)))
+            .cast("long")
+            .cast("double")
+            .alias("rev")
+        )
+    )
+
+    return holt_smooth(monthly)
+
+
+def holt_smooth(monthly: DataFrame) -> DataFrame:
+    """The Holt kernel over an arbitrary (nation, x, rev) series
+    frame — factored (the ``capped_waterfill`` discipline) so pytest
+    can drive it with constant / exactly-linear synthetic series."""
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x")
+        ys = list(pdf["rev"])
+        l = ys[0]
+        b = 0.0
+        for y in ys[1:]:
+            l_new = HOLT_ALPHA * y + (1.0 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (l_new - l) + (1.0 - HOLT_BETA) * b
+            l = l_new
+        return pd.DataFrame(
+            {
+                "nation": [pdf["nation"].iloc[0]],
+                "n_months": [len(ys)],
+                "level": [l / 100.0],
+                "trend": [b / 100.0],
+                "forecast_1m": [(l + b) / 100.0],
+                "forecast_3m": [(l + 3.0 * b) / 100.0],
+            }
+        )
+
+    return monthly.groupBy("nation").applyInPandas(
+        fold, schema=_HOLT_SCHEMA
+    )
+
+
+HOLT_ORACLE = f"""
+WITH RECURSIVE monthly AS (
+    SELECT n_name AS nation,
+           CAST((year(o_orderdate) - 1992) * 12
+                + month(o_orderdate) - 1 AS BIGINT) AS x,
+           CAST(CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT)
+                AS DOUBLE) AS rev
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, x
+),
+s AS (
+    SELECT nation, rev,
+           row_number() OVER (PARTITION BY nation ORDER BY x) AS rn,
+           count(*)     OVER (PARTITION BY nation) AS n
+    FROM monthly
+),
+walk AS (
+    SELECT nation, rn, n, CAST(rev AS DOUBLE) AS l,
+           CAST(0.0 AS DOUBLE) AS b
+    FROM s WHERE rn = 1
+    UNION ALL
+    SELECT e.nation, e.rn, e.n,
+           {HOLT_ALPHA} * e.rev + {1.0 - HOLT_ALPHA} * (w.l + w.b),
+           {HOLT_BETA} * (({HOLT_ALPHA} * e.rev
+                           + {1.0 - HOLT_ALPHA} * (w.l + w.b)) - w.l)
+               + {1.0 - HOLT_BETA} * w.b
+    FROM walk w JOIN s e ON e.nation = w.nation AND e.rn = w.rn + 1
+)
+SELECT nation,
+       CAST(n AS INT) AS n_months,
+       l / 100.0 AS level,
+       b / 100.0 AS trend,
+       (l + b) / 100.0 AS forecast_1m,
+       (l + 3.0 * b) / 100.0 AS forecast_3m
+FROM walk WHERE rn = n
+"""
+
+
 def _register() -> None:
     registry.register("sales_trend_slope", sales_trend_slope, TREND_ORACLE)
     registry.register(
         "rolling_7d_active_users", rolling_7d_active_users, ROLLING_USERS_ORACLE
+    )
+    registry.register(
+        "holt_forecast_revenue", holt_forecast_revenue, HOLT_ORACLE
     )

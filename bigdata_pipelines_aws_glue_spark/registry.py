@@ -39,26 +39,34 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: (``domain_mixture_temperature`` and its data-constrained capped
 #: water-filling form ``domain_mixture_capped``), the streaming
 #: frontier feed's batch twin ``frontier_refs_windowed``, and the
-#: two late-session compositions — the stride-scheduling dataloader
-#: interleave ``mixture_interleave_schedule`` and the OPIC-style
-#: authority-ordered frontier ``frontier_authority_rank``. The
-#: window was RE-CUT three times for the late additions per the
-#: r11-r14 precedent, trading the five newest r9 fill slots
+#: six late-session compositions — the stride-scheduling dataloader
+#: interleave ``mixture_interleave_schedule`` and its concrete-doc
+#: resolution ``mixture_sample_manifest``, the OPIC-style
+#: authority-ordered frontier ``frontier_authority_rank``, the
+#: label-propagation communities ``lpa_doc_communities`` and k-core
+#: peel ``kcore_peel_audit`` over the same doc link graph, and the
+#: Holt double-exponential forecast ``holt_forecast_revenue``. The
+#: window was RE-CUT for each late-addition batch per the r11-r14
+#: precedent, trading the nine newest r9 fill slots
 #: (``dedup_span_clean_text``, ``dedup_span_removal``,
 #: ``dedup_span_dropstats``, ``dedup_substring_pairs``,
-#: ``dedup_substring_spans``); (b) the 2 remaining r8-last-green
+#: ``dedup_substring_spans``, ``pca_power_iteration``,
+#: ``correlation_matrix``, ``semdedup_prune``,
+#: ``lm_perplexity_filter``); (b) the 2 remaining r8-last-green
 #: rows (``gini_customer_revenue``, ``abc_classification_parts``);
-#: (c) the 40 oldest r9-last-green rows, filling 50 exactly.
+#: (c) the 36 oldest r9-last-green rows, filling 50 exactly.
 #:
 #: Round-16 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 252 oracled
-#: rows — 9 still-r9 (``dedup_substring_spans``,
+#: after this window attests, the deferred remainder is 256 oracled
+#: rows — 13 still-r9 (``lm_perplexity_filter``,
+#: ``semdedup_prune``, ``correlation_matrix``,
+#: ``pca_power_iteration``, ``dedup_substring_spans``,
 #: ``dedup_substring_pairs``, ``dedup_span_dropstats``,
 #: ``dedup_span_removal``, ``dedup_span_clean_text``,
 #: ``cdc_chunk_dedup``, ``cdc_store_savings``,
 #: ``cdc_clamped_chunks``, ``events_cusum_drift``), then r10 (49),
 #: r11 (46), r12 (49), r13 (49), r14 (50). So the r16 window = any
-#: r16 additions + those 9 r9 rows + oldest-r10 to fill 50. Steady
+#: r16 additions + those 13 r9 rows + oldest-r10 to fill 50. Steady
 #: state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
     "crawl_rounds_audit",
@@ -69,6 +77,10 @@ PRIORITY: tuple[str, ...] = (
     "frontier_refs_windowed",
     "mixture_interleave_schedule",
     "frontier_authority_rank",
+    "lpa_doc_communities",
+    "kcore_peel_audit",
+    "mixture_sample_manifest",
+    "holt_forecast_revenue",
     "gini_customer_revenue",
     "abc_classification_parts",
     "flagship_pipeline",
@@ -107,10 +119,6 @@ PRIORITY: tuple[str, ...] = (
     "jsonl_roundtrip_events",
     "orc_roundtrip_lineitem",
     "csv_roundtrip_customer",
-    "lm_perplexity_filter",
-    "semdedup_prune",
-    "correlation_matrix",
-    "pca_power_iteration",
 )
 
 

@@ -527,3 +527,59 @@ def test_interleave_matches_python_replay_random(spark):
         ]
         want = _py_interleave(alloc, slots)
         assert got == want, f"seed {seed}: {got[:5]} != {want[:5]}"
+
+
+def test_manifest_matches_python_replay(spark, sf_dir):
+    """Full pure-Python replay of the manifest at the test SF: the
+    expected doc for every slot is recomputed from the collected
+    corpus (md5-order per-domain shuffle) and the collected
+    schedule — exact row-set equality. Also pins: every slot
+    exactly once, epoch arithmetic, the repetition property (a doc
+    drawn twice appears in DIFFERENT epochs; within one (lang,
+    epoch) docs are distinct), and that epoch 2 genuinely bites at
+    the test SF."""
+    import hashlib
+
+    from bigdata_pipelines_aws_glue_spark.operators.curation import (
+        SCHED_SLOTS,
+        mixture_interleave_schedule,
+        mixture_sample_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id"
+    ).collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    order = {
+        lang: sorted(
+            ids,
+            key=lambda d: (
+                hashlib.md5(str(d).encode()).hexdigest(),
+                d,
+            ),
+        )
+        for lang, ids in by_lang.items()
+    }
+    sched = mixture_interleave_schedule(spark, sf_dir).collect()
+    expect = set()
+    for s in sched:
+        lang, i = s["lang"], s["draw_idx"]
+        n = len(by_lang[lang])
+        rank = (i - 1) % n + 1
+        epoch = (i - 1) // n + 1
+        expect.add(
+            (s["slot"], lang, order[lang][rank - 1], i, rank, epoch)
+        )
+    got = {
+        tuple(r) for r in mixture_sample_manifest(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert sorted(t[0] for t in got) == list(range(1, SCHED_SLOTS + 1))
+    seen: dict[tuple, int] = {}
+    for slot, lang, doc_id, i, rank, epoch in got:
+        key = (lang, epoch, doc_id)
+        assert key not in seen, "doc repeated within an epoch"
+        seen[key] = slot
+    assert any(t[5] == 2 for t in got), "epoch 2 must bite at test SF"

@@ -223,3 +223,187 @@ def test_frontier_authority_matches_rank_vector_replay(spark, sf_dir):
         for r in frontier_authority_rank(spark, sf_dir).collect()
     }
     assert got == expect_q
+
+
+def _py_lpa(edges, rounds):
+    """Pure-Python replay of lpa_labels' exact semantics:
+    undirected, self-loops dropped, synchronous rounds, tie-break
+    (count DESC, label ASC)."""
+    nbrs: dict[int, set] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    lab = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n, ns in nbrs.items():
+            cnt: dict[int, int] = {}
+            for m in ns:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            new[n] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lab = new
+    return lab
+
+
+def test_lpa_matches_python_replay_random(spark):
+    """10 seeded random digraphs (self-loops included to exercise
+    the drop, duplicate edges to exercise the undirected distinct)
+    through the Spark kernel vs the pure-Python replay — exact label
+    equality at 1..4 rounds."""
+    import random
+
+    from bigdata_pipelines_aws_glue_spark.operators.links import (
+        lpa_labels,
+    )
+
+    for seed in range(10):
+        rng = random.Random(7000 + seed)
+        n = rng.randint(4, 14)
+        m = rng.randint(n, 3 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        rounds = rng.randint(1, 4)
+        if not any(s != d for s, d in edges):
+            edges.append((0, 1))
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in lpa_labels(df, rounds=rounds).collect()
+        }
+        want = _py_lpa(edges, rounds)
+        assert got == want, f"seed {seed} rounds {rounds}"
+
+
+def test_lpa_two_cliques_converge_to_min_labels(spark):
+    """Two disjoint triangles converge to one community each, both
+    labelled by the clique's minimum node id (the deterministic
+    tie-break drives labels downward)."""
+    from bigdata_pipelines_aws_glue_spark.operators.links import (
+        lpa_labels,
+    )
+
+    tri = lambda a, b, c: [(a, b), (b, c), (a, c)]
+    df = spark.createDataFrame(
+        tri(1, 2, 3) + tri(10, 11, 12), "src long, dst long"
+    )
+    got = {r["node"]: r["label"] for r in lpa_labels(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_lpa_doc_communities_refine_components(spark, sf_dir):
+    """Corpus communities: sizes sum to the linked-node count, and
+    LPA genuinely REFINES connectivity — at least as many
+    communities as connected components (computed by union-find on
+    the same collected edge list), backing the dedup_clusters_star
+    adjacency note."""
+    from bigdata_pipelines_aws_glue_spark.operators.links import (
+        _doc_edges,
+        lpa_doc_communities,
+    )
+
+    edges = [
+        (r["src"], r["dst"])
+        for r in _doc_edges(spark, sf_dir).collect()
+    ]
+    nodes = {s for s, d in edges if s != d} | {
+        d for s, d in edges if s != d
+    }
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        if s != d:
+            parent[find(s)] = find(d)
+    n_components = len({find(n) for n in nodes})
+    rows = lpa_doc_communities(spark, sf_dir).collect()
+    assert sum(r["n_nodes"] for r in rows) == len(nodes)
+    for r in rows:
+        assert r["min_node"] <= r["max_node"]
+        assert r["n_nodes"] >= 1
+    assert len(rows) >= n_components
+    # the corpus graph's density structure splits at least one
+    # component into several communities
+    assert len(rows) > n_components
+
+
+def _py_kcore_rounds(edges, k, rounds):
+    """Pure-Python replay of kcore_peel_audit's per-round counts."""
+    und = {(s, d) for s, d in edges if s != d} | {
+        (d, s) for s, d in edges if s != d
+    }
+    out = []
+    for r in range(1, rounds + 1):
+        nodes_before = {s for s, _ in und}
+        deg: dict[int, int] = {}
+        for s, _ in und:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, dg in deg.items() if dg >= k}
+        und = {(s, d) for s, d in und if s in keep and d in keep}
+        nodes_after = {s for s, _ in und}
+        dropped = len(nodes_before) - len(nodes_after)
+        out.append(
+            (r, len(nodes_after), len(und) // 2, dropped, dropped == 0)
+        )
+    return out
+
+
+def test_kcore_matches_python_replay_random(spark):
+    """8 seeded random digraphs through the Spark peel kernel vs the
+    pure-Python replay — exact audit equality, including graphs
+    that fully dissolve (all rows converge at 0 nodes) and graphs
+    whose core survives."""
+    import random
+
+    from bigdata_pipelines_aws_glue_spark.operators.links import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        _undirected,
+        kcore_peel,
+    )
+
+    for seed in range(8):
+        rng = random.Random(3100 + seed)
+        n = rng.randint(4, 16)
+        m = rng.randint(3, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = sorted(
+            tuple(r) for r in kcore_peel(_undirected(df)).collect()
+        )
+        want = _py_kcore_rounds(edges, KCORE_K, KCORE_ROUNDS)
+        assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_kcore_corpus_audit_properties(spark, sf_dir):
+    """Corpus audit: 4 rows, monotone non-increasing nodes/edges,
+    dropped-count identity across consecutive rounds, peeling
+    genuinely bites (round 1 drops > 0), converged iff dropped==0."""
+    from bigdata_pipelines_aws_glue_spark.operators.links import (
+        KCORE_ROUNDS,
+        kcore_peel_audit,
+    )
+
+    rows = sorted(
+        kcore_peel_audit(spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == list(
+        range(1, KCORE_ROUNDS + 1)
+    )
+    assert rows[0]["n_dropped"] > 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_nodes"] <= a["n_nodes"]
+        assert b["n_edges"] <= a["n_edges"]
+    for r in rows:
+        assert r["converged"] == (r["n_dropped"] == 0)
+        assert r["n_nodes"] >= 0 and r["n_edges"] >= 0

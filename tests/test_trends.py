@@ -198,3 +198,85 @@ def test_poisson_bootstrap_ci_python_replay(spark, sf_dir):
     # the percentile CI brackets the point estimate
     assert got["ci_lo_dollars"] < got["mean_dollars"] < got["ci_hi_dollars"]
     assert got["ci_width_dollars"] > 0
+
+
+def test_holt_constant_series_is_fixed_point(spark):
+    """A constant series is a fixed point: level == the constant,
+    trend == 0, every forecast == the constant — EXACTLY (the
+    alpha/beta choices are exact binary fractions, so no float dust
+    accumulates on a constant input)."""
+    from bigdata_pipelines_aws_glue_spark.operators.trends import (
+        holt_smooth,
+    )
+
+    rows = [("A", x, 12345600.0) for x in range(24)]
+    df = spark.createDataFrame(rows, "nation string, x long, rev double")
+    out = holt_smooth(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_months"] == 24
+    assert r["level"] == 123456.0
+    assert r["trend"] == 0.0
+    assert r["forecast_1m"] == 123456.0
+    assert r["forecast_3m"] == 123456.0
+
+
+def test_holt_linear_series_learns_slope(spark):
+    """On an exactly linear series y = a + c·t the trend estimate
+    converges to c and the h-step forecasts extrapolate the line:
+    after 200 points the trend is within 1% of the true slope and
+    forecast_3m ≈ level + 3·trend."""
+    from bigdata_pipelines_aws_glue_spark.operators.trends import (
+        holt_smooth,
+    )
+
+    a, c = 500000.0, 700.0  # cents
+    rows = [("L", t, a + c * t) for t in range(200)]
+    df = spark.createDataFrame(rows, "nation string, x long, rev double")
+    r = holt_smooth(df).collect()[0]
+    assert abs(r["trend"] - c / 100.0) < 0.01 * (c / 100.0)
+    assert abs(
+        r["forecast_3m"] - (r["level"] + 3.0 * r["trend"])
+    ) < 1e-6
+    # the forecast leads the last observation (rising series)
+    last = (a + c * 199) / 100.0
+    assert r["forecast_1m"] > r["level"] - 1e-9
+    assert abs(r["level"] - last) < 0.02 * last
+
+
+def test_holt_single_month_series(spark):
+    """A 1-point series emits the init state (level = y, trend = 0)
+    — the recursion base both engines share."""
+    from bigdata_pipelines_aws_glue_spark.operators.trends import (
+        holt_smooth,
+    )
+
+    df = spark.createDataFrame(
+        [("S", 0, 9900.0)], "nation string, x long, rev double"
+    )
+    r = holt_smooth(df).collect()[0]
+    assert (r["n_months"], r["level"], r["trend"]) == (1, 99.0, 0.0)
+
+
+def test_holt_order_insensitive_input(spark):
+    """The fold sorts by x inside the kernel: shuffled input rows
+    produce the identical result."""
+    import random
+
+    from bigdata_pipelines_aws_glue_spark.operators.trends import (
+        holt_smooth,
+    )
+
+    rng = random.Random(42)
+    rows = [("Z", t, float(rng.randint(1, 10**7))) for t in range(50)]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    a = holt_smooth(
+        spark.createDataFrame(rows, "nation string, x long, rev double")
+    ).collect()[0]
+    b = holt_smooth(
+        spark.createDataFrame(
+            shuffled, "nation string, x long, rev double"
+        )
+    ).collect()[0]
+    assert tuple(a) == tuple(b)

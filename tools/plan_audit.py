@@ -94,6 +94,19 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bounded domain list; candidates are <= SCHED_SLOTS x |languages| "
         "rows so the global stride rank window is metadata-sized",
     },
+    "kcore_peel_audit": {
+        "BroadcastNestedLoopJoin": "per-round audit row: the 1-row "
+        "nodes-before aggregate crossJoined with the 1-row after "
+        "aggregate (the crawl_rounds_audit shape); the peel itself is "
+        "node-keyed semi joins",
+    },
+    "mixture_sample_manifest": {
+        "BroadcastNestedLoopJoin": "the interleave schedule's own scalar "
+        "totals (see mixture_interleave_schedule) upstream of the "
+        "manifest joins; the doc-resolution joins themselves are keyed "
+        "(lang, doc_rank) hash joins onto the WindowGroupLimit-bounded "
+        "per-domain top-SCHED_SLOTS",
+    },
     "corpus_mix_weights": {
         "BroadcastNestedLoopJoin": "corpus-total + mix-denominator scalars (1-row broadcasts onto a "
         "|languages|-row aggregate)",
