@@ -45,20 +45,25 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: authority-ordered frontier ``frontier_authority_rank``, the
 #: label-propagation communities ``lpa_doc_communities`` and k-core
 #: peel ``kcore_peel_audit`` over the same doc link graph, and the
-#: Holt double-exponential forecast ``holt_forecast_revenue``. The
+#: Holt double-exponential forecast ``holt_forecast_revenue`` with
+#: its per-user stateful-stream batch twin
+#: ``holt_level_trend_per_user`` (the 11th streaming builder's
+#: hash-oracled form). The
 #: window was RE-CUT for each late-addition batch per the r11-r14
-#: precedent, trading the nine newest r9 fill slots
+#: precedent, trading the ten newest r9 fill slots
 #: (``dedup_span_clean_text``, ``dedup_span_removal``,
 #: ``dedup_span_dropstats``, ``dedup_substring_pairs``,
 #: ``dedup_substring_spans``, ``pca_power_iteration``,
 #: ``correlation_matrix``, ``semdedup_prune``,
-#: ``lm_perplexity_filter``); (b) the 2 remaining r8-last-green
+#: ``lm_perplexity_filter``, ``csv_roundtrip_customer``); (b) the 2
+#: remaining r8-last-green
 #: rows (``gini_customer_revenue``, ``abc_classification_parts``);
-#: (c) the 36 oldest r9-last-green rows, filling 50 exactly.
+#: (c) the 35 oldest r9-last-green rows, filling 50 exactly.
 #:
 #: Round-16 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 256 oracled
-#: rows — 13 still-r9 (``lm_perplexity_filter``,
+#: after this window attests, the deferred remainder is 257 oracled
+#: rows — 14 still-r9 (``csv_roundtrip_customer``,
+#: ``lm_perplexity_filter``,
 #: ``semdedup_prune``, ``correlation_matrix``,
 #: ``pca_power_iteration``, ``dedup_substring_spans``,
 #: ``dedup_substring_pairs``, ``dedup_span_dropstats``,
@@ -66,7 +71,7 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: ``cdc_chunk_dedup``, ``cdc_store_savings``,
 #: ``cdc_clamped_chunks``, ``events_cusum_drift``), then r10 (49),
 #: r11 (46), r12 (49), r13 (49), r14 (50). So the r16 window = any
-#: r16 additions + those 13 r9 rows + oldest-r10 to fill 50. Steady
+#: r16 additions + those 14 r9 rows + oldest-r10 to fill 50. Steady
 #: state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
     "crawl_rounds_audit",
@@ -81,6 +86,7 @@ PRIORITY: tuple[str, ...] = (
     "kcore_peel_audit",
     "mixture_sample_manifest",
     "holt_forecast_revenue",
+    "holt_level_trend_per_user",
     "gini_customer_revenue",
     "abc_classification_parts",
     "flagship_pipeline",
@@ -118,7 +124,6 @@ PRIORITY: tuple[str, ...] = (
     "catalog_roundtrip_orders",
     "jsonl_roundtrip_events",
     "orc_roundtrip_lineitem",
-    "csv_roundtrip_customer",
 )
 
 
@@ -234,8 +239,10 @@ def _load_all() -> None:
     from bigdata_pipelines_aws_glue_spark.streaming.stateful import (
         CUSUM_ORACLE,
         EWMA_ORACLE,
+        HOLT_PER_USER_ORACLE,
         cusum_batch,
         ewma_batch,
+        holt_batch,
     )
 
     register(
@@ -247,6 +254,11 @@ def _load_all() -> None:
         "events_cusum_drift",
         lambda spark, sf_dir: cusum_batch(load_table(spark, sf_dir, "events")),
         CUSUM_ORACLE,
+    )
+    register(
+        "holt_level_trend_per_user",
+        lambda spark, sf_dir: holt_batch(load_table(spark, sf_dir, "events")),
+        HOLT_PER_USER_ORACLE,
     )
     # stateful sessionization (EventTimeTimeout) — the batch twin must
     # agree exactly with the built-in session_window, so it shares

@@ -614,3 +614,143 @@ def session_batch(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(fold, schema=SESSION_OUT_SCHEMA)
     )
+
+
+# ------------------------- Holt level+trend stateful stream (r15)
+
+#: smoothing constants imported from the batch forecast operator so
+#: the stream, the batch twin, and the monthly-revenue form cannot
+#: silently diverge (the frontier_refs shared-constants discipline);
+#: both are EXACT binary fractions — see ``trends.HOLT_ALPHA``.
+from bigdata_pipelines_aws_glue_spark.operators.trends import (  # noqa: E402
+    HOLT_ALPHA,
+    HOLT_BETA,
+)
+
+HOLT_OUT_SCHEMA = (
+    "user_id long, n_events int, level double, trend double, "
+    "forecast_1 double"
+)
+HOLT_STATE_SCHEMA = "level double, trend double, n_seen long"
+
+
+def _fold_holt(
+    values: list[float],
+    level: float | None,
+    trend: float,
+) -> tuple[float, float]:
+    """Sequential Holt fold (ts-ordered input) over carried state:
+    first-ever value initialises (level=v, trend=0), every later
+    value applies the double-exponential recurrence — the SAME
+    arithmetic as ``trends.holt_smooth`` (exact binary constants,
+    identical op order, so stream == batch == oracle bit-for-bit)."""
+    for v in values:
+        if level is None:
+            level = v
+            continue
+        l_new = HOLT_ALPHA * v + (1.0 - HOLT_ALPHA) * (level + trend)
+        trend = HOLT_BETA * (l_new - level) + (1.0 - HOLT_BETA) * trend
+        level = l_new
+    return float(level if level is not None else 0.0), float(trend)
+
+
+def holt_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState update function: state carries
+    (level, trend, n_seen) across triggers."""
+    (user_id,) = key
+    if state.exists:
+        level, trend, n_seen = state.get
+    else:
+        level, trend, n_seen = None, 0.0, 0
+    values: list[tuple] = []
+    for pdf in pdfs:
+        values.extend(zip(pdf["ts"], pdf["value"]))
+    values.sort(key=lambda tv: tv[0])
+    ordered = [v for _, v in values]
+    level, trend = _fold_holt(ordered, level, trend)
+    state.update((level, trend, n_seen + len(ordered)))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [len(ordered)],
+            "level": [level],
+            "trend": [trend],
+            "forecast_1": [level + trend],
+        }
+    )
+
+
+def holt_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming Holt: one row per (user, trigger) with the
+    running level/trend estimate and the one-step forecast — the
+    online form of ``trends.holt_forecast_revenue``'s kernel
+    (anomaly detection against a drifting-trend baseline, where the
+    EWMA stream's level-only state lags every ramp)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            holt_update,
+            outputStructType=HOLT_OUT_SCHEMA,
+            stateStructType=HOLT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def holt_batch(events: DataFrame) -> DataFrame:
+    """Batch twin over the same kernel (full history per user) —
+    registered as ``holt_level_trend_per_user`` with a
+    WITH RECURSIVE oracle (the EWMA/CUSUM shape and preconditions:
+    no NULL values, unique (user_id, ts) — both asserted in
+    tests/test_stateful.py)."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        level, trend = _fold_holt(list(pdf["value"]), None, 0.0)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "level": [level],
+                "trend": [trend],
+                "forecast_1": [level + trend],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, schema=HOLT_OUT_SCHEMA)
+    )
+
+
+HOLT_PER_USER_ORACLE = f"""
+WITH RECURSIVE ev AS (
+    SELECT user_id, CAST(value AS DOUBLE) AS v,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+           count(*)     OVER (PARTITION BY user_id) AS n
+    FROM events
+), walk AS (
+    SELECT user_id, rn, n, v AS l, CAST(0.0 AS DOUBLE) AS b
+    FROM ev WHERE rn = 1
+    UNION ALL
+    SELECT e.user_id, e.rn, e.n,
+           {HOLT_ALPHA} * e.v + {1.0 - HOLT_ALPHA} * (w.l + w.b),
+           {HOLT_BETA} * (({HOLT_ALPHA} * e.v
+                           + {1.0 - HOLT_ALPHA} * (w.l + w.b)) - w.l)
+               + {1.0 - HOLT_BETA} * w.b
+    FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id,
+       CAST(n AS INT) AS n_events,
+       l AS level,
+       b AS trend,
+       l + b AS forecast_1
+FROM walk WHERE rn = n
+"""

@@ -555,3 +555,128 @@ def test_session_stream_strict_exact_parity_under_late_merge(
         (1, "2024-01-01 10:00:00", 2, 6.0),
         (1, "2024-01-01 18:30:00", 1, 8.0),
     ]
+
+
+def test_fold_holt_kernel_and_state_chaining():
+    """Kernel pins: constant series is a fixed point (level == the
+    constant, trend == 0 exactly — exact binary constants); and the
+    cross-trigger state algebra is exact — folding any prefix, then
+    folding the suffix over the carried (level, trend), equals one
+    full-history fold bit-for-bit. That identity is what makes the
+    stream's per-trigger state accumulation equal the batch twin."""
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import (
+        _fold_holt,
+    )
+
+    level, trend = _fold_holt([7.25] * 40, None, 0.0)
+    assert (level, trend) == (7.25, 0.0)
+
+    import random
+
+    rng = random.Random(5)
+    values = [rng.uniform(-100, 100) for _ in range(60)]
+    want = _fold_holt(values, None, 0.0)
+    for k in (1, 7, 30, 59):
+        l1, b1 = _fold_holt(values[:k], None, 0.0)
+        assert _fold_holt(values[k:], l1, b1) == want, k
+
+
+def test_holt_stream_single_batch_equals_batch_twin(
+    spark, sf_dir, tmp_path
+):
+    """With the whole history in ONE trigger (single parquet file,
+    availableNow) the stream's output rows equal the batch twin
+    EXACTLY — level, trend, and forecast bit-for-bit (the in-batch
+    ts sort makes the fold order identical)."""
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import (
+        holt_batch,
+        holt_stream,
+    )
+
+    events_dir = str(tmp_path / "events1")
+    load_table(spark, sf_dir, "events").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(events_dir)
+    stream = read_event_stream(spark, events_dir).drop("event_id")
+    q = (
+        holt_stream(stream)
+        .writeStream.format("memory")
+        .queryName("holt_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["level"],
+            r["trend"],
+            r["forecast_1"],
+        )
+        for r in spark.table("holt_stream_t").collect()
+    }
+    want = {
+        r["user_id"]: (
+            r["n_events"],
+            r["level"],
+            r["trend"],
+            r["forecast_1"],
+        )
+        for r in holt_batch(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_holt_stream_accumulates_state_across_triggers(
+    spark, sf_dir, tmp_path
+):
+    """Multi-trigger form (maxFilesPerTrigger=1 over a ts-split
+    corpus): state survives across triggers — per-user n_events
+    SUM over the per-trigger rows equals the corpus count (the
+    EWMA-stream precedent; exact value parity is the single-batch
+    test above, since the file source does not guarantee the
+    split order)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_pipelines_aws_glue_spark.streaming.stateful import (
+        holt_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cut = events.agg(
+        F.expr("percentile_approx(ts, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    events_dir = str(tmp_path / "events2")
+    events.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(events_dir + "/p=1")
+    events.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(events_dir + "/p=2")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir + "/p=*")
+        .drop("event_id")
+    )
+    q = (
+        holt_stream(stream)
+        .writeStream.format("memory")
+        .queryName("holt_stream_m")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("holt_stream_m").collect()
+    totals: dict[int, int] = {}
+    for r in rows:
+        totals[r["user_id"]] = totals.get(r["user_id"], 0) + r["n_events"]
+    want_totals = {
+        r["user_id"]: r["count"]
+        for r in events.groupBy("user_id").count().collect()
+    }
+    assert totals == want_totals

@@ -664,6 +664,7 @@ def _streaming_plans(spark, sf_dir):
         ),
         "stream:ewma": lambda: stateful.ewma_stream(ev),
         "stream:cusum": lambda: stateful.cusum_stream(ev),
+        "stream:holt": lambda: stateful.holt_stream(ev),
         "stream:sessions_stateful": lambda: stateful.session_stream(ev),
     }
     for name, build in builders.items():
