@@ -351,13 +351,14 @@ def _lpr_round(i: int) -> str:
 )"""
 
 
-#: the PageRank oracle CTE chain (raw_edges .. r{PR_ITERS}) —
-#: shared by ``LINK_PAGERANK_ORACLE`` and the authority-ordered
-#: frontier below, so both replay the identical unrolled kernel.
 #: just the extracted+existence-filtered edge list (raw_edges,
-#: edges) — the prefix LPA shares without PageRank's rank CTEs.
+#: edges) — the prefix the graph oracles (LPA, k-core) share
+#: without PageRank's rank CTEs. MATERIALIZED: edges is referenced
+#: 2-6x downstream (both UNION orientations, outd/e/nn/r0) and a
+#: non-materialized chain re-inlines the lh regex extraction per
+#: reference (the standing DuckDB CTE rule).
 _EDGES_CHAIN = f""",
-raw_edges AS (
+raw_edges AS MATERIALIZED (
     SELECT DISTINCT doc_id AS src,
            -- TRY_CAST, not CAST: when a MATERIALIZED consumer keeps
            -- DuckDB from pushing the own-host filter into the unnest,
@@ -376,12 +377,29 @@ raw_edges AS (
     WHERE regexp_extract(u.url, '{_HOST_RE}', 1)
               = u.lang || '.example.test'
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT src, dst FROM raw_edges
     WHERE dst IN (SELECT doc_id FROM documents)
 )"""
 
 
+#: the undirected distinct form (self-loops dropped) — the SQL twin
+#: of :func:`_undirected`, shared by the LPA and k-core oracles so
+#: the construction lives in exactly one string.
+_UNDIRECTED_CTE = """,
+ue AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT dst AS src, src AS dst FROM edges
+    ) WHERE src <> dst
+)"""
+
+
+#: the PageRank oracle CTE chain (edges prefix + outd/e/nn/r0 +
+#: the unrolled r1..r{PR_ITERS} rounds) — shared by
+#: ``LINK_PAGERANK_ORACLE`` and the authority-ordered frontier so
+#: both replay the identical kernel.
 _PR_CHAIN = (
     _EDGES_CHAIN
     + f""",
@@ -431,15 +449,45 @@ def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on doc_id (the complement of ``_doc_edges``' semi join);
     externals are never visited. One explode + one anti join + one
     hash agg + one per-host window — no Python, nothing all-pairs."""
+    frontier = _frontier_refs(spark, sf_dir)
+    agg = frontier.groupBy("host", "url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+        F.min("doc_id").alias("first_ref_doc"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_refs").desc(), F.col("url").asc()
+    )
+    return agg.select(
+        "host",
+        F.row_number().over(w).cast("int").alias("fetch_rank"),
+        "url",
+        "n_refs",
+        "first_ref_doc",
+    )
+
+
+def _frontier_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per FRONTIER REFERENCE — (doc_id, n_http, url, host)
+    for every http URL the corpus cites but does not contain
+    (unvisited internal targets + all externals). THE shared
+    membership derivation: ``crawl_frontier`` aggregates it into the
+    demand queue (ignoring ``n_http``) and
+    ``frontier_authority_rank`` spends PageRank mass over it
+    (``n_http`` = the referring doc's full http outdegree, OPIC's
+    cash divisor) — so a change to the membership rules moves both
+    queries AND both oracles (``_FRONTIER_CTES``) together."""
     docs = load_table(spark, sf_dir, "documents")
     html = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
     own_host = F.concat(F.col("lang"), F.lit(".example.test"))
+    http = _http_links(html)
     refs = docs.select(
         "doc_id",
         own_host.alias("own_host"),
-        F.explode(_http_links(html)).alias("url"),
+        F.size(http).cast("long").alias("n_http"),
+        F.explode(http).alias("url"),
     ).select(
         "doc_id",
+        "n_http",
         "url",
         F.regexp_extract(F.col("url"), _HOST_RE, 1).alias("host"),
         F.regexp_extract(F.col("url"), _DOC_TARGET_RE, 1).alias("t_raw"),
@@ -457,49 +505,46 @@ def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     external = refs.filter(~F.col("internal"))
-    frontier = unvisited_internal.select(
-        "doc_id", "url", "host"
-    ).unionByName(external.select("doc_id", "url", "host"))
-    agg = frontier.groupBy("host", "url").agg(
-        F.count(F.lit(1)).cast("long").alias("n_refs"),
-        F.min("doc_id").alias("first_ref_doc"),
-    )
-    w = Window.partitionBy("host").orderBy(
-        F.col("n_refs").desc(), F.col("url").asc()
-    )
-    return agg.select(
-        "host",
-        F.row_number().over(w).cast("int").alias("fetch_rank"),
-        "url",
-        "n_refs",
-        "first_ref_doc",
-    )
+    return unvisited_internal.select(
+        "doc_id", "n_http", "url", "host"
+    ).unionByName(external.select("doc_id", "n_http", "url", "host"))
+
+
+#: DuckDB twin of :func:`_frontier_refs` — the ``frontier`` CTE both
+#: frontier oracles build on.
+_FRONTIER_CTES = f""",
+hb AS (
+    SELECT doc_id, lang,
+           list_filter(regexp_extract_all(lhtml, '{_HREF_RE}', 1),
+                       x -> regexp_matches(x, '{_HTTP_RE}')) AS http
+    FROM lh
+),
+fr_refs AS (
+    SELECT doc_id, lang, CAST(len(http) AS BIGINT) AS n_http,
+           unnest(http) AS url
+    FROM hb
+),
+fr_refs2 AS (
+    SELECT doc_id, n_http, url,
+           regexp_extract(url, '{_HOST_RE}', 1) AS host,
+           regexp_extract(url, '{_DOC_TARGET_RE}', 1) AS t_raw,
+           regexp_extract(url, '{_HOST_RE}', 1)
+               = lang || '.example.test' AS internal
+    FROM fr_refs
+),
+frontier AS (
+    SELECT doc_id, n_http, url, host FROM fr_refs2
+    WHERE internal
+      AND CAST(t_raw AS BIGINT) NOT IN (SELECT doc_id FROM documents)
+    UNION ALL
+    SELECT doc_id, n_http, url, host FROM fr_refs2 WHERE NOT internal
+)"""
 
 
 CRAWL_FRONTIER_ORACLE = (
     _LINKED_CTE
-    + f""",
-refs AS (
-    SELECT doc_id, u.url,
-           regexp_extract(u.url, '{_HOST_RE}', 1) AS host,
-           regexp_extract(u.url, '{_DOC_TARGET_RE}', 1) AS t_raw,
-           regexp_extract(u.url, '{_HOST_RE}', 1)
-               = u.lang || '.example.test' AS internal
-    FROM (
-        SELECT doc_id, lang,
-               unnest(list_filter(
-                   regexp_extract_all(lhtml, '{_HREF_RE}', 1),
-                   x -> regexp_matches(x, '{_HTTP_RE}'))) AS url
-        FROM lh
-    ) u
-),
-frontier AS (
-    SELECT doc_id, url, host FROM refs
-    WHERE internal
-      AND CAST(t_raw AS BIGINT) NOT IN (SELECT doc_id FROM documents)
-    UNION ALL
-    SELECT doc_id, url, host FROM refs WHERE NOT internal
-),
+    + _FRONTIER_CTES
+    + """,
 agg AS (
     SELECT host, url,
            CAST(count(*) AS BIGINT) AS n_refs,
@@ -833,41 +878,7 @@ def frontier_authority_rank(
     )
 
     ranks = _pagerank_ranks(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    html = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
-    own_host = F.concat(F.col("lang"), F.lit(".example.test"))
-    http = _http_links(html)
-    refs = docs.select(
-        "doc_id",
-        own_host.alias("own_host"),
-        F.size(http).cast("long").alias("n_http"),
-        F.explode(http).alias("url"),
-    ).select(
-        "doc_id",
-        "n_http",
-        "url",
-        F.regexp_extract(F.col("url"), _HOST_RE, 1).alias("host"),
-        F.regexp_extract(F.col("url"), _DOC_TARGET_RE, 1).alias("t_raw"),
-        (
-            F.regexp_extract(F.col("url"), _HOST_RE, 1)
-            == F.col("own_host")
-        ).alias("internal"),
-    )
-    internal = refs.filter(F.col("internal")).withColumn(
-        "target", F.col("t_raw").cast("long")
-    )
-    unvisited = internal.join(
-        docs.select(F.col("doc_id").alias("target")),
-        "target",
-        "left_anti",
-    )
-    frontier = unvisited.select(
-        "doc_id", "n_http", "url", "host"
-    ).unionByName(
-        refs.filter(~F.col("internal")).select(
-            "doc_id", "n_http", "url", "host"
-        )
-    )
+    frontier = _frontier_refs(spark, sf_dir)
     contrib = frontier.join(
         ranks, frontier["doc_id"] == ranks["node"], "left"
     ).select(
@@ -909,37 +920,12 @@ def frontier_authority_rank(
 FRONTIER_AUTHORITY_ORACLE = (
     _LINKED_CTE
     + _PR_CHAIN
+    + _FRONTIER_CTES
     + f""",
-hb AS (
-    SELECT doc_id, lang,
-           list_filter(regexp_extract_all(lhtml, '{_HREF_RE}', 1),
-                       x -> regexp_matches(x, '{_HTTP_RE}')) AS http
-    FROM lh
-),
-arefs AS (
-    SELECT doc_id, lang, CAST(len(http) AS BIGINT) AS n_http,
-           unnest(http) AS url
-    FROM hb
-),
-arefs2 AS (
-    SELECT doc_id, n_http, url,
-           regexp_extract(url, '{_HOST_RE}', 1) AS host,
-           regexp_extract(url, '{_DOC_TARGET_RE}', 1) AS t_raw,
-           regexp_extract(url, '{_HOST_RE}', 1)
-               = lang || '.example.test' AS internal
-    FROM arefs
-),
-afrontier AS (
-    SELECT doc_id, n_http, url, host FROM arefs2
-    WHERE internal
-      AND CAST(t_raw AS BIGINT) NOT IN (SELECT doc_id FROM documents)
-    UNION ALL
-    SELECT doc_id, n_http, url, host FROM arefs2 WHERE NOT internal
-),
 acontrib AS (
     SELECT f.host, f.url,
            COALESCE(r.r, 0.0) / CAST(f.n_http AS DOUBLE) AS c
-    FROM afrontier f
+    FROM frontier f
     LEFT JOIN r{PR_ITERS} r ON r.node = f.doc_id
 ),
 aagg AS (
@@ -1102,14 +1088,8 @@ l{k} AS MATERIALIZED (
 LPA_COMMUNITIES_ORACLE = (
     _LINKED_CTE
     + _EDGES_CHAIN
+    + _UNDIRECTED_CTE
     + f""",
-ue AS MATERIALIZED (
-    SELECT src, dst FROM (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT dst AS src, src AS dst FROM edges
-    ) WHERE src <> dst
-),
 l0 AS MATERIALIZED (
     SELECT DISTINCT src AS node, src AS label FROM ue
 ),
@@ -1229,14 +1209,9 @@ aud{r} AS MATERIALIZED (
 KCORE_ORACLE = (
     _LINKED_CTE
     + _EDGES_CHAIN
+    + _UNDIRECTED_CTE
     + f""",
-e0 AS MATERIALIZED (
-    SELECT src, dst FROM (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT dst AS src, src AS dst FROM edges
-    ) WHERE src <> dst
-),
+e0 AS MATERIALIZED (SELECT src, dst FROM ue),
 {",".join(_kcore_round_sql(r) for r in range(1, KCORE_ROUNDS + 1))}
 SELECT round, n_nodes, n_edges, n_dropped,
        n_dropped = 0 AS converged

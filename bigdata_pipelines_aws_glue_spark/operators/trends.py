@@ -160,6 +160,28 @@ _HOLT_SCHEMA = (
 )
 
 
+def fold_holt(
+    values: list[float],
+    level: float | None,
+    trend: float,
+) -> tuple[float, float]:
+    """THE Holt recurrence — the single shared fold behind all
+    three forms (``holt_smooth``, ``stateful.holt_batch``,
+    ``stateful.holt_stream``), so the bit-for-bit contract between
+    them is enforced by construction, not by parallel copies.
+    Carried-state semantics: first-ever value initialises
+    (level=v, trend=0); every later value applies the
+    double-exponential update in this exact op order."""
+    for v in values:
+        if level is None:
+            level = v
+            continue
+        l_new = HOLT_ALPHA * v + (1.0 - HOLT_ALPHA) * (level + trend)
+        trend = HOLT_BETA * (l_new - level) + (1.0 - HOLT_BETA) * trend
+        level = l_new
+    return float(level if level is not None else 0.0), float(trend)
+
+
 def holt_forecast_revenue(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -224,12 +246,7 @@ def holt_smooth(monthly: DataFrame) -> DataFrame:
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("x")
         ys = list(pdf["rev"])
-        l = ys[0]
-        b = 0.0
-        for y in ys[1:]:
-            l_new = HOLT_ALPHA * y + (1.0 - HOLT_ALPHA) * (l + b)
-            b = HOLT_BETA * (l_new - l) + (1.0 - HOLT_BETA) * b
-            l = l_new
+        l, b = fold_holt(ys, None, 0.0)
         return pd.DataFrame(
             {
                 "nation": [pdf["nation"].iloc[0]],

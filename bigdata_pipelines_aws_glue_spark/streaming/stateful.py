@@ -625,6 +625,7 @@ def session_batch(events: DataFrame) -> DataFrame:
 from bigdata_pipelines_aws_glue_spark.operators.trends import (  # noqa: E402
     HOLT_ALPHA,
     HOLT_BETA,
+    fold_holt,
 )
 
 HOLT_OUT_SCHEMA = (
@@ -634,24 +635,10 @@ HOLT_OUT_SCHEMA = (
 HOLT_STATE_SCHEMA = "level double, trend double, n_seen long"
 
 
-def _fold_holt(
-    values: list[float],
-    level: float | None,
-    trend: float,
-) -> tuple[float, float]:
-    """Sequential Holt fold (ts-ordered input) over carried state:
-    first-ever value initialises (level=v, trend=0), every later
-    value applies the double-exponential recurrence — the SAME
-    arithmetic as ``trends.holt_smooth`` (exact binary constants,
-    identical op order, so stream == batch == oracle bit-for-bit)."""
-    for v in values:
-        if level is None:
-            level = v
-            continue
-        l_new = HOLT_ALPHA * v + (1.0 - HOLT_ALPHA) * (level + trend)
-        trend = HOLT_BETA * (l_new - level) + (1.0 - HOLT_BETA) * trend
-        level = l_new
-    return float(level if level is not None else 0.0), float(trend)
+#: the ONE shared recurrence (defined next to the constants in
+#: trends.py) under the module-local name the update functions and
+#: tests use — stream, batch twin and monthly form share one body.
+_fold_holt = fold_holt
 
 
 def holt_update(
