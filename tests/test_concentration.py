@@ -73,3 +73,101 @@ def test_abc_matches_pandas_replay(spark, sf_dir):
     # Pareto structure: A has the most revenue with the fewest parts
     if "A" in got and "C" in got:
         assert got["A"]["revenue_share"] > got["C"]["revenue_share"]
+
+
+def test_demand_pattern_matches_python_replay(spark, sf_dir):
+    """Full pure-Python replay of the Syntetos-Boylan classification
+    at the test SF from the collected weekly demand series — exact
+    equality of ADI / cv^2 (to the same 6-decimal rounding) and
+    class labels; plus the fixture-regime pins: intermittent AND
+    lumpy both bite, smooth/erratic are empty exactly because every
+    multi-week part's measured ADI >= 1.32."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdata_pipelines_aws_glue_spark.operators.concentration import (
+        _SB_ADI,
+        _SB_CV2,
+        _WEEK_EPOCH,
+        demand_pattern_parts,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    week = F.expr(
+        f"datediff(l_shipdate, date'{_WEEK_EPOCH}') DIV 7"
+    ).cast("long")
+    q = F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+    pw = (
+        li.groupBy(F.col("l_partkey"), week.alias("wk"))
+        .agg(F.sum(q).alias("wq"))
+        .collect()
+    )
+    series: dict[int, list[tuple[int, int]]] = {}
+    for r in pw:
+        series.setdefault(r["l_partkey"], []).append((r["wk"], r["wq"]))
+    expect = {}
+    for pk, evs in series.items():
+        evs.sort()
+        n = len(evs)
+        s = sum(w for _, w in evs)
+        s2 = sum(w * w for _, w in evs)
+        mean = s / n
+        cv2 = max(s2 / n - mean * mean, 0.0) / (mean * mean)
+        adi = (evs[-1][0] - evs[0][0]) / (n - 1) if n > 1 else None
+        if n == 1:
+            cls = "single"
+        elif adi < _SB_ADI and cv2 < _SB_CV2:
+            cls = "smooth"
+        elif adi < _SB_ADI:
+            cls = "erratic"
+        elif cv2 < _SB_CV2:
+            cls = "intermittent"
+        else:
+            cls = "lumpy"
+        rnd = lambda x: (
+            None if x is None else math.floor(x * 1e6 + 0.5) / 1e6
+        )
+        expect[pk] = (n, s, rnd(adi), rnd(cv2), cls)
+    got = {
+        r["l_partkey"]: (
+            r["n_demand_weeks"],
+            r["total_qty"],
+            r["adi"],
+            r["cv2_sizes"],
+            r["pattern"],
+        )
+        for r in demand_pattern_parts(spark, sf_dir).collect()
+    }
+    assert got == expect
+    classes = {v[4] for v in got.values()}
+    assert "intermittent" in classes and "lumpy" in classes
+    assert "smooth" not in classes and "erratic" not in classes
+    for n, _, adi, _, _ in got.values():
+        if n > 1:
+            assert adi >= _SB_ADI
+
+
+def test_demand_pattern_dense_branches(spark):
+    """Synthetic dense series the corpus never produces drive the
+    smooth / erratic / single branches: consecutive-week constant
+    demand -> smooth; consecutive-week wildly varying demand ->
+    erratic; a lone demand week -> single with NULL ADI."""
+    from bigdata_pipelines_aws_glue_spark.operators.concentration import (
+        demand_pattern_from_weekly,
+    )
+
+    rows = (
+        [(1, wk, 10) for wk in range(20)]
+        + [(2, wk, [1, 100][wk % 2]) for wk in range(20)]
+        + [(3, 5, 7)]
+    )
+    df = spark.createDataFrame(rows, "l_partkey long, wk long, wq long")
+    got = {
+        r["l_partkey"]: (r["pattern"], r["adi"])
+        for r in demand_pattern_from_weekly(df).collect()
+    }
+    assert got[1] == ("smooth", 1.0)
+    assert got[2][0] == "erratic" and got[2][1] == 1.0
+    assert got[3] == ("single", None)

@@ -280,3 +280,86 @@ def test_holt_order_insensitive_input(spark):
         )
     ).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def _py_croston(events, alpha):
+    """Pure-Python replay of croston_forecast's exact semantics."""
+    events = sorted(events)
+    z = None
+    p = 0.0
+    prev = 0
+    for wk, q in events:
+        if z is None:
+            z, p = float(q), 1.0
+        else:
+            z = alpha * q + (1.0 - alpha) * z
+            p = alpha * float(wk - prev) + (1.0 - alpha) * p
+        prev = wk
+    return (len(events), z, p, z / p, p >= 1.32)
+
+
+def test_croston_matches_python_replay_random(spark):
+    """12 seeded random nonzero-demand series (variable gaps and
+    sizes, including single-event series) through the Spark kernel
+    vs the pure-Python replay — exact equality."""
+    import random
+
+    from bigdata_pipelines_aws_glue_spark.operators.trends import (
+        CROSTON_ALPHA,
+        croston_forecast,
+    )
+
+    rng = random.Random(77)
+    rows = []
+    expect = {}
+    for pk in range(12):
+        n = rng.choice([1, 2, 5, 20])
+        wk = 0
+        evs = []
+        for _ in range(n):
+            wk += rng.randint(1, 9)
+            evs.append((wk, float(rng.randint(1, 500))))
+        rows += [(pk, w, q) for w, q in evs]
+        expect[pk] = _py_croston(evs, CROSTON_ALPHA)
+    df = spark.createDataFrame(rows, "l_partkey long, wk long, q double")
+    got = {
+        r["l_partkey"]: (
+            r["n_demand_weeks"],
+            r["size_level"],
+            r["interval_level"],
+            r["demand_rate"],
+            r["intermittent"],
+        )
+        for r in croston_forecast(df).collect()
+    }
+    assert got == expect
+
+
+def test_croston_steady_demand_fixed_point(spark):
+    """Weekly demand of a constant size every single week is the
+    method's fixed point: size level == the constant, interval
+    level == 1, demand rate == the constant, not intermittent."""
+    from bigdata_pipelines_aws_glue_spark.operators.trends import (
+        croston_forecast,
+    )
+
+    df = spark.createDataFrame(
+        [(9, wk, 40.0) for wk in range(1, 30)],
+        "l_partkey long, wk long, q double",
+    )
+    r = croston_forecast(df).collect()[0]
+    assert (
+        r["size_level"],
+        r["interval_level"],
+        r["demand_rate"],
+        r["intermittent"],
+    ) == (40.0, 1.0, 40.0, False)
+    # doubling the gap drives the smoothed interval toward 2 ->
+    # the intermittent gate flips
+    df2 = spark.createDataFrame(
+        [(9, wk, 40.0) for wk in range(2, 60, 2)],
+        "l_partkey long, wk long, q double",
+    )
+    r2 = croston_forecast(df2).collect()[0]
+    assert r2["intermittent"] and abs(r2["interval_level"] - 2.0) < 0.01
+    assert abs(r2["demand_rate"] - 20.0) < 0.2
