@@ -211,29 +211,7 @@ def holt_forecast_revenue(
     ``applyInPandas`` fold per nation — state is O(1) per series,
     work is |months| per series, series count bounds parallelism
     (at 100 TB you run this per (nation, category) to widen it)."""
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    x = (
-        (F.year("o_orderdate") - F.lit(1992)) * 12
-        + F.month("o_orderdate")
-        - 1
-    ).cast("long")
-    monthly = (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
-        .join(
-            F.broadcast(nation),
-            customer.c_nationkey == nation.n_nationkey,
-        )
-        .groupBy(F.col("n_name").alias("nation"), x.alias("x"))
-        .agg(
-            F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)))
-            .cast("long")
-            .cast("double")
-            .alias("rev")
-        )
-    )
-
+    monthly = _monthly_series(spark, sf_dir)
     return holt_smooth(monthly)
 
 
@@ -455,6 +433,183 @@ FROM walk WHERE rn = n
 """
 
 
+#: Holt-Winters seasonal constant (gamma) — exact binary like
+#: alpha/beta; season length = 12 months.
+HW_GAMMA = 0.25
+HW_M = 12
+
+_HW_SCHEMA = (
+    "nation string, n_months int, level double, trend double, "
+    + ", ".join(f"s{i} double" for i in range(12))
+)
+
+
+def fold_holt_winters(
+    values: list[float],
+) -> tuple[float, float, list[float]]:
+    """THE Holt-Winters additive recurrence (public: Winters 1960;
+    Hyndman & Athanasopoulos FPP §8.3) with the documented
+    zero-seasonal initialisation: ``l_1 = y_1, b_1 = 0, s_i = 0``
+    (the seasonal vector is LEARNED from the data instead of
+    pre-estimated from the first season — deterministic, replayed
+    identically by the oracle; after two seasons the components
+    carry the pattern). Month ``t`` (1-indexed) touches seasonal
+    slot ``(t-1) mod 12``, whose previous value IS ``s_{t-m}``:
+
+        l_t = α·(y_t − s_{t−m}) + (1−α)·(l + b)
+        b_t = β·(l_t − l) + (1−β)·b
+        s_t = γ·(y_t − l_t) + (1−γ)·s_{t−m}
+
+    α, β, γ are exact binary fractions — every step is the same
+    IEEE double op on both engines (the EWMA/CUSUM/Holt
+    discipline)."""
+    level = values[0]
+    trend = 0.0
+    seas = [0.0] * HW_M
+    for t, v in enumerate(values[1:], start=2):
+        slot = (t - 1) % HW_M
+        sm = seas[slot]
+        l_new = HOLT_ALPHA * (v - sm) + (1.0 - HOLT_ALPHA) * (
+            level + trend
+        )
+        trend = HOLT_BETA * (l_new - level) + (1.0 - HOLT_BETA) * trend
+        seas[slot] = HW_GAMMA * (v - l_new) + (1.0 - HW_GAMMA) * sm
+        level = l_new
+    return float(level), float(trend), [float(x) for x in seas]
+
+
+def holt_winters_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-nation Holt-Winters additive seasonal smoothing of
+    monthly revenue — the top of the trend family's forecast ladder
+    (slope fit -> seasonal-naive q6 -> Holt -> Holt-Winters ->
+    Croston for the sparse regime): level + trend + the LEARNED
+    12-slot seasonal profile, emitted as 12 scalar columns (s0 =
+    the January-slot component under the 1992-01 epoch indexing).
+    Same exact-cents monthly series, same Arrow fold shape, same
+    bit-exactness argument as :func:`holt_forecast_revenue`; the
+    oracle carries the 12 seasonal slots as explicit recursive-walk
+    columns (a LIST would also work — scalars keep the driver's
+    value hash on plain doubles)."""
+    monthly = _monthly_series(spark, sf_dir)
+    return hw_smooth(monthly)
+
+
+def hw_smooth(monthly: DataFrame) -> DataFrame:
+    """The Holt-Winters kernel over an arbitrary (nation, x, rev)
+    frame — factored for synthetic-series pytest."""
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("x")
+        l, b, seas = fold_holt_winters(list(pdf["rev"]))
+        out = {
+            "nation": [pdf["nation"].iloc[0]],
+            "n_months": [len(pdf)],
+            "level": [l / 100.0],
+            "trend": [b / 100.0],
+        }
+        for i in range(HW_M):
+            out[f"s{i}"] = [seas[i] / 100.0]
+        return pd.DataFrame(out)
+
+    return monthly.groupBy("nation").applyInPandas(
+        fold, schema=_HW_SCHEMA
+    )
+
+
+def _monthly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-cents per-nation monthly revenue series (the
+    ``sales_trend_slope`` construction) — shared by the Holt and
+    Holt-Winters forecasters."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    x = (
+        (F.year("o_orderdate") - F.lit(1992)) * 12
+        + F.month("o_orderdate")
+        - 1
+    ).cast("long")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy(F.col("n_name").alias("nation"), x.alias("x"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)))
+            .cast("long")
+            .cast("double")
+            .alias("rev")
+        )
+    )
+
+
+def _hw_oracle() -> str:
+    a, na = HOLT_ALPHA, 1.0 - HOLT_ALPHA
+    bta, nb = HOLT_BETA, 1.0 - HOLT_BETA
+    g, ng = HW_GAMMA, 1.0 - HW_GAMMA
+    # the slot s_{t-m} read: month rn touches slot (rn-1) % 12
+    sm = (
+        "(CASE "
+        + " ".join(
+            f"WHEN (e.rn - 1) % {HW_M} = {i} THEN w.s{i}"
+            for i in range(HW_M)
+        )
+        + " END)"
+    )
+    lnew = f"{a} * (e.rev - {sm}) + {na} * (w.l + w.b)"
+    s_cols = ",\n           ".join(
+        f"CASE WHEN (e.rn - 1) % {HW_M} = {i}"
+        f" THEN {g} * (e.rev - ({lnew})) + {ng} * w.s{i}"
+        f" ELSE w.s{i} END"
+        for i in range(HW_M)
+    )
+    zeros = ",\n           ".join(
+        f"CAST(0.0 AS DOUBLE) AS s{i}" for i in range(HW_M)
+    )
+    s_out = ", ".join(f"s{i} / 100.0 AS s{i}" for i in range(HW_M))
+    return f"""
+WITH RECURSIVE monthly AS MATERIALIZED (
+    SELECT n_name AS nation,
+           CAST((year(o_orderdate) - 1992) * 12
+                + month(o_orderdate) - 1 AS BIGINT) AS x,
+           CAST(CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT)
+                AS DOUBLE) AS rev
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, x
+),
+sq AS MATERIALIZED (
+    SELECT nation, rev,
+           row_number() OVER (PARTITION BY nation ORDER BY x) AS rn,
+           count(*)     OVER (PARTITION BY nation) AS n
+    FROM monthly
+),
+walk AS (
+    SELECT nation, rn, n, CAST(rev AS DOUBLE) AS l,
+           CAST(0.0 AS DOUBLE) AS b,
+           {zeros}
+    FROM sq WHERE rn = 1
+    UNION ALL
+    SELECT e.nation, e.rn, e.n,
+           {lnew},
+           {bta} * (({lnew}) - w.l) + {nb} * w.b,
+           {s_cols}
+    FROM walk w JOIN sq e ON e.nation = w.nation AND e.rn = w.rn + 1
+)
+SELECT nation,
+       CAST(n AS INT) AS n_months,
+       l / 100.0 AS level,
+       b / 100.0 AS trend,
+       {s_out}
+FROM walk WHERE rn = n
+"""
+
+
 def _register() -> None:
     registry.register("sales_trend_slope", sales_trend_slope, TREND_ORACLE)
     registry.register(
@@ -467,4 +622,7 @@ def _register() -> None:
         "croston_demand_forecast",
         croston_demand_forecast,
         _croston_oracle(),
+    )
+    registry.register(
+        "holt_winters_revenue", holt_winters_revenue, _hw_oracle()
     )

@@ -48,24 +48,28 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: Holt double-exponential forecast ``holt_forecast_revenue`` with
 #: its per-user stateful-stream batch twin
 #: ``holt_level_trend_per_user`` (the 11th streaming builder's
-#: hash-oracled form), and the intermittent-demand pair
+#: hash-oracled form), the intermittent-demand pair
 #: ``demand_pattern_parts`` (Syntetos-Boylan quadrants) +
-#: ``croston_demand_forecast`` (the JVM-fold Croston). The
+#: ``croston_demand_forecast`` (the JVM-fold Croston), and the
+#: seasonal capstone ``holt_winters_revenue`` (12-slot additive
+#: Holt-Winters, the full forecast ladder). The
 #: window was RE-CUT for each late-addition batch per the r11-r14
-#: precedent, trading the twelve newest r9 fill slots
+#: precedent, trading the thirteen newest r9 fill slots
 #: (``dedup_span_clean_text``, ``dedup_span_removal``,
 #: ``dedup_span_dropstats``, ``dedup_substring_pairs``,
 #: ``dedup_substring_spans``, ``pca_power_iteration``,
 #: ``correlation_matrix``, ``semdedup_prune``,
 #: ``lm_perplexity_filter``, ``csv_roundtrip_customer``,
-#: ``orc_roundtrip_lineitem``, ``jsonl_roundtrip_events``); (b) the
+#: ``orc_roundtrip_lineitem``, ``jsonl_roundtrip_events``,
+#: ``catalog_roundtrip_orders``); (b) the
 #: 2 remaining r8-last-green
 #: rows (``gini_customer_revenue``, ``abc_classification_parts``);
-#: (c) the 33 oldest r9-last-green rows, filling 50 exactly.
+#: (c) the 32 oldest r9-last-green rows, filling 50 exactly.
 #:
 #: Round-16 arithmetic (from tools/rotate_priority.py this round):
-#: after this window attests, the deferred remainder is 259 oracled
-#: rows — 16 still-r9 (``jsonl_roundtrip_events``,
+#: after this window attests, the deferred remainder is 260 oracled
+#: rows — 17 still-r9 (``catalog_roundtrip_orders``,
+#: ``jsonl_roundtrip_events``,
 #: ``orc_roundtrip_lineitem``, ``csv_roundtrip_customer``,
 #: ``lm_perplexity_filter``,
 #: ``semdedup_prune``, ``correlation_matrix``,
@@ -75,7 +79,7 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 #: ``cdc_chunk_dedup``, ``cdc_store_savings``,
 #: ``cdc_clamped_chunks``, ``events_cusum_drift``), then r10 (49),
 #: r11 (46), r12 (49), r13 (49), r14 (50). So the r16 window = any
-#: r16 additions + those 16 r9 rows + oldest-r10 to fill 50. Steady
+#: r16 additions + those 17 r9 rows + oldest-r10 to fill 50. Steady
 #: state, purely age-driven.
 PRIORITY: tuple[str, ...] = (
     "crawl_rounds_audit",
@@ -93,6 +97,7 @@ PRIORITY: tuple[str, ...] = (
     "holt_level_trend_per_user",
     "demand_pattern_parts",
     "croston_demand_forecast",
+    "holt_winters_revenue",
     "gini_customer_revenue",
     "abc_classification_parts",
     "flagship_pipeline",
@@ -127,7 +132,6 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "multimodal_audio_features",
     "multimodal_video_frames",
-    "catalog_roundtrip_orders",
 )
 
 

@@ -363,3 +363,94 @@ def test_croston_steady_demand_fixed_point(spark):
     r2 = croston_forecast(df2).collect()[0]
     assert r2["intermittent"] and abs(r2["interval_level"] - 2.0) < 0.01
     assert abs(r2["demand_rate"] - 20.0) < 0.2
+
+
+def test_hw_constant_series_is_fixed_point(spark):
+    """A constant series under zero-seasonal init is a fixed point
+    of the full Holt-Winters recurrence: level == the constant,
+    trend == 0, every seasonal slot == 0 — EXACTLY."""
+    from bigdata_pipelines_aws_glue_spark.operators.trends import (
+        hw_smooth,
+    )
+
+    df = spark.createDataFrame(
+        [("A", x, 5555500.0) for x in range(48)],
+        "nation string, x long, rev double",
+    )
+    r = hw_smooth(df).collect()[0]
+    assert (r["n_months"], r["level"], r["trend"]) == (48, 55555.0, 0.0)
+    for i in range(12):
+        assert r[f"s{i}"] == 0.0
+
+
+def test_hw_learns_seasonal_pattern(spark):
+    """An exactly-seasonal series (flat base + a 12-month additive
+    pattern) over 20 years: the learned seasonal profile tracks the
+    true pattern (correlation of the centered components > 0.97 —
+    with alpha = 0.5 the level absorbs part of each month's
+    deviation, so the components carry the SHAPE, not the exact
+    magnitudes), the one-step forecast level+trend+s lands within
+    3% of the true next value, and level tracks base + pattern
+    mean."""
+    import statistics
+
+    from bigdata_pipelines_aws_glue_spark.operators.trends import (
+        fold_holt_winters,
+        hw_smooth,
+    )
+
+    base = 1_000_000.0  # cents
+    pattern = [
+        0.0, 120_000.0, -80_000.0, 40_000.0, 200_000.0, -150_000.0,
+        60_000.0, -40_000.0, 90_000.0, -120_000.0, 30_000.0, -50_000.0,
+    ]
+    rows = [
+        ("S", t - 1, base + pattern[(t - 1) % 12])
+        for t in range(1, 241)
+    ]
+    df = spark.createDataFrame(rows, "nation string, x long, rev double")
+    r = hw_smooth(df).collect()[0]
+    pmean = sum(pattern) / 12.0
+    got = [r[f"s{i}"] * 100.0 for i in range(12)]
+    gmean = sum(got) / 12.0
+    centered_got = [x - gmean for x in got]
+    centered_true = [p - pmean for p in pattern]
+    assert statistics.correlation(centered_got, centered_true) > 0.97
+    assert abs(r["level"] * 100.0 - (base + pmean)) < 0.05 * base
+    # one-step-ahead forecast: next month (t=241) is slot 0
+    l, b, seas = fold_holt_winters(
+        [rev for _, _, rev in rows]
+    )
+    f1 = l + b + seas[0]
+    true_next = base + pattern[0]
+    assert abs(f1 - true_next) < 0.03 * true_next
+
+
+def test_hw_fold_matches_oracle_semantics_shuffled_input(spark):
+    """Input row order is irrelevant (the kernel sorts by x), and a
+    1-point series emits the init state."""
+    import random
+
+    from bigdata_pipelines_aws_glue_spark.operators.trends import (
+        hw_smooth,
+    )
+
+    rng = random.Random(11)
+    rows = [("Z", t, float(rng.randint(1, 10**7))) for t in range(40)]
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    a = hw_smooth(
+        spark.createDataFrame(rows, "nation string, x long, rev double")
+    ).collect()[0]
+    b = hw_smooth(
+        spark.createDataFrame(
+            shuffled, "nation string, x long, rev double"
+        )
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
+    one = hw_smooth(
+        spark.createDataFrame(
+            [("O", 0, 700.0)], "nation string, x long, rev double"
+        )
+    ).collect()[0]
+    assert (one["level"], one["trend"]) == (7.0, 0.0)
