@@ -86,6 +86,24 @@ K_HASH = 5
 M_SMALL = 1024
 K_SMALL = 2
 
+#: probe-side subset (optimization r15, guide §1.2 "per-task work"):
+#: the semi-join query PROBES only the first K_PROBE of the K_HASH
+#: positions each build key set. Correctness is unchanged — a true
+#: key has all K_HASH bits set, so testing any subset keeps ZERO
+#: false negatives, and the exact semi join downstream removes false
+#: positives either way (the attested oracle is the bloom-free semi
+#: join). Why 3: the k=5 probe condition compiles past the JVM's
+#: 8 000-bytecode JIT threshold (-XX:DontCompileHugeMethods), so the
+#: whole-stage-codegen'd filter runs INTERPRETED — measured 2.35 s
+#: vs 1.19 s for k=3 over sf0.1 lineitem, and confirmed by the k=5
+#: time dropping to 1.36 s under -XX:-DontCompileHugeMethods. At the
+#: attested fill (~1 500 of 2^17 bits, 1.1%), a 3-probe test still
+#: has FPR ~1.5e-6 — the extra rows reaching the exact join round to
+#: zero at any scale where the filter geometry itself is sized
+#: honestly. ``bloom_filter_stats`` (the filter-content attestation)
+#: is untouched: it probes its own geometry with all its k.
+K_PROBE = 3
+
 #: the selective dim predicate: one month of 1-URGENT orders
 #: (32 keys at sf0.01, ~300 at sf0.1 — <0.3% of the fact keys).
 _BUILD_FILTER = (
@@ -180,7 +198,7 @@ def bloom_semijoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         _build_keys(spark, sf_dir), "bk", M_BITS, K_HASH
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
-        bloom_contains(F.col("l_orderkey"), words, M_BITS, K_HASH)
+        bloom_contains(F.col("l_orderkey"), words, M_BITS, K_PROBE)
     )
     build = _build_keys(spark, sf_dir)
     survivors = li.join(
