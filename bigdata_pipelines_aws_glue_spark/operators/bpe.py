@@ -71,21 +71,29 @@ def _adjacent_pairs(syms):
     )
 
 
-def _merge_fold(syms, a: str, b: str):
+def _merge_fold_cols(syms, a, b):
     """Greedy left-to-right merge of adjacent (a, b) -> ab, as a
-    JVM-side fold. ``F.get`` (0-based) returns NULL out of bounds, so
-    the empty-accumulator case falls through under ANSI mode."""
-    merged = F.lit(a + b)
+    JVM-side fold, with the pair as COLUMNS (r15: lets the training
+    loop read the argmax from a broadcast 1-row frame instead of a
+    driver collect). ``F.get`` (0-based) returns NULL out of bounds,
+    so the empty-accumulator case falls through under ANSI mode."""
+    merged = F.concat(a, b)
     return F.aggregate(
         syms,
         F.array().cast("array<string>"),
         lambda acc, x: F.when(
-            (F.get(acc, F.size(acc) - 1) == F.lit(a)) & (x == F.lit(b)),
+            (F.get(acc, F.size(acc) - 1) == a) & (x == b),
             F.concat(
                 F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
+
+
+def _merge_fold(syms, a: str, b: str):
+    """:func:`_merge_fold_cols` with a literal pair (the audit
+    query's driver-loop form)."""
+    return _merge_fold_cols(syms, F.lit(a), F.lit(b))
 
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,6 +233,11 @@ def _train_final_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "freq", _char_syms(F.col("word")).alias("syms"))
         .localCheckpoint(eager=True)
     )
+    # r15 measurement note: a broadcast-1-row-argmax variant (merge
+    # pair as columns via crossJoin, one blocking job per round) was
+    # tried and measured SLOWER (2.24 s vs 1.60 s at sf0.1) — the
+    # per-round broadcast exchange costs more than the extra tiny
+    # .first() job it saves. Kept the driver-collect form.
     for _ in range(NUM_MERGES):
         best = (
             vocab.select(

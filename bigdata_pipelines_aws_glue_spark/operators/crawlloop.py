@@ -60,8 +60,8 @@ from bigdata_pipelines_aws_glue_spark import registry
 from bigdata_pipelines_aws_glue_spark.operators.robots import (
     CRAWL_DELAY_SQL,
     URL_PATH_SQL,
-    crawl_delay,
     robots_allowed,
+    robots_gate,
     robots_win_sql,
 )
 from bigdata_pipelines_aws_glue_spark.operators.sitemap import (
@@ -94,9 +94,13 @@ def fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl loop's ``q0`` (``_initial_state`` applies the identical
     gate). Per-row expressions + one re-rank window over the
     attested input."""
-    q = crawl_queue_combined(spark, sf_dir).filter(
-        robots_allowed(F.col("host"), F.col("url"))
-    )
+    # r15: the gate is the per-host join form (robots parsed once per
+    # host, not once per queue row) over the checkpointed queue — the
+    # checkpoint lets the gate's host-distinct and join both read the
+    # queue without re-deriving its chain. Verdicts and the delay are
+    # identical to the per-row form (same expressions per host).
+    cq = crawl_queue_combined(spark, sf_dir).localCheckpoint(eager=True)
+    q = robots_gate(cq, keep_delay=True)
     sched_rank = F.row_number().over(
         Window.partitionBy("host").orderBy(F.col("fetch_rank").asc())
     )
@@ -106,11 +110,11 @@ def fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel",
         "fetch_rank",
         sched_rank.cast("int").alias("sched_rank"),
+        F.col("_robots_delay").alias("crawl_delay"),
     )
-    delay = crawl_delay(F.col("host"))
     offset = (
         (F.col("sched_rank") - F.lit(1)).cast("long")
-        * delay.cast("long")
+        * F.col("crawl_delay").cast("long")
     )
     return q.select(
         "host",
@@ -118,7 +122,7 @@ def fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel",
         "fetch_rank",
         "sched_rank",
-        delay.alias("crawl_delay"),
+        "crawl_delay",
         offset.alias("earliest_fetch_offset_s"),
         F.floor(offset / F.lit(WAVE_S)).cast("int").alias("fetch_wave"),
     )
@@ -301,13 +305,19 @@ def _crawl_round(
             )
         ),
     )
-    # checkpoint discipline: EVERY multiply-consumed frame cuts
-    # lineage eagerly. Measured both ways at sf0.1: checkpointing only
-    # the round-crossing state (q, v, fetched) read 20-75 s — links /
-    # disc / cand are each consumed 2-3x and every recompute re-runs
-    # the robots expression tree and its joins as separate job DAGs —
-    # vs ~11 s with all six checkpoints (each is one bounded
-    # metadata-width job). Fixed per-round cost, amortized at scale.
+    # checkpoint discipline: multiply-consumed frames whose RECOMPUTE
+    # is expensive cut lineage eagerly. Measured at sf0.1 (r15 build):
+    # checkpointing only the round-crossing state read 20-75 s — the
+    # robots expression tree and its joins re-ran as separate job
+    # DAGs per consumer — vs ~11 s with checkpoints on every reused
+    # frame. Optimization r15 trims the per-round BLOCKING-JOB count
+    # from 6 to 4 without reintroducing any expensive recompute:
+    # ``links`` is now consumed ONCE (its row count rides on ``disc``
+    # as sum(refs2), identical by definition of the groupBy count),
+    # and ``v`` stays a lazy union of checkpointed frames (its two
+    # consumers re-walk a K-member union of materialized RDDs — no
+    # expression recompute). Measured 7.8 s -> 6.0 s at sf0.1, hashes
+    # unchanged.
     fetched = (
         ranked.filter(F.col("rk") <= FETCH_BUDGET)
         .select("host", "url")
@@ -316,7 +326,7 @@ def _crawl_round(
     rem = ranked.filter(F.col("rk") > FETCH_BUDGET).select(
         "host", "url", "refs"
     )
-    links = _fetched_links(fetched).localCheckpoint(eager=True)
+    links = _fetched_links(fetched)
     disc = (
         links.groupBy("host", "url")
         .agg(F.count(F.lit(1)).cast("long").alias("refs2"))
@@ -325,7 +335,7 @@ def _crawl_round(
         )
         .localCheckpoint(eager=True)
     )
-    v = v.unionByName(fetched.select("url")).localCheckpoint(eager=True)
+    v = v.unionByName(fetched.select("url"))
     cand = (
         disc.filter(F.col("allowed"))
         .select("host", "url", "refs2")
@@ -359,7 +369,11 @@ def _crawl_round(
             ).alias("fetched_md5"),
         )
         .crossJoin(
-            links.agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+            disc.agg(
+                F.coalesce(F.sum("refs2"), F.lit(0))
+                .cast("long")
+                .alias("n_links")
+            )
         )
         .crossJoin(
             disc.filter(~F.col("allowed")).agg(
@@ -397,7 +411,9 @@ def _initial_state(
     """(q0, v0): the robots-allowed combined queue with ref counts,
     and the corpus's own URLs as the seed visited set."""
     docs = load_table(spark, sf_dir, "documents")
-    q = (
+    # r15: per-host join gate over the checkpointed queue (see
+    # fetch_schedule) instead of re-parsing robots.txt per queue row.
+    cq = (
         crawl_queue_combined(spark, sf_dir)
         .select(
             "host",
@@ -406,9 +422,9 @@ def _initial_state(
                 "refs"
             ),
         )
-        .filter(robots_allowed(F.col("host"), F.col("url")))
         .localCheckpoint(eager=True)
     )
+    q = robots_gate(cq).localCheckpoint(eager=True)
     v = (
         docs.select(
             F.concat(

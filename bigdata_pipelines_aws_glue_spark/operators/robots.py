@@ -191,23 +191,72 @@ def crawl_delay(host: Column) -> Column:
     )
 
 
+def host_rules_frame(df: DataFrame) -> DataFrame:
+    """(host, _robots_rules, _robots_delay): each distinct host's
+    robots.txt synthesized and PARSED ONCE (optimization r15, guide
+    §2.3/§3.1). The per-row form re-ran the parse expression tree
+    (~8 rlike + ~11 regexp_extract over the synthesized text) on
+    EVERY URL row; hosts are bounded, so parsing per host and
+    broadcast-joining the rule arrays back is the shape the module
+    doc always promised for 100 TB ("the robots table is per-HOST,
+    bounded, broadcastable"). The caller must pass a frame whose
+    lineage is cheap to traverse twice or checkpointed (the distinct
+    + the join both consume it)."""
+    return df.select("host").distinct().select(
+        "host",
+        _rules(synth_robots(F.col("host"))).alias("_robots_rules"),
+        crawl_delay(F.col("host")).alias("_robots_delay"),
+    )
+
+
+def robots_gate(df: DataFrame, keep_delay: bool = False) -> DataFrame:
+    """``df`` filtered to rows whose URL the host's robots.txt allows
+    — the join form of ``robots_allowed`` for frames with MANY rows
+    per host (optimization r15): the robots parse runs once per
+    distinct host (``host_rules_frame``), the bounded rules table
+    broadcasts back, and the per-row work shrinks to the prefix
+    match. Identical verdicts to the per-row form (same expressions
+    over the same synthesized bytes). ``keep_delay=True`` retains the
+    host's parsed Crawl-delay as ``_robots_delay``. The caller must
+    pass a frame that is cheap to consume twice (checkpoint first —
+    the distinct and the join both read it)."""
+    hr = host_rules_frame(df)
+    v = _verdict(F.col("_robots_rules"), url_path(F.col("url")))
+    out = df.join(F.broadcast(hr), "host").filter(v["allowed"]).drop(
+        "_robots_rules"
+    )
+    return out if keep_delay else out.drop("_robots_delay")
+
+
 def frontier_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``crawl_frontier_resolved`` pushed through each host's robots
     gate: per URL the matched rule, the allow verdict, the host's
     crawl delay, and the politeness rank recomputed over ALLOWED URLs
-    only (NULL for blocked)."""
-    fr = crawl_frontier_resolved(spark, sf_dir).drop("fetch_rank")
-    v = _verdict(
-        _rules(synth_robots(F.col("host"))), url_path(F.col("url"))
+    only (NULL for blocked).
+
+    Optimization r15: the frontier is eagerly checkpointed (this also
+    pins the r15-build pushdown fix HERE instead of at each caller:
+    Catalyst can no longer push the verdict below the frontier's URL
+    aggregation), and the robots parse runs once per HOST via
+    ``host_rules_frame`` + broadcast join instead of once per URL row
+    — measured 4.1 s -> ~2.6 s at sf0.1, rows identical (every fr
+    host is in the rules frame by construction, so the inner join
+    preserves the row multiset)."""
+    fr = (
+        crawl_frontier_resolved(spark, sf_dir)
+        .drop("fetch_rank")
+        .localCheckpoint(eager=True)
     )
-    d = fr.select(
+    hr = host_rules_frame(fr)
+    v = _verdict(F.col("_robots_rules"), url_path(F.col("url")))
+    d = fr.join(F.broadcast(hr), "host").select(
         "host",
         "url",
         "n_refs",
         "first_ref_doc",
         v["matched_rule"].alias("matched_rule"),
         v["allowed"].alias("allowed"),
-        crawl_delay(F.col("host")).alias("crawl_delay"),
+        F.col("_robots_delay").alias("crawl_delay"),
     )
     return d.withColumn(
         "fetch_rank",

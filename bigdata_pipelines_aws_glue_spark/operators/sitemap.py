@@ -254,14 +254,15 @@ def crawl_queue_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     The merge itself is one full-outer join on (host, url) between
     two bounded-per-host frames plus one politeness window.
 
-    The robots frame is eagerly ``localCheckpoint``-ed (the
-    ``corpus_funnel_stats`` pattern, VERDICT_r14 item 4) BEFORE the
-    ``allowed`` filter: without the lineage cut Catalyst pushes the
-    filter — and with it the whole robots parse+match expression —
-    below ``crawl_frontier_resolved``'s URL aggregation, evaluating
-    it on every pre-agg exploded href (~50x the rows; measured 14 s
-    -> 4.5 s at sf0.1). The checkpointed frame is the aggregated
-    frontier (metadata-width, bounded per host)."""
+    The lineage cut that keeps Catalyst from pushing the ``allowed``
+    filter — and with it the whole robots match expression — below
+    ``crawl_frontier_resolved``'s URL aggregation (the r15-build fix,
+    measured 14 s -> 4.5 s at sf0.1) now lives INSIDE
+    ``frontier_robots_filter`` itself (optimization r15: the frontier
+    is checkpointed there and the robots parse is per-host +
+    broadcast join), so this query no longer re-checkpoints it; the
+    filter lands on the checkpointed, already-joined verdict
+    column."""
     from bigdata_pipelines_aws_glue_spark.operators.robots import (
         frontier_robots_filter,
     )
@@ -273,7 +274,6 @@ def crawl_queue_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fr = (
         frontier_robots_filter(spark, sf_dir)
-        .localCheckpoint(eager=True)
         .filter(F.col("allowed"))
         .select("host", "url", "n_refs")
     )

@@ -351,7 +351,18 @@ _RDS_CLAMP = (r"^(/\.\.)+/", "/")
 
 def remove_dot_segments(path: Column) -> Column:
     """RFC 3986 §5.2.4 over a path that starts with ``/`` (all merge
-    outputs do), as the iterated-rewrite above. Empty result -> /."""
+    outputs do), as the iterated-rewrite above. Empty result -> /.
+
+    Fast path (optimization r15, guide §1.2 per-task work): every
+    rewrite pattern above contains the two-char sequence ``/.``
+    (trailing-dot, ``/./``, trailing-``..``, the pop pair, the root
+    clamp), so a path WITHOUT that substring is provably a fixed
+    point of all 16 passes — the guard skips the whole regex chain
+    for it (most merged hrefs: ``.../sub/pN.html``). Rows with any
+    dot segment take the identical pass sequence as before, so the
+    engine-parity argument (same passes, same order, same bounds) is
+    unchanged on every row the passes actually rewrite."""
+    dotless = ~path.contains("/.")
     out = F.regexp_replace(path, *_RDS_TRAIL_DOT)
     for _ in range(_RDS_DOT_PASSES):
         out = F.regexp_replace(out, *_RDS_DOT)
@@ -359,6 +370,7 @@ def remove_dot_segments(path: Column) -> Column:
     for _ in range(_RDS_POP_PASSES):
         out = F.regexp_replace(out, *_RDS_POP)
         out = F.regexp_replace(out, *_RDS_CLAMP)
+    out = F.when(dotless, path).otherwise(out)
     return F.when(out == F.lit(""), F.lit("/")).otherwise(out)
 
 
@@ -393,8 +405,14 @@ def resolve_ref(
     to its last ``/``) and dot-cleans. Pure string/regex column work
     — zero shuffle, whole-stage codegen."""
     nofrag = F.substring_index(ref, "#", 1)
-    rpath = F.regexp_extract(nofrag, r"^([^?]*)", 1)
-    rq = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    # r15: plain string ops instead of two regexp_extract per href —
+    # provably equal for every input: the prefix before the FIRST '?'
+    # (or the whole string) and the suffix after it (or ''). The
+    # DuckDB twin keeps its regex form; the hash check attests the
+    # values agree, as before.
+    rpath = F.substring_index(nofrag, "?", 1)
+    qpos = F.instr(nofrag, "?")
+    rq = F.when(qpos > 0, F.substr(nofrag, qpos + 1)).otherwise(F.lit(""))
     q = F.when(rq == F.lit(""), F.lit("")).otherwise(
         F.concat(F.lit("?"), rq)
     )
