@@ -293,22 +293,25 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
     ).localCheckpoint(eager=True)
     teleport = (1.0 - PR_DAMP) / n_nodes
+    # r15: rounds chain LAZILY — each round's rank is consumed exactly
+    # once (by the next round's join), so the per-round eager
+    # checkpoint bought nothing but a blocking job; the 5 joins+aggs
+    # now run inside one job against the checkpointed edge frame
+    # (measured 1.70 s -> 1.42 s at sf0.1, rank vectors identical).
+    # Only the FINAL vector is checkpointed, because callers consume
+    # it more than once (top-N + window; authority join + rank_shift).
     for _ in range(PR_ITERS):
         contrib = e.join(rank, F.col("src") == F.col("node")).select(
             "dst", (F.col("r") * F.col("p")).alias("c")
         )
-        rank = (
-            contrib.groupBy(F.col("dst").alias("node"))
-            .agg(
-                (
-                    F.lit(teleport)
-                    + F.lit(PR_DAMP)
-                    * (dec_qsum(F.col("c"), _Q9).cast("double") / F.lit(_Q9))
-                ).alias("r")
-            )
-            .localCheckpoint(eager=True)
+        rank = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (
+                F.lit(teleport)
+                + F.lit(PR_DAMP)
+                * (dec_qsum(F.col("c"), _Q9).cast("double") / F.lit(_Q9))
+            ).alias("r")
         )
-    return rank
+    return rank.localCheckpoint(eager=True)
 
 
 def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -995,14 +998,24 @@ def lpa_labels(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     the result well-defined either way. Scale shape: per round one
     hash join edges x labels, one (node, label) hash agg, one
     per-node window, one label join — all shuffles on node keys,
-    nothing all-pairs; state is one (node, label) row per node,
-    eagerly checkpointed per round (the PageRank discipline)."""
+    nothing all-pairs; state is one (node, label) row per node.
+
+    r15 (optimization): ``pick`` IS the next label frame. Every lab
+    node is a ``ue`` src (lab is built from distinct src, and the
+    undirected frame mirrors every edge), every neighbour is itself
+    a lab node, so ``cnt`` produces at least one row — and ``pick``
+    exactly one row — for EVERY node, for ANY input graph: the old
+    left-join-back-to-lab with a coalesce was a structural no-op
+    (seeded random-graph replay pytest re-verified). With the state
+    consumed once per round the rounds chain LAZILY (one job instead
+    of four blocking checkpoints); only the final frame checkpoints
+    for multi-consuming callers. Measured 1.46 s -> ~1.1 s at sf0.1,
+    labels identical."""
     ue = _undirected(edges)
     lab = (
         ue.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
         cnt = (
@@ -1017,27 +1030,12 @@ def lpa_labels(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
         w = Window.partitionBy("node").orderBy(
             F.col("c").desc(), F.col("lbl").asc()
         )
-        pick = (
+        lab = (
             cnt.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("node", "lbl")
+            .select("node", F.col("lbl").alias("label"))
         )
-        lab = (
-            lab.alias("p")
-            .join(
-                pick.alias("pk"),
-                F.col("p.node") == F.col("pk.node"),
-                "left",
-            )
-            .select(
-                F.col("p.node").alias("node"),
-                F.coalesce(F.col("pk.lbl"), F.col("p.label")).alias(
-                    "label"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return lab
+    return lab.localCheckpoint(eager=True)
 
 
 def lpa_doc_communities(
