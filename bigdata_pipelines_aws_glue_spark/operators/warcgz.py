@@ -132,30 +132,47 @@ def split_members(blob: bytes) -> list[tuple[int, str]]:
     return out
 
 
-def _assemble_blob(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one length-prefixed-member blob per
-    bucket, members in doc_id order."""
-    pdf = pdf.sort_values("doc_id")
-    blob = b"".join(compress_member(t) for t in pdf["rec"])
-    return pd.DataFrame(
-        {"bucket": [int(pdf["bucket"].iloc[0])], "blob": [blob]}
-    )
+def _compress_blob_udf():
+    """pandas_udf: array of record strings (already in doc_id order)
+    -> one length-prefixed-member blob. Built lazily (live-session
+    DDL), like ``_gz_members_udf``."""
+
+    @F.pandas_udf("binary")
+    def _compress_blob(recs: pd.Series) -> pd.Series:
+        return recs.apply(
+            lambda rs: b"".join(compress_member(t) for t in rs)
+        )
+
+    return _compress_blob
 
 
 def warc_gz_blobs(docs: DataFrame) -> DataFrame:
     """(bucket, blob): per-record zlib members concatenated in doc_id
-    order, ``RECS_PER_BLOB`` per blob."""
+    order, ``RECS_PER_BLOB`` per blob.
+
+    Optimization r15 (guide §4.1): grouping moved OUT of Python. The
+    ``groupBy().applyInPandas`` form paid per-GROUP pandas machinery
+    (a DataFrame construction per 8-record bucket — ~1 s of the
+    1.66 s at sf0.1, vs ~0.13 s of actual zlib work); the records are
+    now assembled per bucket in the JVM (``array_sort(collect_list)``,
+    the ``warc.warc_blobs`` shape) and one Arrow-batched pandas_udf
+    compresses whole buckets row-wise. Same members, same order, same
+    bytes — blob-consumers re-attested hash-identical."""
     payload = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
     rec = synth_warc_record(F.col("doc_id"), F.col("lang"), payload)
     per_rec = docs.select(
         F.floor(F.col("doc_id") / F.lit(RECS_PER_BLOB))
         .cast("long")
         .alias("bucket"),
-        F.col("doc_id"),
-        rec.alias("rec"),
+        F.struct(F.col("doc_id"), rec.alias("rec")).alias("s"),
     )
-    return per_rec.groupBy("bucket").applyInPandas(
-        _assemble_blob, schema="bucket long, blob binary"
+    grouped = per_rec.groupBy("bucket").agg(
+        F.transform(
+            F.array_sort(F.collect_list("s")), lambda s: s["rec"]
+        ).alias("recs")
+    )
+    return grouped.select(
+        "bucket", _compress_blob_udf()(F.col("recs")).alias("blob")
     )
 
 
