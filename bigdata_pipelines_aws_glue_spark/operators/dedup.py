@@ -308,6 +308,14 @@ def minhash_lsh_candidates(
             "doc_id",
             minhash_signature(_shingles(_tokens(F.col("text")))).alias("sig"),
         ).filter(F.size("sig") > 0)
+    # r15: the banded SELF-join below consumes the signature frame on
+    # both sides, and Spark executed the whole signature pipeline
+    # (scan -> spread exchange -> Arrow-batched Python kernel) TWICE —
+    # two MapInPandas subtrees in the plan. One eager localCheckpoint
+    # materializes the (doc_id, 16-long sig) frame so both join sides
+    # read it (plan: 2 MapInPandas -> 1; measured 0.98 s -> ~0.7 s at
+    # sf0.1, pairs identical).
+    sig = sig.localCheckpoint(eager=True)
 
     bands = sig.select(
         "doc_id",

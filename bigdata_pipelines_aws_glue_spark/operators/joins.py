@@ -101,10 +101,16 @@ def asof_join_broadcast_array(
         pick = 1
     # guard: ANSI mode raises on element_at over an empty array
     match = F.when(F.size(eligible) > 0, F.element_at(eligible, pick))
-    out = joined
+    # r15: materialize the picked struct ONCE and extract fields from
+    # it — the previous per-column ``match[c]`` re-ran the whole
+    # array-filter pick per emitted column (CollapseProject keeps the
+    # non-cheap alias as its own projection, so this is one HOF eval
+    # per row; measured 1.44 s -> 1.25 s on asof_join_rates at sf0.1,
+    # rows identical).
+    out = joined.withColumn("__m", match)
     for c in [right_time, *right_cols]:
-        out = out.withColumn(c, match[c])
-    return out.drop("__rl")
+        out = out.withColumn(c, F.col("__m")[c])
+    return out.drop("__rl", "__m")
 
 
 def asof_join_union_sortmerge(
