@@ -336,11 +336,13 @@ def _crawl_round(
         .localCheckpoint(eager=True)
     )
     v = v.unionByName(fetched.select("url"))
+    # cand stays lazy too (r15): its two consumers re-run only a
+    # filter + broadcast anti join over the checkpointed disc and the
+    # materialized-union v — cheaper than its own blocking job.
     cand = (
         disc.filter(F.col("allowed"))
         .select("host", "url", "refs2")
         .join(v, "url", "left_anti")
-        .localCheckpoint(eager=True)
     )
     new_entrants = cand.join(
         rem.select("host", "url"), ["host", "url"], "left_anti"
@@ -424,6 +426,10 @@ def _initial_state(
         )
         .localCheckpoint(eager=True)
     )
+    # q0 keeps its eager checkpoint: round 1 consumes it three times
+    # (fetched, rem in the merge, rem in the audit), and the lazy
+    # form re-runs the gate's host-distinct shuffle in each — A/B'd
+    # r15, no measurable win, kept the predictable single job.
     q = robots_gate(cq).localCheckpoint(eager=True)
     v = (
         docs.select(
