@@ -770,7 +770,15 @@ def crawl_frontier_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti join on the URL string + one hash agg + one per-host
     politeness window."""
     docs = load_table(spark, sf_dir, "documents")
-    hrefs = _exploded_hrefs(spark, sf_dir)
+    # r15: the href explode is materialized BEFORE the resolution
+    # projection. Fused, the whole-stage method for this stage
+    # (generate + resolve + filter + partial agg) exceeds janino's
+    # 64 KB per-method limit — "ERROR CodeGenerator: Failed to
+    # compile" on every execution, then interpreted fallback for the
+    # entire stage (resolve_links alone compiles; the extra agg/filter
+    # code pushes THIS query over). The checkpoint is one bounded job
+    # (metadata-width href rows) and lets both halves compile.
+    hrefs = _exploded_hrefs(spark, sf_dir).localCheckpoint(eager=True)
     resolved = resolve_ref(
         F.lit("https"),
         F.concat(F.col("lang"), F.lit(".example.test")),
