@@ -92,3 +92,26 @@ def test_robots_fixture_shape(spark):
         assert txt.startswith("User-agent: *\n")
         assert "Disallow: /doc/1\n" in txt
         assert "Crawl-delay: " in txt
+
+
+def test_robots_gate_equals_per_row_form(spark, sf_dir):
+    """r15 optimization pin: the join-form gate (robots parsed once
+    per host, broadcast back) admits EXACTLY the rows the per-row
+    form admits, with the original columns preserved — on the real
+    queue frame, where both channels and all hosts appear."""
+    from bigdata_pipelines_aws_glue_spark.operators.robots import (
+        robots_allowed,
+        robots_gate,
+    )
+    from bigdata_pipelines_aws_glue_spark.operators.sitemap import (
+        crawl_queue_combined,
+    )
+
+    cq = crawl_queue_combined(spark, sf_dir).localCheckpoint(eager=True)
+    joined = robots_gate(cq)
+    assert joined.columns == cq.columns
+    per_row = cq.filter(robots_allowed(F.col("host"), F.col("url")))
+    assert joined.exceptAll(per_row).count() == 0
+    assert per_row.exceptAll(joined).count() == 0
+    # the gate must actually bite on this fixture
+    assert joined.count() < cq.count()
