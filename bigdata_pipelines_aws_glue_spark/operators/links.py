@@ -289,9 +289,12 @@ def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = edges.select("src").distinct()
     n_nodes = nodes.count()
+    # init vector stays lazy too (r15): consumed once, by round 1's
+    # join, and it reads the checkpointed edge frame — one fewer
+    # blocking job, same distinct-computation count.
     rank = nodes.select(
         F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
-    ).localCheckpoint(eager=True)
+    )
     teleport = (1.0 - PR_DAMP) / n_nodes
     # r15: rounds chain LAZILY — each round's rank is consumed exactly
     # once (by the next round's join), so the per-round eager
