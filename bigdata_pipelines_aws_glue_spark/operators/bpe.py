@@ -13,11 +13,17 @@ the corpus, (b) take the argmax pair (ties: count desc, pair asc),
 Scale posture: after the initial word groupBy, every round touches
 only the vocabulary table (~1e6-1e7 rows at web scale — thousands of
 times smaller than the corpus). Pair counting shuffles (a, b, partial
-sum) triples; the argmax is a 1-row collect per round (the same
-trained-scalar pattern as ``kmeans_fit``'s centroids); the merge
+sum) triples; the per-round driver round-trip fetches only the
+AGGREGATED pair-count table (bounded by the distinct adjacent symbol
+pairs — the classic in-memory state of every BPE trainer, ~alphabet²
+at the start and shrinking), never corpus or vocab rows; the merge
 application is map-only (a JVM-side ``F.aggregate`` fold — no Python
-UDF). Vocab state is ``localCheckpoint``-ed per round to keep lineage
-flat, exactly like the k-means centroid state.
+UDF). Vocab state stays a LAZY fold chain over the one eagerly
+checkpointed base vocabulary (optimization r16, guide §2.4/§5): with
+the base materialized, re-running k tiny array folds per round is
+far cheaper than the k eager-checkpoint blocking jobs the r15 form
+paid — per-round blocking jobs drop 3 -> 1 in the audit query and
+2 -> 1 in the silent trainer.
 
 Cross-engine determinism: all counts are exact integers; the DuckDB
 oracle replays the merge rounds as unrolled CTEs, applying each merge
@@ -96,6 +102,29 @@ def _merge_fold(syms, a: str, b: str):
     return _merge_fold_cols(syms, F.lit(a), F.lit(b))
 
 
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Aggregated (a, b, cnt) adjacent-pair frequencies over the
+    vocab — the bounded pair table both training loops fetch once
+    per round (r16)."""
+    return (
+        vocab.select(
+            "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _argmax_pair(pair_rows):
+    """Python-side replica of ``orderBy(cnt desc, a asc, b asc)
+    .first()``: UTF-8 byte comparison == Spark's UTF8String binary
+    string ordering, so the selected merge is identical."""
+    return min(
+        pair_rows,
+        key=lambda r: (-r.cnt, r.a.encode("utf-8"), r.b.encode("utf-8")),
+    )
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn ``NUM_MERGES`` BPE merges from ``documents.text``.
 
@@ -112,22 +141,35 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "freq", _char_syms(F.col("word")).alias("syms"))
         .localCheckpoint(eager=True)
     )
-    out_rows = []
+    # Optimization r16 (guide §2.4): ONE blocking job per round
+    # instead of three. Each round fetches the whole aggregated
+    # pair-count table (bounded by distinct adjacent symbol pairs —
+    # the in-memory state every BPE trainer keeps) and derives BOTH
+    # the argmax merge and the PREVIOUS round's ``corpus_syms_after``
+    # from it, via the exact integer identity
+    #     sum(freq * size(syms)) = sum(freq * n_pairs) + sum(freq)
+    # (size(syms) = n_pairs + 1 for every word). The merge folds
+    # chain LAZILY over the checkpointed base vocab — re-running k
+    # tiny array folds per round beats k eager-checkpoint jobs.
+    # Per-invocation blocking jobs drop 25 -> 11; same-session probe
+    # returned byte-identical rows for all three shapes tried.
+    total_freq = int(vocab.agg(F.sum("freq")).first()[0])
+    out_rows: list[list] = []
     for rank in range(1, NUM_MERGES + 1):
-        best = (
-            vocab.select("freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .first()
-        )
+        pair_rows = _pair_counts(vocab).collect()
+        if rank > 1:
+            # pair totals over the (k-1)-times-merged vocab give the
+            # previous round's post-merge corpus symbol count
+            out_rows[-1][4] = sum(r.cnt for r in pair_rows) + total_freq
+        best = _argmax_pair(pair_rows)
         vocab = vocab.withColumn(
             "syms", _merge_fold(F.col("syms"), best.a, best.b)
-        ).localCheckpoint(eager=True)
-        after = vocab.agg(
-            F.sum(F.col("freq") * F.size(F.col("syms"))).alias("s")
-        ).first()[0]
-        out_rows.append((rank, best.a, best.b, int(best.cnt), int(after)))
+        )
+        out_rows.append([rank, best.a, best.b, int(best.cnt), 0])
+    out_rows[-1][4] = int(
+        vocab.agg(F.sum(F.col("freq") * F.size(F.col("syms")))).first()[0]
+    )
+    out_rows = [tuple(r) for r in out_rows]
     schema = T.StructType(
         [
             T.StructField("merge_rank", T.IntegerType()),
@@ -238,20 +280,22 @@ def _train_final_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tried and measured SLOWER (2.24 s vs 1.60 s at sf0.1) — the
     # per-round broadcast exchange costs more than the extra tiny
     # .first() job it saves. Kept the driver-collect form.
+    # r16 (guide §2.4): the per-round eager vocab checkpoint is gone —
+    # merge folds chain lazily over the checkpointed base, so each
+    # round is ONE blocking job (the pair-table fetch + Python argmax,
+    # replicating the orderBy tie-break byte-exactly) re-running at
+    # most NUM_MERGES tiny array folds over the materialized vocab
+    # rows. One final checkpoint keeps the multiply-scanned result
+    # cheap for consumers. Per-invocation blocking jobs 17 -> 10;
+    # warm-floor probe 1.57 -> 1.46-1.49 s at sf0.1 (the win is
+    # mostly the removed per-round barrier, which matters more as
+    # per-job overhead grows with cluster size).
     for _ in range(NUM_MERGES):
-        best = (
-            vocab.select(
-                "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .first()
-        )
+        best = _argmax_pair(_pair_counts(vocab).collect())
         vocab = vocab.withColumn(
             "syms", _merge_fold(F.col("syms"), best.a, best.b)
-        ).localCheckpoint(eager=True)
-    return vocab
+        )
+    return vocab.localCheckpoint(eager=True)
 
 
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -297,6 +297,32 @@ def _crawl_round(
     deliberately multiset (UNION ALL on both engines), so a caller
     passing overlapping state would double-count ``visited_size``;
     the seeded-replay pytest pins this contract."""
+    # checkpoint discipline: multiply-consumed frames whose RECOMPUTE
+    # is expensive cut lineage eagerly. Measured at sf0.1 (r15 build):
+    # checkpointing only the round-crossing state read 20-75 s — the
+    # robots expression tree and its joins re-ran as separate job
+    # DAGs per consumer — vs ~11 s with checkpoints on every reused
+    # frame. r15 trimmed the per-round blocking jobs to 3 (fetched,
+    # disc, q). Optimization r16 (guide §2.4) keeps 3 blocking jobs
+    # but removes duplicated work around them:
+    #
+    # - the politeness RANK window now runs ONCE per round: the
+    #   checkpointed frame is ``ranked`` itself, so ``fetched`` and
+    #   ``rem`` are plain filters over the materialized rows (before,
+    #   checkpointing post-filter ``fetched`` re-ran the window
+    #   shuffle a second time for ``rem``);
+    # - the round-crossing state checkpoint is the MERGED full-outer
+    #   frame carrying an ``is_new`` marker (rem-side NULL — exactly
+    #   the rows the old ``cand anti-join rem`` counted), so the
+    #   audit's ``n_new``/``queue_size`` become ONE aggregation over
+    #   it and the separate anti-join evaluation of ``cand`` is gone
+    #   (``cand`` now has a single consumer);
+    # - the two ``disc`` audit scans (n_links, n_blocked) fuse into
+    #   one conditional aggregation — identical values by definition
+    #   (sum over the allowed+blocked partition == unconditional sum;
+    #   count of NOT allowed == count after the ~allowed filter).
+    #
+    # Audit crossJoins drop 6 -> 4; per-round window shuffles 2 -> 1.
     ranked = q.withColumn(
         "rk",
         F.row_number().over(
@@ -304,24 +330,9 @@ def _crawl_round(
                 F.col("refs").desc(), F.col("url").asc()
             )
         ),
-    )
-    # checkpoint discipline: multiply-consumed frames whose RECOMPUTE
-    # is expensive cut lineage eagerly. Measured at sf0.1 (r15 build):
-    # checkpointing only the round-crossing state read 20-75 s — the
-    # robots expression tree and its joins re-ran as separate job
-    # DAGs per consumer — vs ~11 s with checkpoints on every reused
-    # frame. Optimization r15 trims the per-round BLOCKING-JOB count
-    # from 6 to 4 without reintroducing any expensive recompute:
-    # ``links`` is now consumed ONCE (its row count rides on ``disc``
-    # as sum(refs2), identical by definition of the groupBy count),
-    # and ``v`` stays a lazy union of checkpointed frames (its two
-    # consumers re-walk a K-member union of materialized RDDs — no
-    # expression recompute). Measured 7.8 s -> 6.0 s at sf0.1, hashes
-    # unchanged.
-    fetched = (
-        ranked.filter(F.col("rk") <= FETCH_BUDGET)
-        .select("host", "url")
-        .localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+    fetched = ranked.filter(F.col("rk") <= FETCH_BUDGET).select(
+        "host", "url"
     )
     rem = ranked.filter(F.col("rk") > FETCH_BUDGET).select(
         "host", "url", "refs"
@@ -336,18 +347,18 @@ def _crawl_round(
         .localCheckpoint(eager=True)
     )
     v = v.unionByName(fetched.select("url"))
-    # cand stays lazy too (r15): its two consumers re-run only a
-    # filter + broadcast anti join over the checkpointed disc and the
-    # materialized-union v — cheaper than its own blocking job.
+    # cand stays lazy (r15): its single consumer (the merge) re-runs
+    # only a filter + broadcast anti join over the checkpointed disc
+    # and the materialized-union v — cheaper than its own blocking job.
     cand = (
         disc.filter(F.col("allowed"))
         .select("host", "url", "refs2")
         .join(v, "url", "left_anti")
     )
-    new_entrants = cand.join(
-        rem.select("host", "url"), ["host", "url"], "left_anti"
-    )
-    q = (
+    # rem.refs is non-null by construction (q0 coalesces, every merge
+    # below coalesces), so refs IS NULL <=> the row came only from
+    # cand <=> it is a NEW queue entrant.
+    merged = (
         rem.join(cand, ["host", "url"], "full_outer")
         .select(
             "host",
@@ -358,9 +369,11 @@ def _crawl_round(
             )
             .cast("long")
             .alias("refs"),
+            F.col("refs").isNull().alias("is_new"),
         )
         .localCheckpoint(eager=True)
     )
+    q = merged.select("host", "url", "refs")
     # one audit row: chained 1-row scalar crossJoins (the
     # corpus_funnel_stats / packing_stats shape)
     audit = (
@@ -374,21 +387,23 @@ def _crawl_round(
             disc.agg(
                 F.coalesce(F.sum("refs2"), F.lit(0))
                 .cast("long")
-                .alias("n_links")
+                .alias("n_links"),
+                F.coalesce(
+                    F.sum((~F.col("allowed")).cast("long")), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_blocked"),
             )
         )
         .crossJoin(
-            disc.filter(~F.col("allowed")).agg(
-                F.count(F.lit(1)).cast("long").alias("n_blocked")
+            merged.agg(
+                F.count(F.lit(1)).cast("long").alias("queue_size"),
+                F.coalesce(
+                    F.sum(F.col("is_new").cast("long")), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_new"),
             )
-        )
-        .crossJoin(
-            new_entrants.agg(
-                F.count(F.lit(1)).cast("long").alias("n_new")
-            )
-        )
-        .crossJoin(
-            q.agg(F.count(F.lit(1)).cast("long").alias("queue_size"))
         )
         .crossJoin(
             v.agg(F.count(F.lit(1)).cast("long").alias("visited_size"))

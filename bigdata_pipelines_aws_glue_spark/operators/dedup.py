@@ -925,6 +925,14 @@ def lsh_candidate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB operator whether the banding wastes verification work
     (low precision) or silently drops near-dups (low recall)."""
     docs = load_table(spark, sf_dir, "documents")
+    # r16 measurement note (guide §1.1): eagerly checkpointing cands
+    # and true_pairs (each has two consumers — its own count and the
+    # hits join) was tried and measured a WASH (old 3.34 s vs
+    # checkpointed 3.35 s at sf0.01, warm floor, same session): the
+    # r15 signature checkpoint inside minhash_lsh_candidates already
+    # materializes the expensive kernel once, and the remaining
+    # duplicate subtrees share their shuffles via ReusedExchange.
+    # Kept the lazy form (fewer blocking jobs).
     cands = minhash_lsh_candidates(docs).select("doc_a", "doc_b")
     true_pairs = ngram_jaccard_pairs(docs, threshold=0.8).select(
         "doc_a", "doc_b"

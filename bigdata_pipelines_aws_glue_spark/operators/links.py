@@ -234,44 +234,72 @@ _Q9 = 1e9
 _DOC_TARGET_RE = r"/doc/([0-9]+)$"
 
 
-def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_edges(
+    spark: SparkSession, sf_dir: str, refs: DataFrame | None = None
+) -> DataFrame:
     """DISTINCT (src, dst) doc-to-doc edges parsed back out of the
     synthesized HTML (extraction -> graph composition, not fixture
     arithmetic), restricted to targets that exist in the corpus.
     t1 == t2 collapses under distinct; t == doc_id is a legal
-    self-loop (doc 0)."""
+    self-loop (doc 0).
+
+    ``refs`` (optimization r16, guide §2.4): a caller that ALSO needs
+    :func:`_http_refs` (frontier_authority_rank) passes its
+    checkpointed frame so the linked-HTML synthesis + href regex scan
+    runs once per invocation instead of once per consumer. Row-set
+    identical by construction: filtering the exploded refs on
+    ``internal`` equals exploding the internal-filtered array, and
+    ``dst = cast(t_raw)`` is the same ``_DOC_TARGET_RE`` extract."""
     docs = load_table(spark, sf_dir, "documents")
-    html = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
-    own_host = F.concat(F.col("lang"), F.lit(".example.test"))
-    internal = F.filter(
-        _http_links(html),
-        lambda x: F.regexp_extract(x, _HOST_RE, 1) == own_host,
-    )
-    edges = (
-        docs.select(
-            F.col("doc_id").alias("src"),
-            F.explode(internal).alias("url"),
+    if refs is not None:
+        edges = (
+            refs.filter(F.col("internal"))
+            .select(
+                F.col("doc_id").alias("src"),
+                F.col("t_raw").cast("long").alias("dst"),
+            )
+            .distinct()
         )
-        .select(
-            "src",
-            F.regexp_extract(F.col("url"), _DOC_TARGET_RE, 1)
-            .cast("long")
-            .alias("dst"),
+    else:
+        html = synth_linked_html(
+            F.col("doc_id"), F.col("lang"), F.col("text")
         )
-        .distinct()
-    )
+        own_host = F.concat(F.col("lang"), F.lit(".example.test"))
+        internal = F.filter(
+            _http_links(html),
+            lambda x: F.regexp_extract(x, _HOST_RE, 1) == own_host,
+        )
+        edges = (
+            docs.select(
+                F.col("doc_id").alias("src"),
+                F.explode(internal).alias("url"),
+            )
+            .select(
+                "src",
+                F.regexp_extract(F.col("url"), _DOC_TARGET_RE, 1)
+                .cast("long")
+                .alias("dst"),
+            )
+            .distinct()
+        )
     targets = docs.select(F.col("doc_id").alias("dst"))
     return edges.join(targets, "dst", "left_semi")
 
 
-def _pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pagerank_ranks(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """The full (node, r) PageRank vector after ``PR_ITERS`` rounds
     — factored out of :func:`link_pagerank` so
     :func:`frontier_authority_rank` can spend the SAME attested rank
     mass on frontier ordering instead of re-deriving it. Returns the
     final round's checkpointed frame (nodes with inlinks; docs
-    outside it hold no rank — the documented leak semantics)."""
-    edges = _doc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    outside it hold no rank — the documented leak semantics).
+    ``edges`` lets frontier_authority_rank pass the edge frame it
+    derived from its shared refs checkpoint (r16)."""
+    if edges is None:
+        edges = _doc_edges(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=True)
     from bigdata_pipelines_aws_glue_spark.functions.rounding import dec_qsum
 
     outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -472,21 +500,19 @@ def crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _frontier_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per FRONTIER REFERENCE — (doc_id, n_http, url, host)
-    for every http URL the corpus cites but does not contain
-    (unvisited internal targets + all externals). THE shared
-    membership derivation: ``crawl_frontier`` aggregates it into the
-    demand queue (ignoring ``n_http``) and
-    ``frontier_authority_rank`` spends PageRank mass over it
-    (``n_http`` = the referring doc's full http outdegree, OPIC's
-    cash divisor) — so a change to the membership rules moves both
-    queries AND both oracles (``_FRONTIER_CTES``) together."""
+def _http_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per http OUTLINK occurrence with its classification
+    columns — (doc_id, n_http, url, host, t_raw, internal). The
+    expensive part of both frontier derivations: linked-HTML
+    synthesis + href extraction + host/target regexes. Factored out
+    (r16) so ``frontier_authority_rank`` can checkpoint it ONCE per
+    invocation and feed both its PageRank edge set and its frontier
+    membership from the same scan."""
     docs = load_table(spark, sf_dir, "documents")
     html = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
     own_host = F.concat(F.col("lang"), F.lit(".example.test"))
     http = _http_links(html)
-    refs = docs.select(
+    return docs.select(
         "doc_id",
         own_host.alias("own_host"),
         F.size(http).cast("long").alias("n_http"),
@@ -502,6 +528,23 @@ def _frontier_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("own_host")
         ).alias("internal"),
     )
+
+
+def _frontier_refs(
+    spark: SparkSession, sf_dir: str, refs: DataFrame | None = None
+) -> DataFrame:
+    """One row per FRONTIER REFERENCE — (doc_id, n_http, url, host)
+    for every http URL the corpus cites but does not contain
+    (unvisited internal targets + all externals). THE shared
+    membership derivation: ``crawl_frontier`` aggregates it into the
+    demand queue (ignoring ``n_http``) and
+    ``frontier_authority_rank`` spends PageRank mass over it
+    (``n_http`` = the referring doc's full http outdegree, OPIC's
+    cash divisor) — so a change to the membership rules moves both
+    queries AND both oracles (``_FRONTIER_CTES``) together."""
+    docs = load_table(spark, sf_dir, "documents")
+    if refs is None:
+        refs = _http_refs(spark, sf_dir)
     internal = refs.filter(F.col("internal")).withColumn(
         "target", F.col("t_raw").cast("long")
     )
@@ -891,8 +934,19 @@ def frontier_authority_rank(
         dec_qsum,
     )
 
-    ranks = _pagerank_ranks(spark, sf_dir)
-    frontier = _frontier_refs(spark, sf_dir)
+    # r16 (guide §2.4): the PageRank edge set and the frontier
+    # membership both start from the same linked-HTML synthesis +
+    # href/host regex scan; before, that scan ran TWICE inside this
+    # one invocation (once under _doc_edges' checkpoint, once in the
+    # main plan via _frontier_refs). One eager checkpoint of the
+    # shared (doc_id, n_http, url, host, t_raw, internal) refs frame
+    # now feeds both consumers — within-query reuse only, nothing
+    # crosses invocations.
+    refs = _http_refs(spark, sf_dir).localCheckpoint(eager=True)
+    ranks = _pagerank_ranks(
+        spark, sf_dir, edges=_doc_edges(spark, sf_dir, refs=refs)
+    )
+    frontier = _frontier_refs(spark, sf_dir, refs=refs)
     contrib = frontier.join(
         ranks, frontier["doc_id"] == ranks["node"], "left"
     ).select(

@@ -50,6 +50,52 @@ def test_bpe_training_audit_trail(spark, sf_dir):
     assert len(set(pairs)) == len(pairs)
 
 
+def test_train_merges_matches_three_job_form(spark, sf_dir):
+    """r16 optimization pin: the one-collect-per-round training loop
+    (lazy fold chain + pair-total identity for ``corpus_syms_after``)
+    returns exactly the rows of the original form that ran a separate
+    argmax job, eager checkpoint, and corpus-sum job every round."""
+    from bigdata_pipelines_aws_glue_spark.operators.bpe import (
+        _adjacent_pairs,
+        _char_syms,
+        _tokens,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("word", "freq", _char_syms(F.col("word")).alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    old_rows = []
+    for rank in range(1, NUM_MERGES + 1):
+        best = (
+            vocab.select(
+                "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .first()
+        )
+        vocab = vocab.withColumn(
+            "syms", _merge_fold(F.col("syms"), best.a, best.b)
+        ).localCheckpoint(eager=True)
+        after = vocab.agg(
+            F.sum(F.col("freq") * F.size(F.col("syms"))).alias("s")
+        ).first()[0]
+        old_rows.append((rank, best.a, best.b, int(best.cnt), int(after)))
+    new_rows = [
+        tuple(r)
+        for r in bpe_train_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    assert new_rows == old_rows
+
+
 def test_encode_totals_match_training_audit(spark, sf_dir):
     """Σ per-doc BPE tokens must equal the training audit's final
     corpus_syms_after — the encode join and the training fold agree

@@ -89,3 +89,36 @@ def test_block_boilerplate_classification(spark, sf_dir):
     for r in mc:
         assert r["main_block_idx"] in (3, 4)  # one of the paragraphs
         assert r["main_score"] <= r["main_chars"]
+
+
+def test_fused_strip_equals_ordered_passes(spark, sf_dir):
+    """r16 optimization pin: the fused alternation strip
+    (``_STRIP_FUSED_RE``) equals the original ordered three-pass
+    pipeline on every string the engine strips — whole synthesized
+    docs AND their newline blocks (the funnel's per-block unit)."""
+    from bigdata_pipelines_aws_glue_spark.operators.markup import (
+        _ENTITIES,
+        _SCRIPT_RE,
+        _STYLE_RE,
+        _TAG_RE,
+    )
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    def ordered_strip(c):
+        out = F.regexp_replace(c, _SCRIPT_RE, " ")
+        out = F.regexp_replace(out, _STYLE_RE, " ")
+        out = F.regexp_replace(out, _TAG_RE, " ")
+        for ent, ch in _ENTITIES:
+            out = F.replace(out, F.lit(ent), F.lit(ch))
+        return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = synth_html(F.col("doc_id"), F.col("lang"), F.col("text"))
+    whole = docs.select(
+        (strip_markup(html) == ordered_strip(html)).alias("eq")
+    )
+    assert whole.filter(~F.col("eq")).count() == 0
+    blocks = docs.select(
+        F.explode(F.split(html, "\n")).alias("b")
+    ).select((strip_markup(F.col("b")) == ordered_strip(F.col("b"))).alias("eq"))
+    assert blocks.filter(~F.col("eq")).count() == 0
