@@ -816,15 +816,26 @@ def crawl_frontier_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti join on the URL string + one hash agg + one per-host
     politeness window."""
     docs = load_table(spark, sf_dir, "documents")
-    # r15: the href explode is materialized BEFORE the resolution
+    # r15: the href explode is separated from the resolution
     # projection. Fused, the whole-stage method for this stage
     # (generate + resolve + filter + partial agg) exceeds janino's
     # 64 KB per-method limit — "ERROR CodeGenerator: Failed to
     # compile" on every execution, then interpreted fallback for the
     # entire stage (resolve_links alone compiles; the extra agg/filter
-    # code pushes THIS query over). The checkpoint is one bounded job
-    # (metadata-width href rows) and lets both halves compile.
-    hrefs = _exploded_hrefs(spark, sf_dir).localCheckpoint(eager=True)
+    # code pushes THIS query over). r16 (guide §2.4): the split is now
+    # a LAZY hash exchange instead of the r15 eager checkpoint — an
+    # Exchange ends the whole-stage-codegen span just as the
+    # materialization did (stderr-verified: zero compile failures),
+    # but costs one narrow 85 k-row shuffle inside the consumer's job
+    # rather than its own blocking pass over the synthesis chain.
+    # numPartitions is pinned to defaultParallelism (derived, not a
+    # local constant) because AQE would coalesce these few metadata
+    # bytes into one partition and serialize the 16-pass resolve
+    # chain that follows. Probe: 2.80-3.25 s -> 2.42-2.67 s same
+    # session, rows identical.
+    hrefs = _exploded_hrefs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     resolved = resolve_ref(
         F.lit("https"),
         F.concat(F.col("lang"), F.lit(".example.test")),
