@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
 from bigdata_pipelines_aws_glue_spark.functions.rounding import stable_round
+from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 #: window width (bytes) hashed at each position.
@@ -98,9 +99,16 @@ def cdc_chunks(docs: DataFrame) -> DataFrame:
     Cut offsets are window ends (i + W - 1) at boundary positions,
     plus the document end; consecutive cuts delimit chunks. Documents
     shorter than W yield one whole-text chunk."""
-    t = docs.select("doc_id", "text", F.length("text").alias("n")).filter(
-        F.col("n") > 0
-    )
+    # r16 (guide §2.5 input parallelism): the md5-per-window-position
+    # gear hash is the heaviest per-row chain in the repo, and the
+    # documents scan arrives in ONE partition locally (single parquet
+    # row group) — the whole chain ran on one core. ``spread`` is a
+    # no-op whenever the scan already has >= defaultParallelism
+    # splits (any real corpus). Probe at sf0.1: 3.62 -> 1.12 s; at
+    # 5x data: 19.06 -> 1.51 s; rows identical.
+    t = spread(docs).select(
+        "doc_id", "text", F.length("text").alias("n")
+    ).filter(F.col("n") > 0)
     cuts_arr = F.array_union(
         F.when(
             F.col("n") >= W,
@@ -147,7 +155,8 @@ def cdc_clamped_cuts(docs: DataFrame) -> DataFrame:
     same rule as a recursive CTE. This is the repo's pattern for
     per-row sequential state without a UDF (`windows.py` reflection
     fold precedent)."""
-    t = docs.select(
+    # r16: same input-parallelism fix as cdc_chunks (guide §2.5).
+    t = spread(docs).select(
         "doc_id", "text", F.length("text").cast("long").alias("n")
     ).filter(F.col("n") > 0)
     cand = F.when(

@@ -37,6 +37,7 @@ from bigdata_pipelines_aws_glue_spark.operators.urls import (
     _resolve_sql,
     resolve_ref,
 )
+from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 _HREF_RE = r'href="([^"]*)"'
@@ -113,7 +114,7 @@ def extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     internal/external split (internal = the doc's own language host),
     distinct-host count, and an md5 over the SORTED http link list
     (order-insensitive content attestation)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))  # r16 §2.5
     html = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
     hrefs = F.regexp_extract_all(html, F.lit(_HREF_RE), F.lit(1))
     http = _http_links(html)
@@ -177,7 +178,7 @@ def link_host_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     each target host, total inlinks, distinct linking documents, and
     distinct target paths. One explode + one hash aggregation — the
     domain-cap/source-mix input shape."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))  # r16 §2.5
     html = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
     edges = docs.select(
         "doc_id", F.explode(_http_links(html)).alias("url")
@@ -270,7 +271,7 @@ def _doc_edges(
             lambda x: F.regexp_extract(x, _HOST_RE, 1) == own_host,
         )
         edges = (
-            docs.select(
+            spread(docs).select(  # r16 §2.5
                 F.col("doc_id").alias("src"),
                 F.explode(internal).alias("url"),
             )
@@ -508,7 +509,8 @@ def _http_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r16) so ``frontier_authority_rank`` can checkpoint it ONCE per
     invocation and feed both its PageRank edge set and its frontier
     membership from the same scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.5): parallelize the synthesis/regex map stage.
+    docs = spread(load_table(spark, sf_dir, "documents"))
     html = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
     own_host = F.concat(F.col("lang"), F.lit(".example.test"))
     http = _http_links(html)
@@ -757,7 +759,9 @@ _HREF_KIND_SQL = f"""CASE
 def _exploded_hrefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, href_idx, href): every href in the rel-fixture
     HTML, in document order. One narrow explode, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.5): parallelize the synthesis + href-extract map
+    # stage over the single-split local scan; no-op at real scale.
+    docs = spread(load_table(spark, sf_dir, "documents"))
     html = synth_rel_html(F.col("doc_id"), F.col("lang"), F.col("text"))
     return docs.select(
         "doc_id",

@@ -43,6 +43,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_pipelines_aws_glue_spark import registry
+from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 #: block-level link-density threshold above which a block is
@@ -244,7 +245,7 @@ def html_strip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5), (b) the original document text survives extraction
     verbatim (``contains_original`` — the two paragraphs re-join
     across the block boundary under whitespace normalization)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))  # r16 § 2.5
     html = synth_html(F.col("doc_id"), F.col("lang"), F.col("text"))
     stripped = strip_markup(html)
     text_norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
@@ -340,7 +341,7 @@ def boilerplate_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic. Density is reported in exact integer ppm
     (anchor*1e6/text floor-rounded) to stay off the cross-engine
     float-rounding cliff."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))  # r16 § 2.5
     bf = _block_frame(docs)
     density_ppm = F.when(
         F.col("text_chars") > 0,
@@ -417,7 +418,7 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``score * 16 - block_idx`` (the fixture emits exactly 7 blocks,
     so idx < 16 keeps the key injective) via a single struct-max
     aggregate (no window, one hash shuffle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))  # r16 § 2.5
     bf = _block_frame(docs)
     score = (F.col("text_chars") - F.col("anchor_chars")).cast("long")
     key = score * F.lit(16) - F.col("block_idx")

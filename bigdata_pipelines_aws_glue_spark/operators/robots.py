@@ -216,10 +216,16 @@ def robots_gate(df: DataFrame, keep_delay: bool = False) -> DataFrame:
     distinct host (``host_rules_frame``), the bounded rules table
     broadcasts back, and the per-row work shrinks to the prefix
     match. Identical verdicts to the per-row form (same expressions
-    over the same synthesized bytes). ``keep_delay=True`` retains the
-    host's parsed Crawl-delay as ``_robots_delay``. The caller must
-    pass a frame that is cheap to consume twice (checkpoint first —
-    the distinct and the join both read it)."""
+    over the same synthesized bytes) FOR NON-NULL HOSTS — the inner
+    equi-join drops NULL-host rows, whereas ``robots_allowed(NULL,
+    url)`` default-allows (NULL rules -> NULL win -> allow). Every
+    caller synthesizes hosts (never NULL), so the forms agree on all
+    reachable inputs; a future caller with nullable hosts must
+    pre-filter or use the per-row form (ADVICE r15).
+    ``keep_delay=True`` retains the host's parsed Crawl-delay as
+    ``_robots_delay``. The caller must pass a frame that is cheap to
+    consume twice (checkpoint first — the distinct and the join both
+    read it)."""
     hr = host_rules_frame(df)
     v = _verdict(F.col("_robots_rules"), url_path(F.col("url")))
     out = df.join(F.broadcast(hr), "host").filter(v["allowed"]).drop(

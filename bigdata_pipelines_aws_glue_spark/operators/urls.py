@@ -406,10 +406,11 @@ def resolve_ref(
     — zero shuffle, whole-stage codegen."""
     nofrag = F.substring_index(ref, "#", 1)
     # r15: plain string ops instead of two regexp_extract per href —
-    # provably equal for every input: the prefix before the FIRST '?'
-    # (or the whole string) and the suffix after it (or ''). The
+    # equal on every newline-free ref (the fixture's invariant; the
+    # old non-DOTALL `\?(.*)$` would stop at a line terminator where
+    # substr-after-instr keeps the full suffix — ADVICE r15). The
     # DuckDB twin keeps its regex form; the hash check attests the
-    # values agree, as before.
+    # values agree on the real corpus, as before.
     rpath = F.substring_index(nofrag, "?", 1)
     qpos = F.instr(nofrag, "?")
     rq = F.when(qpos > 0, F.substr(nofrag, qpos + 1)).otherwise(F.lit(""))

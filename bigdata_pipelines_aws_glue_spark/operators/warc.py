@@ -50,6 +50,7 @@ from bigdata_pipelines_aws_glue_spark.operators.links import (
     synth_linked_html,
 )
 from bigdata_pipelines_aws_glue_spark.operators.markup import _HTML_CTE
+from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 RECS_PER_BLOB = 8
@@ -95,8 +96,12 @@ def warc_blobs(docs: DataFrame) -> DataFrame:
     RECS_PER_BLOB per blob. One groupBy shuffle."""
     payload = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
     rec = synth_warc_record(F.col("doc_id"), F.col("lang"), payload)
+    # r16 (guide §2.5): the record synthesis runs BEFORE the bucket
+    # shuffle, on however many splits the scan produced — one,
+    # locally (single parquet row group). spread() parallelizes the
+    # map stage; no-op when the scan already has enough splits.
     return (
-        docs.select(
+        spread(docs).select(
             F.floor(F.col("doc_id") / F.lit(RECS_PER_BLOB))
             .cast("long")
             .alias("bucket"),
@@ -136,7 +141,17 @@ def _parse_fold(blob: Column) -> Column:
             blob.substr(acc["off"], F.lit(8)) == F.lit("WARC/1.0")
         )
         hdr_end = F.instr(hdr, _CRLF + _CRLF)  # 1-based, within hdr
-        clen = F.regexp_extract(hdr, _CLEN_RE, 1).cast("int")
+        # r16 (ADVICE r15): gate the parse on the CRLFCRLF separator
+        # being INSIDE the slice — without this, a >MAX_HDR header
+        # whose Content-Length still matched in the window would
+        # mis-frame silently (hdr_end=0). The otherwise('') keeps the
+        # loud ''::int ANSI failure. Identical values whenever
+        # hdr_end > 0, i.e. on every input the bound admits.
+        clen = (
+            F.when(hdr_end > 0, F.regexp_extract(hdr, _CLEN_RE, 1))
+            .otherwise(F.lit(""))
+            .cast("int")
+        )
         payload = blob.substr(acc["off"] + hdr_end - 1 + F.lit(4), clen)
         consumed = hdr_end - 1 + F.lit(4) + clen + F.lit(4)
         return F.when(

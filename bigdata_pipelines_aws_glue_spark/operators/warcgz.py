@@ -79,6 +79,7 @@ from bigdata_pipelines_aws_glue_spark.operators.warc import (
     RECS_PER_BLOB,
     synth_warc_record,
 )
+from bigdata_pipelines_aws_glue_spark.operators.skew import spread
 from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
 
 _PREFIX = struct.Struct(">II")
@@ -160,7 +161,9 @@ def warc_gz_blobs(docs: DataFrame) -> DataFrame:
     bytes — blob-consumers re-attested hash-identical."""
     payload = synth_linked_html(F.col("doc_id"), F.col("lang"), F.col("text"))
     rec = synth_warc_record(F.col("doc_id"), F.col("lang"), payload)
-    per_rec = docs.select(
+    # r16 (guide §2.5): parallelize the pre-shuffle synthesis stage —
+    # see warc.warc_blobs.
+    per_rec = spread(docs).select(
         F.floor(F.col("doc_id") / F.lit(RECS_PER_BLOB))
         .cast("long")
         .alias("bucket"),

@@ -193,3 +193,25 @@ def test_salted_skew_join_rejects_outer_how(spark):
             salted_skew_join(big, small, ["k"], buckets=4, how=how)
     # the safe set still works
     assert salted_skew_join(big, small, ["k"], how="left").count() == 1
+
+
+def test_spread_parallelizes_single_split_scan(spark, sf_dir):
+    """r16 optimization pin (guide §2.5): the local parquet fixtures
+    arrive as ONE scan partition (single row group), so heavy map
+    chains serialized until ``spread``. Pins that (a) spread raises
+    the partition count of a single-split scan to defaultParallelism,
+    (b) it preserves the row multiset exactly, and (c) it is a no-op
+    when the input already has enough partitions."""
+    from bigdata_pipelines_aws_glue_spark.operators.skew import spread
+    from bigdata_pipelines_aws_glue_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        out = spread(docs)
+        assert out.rdd.getNumPartitions() == target
+        a = sorted(map(tuple, docs.collect()))
+        b = sorted(map(tuple, out.collect()))
+        assert a == b
+    wide = docs.repartition(target)
+    assert spread(wide) is wide  # no-op branch returns the input
